@@ -1,0 +1,113 @@
+"""Golden CDC corpora (FIXTURES.md §A; README.md:126-155, 402-426 of the
+reference). Deterministic — timestamps are fixed, not generated.
+
+Also: synth_cdc_from_events derives a large CDC changelog from the
+driver-generated `events` table so the pipeline can be exercised (and
+benchmarked) at any scale factor without hand-written rows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import CDC_BINARY_SCHEMA, CDC_JSON_SCHEMA, OP_DELETE, OP_INSERT, OP_UPDATE
+
+_T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(i: int) -> dt.datetime:
+    return _T0 + dt.timedelta(seconds=i)
+
+
+def golden_json_events(spark: SparkSession) -> DataFrame:
+    """The four README scenarios (README.md:131-137), in order."""
+    doc = {"_id": "user0010", "firstName": "Matt", "lastName": "Porker", "age": 34}
+    addr1 = {"city": "San Jose", "state": "CA", "street": "320 Blossom Hill Road", "zipCode": 9519}
+    addr2 = {"city": "San Jose", "state": "CA", "street": "330 Blossom Hill Road", "zipCode": 9519}
+    rows = [
+        ("user0010", OP_INSERT, _ts(0), [("", json.dumps(doc))]),
+        ("user0010", OP_UPDATE, _ts(1), [("address", json.dumps(addr1))]),
+        (
+            "user0010",
+            OP_UPDATE,
+            _ts(2),
+            [("lastName", json.dumps("Parker")), ("address", json.dumps(addr2))],
+        ),
+        ("user0010", OP_DELETE, _ts(3), []),
+    ]
+    return spark.createDataFrame(rows, CDC_JSON_SCHEMA)
+
+
+def golden_binary_events(spark: SparkSession) -> DataFrame:
+    """Binary-table corpus (README.md:407-411): two puts, one deleteall.
+    Inserts surface as RECORD_UPDATE (B:71)."""
+    rows = [
+        (b"user010", OP_UPDATE, _ts(0), [("default.firstName", b"John")]),
+        (b"user010", OP_UPDATE, _ts(1), [("default.lastName", b"Doe")]),
+        (b"user010", OP_DELETE, _ts(2), []),
+    ]
+    return spark.createDataFrame(rows, CDC_BINARY_SCHEMA)
+
+
+def synth_cdc_from_events(events: DataFrame) -> DataFrame:
+    """Derive a CDC changelog from the `events` table, deterministically.
+
+    Each event row becomes one change record for document user<user_id>:
+      signup   → RECORD_INSERT of a whole doc
+      error    → RECORD_DELETE
+      others   → RECORD_UPDATE of firstName / lastName / address round-robin
+    Pure projection (scales linearly; no shuffle).
+    """
+    uid = F.col("user_id").cast("string")
+    _id = F.concat(F.lit("user"), uid)
+    name = F.concat(F.lit("name_"), uid)
+    city = F.concat(F.lit("city_"), (F.col("event_id") % 100).cast("string"))
+    doc = F.to_json(
+        F.struct(
+            _id.alias("_id"),
+            name.alias("firstName"),
+            F.concat(F.lit("last_"), uid).alias("lastName"),
+            (F.col("event_id") % 90).cast("int").alias("age"),
+        )
+    )
+    addr = F.to_json(
+        F.struct(
+            city.alias("city"),
+            F.lit("CA").alias("state"),
+            F.concat((F.col("event_id") % 999).cast("string"), F.lit(" Main St")).alias("street"),
+            (F.col("event_id") % 99999).cast("int").alias("zipCode"),
+        )
+    )
+    field_pick = F.col("event_id") % 3
+    upd_changes = F.array(
+        F.struct(
+            F.when(field_pick == 0, F.lit("firstName"))
+            .when(field_pick == 1, F.lit("lastName"))
+            .otherwise(F.lit("address"))
+            .alias("fieldPath"),
+            F.when(field_pick == 0, F.to_json(name))
+            .when(field_pick == 1, F.to_json(F.concat(F.lit("last_"), uid)))
+            .otherwise(addr)
+            .alias("value"),
+        )
+    )
+    ins_changes = F.array(F.struct(F.lit("").alias("fieldPath"), doc.alias("value")))
+    empty = F.array().cast("array<struct<fieldPath: string, value: string>>")
+
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit(OP_INSERT))
+        .when(F.col("event_type") == "error", F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_UPDATE))
+    )
+    changes = (
+        F.when(F.col("event_type") == "signup", ins_changes)
+        .when(F.col("event_type") == "error", empty)
+        .otherwise(upd_changes)
+    )
+    return events.select(
+        _id.alias("_id"), op.alias("op"), F.col("ts"), changes.alias("changes")
+    )

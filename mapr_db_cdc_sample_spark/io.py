@@ -1,0 +1,46 @@
+"""Table loading for the driver-generated parquet testdata (TESTDATA.md).
+
+All scans go through here so predicate pushdown / column pruning are
+verified in one place: `spark.read.parquet` + lazy DataFrames keep filters
+and projections in Catalyst where they reach the parquet reader
+(PushedFilters / ReadSchema in `.explain`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One parquet table as a DataFrame (lazy scan)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All tables; also registers each as a temp view for spark.sql use."""
+    tune(spark)
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,61 @@
+"""SparkSession construction and engine-wide configuration.
+
+Scale posture (100 TB target, tested on local[32]):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned partition counts.
+- Shuffle partitions sized for the local harness via SPARK_GRAFT_CPUS; on a
+  real cluster this is overridden (AQE coalesces down from a high initial
+  count, so the same code scales up).
+- UTC session timezone: oracle (DuckDB) comparisons are tz-naive; all
+  date/time expressions in the query surface are wall-clock stable.
+- Arrow enabled: pandas_udf / applyInPandas paths are vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to any session we are handed (the driver
+#: may construct its own SparkSession; these are all safe to set at runtime).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small dims (region/nation/supplier) must broadcast; 64 MB is safe on
+    # executors with >=4 GB and removes shuffles from every dim join.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable at runtime in this build; keep going
+    return spark
+
+
+def get_spark(app_name: str = "mapr-db-cdc-sample-spark") -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    local[$SPARK_GRAFT_CPUS] for the test harness; on a cluster the master
+    comes from spark-submit and this builder only contributes confs.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing excludes session startup; each query is executed to completion via
+a count-style action (collect for small results). One warmup pass of Q01
+primes the JVM/codegen caches so numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapr_db_cdc_sample_spark.queries import load_all
+from mapr_db_cdc_sample_spark.session import get_spark
+
+# Headline set: the scale-sensitive shapes (big aggs, joins, windows,
+# set ops, CDC route, LLM ops get added as they land).
+HEADLINE = [
+    "q01_scan_count",
+    "q04_inner_join",
+    "q05_broadcast_join",
+    "q08_semi_join",
+    "q12_asof_join",
+    "q13_groupby_agg",
+    "q14_count_distinct",
+    "q17_cube",
+    "q20_collect_list",
+    "q21_ranking",
+    "q23_frames",
+    "q25_topk_per_group",
+    "q26_sort_limit",
+    "q27_union_all",
+    "q31_string_fns",
+    "q35_json_fns",
+    "q36_subqueries",
+    "q41_cdc_route_fts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry]
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: prime codegen/JIT and the parquet footer cache.
+    registry["q01_scan_count"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

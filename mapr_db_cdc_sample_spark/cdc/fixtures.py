@@ -60,8 +60,12 @@ def synth_cdc_from_events(events: DataFrame) -> DataFrame:
       signup   → RECORD_INSERT of a whole doc
       error    → RECORD_DELETE
       others   → RECORD_UPDATE of firstName / lastName / address round-robin
-    Pure projection (scales linearly; no shuffle).
+    A real changelog arrives partitioned (Kafka topic partitions); the
+    testdata parquet is a single row-group, so repartition first to give
+    the downstream projection the same parallelism it would have in
+    production.
     """
+    events = events.repartition(events.sparkSession.sparkContext.defaultParallelism)
     uid = F.col("user_id").cast("string")
     _id = F.concat(F.lit("user"), uid)
     name = F.concat(F.lit("name_"), uid)
@@ -89,8 +93,10 @@ def synth_cdc_from_events(events: DataFrame) -> DataFrame:
             .when(field_pick == 1, F.lit("lastName"))
             .otherwise(F.lit("address"))
             .alias("fieldPath"),
-            F.when(field_pick == 0, F.to_json(name))
-            .when(field_pick == 1, F.to_json(F.concat(F.lit("last_"), uid)))
+            # scalar JSON encoding by hand (to_json needs struct/array/map;
+            # the synthesized names contain no characters needing escape)
+            F.when(field_pick == 0, F.concat(F.lit('"'), name, F.lit('"')))
+            .when(field_pick == 1, F.concat(F.lit('"last_'), uid, F.lit('"')))
             .otherwise(addr)
             .alias("value"),
         )

@@ -64,23 +64,26 @@ def route_json(cdc: DataFrame) -> tuple[DataFrame, DataFrame]:
     """
     is_ins = F.col("op") == OP_INSERT
     is_upd = F.col("op") == OP_UPDATE
-    is_del = F.col("op") == OP_DELETE
 
-    doc = _whole_doc(F.col("changes"))
+    # Insert shape: parse the whole document ONCE (a single from_json
+    # instead of one get_json_object re-parse per extracted field — the
+    # difference is ~3× less JSON work on the hot path).
+    doc = F.from_json(
+        _whole_doc(F.col("changes")),
+        f"struct<firstName: string, lastName: string, address: {ADDRESS_DDL}>",
+    )
 
-    first_name = F.when(is_ins, F.get_json_object(doc, "$.firstName")).when(
+    first_name = F.when(is_ins, doc["firstName"]).when(
         is_upd, _json_scalar(_last_change(F.col("changes"), "firstname"))
     )
-    last_name = F.when(is_ins, F.get_json_object(doc, "$.lastName")).when(
+    last_name = F.when(is_ins, doc["lastName"]).when(
         is_upd, _json_scalar(_last_change(F.col("changes"), "lastname"))
-    )
-    address_json = F.when(is_ins, F.get_json_object(doc, "$.address")).when(
-        is_upd, _last_change(F.col("changes"), "address")
     )
     # PERMISSIVE from_json yields an all-null struct for unparseable input;
     # normalize that to a true null so broken payloads don't emit geo
     # messages with an empty address.
-    parsed = F.from_json(address_json, ADDRESS_DDL)
+    upd_addr = F.from_json(_last_change(F.col("changes"), "address"), ADDRESS_DDL)
+    parsed = F.when(is_ins, doc["address"]).when(is_upd, upd_addr)
     address = F.when(
         parsed["city"].isNotNull()
         | parsed["state"].isNotNull()

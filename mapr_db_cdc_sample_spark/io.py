@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .session import tune
 
@@ -32,7 +33,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One parquet table as a DataFrame (lazy scan)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosAsLong read (see session.RUNTIME_CONFS): ns → µs timestamp,
+        # truncating exactly like DuckDB does for the same parquet.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,927 @@
+"""Relational operator surface Q01-Q36 (SURVEY.md §2.2) — batch layer.
+
+Every query is declared twice: an idiomatic DataFrame-API plan (Catalyst
+optimizes: pushdown, pruning, broadcast selection, AQE) and an ANSI-SQL
+oracle DuckDB runs over the same parquet. Determinism rules (SURVEY.md
+§2.2) are applied on BOTH sides:
+
+- double aggregates go through DECIMAL(18,2) so sums are exact integer
+  arithmetic in both engines, then CAST back to DOUBLE (identical bits);
+- averages = exact decimal sum cast to double / count, rounded — IEEE
+  division of identical inputs is identical;
+- transcendental functions (exp/ln/log10) are rounded to 6 places (libm
+  may differ in the last ulp between JVM and C);
+- every LIMIT sits on a total order with a unique tiebreaker;
+- timestamps are cast to DATE (wall-clock stable; session tz is UTC);
+- DuckDB integer SUM returns HUGEINT → cast to BIGINT on the oracle side.
+
+Scale notes (100 TB posture) are on each query; `broadcast()` hints mark
+dimension joins, everything else is left to Catalyst + AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_tables
+from . import register
+
+
+def _dec_sum(col):
+    """Exact double sum: decimal(18,2) arithmetic, double result."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+def _dec_avg(col):
+    """avg = exact decimal sum / count, as double, rounded to 2."""
+    return F.round(_dec_sum(col) / F.count(F.col(col)), 2)
+
+
+# ---------------------------------------------------------------- scans
+
+@register(
+    "q01_scan_count",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(l_orderkey) AS n_vals,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem
+    """,
+)
+def q01(spark, sf_dir):
+    """Parquet scan + projection + count. Scale: column pruning means the
+    scan reads one column; count/min/max are map-side partials."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.select("l_orderkey").agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_orderkey").alias("n_vals"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+
+
+@register(
+    "q02_predicates",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_totalprice BETWEEN 1000 AND 100000
+           AND o_orderstatus IN ('O','F')
+           AND o_orderpriority LIKE '%URGENT%')
+       OR (NOT (o_orderstatus = 'P')
+           AND o_custkey IS NOT NULL
+           AND o_totalprice < 500)
+    """,
+)
+def q02(spark, sf_dir):
+    """Compound predicates: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL.
+    Scale: whole predicate is pushed to the parquet scan (PushedFilters)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    c = F.col
+    return o.where(
+        (
+            c("o_totalprice").between(1000, 100000)
+            & c("o_orderstatus").isin("O", "F")
+            & c("o_orderpriority").like("%URGENT%")
+        )
+        | (~(c("o_orderstatus") == "P") & c("o_custkey").isNotNull() & (c("o_totalprice") < 500))
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "q03_projection_case",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 50000  THEN 'mid'
+                ELSE 'small' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_adj,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS tithe
+    FROM orders
+    """,
+)
+def q03(spark, sf_dir):
+    """Computed projection + CASE WHEN + coalesce/nullif (R9 analogue)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(p > 200000, "big").when(p > 50000, "mid").otherwise("small").alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_adj"
+        ),
+        # decimal arithmetic: price*0.1 has an exact 3rd decimal, and
+        # rounding a half-boundary DOUBLE differs between engines — both
+        # round DECIMAL half-away-from-zero, so this is deterministic.
+        F.round(p.cast("decimal(18,2)") * F.lit("0.1").cast("decimal(2,1)"), 2)
+        .cast("double")
+        .alias("tithe"),
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+@register(
+    "q04_inner_join",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 150000
+    """,
+)
+def q04(spark, sf_dir):
+    """Inner equi-join; planner picks broadcast/SMJ. Scale: orders is the
+    big side; filter is pushed below the join by Catalyst."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .where(F.col("o_totalprice") > 150000)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
+@register(
+    "q05_broadcast_join",
+    oracle="""
+    SELECT c_custkey, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q05(spark, sf_dir):
+    """Broadcast hash join: nation (25) and region (5) ship to every
+    executor — zero shuffle of the fact side at any scale."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@register(
+    "q06_left_join",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 300000
+    """,
+)
+def q06(spark, sf_dir):
+    """Left outer join with a join-side predicate (stays in the ON clause
+    so unmatched customers survive)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    return t["customer"].join(
+        o, (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_totalprice") > 300000), "left"
+    ).select("c_custkey", "o_orderkey")
+
+
+@register(
+    "q06_right_join",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM customer RIGHT JOIN orders
+      ON c_custkey = o_custkey AND c_acctbal > 9000
+    """,
+)
+def q06r(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["customer"].join(
+        t["orders"], (F.col("c_custkey") == F.col("o_custkey")) & (F.col("c_acctbal") > 9000), "right"
+    ).select("c_custkey", "o_orderkey")
+
+
+@register(
+    "q07_full_outer_join",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+    FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 100000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q07(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].where(F.col("c_acctbal") > 5000)
+    o = t["orders"].where(F.col("o_totalprice") > 100000)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "full").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@register(
+    "q08_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+    """,
+)
+def q08(spark, sf_dir):
+    """Left semi join ≡ EXISTS. Scale: semi-join shuffles only keys."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].where(F.col("o_totalprice") > 250000)
+    return t["customer"].join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q09_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q09(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q10_cross_join",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def q10(spark, sf_dir):
+    """Bounded cross join (5×25). Scale: only ever dims-by-dims; the
+    engine never cross-joins a fact table (see Q38's design)."""
+    t = load_tables(spark, sf_dir)
+    return t["region"].crossJoin(t["nation"]).select("r_name", "n_name")
+
+
+@register(
+    "q11_theta_join",
+    oracle="""
+    SELECT s_suppkey, c_custkey
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    """,
+)
+def q11(spark, sf_dir):
+    """Theta join: equi key (nationkey) + non-equi band — planner keeps
+    the equi part as the shuffle key and applies the band as a post-join
+    filter, so it scales like a normal hash join."""
+    t = load_tables(spark, sf_dir)
+    return t["supplier"].join(
+        t["customer"],
+        (F.col("s_nationkey") == F.col("c_nationkey")) & (F.col("s_acctbal") > F.col("c_acctbal")),
+    ).select("s_suppkey", "c_custkey")
+
+
+@register(
+    "q12_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           (SELECT MAX(c.ts) FROM events c
+             WHERE c.user_id = p.user_id AND c.event_type = 'click'
+               AND c.ts <= p.ts) AS last_click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q12(spark, sf_dir):
+    """As-of join: for each purchase, the latest click at-or-before it by
+    the same user. Spark-first: union the two sides, one window pass with
+    last(ignoreNulls) — a single shuffle on user_id, no range join, no
+    per-row subquery. (user_id, ts) is unique in the corpus so <= and the
+    row order agree. Oracle = correlated MAX subquery (ANSI)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    both = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        both.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "last_click_ts")
+    )
+
+
+# ------------------------------------------------------------ aggregates
+
+@register(
+    "q13_groupby_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 2) AS avg_qty,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q13(spark, sf_dir):
+    """Hash aggregate (TPC-H Q1 shape). Scale: partial aggregation is
+    map-side; only |groups| rows shuffle. Decimal sums keep the oracle
+    hash exact."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity").alias("sum_qty"),
+            _dec_sum("l_extendedprice").alias("sum_base_price"),
+            _dec_avg("l_quantity").alias("avg_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q14_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS d_part,
+           COUNT(DISTINCT l_suppkey) AS d_supp,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q14(spark, sf_dir):
+    """Multi COUNT(DISTINCT) — Spark expands to two aggregate passes."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("d_part"),
+        F.countDistinct("l_suppkey").alias("d_supp"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q15_global_agg",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    """,
+)
+def q15(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.agg(
+        F.count("*").alias("n"),
+        _dec_sum("o_totalprice").alias("total"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "q16_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_prio,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q16(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count("*").alias("n"),
+        _dec_sum("o_totalprice").alias("total"),
+    )
+
+
+@register(
+    "q17_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q17(spark, sf_dir):
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), _dec_sum("l_quantity").alias("qty")
+    )
+
+
+_Q18_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("q18_grouping_sets", oracle=_Q18_SQL)
+def q18(spark, sf_dir):
+    """GROUPING SETS — same ANSI text runs on both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
+
+
+@register(
+    "q19_filtered_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q19(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("n_big"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q20_collect_list",
+    oracle="""
+    SELECT l_orderkey,
+           STRING_AGG(l_linenumber, ',' ORDER BY l_linenumber) AS lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q20(spark, sf_dir):
+    """collect_list re-assembly (R13 analogue: rebuild a per-record object
+    after explode). sort_array makes the list deterministic."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("lines")
+    )
+
+
+# --------------------------------------------------------------- windows
+
+@register(
+    "q21_ranking",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_orderpriority, o_orderkey) AS rn,
+           RANK()       OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS rk,
+           DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS drk
+    FROM orders
+    """,
+)
+def q21(spark, sf_dir):
+    """Ranking trio; rank/dense_rank exercise real ties (5 priorities),
+    row_number adds a unique tiebreaker so it stays deterministic."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w_unique = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority", "o_orderkey")
+    w_ties = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_ties).alias("rk"),
+        F.dense_rank().over(w_ties).alias("drk"),
+    )
+
+
+@register(
+    "q22_analytic",
+    oracle="""
+    SELECT event_id,
+           LAG(value)  OVER w AS prev_v,
+           LEAD(value) OVER w AS next_v,
+           FIRST_VALUE(value) OVER w AS first_v,
+           LAST_VALUE(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS last_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q22(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w_full).alias("last_v"),
+    )
+
+
+@register(
+    "q23_frames",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding
+    FROM events
+    """,
+)
+def q23(spark, sf_dir):
+    """Window frames. Decimal inside the frame sum: DuckDB computes
+    sliding sums with segment trees (different FP association) — decimal
+    makes both exact."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = F.col("value").cast("decimal(18,2)")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = base.rowsBetween(Window.unboundedPreceding, 0)
+    sliding = base.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        F.sum(v).over(running).cast("double").alias("running"),
+        F.sum(v).over(sliding).cast("double").alias("sliding"),
+    )
+
+
+@register(
+    "q24_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4)       OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST()    OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q24(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "q25_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def q25(spark, sf_dir):
+    """Generic top-k per group: row_number + filter. Scale: Spark's
+    WindowGroupLimit pushes the k-limit into the sort (no full
+    materialization per group)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ----------------------------------------------------------- sort / sets
+
+@register(
+    "q26_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           NULLIF(o_orderstatus, 'P') AS status_n
+    FROM orders
+    ORDER BY status_n DESC NULLS FIRST, o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q26(spark, sf_dir):
+    """Multi-key sort with explicit null ordering + LIMIT → Spark plans
+    TakeOrderedAndProject (no global sort materialization). Unique
+    tiebreaker (o_orderkey) makes the LIMIT set stable."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_n"),
+        )
+        .orderBy(
+            F.col("status_n").desc_nulls_first(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q27_union_all",
+    oracle="""
+    SELECT o_custkey AS key, 'open' AS src FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT c_custkey AS key, 'rich' AS src FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def q27a(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    a = (
+        t["orders"]
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("key"), F.lit("open").alias("src"))
+    )
+    b = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("key"), F.lit("rich").alias("src"))
+    )
+    return a.unionAll(b)
+
+
+@register(
+    "q27_union_distinct",
+    oracle="""
+    SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def q27b(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    a = t["orders"].where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("key"))
+    b = t["customer"].where(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("key"))
+    return a.union(b).distinct()
+
+
+@register(
+    "q28_intersect",
+    oracle="""
+    SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q28(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    a = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("key"))
+    b = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("key"))
+    return a.intersect(b)
+
+
+@register(
+    "q29_except",
+    oracle="""
+    SELECT c_custkey AS key FROM customer
+    EXCEPT
+    SELECT o_custkey AS key FROM orders WHERE o_totalprice > 50000
+    """,
+)
+def q29(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select(F.col("c_custkey").alias("key"))
+    b = t["orders"].where(F.col("o_totalprice") > 50000).select(F.col("o_custkey").alias("key"))
+    return a.subtract(b)  # EXCEPT (distinct semantics)
+
+
+@register(
+    "q30_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q30(spark, sf_dir):
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# ------------------------------------------------------- scalar families
+
+@register(
+    "q31_string_fns",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS up_name,
+           LOWER(p_brand) AS lo_brand,
+           SUBSTRING(p_name, 1, 5) AS name5,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           CONCAT_WS('-', p_brand, p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_u,
+           LPAD(p_brand, 12, '*') AS brand_pad,
+           RPAD(p_brand, 12, '.') AS brand_rpad,
+           STRING_SPLIT(p_type, ' ')[1] AS first_word,
+           REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_token,
+           REGEXP_REPLACE(p_name, '[aeiou]', '#', 'g') AS devoweled,
+           (p_type LIKE '%BRASS%') AS is_brass,
+           STARTS_WITH(p_brand, 'Brand#1') AS b1
+    FROM part
+    """,
+)
+def q31(spark, sf_dir):
+    """String family. R7's equalsIgnoreCase ≡ lower(a)=lower(b) lives in
+    the CDC lane; here the full built-in surface. NOTE: Spark
+    regexp_replace is global by default; DuckDB needs the 'g' flag."""
+    p = load_tables(spark, sf_dir)["part"]
+    c = F.col
+    return p.select(
+        "p_partkey",
+        F.upper(c("p_name")).alias("up_name"),
+        F.lower(c("p_brand")).alias("lo_brand"),
+        F.substring(c("p_name"), 1, 5).alias("name5"),
+        F.length(c("p_name")).alias("name_len"),
+        F.concat_ws("-", c("p_brand"), c("p_type")).alias("brand_type"),
+        F.replace(c("p_type"), F.lit(" "), F.lit("_")).alias("type_u"),
+        F.lpad(c("p_brand"), 12, "*").alias("brand_pad"),
+        F.rpad(c("p_brand"), 12, ".").alias("brand_rpad"),
+        F.split(c("p_type"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract(c("p_name"), "([a-z]+)", 1).alias("first_token"),
+        F.regexp_replace(c("p_name"), "[aeiou]", "#").alias("devoweled"),
+        c("p_type").like("%BRASS%").alias("is_brass"),
+        F.startswith(c("p_brand"), F.lit("Brand#1")).alias("b1"),
+    )
+
+
+@register(
+    "q32_date_fns",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS y,
+           CAST(MONTH(o_orderdate) AS INT) AS m,
+           CAST(DAYOFMONTH(o_orderdate) AS INT) AS d,
+           CAST(QUARTER(o_orderdate) AS INT) AS q,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           CAST(o_orderdate AS DATE) AS od
+    FROM orders
+    """,
+)
+def q32(spark, sf_dir):
+    """Date/time family — wall-clock-stable functions only (session tz is
+    UTC; no epoch math, cf. FIXTURES.md oracle-parity notes)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).alias("y"),
+        F.month(od).alias("m"),
+        F.dayofmonth(od).alias("d"),
+        F.quarter(od).alias("q"),
+        F.date_trunc("month", od).cast("date").alias("month_start"),
+        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_add(od.cast("date"), 30).alias("plus30"),
+        od.cast("date").alias("od"),
+    )
+
+
+@register(
+    "q33_math_fns",
+    oracle="""
+    SELECT p_partkey,
+           ABS(p_retailprice - 1000.0) AS dist,
+           ROUND(p_retailprice, 1) AS r1,
+           FLOOR(p_retailprice) AS fl,
+           CEIL(p_retailprice) AS ce,
+           ROUND(SQRT(CAST(p_size AS DOUBLE)), 6) AS sq,
+           CAST(POW(2, p_size % 10) AS DOUBLE) AS p2,
+           ROUND(EXP(p_retailprice / 10000.0), 6) AS ex,
+           ROUND(LN(p_retailprice), 6) AS lnp,
+           ROUND(LOG10(p_retailprice), 6) AS lg,
+           CAST(p_size % 7 AS INT) AS pm,
+           SIGN(p_retailprice - 1000.0) AS sg,
+           GREATEST(CAST(p_size AS DOUBLE), p_retailprice / 100.0) AS gr,
+           LEAST(CAST(p_size AS DOUBLE), p_retailprice / 100.0) AS le
+    FROM part
+    """,
+)
+def q33(spark, sf_dir):
+    """Math family. Transcendentals rounded to 6 (JVM vs libm last-ulp);
+    sqrt is IEEE-exact but rounded for uniformity; floor/ceil return
+    DOUBLE in DuckDB and LONG in Spark → cast via double."""
+    p = load_tables(spark, sf_dir)["part"]
+    rp = F.col("p_retailprice")
+    sz = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        F.abs(rp - 1000.0).alias("dist"),
+        F.round(rp, 1).alias("r1"),
+        F.floor(rp).cast("double").alias("fl"),
+        F.ceil(rp).cast("double").alias("ce"),
+        F.round(F.sqrt(sz.cast("double")), 6).alias("sq"),
+        F.pow(F.lit(2), sz % 10).alias("p2"),
+        F.round(F.exp(rp / 10000.0), 6).alias("ex"),
+        F.round(F.log(rp), 6).alias("lnp"),
+        F.round(F.log10(rp), 6).alias("lg"),
+        (sz % 7).cast("int").alias("pm"),
+        F.signum(rp - 1000.0).alias("sg"),
+        F.greatest(sz.cast("double"), rp / 100.0).alias("gr"),
+        F.least(sz.cast("double"), rp / 100.0).alias("le"),
+    )
+
+
+@register(
+    "q34_array_fns",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INT) AS n_dims,
+           embedding[1] AS first_val,
+           embedding[1:4] AS head4,
+           LIST_SORT([CAST(vec_id AS INT) % 10, label, 7]) AS arr_sorted,
+           CAST(LEN(LIST_DISTINCT([label, label, CAST(vec_id AS INT) % 10])) AS INT) AS n_uniq,
+           ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm_sq,
+           CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_pos
+    FROM embeddings
+    """,
+)
+def q34(spark, sf_dir):
+    """Array family incl. higher-order transform/filter/aggregate over the
+    64-dim embedding column."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("n_dims"),
+        emb.getItem(0).alias("first_val"),
+        F.slice(emb, 1, 4).alias("head4"),
+        F.sort_array(
+            F.array((F.col("vec_id") % 10).cast("int"), F.col("label"), F.lit(7))
+        ).alias("arr_sorted"),
+        F.size(
+            F.array_distinct(F.array(F.col("label"), F.col("label"), (F.col("vec_id") % 10).cast("int")))
+        ).alias("n_uniq"),
+        F.round(
+            F.aggregate(
+                emb,
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            6,
+        ).alias("norm_sq"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register(
+    "q35_json_fns",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k,
+           TO_JSON(STRUCT_PACK(event_id := event_id, event_type := event_type))::VARCHAR AS ej
+    FROM events
+    """,
+)
+def q35(spark, sf_dir):
+    """JSON family: extraction (get_json_object / from_json) and
+    construction (to_json — R9's message builder)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+        F.to_json(F.struct("event_id", "event_type")).alias("ej"),
+    )
+
+
+_Q36_SQL = """
+WITH spenders AS (
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, s.n_orders
+FROM customer c JOIN spenders s ON c.c_custkey = s.o_custkey
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > (SELECT MAX(o_totalprice) * 0.9 FROM orders))
+"""
+
+
+@register("q36_subqueries", oracle=_Q36_SQL)
+def q36(spark, sf_dir):
+    """CTE + correlated EXISTS + scalar subquery — Catalyst decorrelates
+    to joins (RewriteCorrelatedScalarSubquery). Same ANSI text on both
+    engines; MAX (not AVG) keeps the scalar threshold FP-exact."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q36_SQL)

@@ -28,6 +28,10 @@ RUNTIME_CONFS = {
     # Small dims (region/nation/supplier) must broadcast; 64 MB is safe on
     # executors with >=4 GB and removes shuffles from every dim join.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # The testdata's events.ts is INT64 TIMESTAMP(NANOS) parquet, which
+    # Spark 4 rejects; read as long and convert in io.table (ns → µs
+    # truncation matches DuckDB's read of the same file).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

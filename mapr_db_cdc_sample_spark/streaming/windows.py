@@ -1,0 +1,88 @@
+"""Event-time windowed aggregations with watermarks (SURVEY.md §2.2
+streaming table). The reference has no time windows (its only time notion
+is poll(500)); these are the north-star extensions, bounded-state from
+day one: every aggregation carries a watermark so state is GC'd.
+
+All functions take a STREAMING DataFrame of `events` shape
+(ts timestamp, user_id, event_type, value) and return the aggregated
+streaming DataFrame — sinks/triggers are the caller's choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling window: per-window, per-event-type counts + exact sum
+    (decimal) of value."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding window: each event lands in width/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session window per user: sessions close after `gap` of inactivity.
+    The only unbounded-ish state here is open sessions; the watermark
+    bounds it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id: duplicates within the watermark
+    horizon are dropped; state is GC'd past it (north-star dedup in its
+    streaming form)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer dim
+    (the static side is re-read per micro-batch; broadcast keeps it
+    shuffle-free)."""
+    return events.join(
+        F.broadcast(customer),
+        events["user_id"] == customer["c_custkey"],
+        "left",
+    ).select("event_id", "ts", "user_id", "event_type", "value", "c_name", "c_mktsegment")

@@ -1,0 +1,158 @@
+"""Streaming smoke tests (SURVEY.md §5.2 items 1 and 4): the golden CDC
+corpus replayed through Structured Streaming must produce exactly the
+batch results; windows/watermark/dedup/stateful ops drain a bounded
+stream and are checked against batch equivalents."""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapr_db_cdc_sample_spark.cdc.fixtures import golden_json_events
+from mapr_db_cdc_sample_spark.cdc.schema import CDC_JSON_SCHEMA
+from mapr_db_cdc_sample_spark.io import load_tables, table
+from mapr_db_cdc_sample_spark.sources.replay import (
+    read_replay,
+    run_to_memory,
+    write_replay,
+)
+
+
+def _mem(prefix: str) -> str:
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+def _events_stream(spark, sf_dir, chunks=3):
+    ev = load_tables(spark, sf_dir)["events"]
+    path = write_replay(ev, n_chunks=chunks, order_by="ts")
+    return ev, read_replay(spark, path, ev.schema, files_per_trigger=1)
+
+
+def test_cdc_stream_equals_batch(spark, tmp_path):
+    """Golden corpus through the streaming pipeline (file replay, 1 record
+    per micro-batch ≈ poll cadence) == batch golden outputs, exactly."""
+    from mapr_db_cdc_sample_spark.cdc.pipeline import fts_wire, geo_wire, route_json
+    from mapr_db_cdc_sample_spark.streaming.cdc_stream import start_json_pipeline
+
+    cdc = golden_json_events(spark)
+    replay = write_replay(cdc, n_chunks=4, base_dir=str(tmp_path / "replay"))
+    stream = read_replay(spark, replay, CDC_JSON_SCHEMA, files_per_trigger=1)
+
+    fts_dir, geo_dir = str(tmp_path / "fts"), str(tmp_path / "geo")
+    q = start_json_pipeline(stream, fts_dir, geo_dir)
+    q.awaitTermination()
+
+    def canon(values):
+        return sorted(
+            (json.loads(v) for v in values), key=lambda d: json.dumps(d, sort_keys=True)
+        )
+
+    got_fts = canon(r.value for r in spark.read.parquet(fts_dir).collect())
+    got_geo = canon(r.value for r in spark.read.parquet(geo_dir).collect())
+    exp_fts, exp_geo = route_json(cdc)
+    want_fts = canon(r.value for r in fts_wire(exp_fts).collect())
+    want_geo = canon(r.value for r in geo_wire(exp_geo).collect())
+    assert got_fts == want_fts
+    assert got_geo == want_geo
+
+
+def test_tumbling_window_matches_batch(spark, sf_dir):
+    from mapr_db_cdc_sample_spark.streaming.windows import tumbling_counts
+
+    ev, stream = _events_stream(spark, sf_dir)
+    name = _mem("tumbling")
+    run_to_memory(tumbling_counts(stream), name, output_mode="append")
+    got = {
+        (r.w_start, r.event_type): (r.n, r.total)
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r.w_start, r.event_type): (r.n, r.total)
+        for r in tumbling_counts(ev).collect()  # same fn, batch DataFrame
+    }
+    # Append mode emits only watermark-closed windows: every emitted
+    # window must match batch exactly; the held-back tail (last
+    # watermark+width of event time) is the only allowed difference.
+    assert got.items() <= want.items()
+    assert len(got) > 0.5 * len(want) > 0
+
+
+def test_session_window_bounds(spark, sf_dir):
+    from mapr_db_cdc_sample_spark.streaming.windows import session_counts
+
+    ev, stream = _events_stream(spark, sf_dir)
+    name = _mem("session")
+    run_to_memory(session_counts(stream), name, output_mode="append")
+    rows = spark.table(name).collect()
+    assert len(rows) > 0
+    # Emitted (watermark-closed) sessions must match the batch
+    # session_window results key-for-key.
+    want = {
+        (r.s_start, r.user_id): r.n_events for r in session_counts(ev).collect()
+    }
+    got = {(r.s_start, r.user_id): r.n_events for r in rows}
+    assert got.items() <= want.items()
+    assert sum(got.values()) > 0.5 * ev.count()
+
+
+def test_stream_dedup_drops_duplicates(spark, sf_dir, tmp_path):
+    from mapr_db_cdc_sample_spark.streaming.windows import stream_dedup
+
+    ev = load_tables(spark, sf_dir)["events"].limit(500)
+    dup = ev.unionAll(ev)  # every event twice
+    path = write_replay(dup, n_chunks=2, base_dir=str(tmp_path / "dup"))
+    stream = read_replay(spark, path, ev.schema, files_per_trigger=2)
+    name = _mem("dedup")
+    run_to_memory(stream_dedup(stream), name, output_mode="append")
+    out = spark.table(name)
+    assert out.count() == 500
+    assert out.select("event_id").distinct().count() == 500
+
+
+def test_stream_static_join(spark, sf_dir):
+    from mapr_db_cdc_sample_spark.streaming.windows import stream_static_enrich
+
+    ev, stream = _events_stream(spark, sf_dir)
+    cust = load_tables(spark, sf_dir)["customer"]
+    name = _mem("enrich")
+    run_to_memory(stream_static_enrich(stream, cust), name, output_mode="append")
+    out = spark.table(name)
+    assert out.count() == ev.count()
+    assert out.where(F.col("c_name").isNotNull()).count() > 0
+
+
+def test_stateful_materialization_golden(spark, tmp_path):
+    """Fold the golden corpus: after insert+2 updates+delete, user0010's
+    final state is the tombstone with all 4 changes counted."""
+    from mapr_db_cdc_sample_spark.streaming.stateful import materialize
+
+    cdc = golden_json_events(spark)
+    replay = write_replay(cdc.coalesce(1), n_chunks=1, base_dir=str(tmp_path / "r1"))
+    stream = read_replay(spark, replay, CDC_JSON_SCHEMA)
+    name = _mem("mat")
+    run_to_memory(materialize(stream), name, output_mode="update")
+    rows = spark.table(name).collect()
+    final = {r._id: r for r in rows}  # update mode: last emit per key wins
+    u = final["user0010"]
+    assert u.is_deleted and u.n_changes == 4
+
+
+def test_stateful_materialization_updates(spark, tmp_path):
+    """Without the delete, the materialized doc carries the merged fields
+    (lastName updated to Parker, address street 330)."""
+    import datetime as dt
+
+    from mapr_db_cdc_sample_spark.streaming.stateful import materialize
+
+    cdc = golden_json_events(spark).where(F.col("op") != "RECORD_DELETE")
+    replay = write_replay(cdc.coalesce(1), n_chunks=1, base_dir=str(tmp_path / "r2"))
+    stream = read_replay(spark, replay, CDC_JSON_SCHEMA)
+    name = _mem("mat2")
+    run_to_memory(materialize(stream), name, output_mode="update")
+    u = {r._id: r for r in spark.table(name).collect()}["user0010"]
+    assert (u.firstName, u.lastName, u.age, u.is_deleted) == ("Matt", "Parker", 34, False)
+    assert json.loads(u.address)["street"] == "330 Blossom Hill Road"
+    assert u.n_changes == 3

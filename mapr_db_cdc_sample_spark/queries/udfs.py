@@ -1,0 +1,117 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.2 'UDF surface' table):
+row-at-a-time Python UDF, Arrow pandas_udf (scalar — see q55), grouped-agg
+UDAF, grouped-map applyInPandas, and approximate aggregates.
+
+Python rows are the SLOW path by design — each query here exists to prove
+the path works and stays oracle-consistent, not to be the recommended
+form (the JVM-expression twin of each lives elsewhere in the registry).
+Where the Python computation is integer- or md5-exact, the query is still
+hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from ..io import load_tables
+from . import register
+
+
+@register(
+    "q57_udf_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           ('0x' || SUBSTR(MD5(o_orderstatus || ':' || o_orderkey), 1, 7))::BIGINT AS route_hash
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def q57(spark, sf_dir):
+    """Row-at-a-time Python UDF (md5-exact, so hash-checkable). Kept on a
+    1% slice — this eval mode serializes row by row and is the documented
+    slow path vs pandas_udf."""
+
+    @udf("long")
+    def route_hash(status: str, key: int) -> int:
+        digest = hashlib.md5(f"{status}:{key}".encode()).hexdigest()
+        return int(digest[:7], 16)
+
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", route_hash("o_orderstatus", "o_orderkey").alias("route_hash")
+    )
+
+
+@register(
+    "q58_grouped_agg_udaf",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def q58(spark, sf_dir):
+    """Grouped-agg pandas UDAF. The aggregate is integer-exact (cents),
+    so the Arrow path hash-matches SQL on both engines."""
+
+    @pandas_udf("long")
+    def sum_cents(v: pd.Series) -> int:
+        return int(v.mul(100).round().astype("int64").sum())
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Spark disallows mixing grouped-agg pandas UDFs with JVM
+        # aggregates in one agg() — the count is a second UDAF.
+        return int(len(v))
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("user_id").agg(
+        sum_cents("value").alias("sum_cents"), n_rows("value").alias("n")
+    )
+
+
+@register(
+    "q59_grouped_map",
+    oracle="""
+    SELECT event_id, user_id,
+           value - MIN(value) OVER (PARTITION BY user_id) AS v_rel,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+    FROM events
+    """,
+)
+def q59(spark, sf_dir):
+    """Grouped-map applyInPandas (UDTF-style): per-user normalization
+    against the group min (exact double subtraction) + sequence numbers.
+    Oracle = the window-function twin."""
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "v_rel": pdf["value"] - pdf["value"].min(),
+                "seq": range(1, len(pdf) + 1),
+            }
+        )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("user_id").applyInPandas(
+        per_user, "event_id bigint, user_id bigint, v_rel double, seq bigint"
+    )
+
+
+@register("q67_approx_aggs", tags=("approx",))
+def q67(spark, sf_dir):
+    """approx_count_distinct (HLL++) + approx_percentile — bounded-error
+    sketches (rows-only; the error bound vs exact is asserted in tests)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("apx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("apx_median_price"),
+        F.count("*").alias("n"),
+    )

@@ -1,0 +1,102 @@
+"""Physical-plan assertions (SURVEY.md §4.2: 'none — verify with
+explain()'): predicate pushdown, column pruning, broadcast joins, partial
+aggregation, top-k short-circuits, shuffle-free CDC routing. These keep
+the 100 TB posture from regressing silently."""
+
+from __future__ import annotations
+
+from mapr_db_cdc_sample_spark.plans.audit import (
+    codegen_stage_count,
+    count_nodes,
+    formatted_plan,
+    has,
+    plan_nodes,
+    pushed_filters,
+    read_schemas,
+)
+from mapr_db_cdc_sample_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def _plan(spark, sf_dir, name):
+    return formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+
+
+def test_predicate_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q02_predicates")
+    pushed = pushed_filters(plan)
+    assert pushed, f"no PushedFilters in plan:\n{plan[:2000]}"
+    assert any("o_totalprice" in p for p in pushed)
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q01_scan_count")
+    schemas = read_schemas(plan)
+    assert schemas and all(s == "l_orderkey:bigint" for s in schemas), schemas
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q05_broadcast_join")
+    assert count_nodes(plan, "BroadcastHashJoin") == 2, plan_nodes(plan)
+    assert not has(plan, "SortMergeJoin")
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q13_groupby_agg")
+    # map-side partial + reduce-side final
+    assert count_nodes(plan, "HashAggregate") >= 2
+    assert pushed_filters(plan), "shipdate filter not pushed to scan"
+
+
+def test_sort_limit_is_top_k(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q26_sort_limit")
+    assert has(plan, "TakeOrderedAndProject"), plan[:1500]
+
+
+def test_topk_per_group_uses_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q25_topk_per_group")
+    assert has(plan, "WindowGroupLimit"), "rank<=k not pushed into window sort"
+
+
+def test_cdc_route_is_shuffle_free(spark, sf_dir):
+    """Routing is a projection (SURVEY.md §4.3): the only exchange allowed
+    in the whole plan is the fixture's own repartition of the source."""
+    plan = _plan(spark, sf_dir, "q41_cdc_route_fts")
+    assert count_nodes(plan, "Exchange") <= 1, plan[:2000]
+    assert not has(plan, "SortMergeJoin") and not has(plan, "HashAggregate")
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q08_semi_join")
+    assert has(plan, "LeftSemi"), plan[:1500]
+
+
+def test_whole_stage_codegen_everywhere(spark, sf_dir):
+    for name in ("q13_groupby_agg", "q21_ranking", "q31_string_fns"):
+        n = codegen_stage_count(lambda: REGISTRY[name].fn(spark, sf_dir))
+        assert n >= 1, f"{name}: no codegen stages"
+
+
+def test_approx_aggs_bounded_error(spark, sf_dir):
+    """q67 sketches: HLL++ within 3×rsd of exact; approx median between
+    exact p25 and p75."""
+    from pyspark.sql import functions as F
+
+    from mapr_db_cdc_sample_spark.io import load_tables
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    exact = {
+        r.l_returnflag: (r.d, r.p25, r.p75)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("d"),
+            F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+        )
+        .collect()
+    }
+    for r in REGISTRY["q67_approx_aggs"].fn(spark, sf_dir).collect():
+        d, p25, p75 = exact[r.l_returnflag]
+        assert abs(r.apx_parts - d) / d <= 0.06
+        assert p25 <= r.apx_median_price <= p75

@@ -126,3 +126,63 @@ def q66(spark, sf_dir):
 
     w = Window.partitionBy("_id").orderBy(F.col("n_changes").desc())
     return out.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+
+
+@register("q68_stream_stream_join")
+def q68(spark, sf_dir):
+    """Stream-stream watermarked band join: clicks x purchases from two
+    replay streams of the same events table."""
+    from ..streaming.windows import stream_stream_click_purchase
+
+    ev = load_tables(spark, sf_dir)["events"].orderBy("event_id").limit(_MAX_STREAM_EVENTS)
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    cs = read_replay(
+        spark, write_replay(clicks, 2, order_by="ts"), ev.schema, files_per_trigger=1
+    )
+    ps = read_replay(
+        spark, write_replay(purchases, 2, order_by="ts"), ev.schema, files_per_trigger=1
+    )
+    return _drain(stream_stream_click_purchase(cs, ps), "q68")
+
+
+@register("q69_complete_mode")
+def q69(spark, sf_dir):
+    """Complete output mode: full aggregate table re-emitted per trigger;
+    the memory table holds the final complete result."""
+    from ..streaming.windows import tumbling_counts
+
+    return _drain(
+        tumbling_counts(_events_stream(spark, sf_dir), watermark="1 minute"),
+        "q69",
+        output_mode="complete",
+    )
+
+
+@register("q70_stream_cdc_binary")
+def q70(spark, sf_dir):
+    """Binary-lane CDC streaming: the wide-column golden corpus replayed
+    through route_binary (RECORD_UPDATE-as-insert, UTF-8 cell decode,
+    FTS-only routing)."""
+    from ..cdc.fixtures import golden_binary_events
+    from ..cdc.pipeline import fts_wire, route_binary
+    from ..cdc.schema import CDC_BINARY_SCHEMA
+
+    cdc = golden_binary_events(spark)
+    path = write_replay(cdc.coalesce(1), n_chunks=1)
+    stream = read_replay(spark, path, CDC_BINARY_SCHEMA)
+
+    name = f"q70_{uuid.uuid4().hex[:8]}"
+    import contextlib
+
+    q = (
+        fts_wire(route_binary(stream))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q70_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

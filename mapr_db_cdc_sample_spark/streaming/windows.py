@@ -86,3 +86,29 @@ def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
         events["user_id"] == customer["c_custkey"],
         "left",
     ).select("event_id", "ts", "user_id", "event_type", "value", "c_name", "c_mktsegment")
+
+
+def stream_stream_click_purchase(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join with watermarks on BOTH sides + a time-band
+    condition: purchases matched to clicks by the same user within the
+    preceding hour. Both watermarks bound the join state (Spark buffers
+    each side only up to watermark + band)."""
+    c = clicks.withWatermark("ts", "30 minutes").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", "30 minutes").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    return c.join(p, cond).select(
+        "purchase_id", "click_id", "p_user", "click_ts", "purchase_ts", "value"
+    )

@@ -156,3 +156,63 @@ def test_stateful_materialization_updates(spark, tmp_path):
     assert (u.firstName, u.lastName, u.age, u.is_deleted) == ("Matt", "Parker", 34, False)
     assert json.loads(u.address)["street"] == "330 Blossom Hill Road"
     assert u.n_changes == 3
+
+
+def test_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """The documented large-state path: streaming dedup with the RocksDB
+    state store provider gives identical results."""
+    from mapr_db_cdc_sample_spark.streaming.windows import stream_dedup
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = load_tables(spark, sf_dir)["events"].limit(400)
+        dup = ev.unionAll(ev)
+        path = write_replay(dup, n_chunks=2, base_dir=str(tmp_path / "rdup"), order_by="ts")
+        stream = read_replay(spark, path, ev.schema, files_per_trigger=2)
+        name = _mem("rocks")
+        run_to_memory(stream_dedup(stream), name)
+        assert spark.table(name).count() == 400
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_cdc_pipeline_restart_is_exactly_once(spark, tmp_path):
+    """Restarting the checkpointed pipeline over the same replay dir must
+    not re-emit messages — the exactly-once upgrade over the reference's
+    enable.auto.commit (J:48)."""
+    from mapr_db_cdc_sample_spark.cdc.pipeline import route_json
+    from mapr_db_cdc_sample_spark.streaming.cdc_stream import start_json_pipeline
+
+    cdc = golden_json_events(spark)
+    replay = write_replay(cdc, n_chunks=2, base_dir=str(tmp_path / "replay"))
+    fts_dir, geo_dir = str(tmp_path / "fts"), str(tmp_path / "geo")
+    ckpt = str(tmp_path / "ckpt")
+
+    for _ in range(2):  # first run drains everything; second must be a no-op
+        stream = read_replay(spark, replay, CDC_JSON_SCHEMA, files_per_trigger=1)
+        q = (
+            stream.writeStream.foreachBatch(
+                _route_and_append(fts_dir, geo_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    exp_fts, _ = route_json(cdc)
+    assert spark.read.parquet(fts_dir).count() == exp_fts.count()
+
+
+def _route_and_append(fts_dir, geo_dir):
+    from mapr_db_cdc_sample_spark.cdc.pipeline import fts_wire, geo_wire, route_json
+
+    def process(batch, batch_id):
+        fts, geo = route_json(batch)
+        fts_wire(fts).write.mode("append").parquet(fts_dir)
+        geo_wire(geo).write.mode("append").parquet(geo_dir)
+
+    return process

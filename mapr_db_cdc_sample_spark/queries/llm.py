@@ -696,3 +696,55 @@ def q56(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     return extract_features(synth_media(d))
+
+
+@register(
+    "q71_posexplode",
+    oracle="""
+    SELECT vec_id, CAST(u['i'] - 1 AS INT) AS pos, u['x'] AS val
+    FROM (SELECT vec_id,
+                 UNNEST(LIST_TRANSFORM(RANGE(1, 9),
+                        i -> STRUCT_PACK(i := i, x := embedding[i]))) AS u
+          FROM embeddings)
+    """,
+)
+def q71(spark, sf_dir):
+    """Table function: posexplode (value + ordinal position) over the
+    embedding head — DuckDB twin built from UNNEST of (i, x) structs."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return e.select(
+        "vec_id", F.posexplode(F.slice(F.col("embedding"), 1, 8)).alias("pos", "val")
+    )
+
+
+@register(
+    "q72_flatten_nested",
+    oracle="""
+    SELECT vec_id,
+           FLATTEN([embedding[1:4], embedding[5:8]]) AS flat8,
+           LIST_SORT(FLATTEN([[label], [CAST(vec_id % 5 AS INT)]])) AS keys2
+    FROM embeddings
+    """,
+)
+def q72(spark, sf_dir):
+    """Nested-array construction + flatten."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.flatten(F.array(F.slice(emb, 1, 4), F.slice(emb, 5, 4))).alias("flat8"),
+        F.sort_array(
+            F.flatten(
+                F.array(F.array(F.col("label")), F.array((F.col("vec_id") % 5).cast("int")))
+            )
+        ).alias("keys2"),
+    )
+
+
+@register("q73_dropdup_subset", tags=("approx",))
+def q73(spark, sf_dir):
+    """dropDuplicates on a key subset — row choice is nondeterministic by
+    contract (SURVEY.md §2.2 Q30 note), so only the deterministic shape
+    (one row per key) is exposed for the rows-only check."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.dropDuplicates(["user_id"]).select("user_id")

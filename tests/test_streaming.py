@@ -216,3 +216,28 @@ def _route_and_append(fts_dir, geo_dir):
         geo_wire(geo).write.mode("append").parquet(geo_dir)
 
     return process
+
+
+def test_console_and_parquet_sinks(spark, tmp_path):
+    """R14 console trace + parquet file sink both drain the golden wire
+    stream (console output is driver-side; we assert clean termination,
+    parquet we read back)."""
+    from mapr_db_cdc_sample_spark.cdc.pipeline import fts_wire, route_json
+    from mapr_db_cdc_sample_spark.streaming.sinks import console_debug, parquet_append
+
+    cdc = golden_json_events(spark)
+    replay = write_replay(cdc, n_chunks=2, base_dir=str(tmp_path / "replay"))
+    stream = read_replay(spark, replay, CDC_JSON_SCHEMA, files_per_trigger=1)
+    fts, _ = route_json(stream)
+    wire = fts_wire(fts)
+
+    q1 = console_debug(wire)
+    q1.awaitTermination()
+    assert q1.exception() is None
+
+    stream2 = read_replay(spark, replay, CDC_JSON_SCHEMA, files_per_trigger=1)
+    fts2, _ = route_json(stream2)
+    out = str(tmp_path / "sink")
+    q2 = parquet_append(fts_wire(fts2), out)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == 3  # 2 fts msgs + tombstone

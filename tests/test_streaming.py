@@ -241,3 +241,54 @@ def test_console_and_parquet_sinks(spark, tmp_path):
     q2 = parquet_append(fts_wire(fts2), out)
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == 3  # 2 fts msgs + tombstone
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark + late-data drop: a straggler arriving after its window
+    was finalized (evicted) is dropped by the watermark filter — the same
+    data in batch mode counts it. NB: Spark's late filter lags eviction by
+    one micro-batch, so the straggler arrives two batches after its
+    window's data."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from mapr_db_cdc_sample_spark.streaming.windows import tumbling_counts
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    chunks = [
+        [(i, t0 + dt.timedelta(minutes=i), 1, "click", 1.0, "{}") for i in range(0, 90, 5)],
+        [(i, t0 + dt.timedelta(minutes=i), 1, "click", 1.0, "{}") for i in range(90, 180, 5)],
+        [(999, t0 + dt.timedelta(minutes=2), 1, "click", 1.0, "{}")],  # straggler
+    ]
+    merged = str(tmp_path / "replay")
+    os.makedirs(merged)
+    now = _time.time()
+    for idx, rows in enumerate(chunks):
+        d = spark.createDataFrame(rows, schema)
+        tmp = str(tmp_path / f"c{idx}")
+        d.coalesce(1).write.parquet(tmp)
+        dst = f"{merged}/{idx}_chunk.parquet"
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+        os.utime(dst, (now - 600 + idx * 60,) * 2)  # file order = arrival order
+
+    all_rows = [r for c in chunks for r in c]
+    d_all = spark.createDataFrame(all_rows, schema)
+    stream = read_replay(spark, merged, d_all.schema, files_per_trigger=1)
+    name = _mem("late")
+    run_to_memory(tumbling_counts(stream, watermark="30 minutes"), name)
+
+    streaming_w0 = {
+        r.event_type: r.n for r in spark.table(name).collect() if r.w_start == t0
+    }
+    batch_w0 = {
+        r.event_type: r.n for r in tumbling_counts(d_all).collect() if r.w_start == t0
+    }
+    assert streaming_w0["click"] == 2  # minutes 0 and 5; straggler dropped
+    assert batch_w0["click"] == 3  # batch mode has no watermark: counts it

@@ -115,3 +115,26 @@ def q67(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("apx_median_price"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q74_salted_agg",
+    oracle="""
+    SELECT CAST(CASE WHEN event_id % 10 < 8 THEN 0 ELSE user_id END AS BIGINT) AS key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def q74(spark, sf_dir):
+    """Skew-safe aggregation: 80% of rows land on one hot key; the salted
+    two-stage plan (operators/skew.py) spreads it across 16 sub-keys and
+    still hash-matches the plain GROUP BY oracle."""
+    from ..operators.skew import salted_count_sum
+
+    ev = load_tables(spark, sf_dir)["events"]
+    skewed = ev.withColumn(
+        "hot_key",
+        F.when(F.col("event_id") % 10 < 8, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    return salted_count_sum(skewed, "hot_key", "value", n_salts=16, salt_source="event_id")

@@ -1,0 +1,72 @@
+"""Scale-technique tests: salted aggregation equals the plain plan on a
+deliberately skewed key; bucketed tables join without exchanges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapr_db_cdc_sample_spark.io import load_tables
+from mapr_db_cdc_sample_spark.operators.bucketing import bucketed_join, write_bucketed
+from mapr_db_cdc_sample_spark.operators.skew import salted_count_sum
+from mapr_db_cdc_sample_spark.plans.audit import count_nodes, formatted_plan
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    """80% of rows hammered onto one key: the salted two-stage aggregate
+    must return exactly the plain groupBy result."""
+    ev = load_tables(spark, sf_dir)["events"]
+    skewed = ev.withColumn(
+        "hot_key", F.when(F.col("event_id") % 10 < 8, F.lit(0)).otherwise(F.col("user_id"))
+    )
+    got = {
+        r.key: (r.n, r.total)
+        for r in salted_count_sum(
+            skewed, "hot_key", "value", n_salts=16, salt_source="event_id"
+        ).collect()
+    }
+    want = {
+        r.hot_key: (r.n, r.total)
+        for r in skewed.groupBy("hot_key")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_spreads_the_hot_key(spark, sf_dir):
+    """The partial stage must produce n_salts rows for the hot key —
+    i.e. the hot key's work really is spread across reducers."""
+    ev = load_tables(spark, sf_dir)["events"]
+    skewed = ev.withColumn("hot_key", F.lit(0))
+    partial = (
+        skewed.select(F.col("hot_key"), (F.col("event_id") % 16).alias("_salt"))
+        .groupBy("hot_key", "_salt")
+        .count()
+    )
+    assert partial.count() == 16
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Both sides bucketed by the join key → SortMergeJoin with zero
+    Exchange nodes; result equals the plain join."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        t = load_tables(spark, sf_dir)
+        write_bucketed(t["orders"], "orders_b", "o_orderkey", n_buckets=8)
+        write_bucketed(
+            t["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey"),
+            "lineitem_b",
+            "o_orderkey",
+            n_buckets=8,
+        )
+        joined = bucketed_join(spark, "orders_b", "lineitem_b", "o_orderkey")
+        plan = formatted_plan(joined)
+        assert count_nodes(plan, "Exchange") == 0, plan[:2000]
+        assert joined.count() == t["lineitem"].count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

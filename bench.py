@@ -49,6 +49,10 @@ HEADLINE = [
     "q51_embedding_neardup",
     "q52_ann_ivf",
     "q56_multimodal_features",
+    "q74_salted_agg",
+    "q75_shipping_priority",
+    "q76_local_supplier_volume",
+    "q77_pivot",
 ]
 
 

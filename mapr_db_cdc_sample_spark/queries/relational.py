@@ -925,3 +925,131 @@ def q36(spark, sf_dir):
     engines; MAX (not AVG) keeps the scalar threshold FP-exact."""
     load_tables(spark, sf_dir)
     return spark.sql(_Q36_SQL)
+
+
+# ------------------------------------------------------- composites
+
+@register(
+    "q75_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS odate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q75(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): 3-way join, filtered fact
+    scan, grouped revenue, global top-10. Catalyst pushes both date
+    filters to the scans; the segment filter prunes customer before the
+    join; AQE picks broadcast for the filtered customer side."""
+    t = load_tables(spark, sf_dir)
+    # decimal-exact revenue: double->decimal cast of the PRODUCT rounds
+    # half-boundaries differently across engines; cast the factors instead
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    return (
+        t["customer"]
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("odate")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q76_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q76(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): 6-table join with two dim
+    broadcasts and a same-nation join condition."""
+    t = load_tables(spark, sf_dir)
+    # decimal-exact revenue: double->decimal cast of the PRODUCT rounds
+    # half-boundaries differently across engines; cast the factors instead
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q77_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'view')     AS view,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q77(spark, sf_dir):
+    """Pivot: event_type → columns (explicit value list keeps the schema
+    stable and skips the extra distinct-values job)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "q78_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS v FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS v FROM part
+    """,
+)
+def q78(spark, sf_dir):
+    """Unpivot/melt: wide numeric columns → (metric, value) long form."""
+    p = load_tables(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "v")

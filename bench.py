@@ -67,12 +67,17 @@ def main() -> None:
     # Warmup: prime codegen/JIT and the parquet footer cache.
     registry["q01_scan_count"].fn(spark, sf_dir).collect()
 
+    # min-of-N per query: JIT/GC noise on a shared box dwarfs plan-level
+    # differences; steady-state is what scales.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = registry[name].fn(spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

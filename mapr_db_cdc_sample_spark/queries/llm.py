@@ -554,9 +554,22 @@ def q51(spark, sf_dir):
     first (IVF/LSH), quadratic only within buckets — never a global
     crossJoin."""
     e = load_tables(spark, sf_dir)["embeddings"]
-    a = e.select("label", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select("label", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    sim = V.cosine(F.col("ea"), F.col("eb"))
+    # norms precomputed per VECTOR (linear) so the quadratic within-bucket
+    # stage folds only the dot product per pair, not three aggregates
+    withn = e.select("label", "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm"))
+    a = withn.select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        "label",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = F.round(V.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
     return (
         a.join(b, ["label"])
         .where(F.col("vec_a") < F.col("vec_b"))

@@ -292,24 +292,16 @@ def q12(spark, sf_dir):
     last(ignoreNulls) — a single shuffle on user_id, no range join, no
     per-row subquery. (user_id, ts) is unique in the corpus so <= and the
     row order agree. Oracle = correlated MAX subquery (ANSI)."""
+    from ..operators.asof import asof_join
+
     ev = load_tables(spark, sf_dir)["events"]
-    both = ev.where(F.col("event_type").isin("click", "purchase")).select(
-        "event_id",
-        "user_id",
-        "ts",
-        "event_type",
-        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        both.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
-        .where(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "last_click_ts")
-    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts", carry=["ts"]
+    ).select("event_id", "user_id", F.col("asof_ts").alias("last_click_ts"))
 
 
 # ------------------------------------------------------------ aggregates

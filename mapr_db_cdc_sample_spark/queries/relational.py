@@ -1045,3 +1045,65 @@ def q78(spark, sf_dir):
     return p.select(
         "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
     ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "v")
+
+
+@register(
+    "q79_map_fns",
+    oracle="""
+    SELECT event_id,
+           event_type || ':' || CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR) AS entry_str,
+           2 AS n_keys,
+           TRUE AS has_type,
+           event_type AS type_val
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def q79(spark, sf_dir):
+    """Map family (Q35 rows): map_from_entries / map_keys / map_values /
+    map_contains_key / element access. Map output itself is serialized to
+    a deterministic string (map iteration order is not hashable across
+    engines); the oracle derives the same values without a map type."""
+    ev = load_tables(spark, sf_dir)["events"]
+    # explicit round: Spark double->long CASTS truncate, DuckDB rounds
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("type").alias("key"), F.col("event_type").alias("value")),
+            F.struct(F.lit("cents").alias("key"), cents.cast("string").alias("value")),
+        )
+    )
+    return ev.where(F.col("event_id") % 20 == 0).select(
+        "event_id",
+        F.concat_ws(
+            ":", F.element_at(m, "type"), F.element_at(m, "cents")
+        ).alias("entry_str"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.map_contains_key(m, "type").alias("has_type"),
+        F.element_at(m, "type").alias("type_val"),
+    )
+
+
+@register(
+    "q80_stats_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price,
+           ROUND(VAR_SAMP(l_quantity), 2) AS var_qty,
+           ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_pq,
+           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2) AS cov_pq,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 2) AS median_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q80(spark, sf_dir):
+    """Statistical aggregates: stddev/variance/corr/covar + exact
+    interpolated median. Rounded to absorb engine-side accumulation-order
+    ulps (corr is in [-1,1] so 6 places is safe; the rest to cents)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("cov_pq"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
+    )

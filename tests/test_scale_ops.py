@@ -70,3 +70,54 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_static_partition_pruning(spark, sf_dir, tmp_path):
+    """Writing date-partitioned output and filtering on the partition
+    column prunes at the file level (PartitionFilters in the scan, only
+    matching directories read)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    out = str(tmp_path / "events_by_day")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(out)
+
+    pruned = spark.read.parquet(out).where(F.col("day") == "2024-01-05")
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters: [isnotnull(day" in plan, plan[:1500]
+    want = ev.where(F.to_date("ts") == "2024-01-05").count()
+    assert pruned.count() == want > 0
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP: joining a partitioned fact to a filtered dim inserts a runtime
+    partition-pruning subquery (dynamicpruning expression in the scan)."""
+    t = load_tables(spark, sf_dir)
+    out = str(tmp_path / "orders_by_year")
+    t["orders"].withColumn("oyear", F.year("o_orderdate")).write.partitionBy(
+        "oyear"
+    ).parquet(out)
+
+    fact = spark.read.parquet(out)
+    # dim filter on a NON-join column: a filter on the join key itself
+    # would be constant-propagated into a static partition filter
+    dim = (
+        t["orders"]
+        .select(F.year("o_orderdate").alias("oyear"), "o_orderpriority")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("oyear")
+        .distinct()
+    )
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    joined = fact.join(dim, "oyear")
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    years = {
+        r.oyear
+        for r in t["orders"]
+        .select(F.year("o_orderdate").alias("oyear"), "o_orderpriority")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("oyear")
+        .distinct()
+        .collect()
+    }
+    want = t["orders"].where(F.year("o_orderdate").isin(*years)).count()
+    assert joined.count() == want

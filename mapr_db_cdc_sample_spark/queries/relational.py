@@ -1107,3 +1107,33 @@ def q80(spark, sf_dir):
         F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("cov_pq"),
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
     )
+
+
+_Q81_SQL = """
+WITH marked AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN ts - LAG(ts) OVER w > INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, event_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@register("q81_sessionize_batch", oracle=_Q81_SQL)
+def q81(spark, sf_dir):
+    """Batch sessionization (the session_window analogue as pure window
+    algebra): a session break is a >5min gap; session ids are the running
+    sum of break markers. Same ANSI text on both engines — integer-exact,
+    so hash-checked unlike the streaming session smoke (q63)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q81_SQL)

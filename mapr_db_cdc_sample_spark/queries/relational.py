@@ -1091,7 +1091,7 @@ def q79(spark, sf_dir):
            ROUND(VAR_SAMP(l_quantity), 2) AS var_qty,
            ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_pq,
            ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2) AS cov_pq,
-           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 2) AS median_price
+           FLOOR(QUANTILE_CONT(l_extendedprice, 0.5) * 100) / 100 AS median_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1105,7 +1105,12 @@ def q80(spark, sf_dir):
         F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
         F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
         F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("cov_pq"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
+        # floor-truncate: the interpolated median is a midpoint of two
+        # 2-decimal values, i.e. EXACTLY .xx5 half the time — round(2)
+        # diverges across engines there, floor never does
+        (F.floor(F.expr("percentile(l_extendedprice, 0.5)") * 100) / 100).alias(
+            "median_price"
+        ),
     )
 
 

@@ -761,3 +761,18 @@ def q73(spark, sf_dir):
     (one row per key) is exposed for the rows-only check."""
     ev = load_tables(spark, sf_dir)["events"]
     return ev.dropDuplicates(["user_id"]).select("user_id")
+
+
+@register("q83_kmeans", tags=("approx",))
+def q83(spark, sf_dir):
+    """Iterative k-means (3 driver-loop iterations, deterministic init) —
+    cluster sizes + rounded within-cluster inertia (rows-only; the
+    monotone-inertia property is asserted in tests)."""
+    from ..operators.kmeans import kmeans_lite
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    assigned, _inertia = kmeans_lite(e, k=5, iters=3)
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.sum("d2"), 2).alias("inertia"),
+    )

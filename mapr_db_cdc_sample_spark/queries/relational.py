@@ -1142,3 +1142,23 @@ def q81(spark, sf_dir):
     so hash-checked unlike the streaming session smoke (q63)."""
     load_tables(spark, sf_dir)
     return spark.sql(_Q81_SQL)
+
+
+_Q82_SQL = """
+WITH RECURSIVE s(n) AS (
+    SELECT 0
+    UNION ALL
+    SELECT n + 1 FROM s WHERE n < 19
+)
+SELECT s.n, COUNT(o_orderkey) AS n_orders
+FROM s LEFT JOIN orders ON o_orderkey % 20 = s.n
+GROUP BY s.n
+"""
+
+
+@register("q82_recursive_cte", oracle=_Q82_SQL)
+def q82(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generated spine left-joined
+    to facts — identical ANSI text on both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q82_SQL)

@@ -68,3 +68,17 @@ def test_decode_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_kmeans_inertia_decreases(spark, sf_dir):
+    """The defining property of Lloyd iterations: total inertia is
+    non-increasing across iterations; every vector lands in a cluster."""
+    from mapr_db_cdc_sample_spark.io import load_tables
+    from mapr_db_cdc_sample_spark.operators.kmeans import kmeans_lite
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    assigned, inertia = kmeans_lite(e, k=5, iters=3)
+    assert len(inertia) == 3
+    assert inertia[0] >= inertia[1] >= inertia[2] > 0
+    assert assigned.count() == e.count()
+    assert assigned.select("cluster").distinct().count() == 5

@@ -8,7 +8,12 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SF_SMALL = "/root/testdata/sf0.001"
+import os
+
+# sf0.001 keeps the suite fast; set SPARK_GRAFT_TEST_SF=0.01 to rehearse
+# at the driver's t2 scale (different data exposes different FP
+# boundaries — run both before round end).
+SF_SMALL = f"/root/testdata/sf{os.environ.get('SPARK_GRAFT_TEST_SF', '0.001')}"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 

@@ -10,7 +10,6 @@ and applyInPandasWithState document materialization.
 
 from __future__ import annotations
 
-import json
 import tempfile
 import uuid
 
@@ -173,7 +172,6 @@ def q70(spark, sf_dir):
     stream = read_replay(spark, path, CDC_BINARY_SCHEMA)
 
     name = f"q70_{uuid.uuid4().hex[:8]}"
-    import contextlib
 
     q = (
         fts_wire(route_binary(stream))

@@ -24,20 +24,26 @@ def test_minhash_lsh_ml_finds_planted_dups(spark, sf_dir):
     """The planted near-dup pairs (doc_id, doc_id+1000000 for every 11th
     doc) are ~identical token sets — the ML MinHashLSH join must find
     them all."""
+    from pyspark.sql import functions as F
+
+    from mapr_db_cdc_sample_spark.functions import text as T
+    from mapr_db_cdc_sample_spark.io import load_tables
+
     pairs = {
         (r.doc_a, r.doc_b)
         for r in REGISTRY["q53_minhash_lsh_ml"].fn(spark, sf_dir).collect()
     }
-    import math
-
-    from mapr_db_cdc_sample_spark.io import load_tables
-
     docs = load_tables(spark, sf_dir)["documents"]
+    # a planted pair's Jaccard distance is 1/(distinct_tokens+1) — only
+    # pairs under the operator's 0.1 threshold are REQUIRED to be found
     planted = {
-        (i, i + 1000000)
-        for (i,) in docs.select("doc_id").collect()
-        if i % 11 == 0
+        (r.doc_id, r.doc_id + 1000000)
+        for r in docs.where(F.col("doc_id") % 11 == 0)
+        .select("doc_id", F.size(F.array_distinct(T.tokens(F.col("text")))).alias("nd"))
+        .collect()
+        if r.nd > 10
     }
+    assert planted, "corpus too small for the planted-dup scenario"
     found = planted & pairs
     assert len(found) == len(planted), f"missed planted dups: {planted - pairs}"
 

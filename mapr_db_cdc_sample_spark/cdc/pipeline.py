@@ -145,8 +145,10 @@ def route_binary(cdc: DataFrame) -> DataFrame:
     changes = F.col("changes")
 
     def cell(path_lower: str) -> Column:
+        # last-wins like the Java accumulation loop (B:118/121 put
+        # overwrites); decode ≡ Bytes.toString (B:118)
         matches = F.filter(changes, lambda c: F.lower(c["fieldPath"]) == F.lit(path_lower))
-        return F.try_element_at(matches, F.lit(1))["value"].cast("string")  # ≡ Bytes.toString (B:118)
+        return F.get(matches, F.size(matches) - 1)["value"].cast("string")
 
     entries = F.filter(
         F.array(
@@ -155,7 +157,6 @@ def route_binary(cdc: DataFrame) -> DataFrame:
         ),
         lambda e: e["value"].isNotNull(),
     )
-    is_del = F.col("op") == OP_DELETE
 
     base = cdc.select(
         F.col("row_key").cast("string").alias("_id"),

@@ -30,15 +30,24 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: DataFrame memo per (session, sf_dir, table): reusing the lazy scan
+#: object keeps one InMemoryFileIndex/schema per table per session instead
+#: of re-listing on every query invocation.
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One parquet table as a DataFrame (lazy scan)."""
+    """One parquet table as a DataFrame (lazy scan, memoized)."""
+    key = (id(spark), sf_dir, name)
+    if key in _CACHE:
+        return _CACHE[key]
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong read (see session.RUNTIME_CONFS): ns → µs timestamp,
         # truncating exactly like DuckDB does for the same parquet.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _CACHE[key] = df
     return df
 
 

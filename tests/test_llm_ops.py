@@ -90,6 +90,50 @@ def test_kmeans_inertia_decreases(spark, sf_dir):
     assert assigned.select("cluster").distinct().count() == 5
 
 
+def test_lsh_mega_bucket_dropped_not_exploded(spark):
+    """A boilerplate cluster (many identical docs sharing one band bucket)
+    must be excluded from candidate generation by the bucket cap BEFORE
+    id collection — and reported, never silently swallowed. Healthy small
+    buckets still produce their pairs."""
+    from mapr_db_cdc_sample_spark.operators import banding as B
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit") for i in range(120)]
+    pair = [(200, "a genuinely unique pair document about spark shuffles"),
+            (201, "a genuinely unique pair document about spark shuffles")]
+    corpus = spark.createDataFrame(boiler + pair, ["doc_id", "text"])
+
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in B.candidate_pairs(corpus, cap=50).collect()
+    }
+    assert (200, 201) in cands, "healthy 2-doc bucket lost its pair"
+    assert not any(a < 120 and b < 120 for a, b in cands), "mega-bucket pairs leaked"
+
+    dropped = B.oversized_buckets(
+        B.minhash_bands(B.minhash_signatures(corpus)), cap=50
+    ).collect()
+    # identical docs share all 4 band buckets -> 4 oversized buckets of 120
+    assert len(dropped) == 4 and all(r.n_ids == 120 for r in dropped)
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    """A 40-hop duplicate chain must collapse to one component — the
+    pointer-doubling propagation reaches fixpoint in O(log n) iterations
+    (the old one-hop form silently split chains longer than max_iters)."""
+    import warnings
+
+    from mapr_db_cdc_sample_spark.operators.dedup_pipeline import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # non-convergence -> fail
+        labels = connected_components(edges).collect()
+    assert len(labels) == 41
+    assert {r.component for r in labels} == {0}
+
+
 def test_dedup_corpus_removes_planted_keeps_originals(spark, sf_dir):
     """End-to-end dedup: every planted mutated copy (doc_id+1000000) whose
     Jaccard to its source clears the verify threshold is dropped; all

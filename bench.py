@@ -44,8 +44,10 @@ HEADLINE = [
     "q37_exact_dedup",
     "q38_cosine_topk",
     "q39_term_freq",
+    "q43_minhash_signatures",
     "q44_minhash_lsh_pairs",
     "q45_simhash",
+    "q46_ngram_jaccard",
     "q51_embedding_neardup",
     "q52_ann_ivf",
     "q56_multimodal_features",
@@ -53,6 +55,8 @@ HEADLINE = [
     "q75_shipping_priority",
     "q76_local_supplier_volume",
     "q77_pivot",
+    "q83_kmeans",
+    "q85_dedup_corpus",
 ]
 
 

@@ -688,22 +688,39 @@ def q71(spark, sf_dir):
     "q72_flatten_nested",
     oracle="""
     SELECT vec_id,
-           FLATTEN([embedding[1:4], embedding[5:8]]) AS flat8,
-           LIST_SORT(FLATTEN([[label], [CAST(vec_id % 5 AS INT)]])) AS keys2
+           ARRAY_TO_STRING(LIST_TRANSFORM(FLATTEN([embedding[1:4], embedding[5:8]]),
+                           x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) AS VARCHAR)), ',') AS flat8,
+           ARRAY_TO_STRING(LIST_SORT(FLATTEN([[label], [CAST(vec_id % 5 AS INT)]])), ',') AS keys2
     FROM embeddings
     """,
 )
 def q72(spark, sf_dir):
-    """Nested-array construction + flatten."""
+    """Nested-array construction + flatten. Array outputs serialized to
+    strings (q34 pattern) so every comparator can hash them; float
+    elements via DOUBLE -> DECIMAL(12,6) for engine-stable text."""
     e = load_tables(spark, sf_dir)["embeddings"]
     emb = F.col("embedding")
     return e.select(
         "vec_id",
-        F.flatten(F.array(F.slice(emb, 1, 4), F.slice(emb, 5, 4))).alias("flat8"),
-        F.sort_array(
-            F.flatten(
-                F.array(F.array(F.col("label")), F.array((F.col("vec_id") % 5).cast("int")))
-            )
+        F.array_join(
+            F.transform(
+                F.flatten(F.array(F.slice(emb, 1, 4), F.slice(emb, 5, 4))),
+                lambda x: x.cast("decimal(12,6)").cast("string"),
+            ),
+            ",",
+        ).alias("flat8"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.flatten(
+                        F.array(
+                            F.array(F.col("label")), F.array((F.col("vec_id") % 5).cast("int"))
+                        )
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
         ).alias("keys2"),
     )
 

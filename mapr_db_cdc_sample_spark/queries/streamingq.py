@@ -10,6 +10,7 @@ and applyInPandasWithState document materialization.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -39,14 +40,27 @@ def _drain(stream_df, prefix: str, output_mode: str = "append"):
 
 
 #: Rows-only smoke checks exercise semantics, not scale — bound the
-#: streamed slice so each streaming query stays fast at any sf.
-_MAX_STREAM_EVENTS = 4000
+#: streamed slice so each streaming query stays fast at any sf. The cap
+#: is an env knob, and every query below carries its actual streamed row
+#: count as an n_input_rows column so the rows-only correctness check
+#: records the coverage (no silent truncation).
+_MAX_STREAM_EVENTS = int(os.environ.get("SPARK_GRAFT_MAX_STREAM_EVENTS", "4000"))
+
+
+def _with_input_count(out, n: int):
+    """Stamp the streamed-slice size on every output row."""
+    return out.withColumn("n_input_rows", F.lit(n).cast("long"))
+
+
+def _bounded_events(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"].orderBy("event_id").limit(_MAX_STREAM_EVENTS)
+    return ev, ev.count()
 
 
 def _events_stream(spark, sf_dir, chunks: int = 3):
-    ev = load_tables(spark, sf_dir)["events"].orderBy("event_id").limit(_MAX_STREAM_EVENTS)
+    ev, n = _bounded_events(spark, sf_dir)
     path = write_replay(ev, n_chunks=chunks, order_by="ts")
-    return read_replay(spark, path, ev.schema, files_per_trigger=1)
+    return read_replay(spark, path, ev.schema, files_per_trigger=1), n
 
 
 @register("q60_stream_cdc_route")
@@ -56,36 +70,42 @@ def q60(spark, sf_dir):
     Exactly-once via checkpoint (vs the reference's auto-commit)."""
     from ..streaming.cdc_stream import start_json_pipeline
 
-    ev = load_tables(spark, sf_dir)["events"].orderBy("event_id").limit(_MAX_STREAM_EVENTS)
+    ev, _ = _bounded_events(spark, sf_dir)
     cdc = synth_cdc_from_events(ev)
+    n = cdc.count()
     base = tempfile.mkdtemp(prefix="q60_")
     replay = write_replay(cdc, n_chunks=4, order_by="ts")
     stream = read_replay(spark, replay, CDC_JSON_SCHEMA, files_per_trigger=2)
     fts_dir, geo_dir = f"{base}/fts", f"{base}/geo"
     q = start_json_pipeline(stream, fts_dir, geo_dir)
     q.awaitTermination()
-    return spark.read.parquet(fts_dir).unionAll(spark.read.parquet(geo_dir))
+    return _with_input_count(
+        spark.read.parquet(fts_dir).unionAll(spark.read.parquet(geo_dir)), n
+    )
 
 
 @register("q61_tumbling_window")
 def q61(spark, sf_dir):
     from ..streaming.windows import tumbling_counts
 
-    return _drain(tumbling_counts(_events_stream(spark, sf_dir)), "q61")
+    stream, n = _events_stream(spark, sf_dir)
+    return _with_input_count(_drain(tumbling_counts(stream), "q61"), n)
 
 
 @register("q62_sliding_window")
 def q62(spark, sf_dir):
     from ..streaming.windows import sliding_counts
 
-    return _drain(sliding_counts(_events_stream(spark, sf_dir)), "q62")
+    stream, n = _events_stream(spark, sf_dir)
+    return _with_input_count(_drain(sliding_counts(stream), "q62"), n)
 
 
 @register("q63_session_window")
 def q63(spark, sf_dir):
     from ..streaming.windows import session_counts
 
-    return _drain(session_counts(_events_stream(spark, sf_dir)), "q63")
+    stream, n = _events_stream(spark, sf_dir)
+    return _with_input_count(_drain(session_counts(stream), "q63"), n)
 
 
 @register("q64_stream_dedup")
@@ -93,11 +113,11 @@ def q64(spark, sf_dir):
     """Watermarked streaming dedup over a stream with every event doubled."""
     from ..streaming.windows import stream_dedup
 
-    ev = load_tables(spark, sf_dir)["events"].orderBy("event_id").limit(_MAX_STREAM_EVENTS)
+    ev, n = _bounded_events(spark, sf_dir)
     dup = ev.unionAll(ev)
     path = write_replay(dup, n_chunks=2, order_by="ts")
     stream = read_replay(spark, path, ev.schema, files_per_trigger=2)
-    return _drain(stream_dedup(stream), "q64")
+    return _with_input_count(_drain(stream_dedup(stream), "q64"), 2 * n)
 
 
 @register("q65_stream_static_join")
@@ -105,7 +125,8 @@ def q65(spark, sf_dir):
     from ..streaming.windows import stream_static_enrich
 
     cust = load_tables(spark, sf_dir)["customer"]
-    return _drain(stream_static_enrich(_events_stream(spark, sf_dir), cust), "q65")
+    stream, n = _events_stream(spark, sf_dir)
+    return _with_input_count(_drain(stream_static_enrich(stream, cust), "q65"), n)
 
 
 @register("q66_materialize_state")
@@ -114,8 +135,9 @@ def q66(spark, sf_dir):
     synth-changelog'd document table (applyInPandasWithState)."""
     from ..streaming.stateful import materialize
 
-    ev = load_tables(spark, sf_dir)["events"].orderBy("event_id").limit(_MAX_STREAM_EVENTS)
+    ev, _ = _bounded_events(spark, sf_dir)
     cdc = synth_cdc_from_events(ev)
+    n = cdc.count()
     path = write_replay(cdc, n_chunks=2, order_by="ts")
     stream = read_replay(spark, path, CDC_JSON_SCHEMA, files_per_trigger=1)
     out = _drain(materialize(stream), "q66", output_mode="update")
@@ -124,7 +146,8 @@ def q66(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.partitionBy("_id").orderBy(F.col("n_changes").desc())
-    return out.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    final = out.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    return _with_input_count(final, n)
 
 
 @register("q68_stream_stream_join")
@@ -133,9 +156,10 @@ def q68(spark, sf_dir):
     replay streams of the same events table."""
     from ..streaming.windows import stream_stream_click_purchase
 
-    ev = load_tables(spark, sf_dir)["events"].orderBy("event_id").limit(_MAX_STREAM_EVENTS)
+    ev, _ = _bounded_events(spark, sf_dir)
     clicks = ev.where(F.col("event_type") == "click")
     purchases = ev.where(F.col("event_type") == "purchase")
+    n = clicks.count() + purchases.count()
     # one chunk per side: the inner join emits matches within the batch,
     # so a single micro-batch exercises the same semantics at a fraction
     # of the per-batch state-store cost
@@ -145,7 +169,7 @@ def q68(spark, sf_dir):
     ps = read_replay(
         spark, write_replay(purchases, 1, order_by="ts"), ev.schema, files_per_trigger=1
     )
-    return _drain(stream_stream_click_purchase(cs, ps), "q68")
+    return _with_input_count(_drain(stream_stream_click_purchase(cs, ps), "q68"), n)
 
 
 @register("q69_complete_mode")
@@ -154,10 +178,10 @@ def q69(spark, sf_dir):
     the memory table holds the final complete result."""
     from ..streaming.windows import tumbling_counts
 
-    return _drain(
-        tumbling_counts(_events_stream(spark, sf_dir), watermark="1 minute"),
-        "q69",
-        output_mode="complete",
+    stream, n = _events_stream(spark, sf_dir)
+    return _with_input_count(
+        _drain(tumbling_counts(stream, watermark="1 minute"), "q69", output_mode="complete"),
+        n,
     )
 
 
@@ -171,6 +195,7 @@ def q70(spark, sf_dir):
     from ..cdc.schema import CDC_BINARY_SCHEMA
 
     cdc = golden_binary_events(spark)
+    n = cdc.count()
     path = write_replay(cdc.coalesce(1), n_chunks=1)
     stream = read_replay(spark, path, CDC_BINARY_SCHEMA)
 
@@ -186,4 +211,4 @@ def q70(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return _with_input_count(spark.table(name), n)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +36,18 @@ def write_replay(
     else:
         df = df.repartition(n_chunks)
     df.write.mode("overwrite").parquet(path)
+    # FileStreamSource replays files in MODIFICATION-TIME order, and the
+    # parallel write finishes part-files in arbitrary order — which can
+    # replay chunks out of event-time order and mass-drop rows behind the
+    # watermark. Stamp strictly increasing mtimes in part-file-name order
+    # (range partition 0 = lowest time range) so replay order == time
+    # order, like a real changelog.
+    parts = sorted(
+        f for f in os.listdir(path) if f.startswith("part-") and not f.endswith(".crc")
+    )
+    base = time.time() - len(parts)
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(path, f), (base + i, base + i))
     return path
 
 

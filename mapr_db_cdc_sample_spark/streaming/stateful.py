@@ -37,7 +37,9 @@ def _apply_changes(doc: dict[str, Any], rows: pd.DataFrame) -> tuple[dict[str, A
     Returns (new_doc, n_changes_applied). A delete clears the doc to the
     tombstone {}."""
     n = 0
-    for _, row in rows.sort_values("ts").iterrows():
+    # stable sort: equal-ts rows must fold in arrival order or the
+    # last-write-wins-in-ts-order guarantee breaks on ties
+    for _, row in rows.sort_values("ts", kind="stable").iterrows():
         op = row["op"]
         n += 1
         if op == "RECORD_DELETE":

@@ -73,8 +73,13 @@ def session_counts(
 def stream_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Streaming exact dedup on event_id: duplicates within the watermark
     horizon are dropped; state is GC'd past it (north-star dedup in its
-    streaming form)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    streaming form). dropDuplicatesWithinWatermark, NOT dropDuplicates:
+    with a plain key-subset dropDuplicates the watermark never evicts
+    dedup state (the event-time column isn't in the key) and the store
+    grows with the stream — unbounded on a real changelog. The trade is
+    explicit: a duplicate arriving later than the watermark delay is
+    re-emitted, same contract as any watermarked op's late-data drop."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
 def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:

@@ -179,6 +179,56 @@ def test_rocksdb_state_store(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_rocksdb_stateful_stress_state_bounded_by_watermark(spark, sf_dir, tmp_path):
+    """Scale rehearsal for the large-state path (docs/SCALE.md): streaming
+    dedup under RocksDB at ~10x the smoke-slice volume (80k input rows =
+    40k unique events fanned out from the events table, each doubled).
+    Two invariants:
+      1. correctness holds at volume — exactly one row per unique event;
+      2. state is bounded by the WATERMARK, not the stream length — the
+         final state-store row count must be far below total input, i.e.
+         state was GC'd as event time advanced (the property that keeps
+         the store finite on an unbounded 100 TB changelog)."""
+    from mapr_db_cdc_sample_spark.streaming.windows import stream_dedup
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = load_tables(spark, sf_dir)["events"]
+        fanned = (
+            ev.crossJoin(spark.range(4).select(F.col("id").alias("rep")))
+            .select(
+                (F.col("event_id") * 10 + F.col("rep")).alias("event_id"),
+                (F.col("ts") + F.make_interval(secs=F.col("rep"))).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+        n_unique = fanned.count()
+        dup = fanned.unionAll(fanned)
+        path = write_replay(dup, n_chunks=8, base_dir=str(tmp_path / "stress"), order_by="ts")
+        stream = read_replay(spark, path, fanned.schema, files_per_trigger=1)
+        name = _mem("stress")
+        q = run_to_memory(stream_dedup(stream), name)
+        assert spark.table(name).count() == n_unique
+
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in (json.loads(x.json) for x in q.recentProgress)
+            if p.get("stateOperators")
+        ]
+        assert state_rows, "no state-operator metrics reported"
+        # 8 time-ordered chunks over ~30 days with a 30-minute watermark:
+        # retained state must stay near one chunk's worth, never the stream
+        assert state_rows[-1] <= n_unique / 2, f"state not GC'd: {state_rows}"
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_cdc_pipeline_restart_is_exactly_once(spark, tmp_path):
     """Restarting the checkpointed pipeline over the same replay dir must
     not re-emit messages — the exactly-once upgrade over the reference's

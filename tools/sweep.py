@@ -5,11 +5,13 @@ t2 performs. Usage:
     python tools/sweep.py [sf_dir] [name_prefix_filter]
 
 e.g. `python tools/sweep.py /root/testdata/sf0.01 q4` runs only q4x.
-Exit code 1 on any mismatch.
+Exit code 1 on any mismatch. Set SPARK_GRAFT_SWEEP_JSON=/path/out.json
+to also record {query: {check, ok, secs}} as a committable artifact.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -36,6 +38,7 @@ def main() -> int:
         print(f"entry: {len(rows)} rows")
 
     fails = 0
+    results: dict[str, dict] = {}
     for name in sorted(qs):
         if not name.startswith(prefix):
             continue
@@ -44,10 +47,19 @@ def main() -> int:
             ok, msg = compare(qs[name](spark, sf_dir), con, osql[name])
             status = "ok" if ok else f"FAIL {msg[:200]}"
             fails += 0 if ok else 1
+            results[name] = {"check": "oracle-hash", "ok": ok}
         else:
-            status = f"rows-only {qs[name](spark, sf_dir).count()}"
-        print(f"{name}: {status} ({time.perf_counter() - t0:.1f}s)")
+            n = qs[name](spark, sf_dir).count()
+            status = f"rows-only {n}"
+            results[name] = {"check": "rows-only", "ok": True, "rows": n}
+        secs = time.perf_counter() - t0
+        results[name]["secs"] = round(secs, 1)
+        print(f"{name}: {status} ({secs:.1f}s)")
     print(f"== {fails} failures ==")
+    out = os.environ.get("SPARK_GRAFT_SWEEP_JSON")
+    if out:
+        with open(out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "queries": results, "failures": fails}, fh, indent=1)
     spark.stop()
     return 1 if fails else 0
 

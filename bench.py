@@ -57,6 +57,7 @@ HEADLINE = [
     "q77_pivot",
     "q83_kmeans",
     "q85_dedup_corpus",
+    "q87_training_corpus",
 ]
 
 

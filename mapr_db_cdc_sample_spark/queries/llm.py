@@ -789,6 +789,71 @@ def q86(spark, sf_dir):
     )
 
 
+_TRAINING_CORPUS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, text,
+           LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS tk
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang, text,
+           CAST(LEN(tk) AS INT) AS n_tokens,
+           ROUND(CAST(LEN(LIST_FILTER(tk, x -> x IN {_STOP_SQL})) AS DOUBLE) / LEN(tk), 4) AS swr,
+           ROUND(CAST(LEN(LIST_DISTINCT(tk)) AS DOUBLE) / LEN(tk), 4) AS ttr
+    FROM t WHERE LEN(tk) >= 20
+), filtered AS (
+    SELECT * FROM scored WHERE swr > 0.01 AND ttr > 0.3
+), kept AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id) AS rn
+    FROM filtered
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(CAST(SUM(CAST(ttr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_ttr
+FROM kept WHERE rn = 1 GROUP BY lang
+"""
+
+
+@register("q87_training_corpus", oracle=_TRAINING_CORPUS_ORACLE)
+def q87(spark, sf_dir):
+    """The composite a training-data pipeline actually ships: quality
+    gate (length / stopword-ratio / type-token-ratio, thresholds compared
+    on ROUNDED values for engine stability) -> exact dedup (min doc_id
+    per normalized-text fingerprint) -> per-language corpus budget
+    (docs, tokens, mean TTR via decimal-exact sum). Every stage is a
+    shuffle on a uniform key (fingerprint, lang); nothing quadratic."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tk = T.tokens(F.col("text"))
+    base = d.select("doc_id", "lang", "text", tk.alias("tk")).where(F.size("tk") >= 20)
+    ntok = F.size("tk").cast("double")
+    scored = base.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size("tk").alias("n_tokens"),
+        F.round(T.stopword_count(F.col("tk")).cast("double") / ntok, 4).alias("swr"),
+        F.round(F.size(F.array_distinct("tk")).cast("double") / ntok, 4).alias("ttr"),
+    ).where((F.col("swr") > 0.01) & (F.col("ttr") > 0.3))
+    # keep-min-doc_id per fingerprint as min(struct(doc_id, ...)): a pure
+    # hash aggregate with map-side partials — no per-partition sort like a
+    # row_number window would need (doc_id leads the struct, so struct
+    # ordering == doc_id ordering)
+    kept = (
+        scored.groupBy(F.md5(T.normalize(F.col("text"))).alias("fp"))
+        .agg(F.min(F.struct("doc_id", "lang", "n_tokens", "ttr")).alias("r"))
+        .select("r.*")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.round(
+            F.sum(F.col("ttr").cast("decimal(18,6)")).cast("double") / F.count("*"), 4
+        ).alias("avg_ttr"),
+    )
+
+
 @register("q85_dedup_corpus", tags=("approx",))
 def q85(spark, sf_dir):
     """End-to-end dedup: corpus with planted duplicates in → kept corpus

@@ -78,6 +78,29 @@ def test_whole_stage_codegen_everywhere(spark, sf_dir):
         assert n >= 1, f"{name}: no codegen stages"
 
 
+def test_lsh_pairs_plan_has_no_self_join(spark, sf_dir):
+    """q44 candidate generation must stay bucket-local: pairs come from
+    higher-order expansion of collected bucket arrays — a corpus x corpus
+    join would shuffle the signature subtree twice. The only join allowed
+    is the slim band-count semi/inner join that enforces the bucket cap."""
+    plan = _plan(spark, sf_dir, "q44_minhash_lsh_pairs")
+    assert not has(plan, "CartesianProduct"), plan_nodes(plan)
+    assert not has(plan, "BroadcastNestedLoopJoin"), plan_nodes(plan)
+    # signature agg + band-count agg + bucket collect + final distinct,
+    # each partial+final — all hash aggregates, no sort-based fallback
+    assert count_nodes(plan, "HashAggregate") >= 4
+
+
+def test_training_corpus_plan_is_hash_aggs_only(spark, sf_dir):
+    """q87: quality gate -> fingerprint dedup -> per-lang budget must plan
+    as hash aggregates (map-side partials), never a window sort over the
+    corpus or a join."""
+    plan = _plan(spark, sf_dir, "q87_training_corpus")
+    assert not has(plan, "Window"), plan_nodes(plan)
+    assert not has(plan, "SortMergeJoin")
+    assert count_nodes(plan, "HashAggregate") >= 2
+
+
 def test_approx_aggs_bounded_error(spark, sf_dir):
     """q67 sketches: HLL++ within 3×rsd of exact; approx median between
     exact p25 and p75."""

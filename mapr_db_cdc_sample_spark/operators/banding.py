@@ -127,3 +127,40 @@ def candidate_pairs(corpus: DataFrame, cap: int = DEFAULT_BUCKET_CAP) -> DataFra
     """corpus (doc_id, text) -> distinct candidate (doc_a, doc_b): the
     full signature -> band -> capped bucket -> pair pipeline."""
     return bucket_pairs(band_buckets(minhash_bands(minhash_signatures(corpus)), cap))
+
+
+def gram_sets(corpus: DataFrame) -> DataFrame:
+    """(doc_id, gs) with gs = DISTINCT 60-bit-hashed 3-gram shingles as a
+    long array — ONE tokenize+shingle+md5 pass that can feed BOTH minhash
+    signatures (min over XOR permutations of gs — min over the distinct
+    set equals min over the multiset) and exact Jaccard verification
+    (|A∩B|/|A∪B| is identical on hashed shingles, and long-array
+    intersects are far cheaper to shuffle and compare than strings).
+    Persist the result before fanning out, or each consumer re-runs the
+    md5 pass (Catalyst collapses projections)."""
+    return corpus.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                T.shingles(T.tokens(F.col("text")), 3),
+                lambda s: T.shingle_hash60(s),
+            )
+        ).alias("gs"),
+    )
+
+
+def signatures_from_grams(grams: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh7) as a pure projection over materialized gram
+    arrays: 8 XOR+array_min passes over an in-memory long array — no
+    explode, no shuffle, no md5 recompute. Only sound when `grams` is
+    persisted/materialized (see gram_sets); an empty gram array yields
+    null mh columns, matching the explode_outer+min form."""
+    def _xor_min(seed: int):
+        # NB: a default-arg lambda (lambda h, s=seed: ...) would be read
+        # as a two-arg (value, index) lambda by PySpark — closure factory
+        return F.array_min(F.transform(F.col("gs"), lambda h: h.bitwiseXOR(F.lit(seed))))
+
+    return grams.select(
+        "doc_id",
+        *[_xor_min(seed).alias(f"mh{j}") for j, seed in enumerate(T.MINHASH_SEEDS)],
+    )

@@ -21,12 +21,12 @@ rates that is a few percent of the corpus.
 
 from __future__ import annotations
 
+import os
 import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import text as T
 from . import banding
 
 
@@ -38,12 +38,19 @@ def duplicate_edges(
     """(doc_a, doc_b, jaccard) for verified near-duplicate pairs.
     corpus: (doc_id, text). Band buckets above bucket_cap are excluded
     from candidate generation (see operators/banding.py); audit the
-    exclusions with banding.oversized_buckets on the same corpus."""
-    cands = banding.candidate_pairs(corpus, bucket_cap)
-    # verify stage: exact token-shingle Jaccard, candidates only
-    grams = corpus.select(
-        "doc_id", F.array_distinct(T.shingles(T.tokens(F.col("text")), 3)).alias("gs")
-    )
+    exclusions with banding.oversized_buckets on the same corpus.
+
+    One tokenize+shingle+md5 pass feeds everything: the persisted
+    gram_sets table yields minhash signatures as a cache-local
+    projection (no explode/shuffle) AND the exact-Jaccard gram sets —
+    which intersect as long arrays, far cheaper than strings. Jaccard on
+    hashed shingles equals Jaccard on shingles (injective up to 60-bit
+    collisions)."""
+    grams = banding.gram_sets(corpus)
+    grams.persist()
+    sig = banding.signatures_from_grams(grams)
+    bands = banding.minhash_bands(sig.where(F.col("mh0").isNotNull()))
+    cands = banding.bucket_pairs(banding.band_buckets(bands, bucket_cap))
     a = grams.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"))
     b = grams.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"))
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
@@ -71,16 +78,38 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     convergence in O(log longest-chain) instead of O(chain). Warns loudly
     if the fixpoint isn't reached within max_iters (never silently
     returns split components)."""
+    spark = edges.sparkSession
+    # The label table holds only edge-endpoints — a few percent of the
+    # corpus at real dup rates, orders of magnitude smaller than the
+    # input. Size the iteration shuffles to THAT volume, not the global
+    # default (32-partition shuffles of a few thousand labels are pure
+    # scheduler overhead; at 100 TB set SPARK_GRAFT_CC_PARTITIONS to
+    # ~edge-rows/10M).
+    cc_parts = os.environ.get("SPARK_GRAFT_CC_PARTITIONS", "4")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", cc_parts)
+    try:
+        return _cc_loop(edges, max_iters)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    sym.persist()
+    sym = sym.localCheckpoint()  # cut the LSH/verify lineage out of the loop
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
     )
-    changed = -1
+    # Labels only ever decrease (least/min everywhere), so sum(component)
+    # strictly decreases iff any label moved — convergence is one cheap
+    # aggregate per iteration instead of a join against the old labels.
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["doc_id"])
@@ -101,29 +130,25 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         ptr = hopped.select(
             F.col("doc_id").alias("c_id"), F.col("component").alias("c_comp")
         )
-        new_labels = (
+        labels = (
             hopped.join(ptr, hopped["component"] == ptr["c_id"], "left")
             .select(
                 "doc_id",
                 F.coalesce(F.col("c_comp"), F.col("component")).alias("component"),
             )
+            # eager checkpoint: keeps every iteration's plan O(1) deep —
+            # without it analysis cost grows with the iteration count
+            .localCheckpoint()
         )
-        new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            converged = True
             break
-    sym.unpersist()
-    if changed != 0:
+        prev_sum = cur_sum
+    if not converged:
         warnings.warn(
             f"connected_components: labels still changing after {max_iters} "
-            f"iterations ({changed} moved last pass); components may be split",
+            "iterations; components may be split",
             RuntimeWarning,
             stacklevel=2,
         )

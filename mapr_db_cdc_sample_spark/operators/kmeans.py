@@ -15,50 +15,69 @@ assignment input if iterating many times.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def _assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
-    """Nearest centroid per vector (squared euclidean; ties → lowest id)."""
-    spark = vecs.sparkSession
-    cdf = F.broadcast(
-        spark.createDataFrame(
-            [(cid, c) for cid, c in centroids], "cluster int, centroid array<double>"
+    """Nearest centroid per vector (squared euclidean; ties → lowest id).
+
+    The centroid matrix is a k×dim driver-side literal, so assignment is
+    a PURE PROJECTION: k inline fold-distances collapsed by
+    array_min(struct(d2, cluster)) — struct ordering gives argmin with
+    cluster-id tiebreak. No join, no shuffle, no per-vector sort; the
+    previous join + row_number form shuffled vecs×k rows through a
+    window sort every iteration."""
+
+    def _d2(c: list[float]):
+        cen = F.array(*[F.lit(float(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), cen, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(_d2(c).alias("d2"), F.lit(cid).cast("int").alias("cluster"))
+                for cid, c in centroids
+            ]
         )
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"), F.col("centroid"), lambda x, y: (x.cast("double") - y) ** 2
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cluster"))
-    return (
-        vecs.join(cdf)
-        .select("vec_id", "embedding", "cluster", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster", "d2")
+    return vecs.select(
+        "vec_id",
+        "embedding",
+        best["cluster"].alias("cluster"),
+        best["d2"].alias("d2"),
     )
 
 
-def _recompute(assigned: DataFrame, dim: int) -> list[tuple[int, list[float]]]:
-    """New centroids = per-cluster per-dimension means (one aggregation);
-    k×dim values collected to the driver for re-broadcast."""
-    means = (
-        assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+def _recompute(
+    assigned: DataFrame, dim: int
+) -> tuple[list[tuple[int, list[float]]], float]:
+    """(new centroids, total inertia) in ONE distributed pass: per-cluster
+    per-dimension means via posexplode + groupBy, with the cluster's d2
+    sum smuggled into the pos==0 group (d2 is replicated across the dim
+    exploded rows, so summing it once per cluster needs a guard). k×dim
+    rows come back to the driver for re-broadcast — one action per
+    iteration, so the assignment projection never needs caching."""
+    rows = (
+        assigned.select("cluster", "d2", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("cluster", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("m"))
-        .groupBy("cluster")
-        .agg(F.map_from_entries(F.collect_list(F.struct("pos", "m"))).alias("by_pos"))
+        .agg(
+            F.avg(F.col("v").cast("double")).alias("m"),
+            F.sum(F.when(F.col("pos") == 0, F.col("d2"))).alias("pd2"),
+        )
         .collect()
     )
-    return [
-        (r.cluster, [r.by_pos[i] for i in range(dim)])
-        for r in sorted(means, key=lambda r: r.cluster)
-    ]
+    by_cluster: dict[int, list[float]] = {}
+    inertia = 0.0
+    for r in rows:
+        by_cluster.setdefault(r.cluster, [0.0] * dim)[r.pos] = r.m
+        if r.pos == 0:
+            inertia += r.pd2
+    return sorted(by_cluster.items()), inertia
 
 
 def kmeans_lite(
@@ -75,11 +94,8 @@ def kmeans_lite(
     )
     centroids = [(i, list(r.e)) for i, r in enumerate(init)]
     inertia: list[float] = []
-    assigned = None
     for _ in range(iters):
         assigned = _assign(vecs, centroids)
-        assigned.persist()
-        inertia.append(assigned.agg(F.sum("d2")).collect()[0][0])
-        centroids = _recompute(assigned, dim)
-        assigned.unpersist()
+        centroids, it = _recompute(assigned, dim)
+        inertia.append(it)
     return _assign(vecs, centroids), inertia

@@ -285,7 +285,10 @@ _JACCARD_ORACLE = _MINHASH_CTE + _BANDS_CTE + """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 ), grams AS (
-    SELECT doc_id, LIST_DISTINCT(sg) AS gs FROM sh
+    -- Jaccard over 60-bit-hashed shingles == over shingle strings (the
+    -- hash map is shared with the Spark side, so even a collision would
+    -- collide identically in both engines)
+    SELECT doc_id, LIST_DISTINCT(hs) AS gs FROM hv
 )
 SELECT doc_a, doc_b,
        ROUND(CAST(LEN(LIST_INTERSECT(ga.gs, gb.gs)) AS DOUBLE) /
@@ -308,10 +311,13 @@ def q46(spark, sf_dir):
     compares the ROUNDED value so the boundary is engine-stable."""
     d = load_tables(spark, sf_dir)["documents"]
     corpus = _minhash_corpus(d)
-    cands = B.candidate_pairs(corpus)
-    grams = corpus.select(
-        "doc_id", F.array_distinct(T.shingles(T.tokens(F.col("text")), 3)).alias("gs")
-    )
+    # one persisted tokenize+shingle+md5 pass feeds both the LSH candidate
+    # generation (signatures as a cache-local projection) and the verify
+    # gram sets, which intersect as long arrays (see operators/banding.py)
+    grams = B.gram_sets(corpus)
+    grams.persist()
+    sig = B.signatures_from_grams(grams)
+    cands = B.bucket_pairs(B.band_buckets(B.minhash_bands(sig)))
     a = grams.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"))
     b = grams.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"))
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))

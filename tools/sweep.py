@@ -4,9 +4,11 @@ t2 performs. Usage:
 
     python tools/sweep.py [sf_dir] [name_prefix_filter]
 
-e.g. `python tools/sweep.py /root/testdata/sf0.01 q4` runs only q4x.
-Exit code 1 on any mismatch. Set SPARK_GRAFT_SWEEP_JSON=/path/out.json
-to also record {query: {check, ok, secs}} as a committable artifact.
+e.g. `python tools/sweep.py /root/testdata/sf0.01 q4` runs only q4x; a
+filter containing ':' is a half-open name range (`q00:q37` = names
+< "q37"). Exit code 1 on any mismatch. Set
+SPARK_GRAFT_SWEEP_JSON=/path/out.json to also record
+{query: {check, ok, secs}} as a committable artifact.
 """
 
 from __future__ import annotations
@@ -39,8 +41,13 @@ def main() -> int:
 
     fails = 0
     results: dict[str, dict] = {}
+    if ":" in prefix:
+        lo, hi = prefix.split(":", 1)
+        selected = lambda n: (not lo or n >= lo) and (not hi or n < hi)  # noqa: E731
+    else:
+        selected = lambda n: n.startswith(prefix)  # noqa: E731
     for name in sorted(qs):
-        if not name.startswith(prefix):
+        if not selected(name):
             continue
         t0 = time.perf_counter()
         if name in osql:

@@ -40,6 +40,7 @@ def load_all() -> dict[str, QueryDef]:
     from . import llm  # noqa: F401
     from . import cdcq  # noqa: F401
     from . import streamingq  # noqa: F401
+    from . import tpch  # noqa: F401
     from . import udfs  # noqa: F401
 
     return REGISTRY

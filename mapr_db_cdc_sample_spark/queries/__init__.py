@@ -36,6 +36,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def load_all() -> dict[str, QueryDef]:
     """Import every query module so REGISTRY is fully populated."""
+    from . import corpus  # noqa: F401
     from . import relational  # noqa: F401
     from . import llm  # noqa: F401
     from . import cdcq  # noqa: F401

@@ -1,0 +1,301 @@
+"""Training-corpus preparation operators (LLM-pipeline surface beyond
+dedup): PII redaction, repetition filtering (Gopher-style signals),
+deterministic stratified sampling, deterministic training-order shuffle,
+and sequence packing into fixed token budgets.
+
+Cross-engine determinism: every random-looking decision is an md5-derived
+integer (identical hex in Spark and DuckDB), ratios are ROUND(...,4) and
+compared on the rounded value, counts and running sums are pure integer
+arithmetic. No Python UDFs anywhere — the whole module is JVM expression
+work + two hash shuffles.
+
+Scale notes:
+- PII redaction / repetition / sampling are pure projections+filters (no
+  shuffle at all; repetition's per-doc work is O(distinct_tokens x
+  n_tokens), bounded by document length, not corpus size).
+- The training-order shuffle is sort-by-hash-key: Spark plans the LIMIT
+  form as TakeOrderedAndProject; the full-corpus form is a range
+  partition on the key — the standard 100 TB global shuffle.
+- Sequence packing is shard-local (partition key = (lang, doc_id % N)):
+  the running-sum window never sees more than 1/N of a language, so
+  state per task stays bounded and shards pack embarrassingly parallel —
+  exactly how epoch-packing runs on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..io import load_tables
+from . import register
+
+# --- deterministic PII injection (the corpus has none of its own) -------
+# every 5th doc gets an email + phone + IP derived from doc_id, so the
+# redactor has ground truth to find and the oracle can rebuild it exactly.
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+_IP_RE = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+_PII_CORPUS_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' contact user' || doc_id || '@example.com or call 555-'
+                          || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+def _pii_corpus(d):
+    tagged = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, tagged).otherwise(F.col("text")).alias(
+            "text"
+        ),
+    )
+
+
+@register(
+    "q88_pii_redaction",
+    oracle=rf"""
+    WITH corpus AS ({_PII_CORPUS_SQL})
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(LEN(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(LEN(regexp_extract_all(text, '{_IP_RE}')) AS INT) AS n_ips,
+           MD5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_IP_RE}', '<IP>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g')) AS red_md5
+    FROM corpus
+    """,
+)
+def q88(spark, sf_dir):
+    """PII redaction: regex scrub of emails/phones/IPs with per-doc match
+    counts and an md5 of the redacted text (the hash keeps the oracle
+    comparison exact without shipping full text). Pure projection — zero
+    shuffles; regexes are Java/RE2-common syntax so both engines match
+    byte-identically. At 100 TB this is the map-only pass fused into the
+    ingest scan."""
+    d = load_tables(spark, sf_dir)["documents"]
+    c = _pii_corpus(d)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _IP_RE,
+            "<IP>",
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return c.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(_IP_RE)).cast("int").alias("n_ips"),
+        F.md5(red).alias("red_md5"),
+    )
+
+
+@register(
+    "q89_repetition_filter",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS tk
+        FROM documents
+    ), g AS (
+        SELECT doc_id, tk,
+               list_transform(range(1, LEN(tk)), i -> tk[i] || ' ' || tk[i + 1]) AS g2
+        FROM t WHERE LEN(tk) >= 2
+    )
+    SELECT doc_id,
+           CAST(LEN(tk) AS INT) AS n_tokens,
+           ROUND(CAST(list_max(list_transform(list_distinct(tk),
+                     x -> LEN(list_filter(tk, tok -> tok = x)))) AS DOUBLE)
+                 / LEN(tk), 4) AS top_word_frac,
+           ROUND(1.0 - CAST(LEN(list_distinct(g2)) AS DOUBLE) / LEN(g2), 4) AS dup_2gram_frac,
+           CAST(ROUND(CAST(list_max(list_transform(list_distinct(tk),
+                     x -> LEN(list_filter(tk, tok -> tok = x)))) AS DOUBLE)
+                 / LEN(tk), 4) <= 0.12
+            AND ROUND(1.0 - CAST(LEN(list_distinct(g2)) AS DOUBLE) / LEN(g2), 4) <= 0.55
+            AS INT) AS keep
+    FROM g
+    """,
+)
+def q89(spark, sf_dir):
+    """Repetition filter (Gopher-style quality signals): fraction of
+    tokens taken by the most frequent word + duplicate-2-gram fraction,
+    thresholded into a keep flag. Entirely array expressions — a pure
+    projection with NO shuffle (per-doc cost is O(distinct x len),
+    bounded by doc length). Thresholds compare the ROUNDED values so the
+    keep bit is engine-stable."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select("doc_id", T.tokens(F.col("text")).alias("tk")).where(
+        F.size("tk") >= 2
+    )
+    tk = F.col("tk")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(tk),
+            lambda x: F.size(F.filter(tk, lambda tok: tok == x)),
+        )
+    )
+    g2 = T.shingles(tk, 2)
+    top_frac = F.round(top_cnt.cast("double") / F.size(tk), 4)
+    dup2 = F.round(1.0 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2), 4)
+    return base.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        top_frac.alias("top_word_frac"),
+        dup2.alias("dup_2gram_frac"),
+        ((top_frac <= 0.12) & (dup2 <= 0.55)).cast("int").alias("keep"),
+    )
+
+
+# --- stratified sampling ------------------------------------------------
+# per-language keep rates expressed as exact 24-bit integer thresholds:
+# keep iff the first 6 md5 hex chars of the seeded doc key, as an int,
+# fall below rate * 2^24. No floating point anywhere in the decision.
+
+_RATE24 = {"en": 4194304, "de": 8388608, "es": 8388608, "fr": 8388608, "zh": 16777216}
+_DEFAULT_RATE24 = 16777216  # unknown strata kept whole
+
+
+@register(
+    "q90_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || SUBSTR(MD5('s42-' || doc_id), 1, 6))::BIGINT <
+          CASE lang WHEN 'en' THEN {_RATE24["en"]}
+                    WHEN 'de' THEN {_RATE24["de"]}
+                    WHEN 'es' THEN {_RATE24["es"]}
+                    WHEN 'fr' THEN {_RATE24["fr"]}
+                    WHEN 'zh' THEN {_RATE24["zh"]}
+                    ELSE {_DEFAULT_RATE24} END
+    """,
+)
+def q90(spark, sf_dir):
+    """Deterministic stratified sampling (domain mixing): per-language
+    keep rates applied via an md5-derived 24-bit integer threshold —
+    reproducible across engines, runs, and cluster sizes (unlike
+    sample()/TABLESAMPLE, whose RNG is engine-local). Pure filter, no
+    shuffle; at 100 TB this composes with partition pruning since the
+    decision needs only (doc_id, lang)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    u24 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("s42-"), F.col("doc_id").cast("string"))), 1, 6),
+        16,
+        10,
+    ).cast("long")
+    thresh = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _RATE24.items()],
+        F.lit(_DEFAULT_RATE24),
+    )
+    return d.where(u24 < thresh).select("doc_id", "lang")
+
+
+@register(
+    "q91_training_order",
+    oracle="""
+    SELECT doc_id, MD5('epoch0-' || doc_id) AS skey
+    FROM documents
+    ORDER BY skey
+    LIMIT 256
+    """,
+)
+def q91(spark, sf_dir):
+    """Deterministic training-order shuffle: sort by a seeded md5 of the
+    doc key. Epoch N is just a different seed — same corpus, different
+    order, zero RNG state to coordinate. The LIMIT form here plans as
+    TakeOrderedAndProject (no global sort materialized); the full-epoch
+    form is orderBy(skey) = range-partitioned sort, the standard
+    cluster-wide shuffle, with the md5 key uniform by construction (no
+    skew, no hot partition)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    skey = F.md5(F.concat(F.lit("epoch0-"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", skey.alias("skey"))
+        .orderBy("skey")
+        .limit(256)
+    )
+
+
+@register(
+    "q92_sequence_packing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, doc_id % 8 AS shard,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                    x -> LENGTH(x) > 0)) AS BIGINT) AS n_tok
+        FROM documents
+    ), placed AS (
+        SELECT lang, shard, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS start_off
+        FROM t
+    )
+    SELECT lang, CAST(shard AS BIGINT) AS shard,
+           CAST(FLOOR(start_off / 1024.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM placed
+    GROUP BY lang, shard, seq_id
+    """,
+)
+def q92(spark, sf_dir):
+    """Sequence packing: assign documents to fixed 1024-token training
+    sequences by running-offset within (lang, shard). Packing is
+    SHARD-local (shard = doc_id % 8): each window partition sees only
+    1/8 of a language, so at 100 TB every task's sort+scan state is
+    bounded and shards pack in parallel — matching how epoch packing
+    actually runs (pack within a shard, never a global scan order).
+    Integer arithmetic end to end; the window shuffles once on the
+    uniform (lang, shard) key."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = t.select(
+        "lang",
+        "shard",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_off"),
+    )
+    return (
+        placed.groupBy(
+            "lang",
+            F.col("shard").cast("long").alias("shard"),
+            F.floor(F.col("start_off") / 1024.0).cast("long").alias("seq_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+        )
+    )

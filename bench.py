@@ -54,6 +54,12 @@ HEADLINE = [
     "q74_salted_agg",
     "q75_shipping_priority",
     "q76_local_supplier_volume",
+    "q88_pii_redaction",
+    "q89_repetition_filter",
+    "q92_sequence_packing",
+    "q93_pricing_summary",
+    "q96_large_orders",
+    "q97_returned_revenue",
     "q77_pivot",
     "q83_kmeans",
     "q85_dedup_corpus",

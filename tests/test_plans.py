@@ -123,3 +123,79 @@ def test_approx_aggs_bounded_error(spark, sf_dir):
         d, p25, p75 = exact[r.l_returnflag]
         assert abs(r.apx_parts - d) / d <= 0.06
         assert p25 <= r.apx_median_price <= p75
+
+
+# ---------------------------------------------- TPC-H composites (q93+)
+
+def test_pricing_summary_partial_agg_and_pushdown(spark, sf_dir):
+    """q93 (TPC-H Q1): the wide aggregate must be partial+final with the
+    shipdate filter at the scan — the shuffle carries ~6 rows/partition."""
+    plan = _plan(spark, sf_dir, "q93_pricing_summary")
+    assert count_nodes(plan, "HashAggregate") >= 2
+    assert any("l_shipdate" in p for p in pushed_filters(plan)), plan[:1500]
+
+
+def test_forecast_revenue_is_pure_pushdown_scan(spark, sf_dir):
+    """q94 (TPC-H Q6): all three predicates reach the parquet scan; the
+    plan has no join and no wide shuffle — just partial sums."""
+    plan = _plan(spark, sf_dir, "q94_forecast_revenue")
+    pushed = " ".join(pushed_filters(plan))
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, f"{c} not pushed:\n{plan[:1500]}"
+    assert not has(plan, "Join"), plan_nodes(plan)
+
+
+def test_large_orders_aggregates_before_join(spark, sf_dir):
+    """q96 (TPC-H Q18): the HAVING aggregate runs before the joins (only
+    qualifying orderkeys join back) and top-20 short-circuits."""
+    plan = _plan(spark, sf_dir, "q96_large_orders")
+    nodes = plan_nodes(plan)
+    assert has(plan, "TakeOrderedAndProject"), nodes
+    join_ix = [i for i, n in enumerate(nodes) if n.endswith("HashJoin")]
+    # the numbered tree lists producers before consumers here: the HAVING
+    # aggregate must appear before any join consumes it, and both joins
+    # must be broadcast (the agg output is small)
+    assert join_ix and nodes.index("HashAggregate") < min(join_ix), nodes
+    assert "SortMergeJoin" not in nodes, nodes
+
+
+def test_returned_revenue_broadcasts_nation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q97_returned_revenue")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1, plan_nodes(plan)
+    assert any("l_returnflag" in p for p in pushed_filters(plan)), plan[:2000]
+
+
+def test_idle_rich_customers_anti_join_no_divide(spark, sf_dir):
+    """q98 (TPC-H Q22 shape): 1-row stats broadcast + left_anti; the
+    above-average predicate is multiplicative so the plan must contain
+    no decimal division (CheckOverflow wraps every decimal op)."""
+    plan = _plan(spark, sf_dir, "q98_idle_rich_customers")
+    assert has(plan, "LeftAnti"), plan_nodes(plan)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------ corpus-prep operators (q88+)
+
+def test_corpus_map_ops_are_shuffle_free(spark, sf_dir):
+    """q88 redaction / q89 repetition / q90 sampling are pure
+    projections+filters: zero exchanges end to end."""
+    for name in (
+        "q88_pii_redaction",
+        "q89_repetition_filter",
+        "q90_stratified_sample",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert count_nodes(plan, "Exchange") == 0, (name, plan_nodes(plan))
+
+
+def test_training_order_limit_is_top_k(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q91_training_order")
+    assert has(plan, "TakeOrderedAndProject"), plan_nodes(plan)
+
+
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    """q92: the (lang, shard) window partitioning must be REUSED by the
+    (lang, shard, seq_id) aggregate — hash(l,s) satisfies clustering on
+    (l,s,seq), so the whole pack is one exchange."""
+    plan = _plan(spark, sf_dir, "q92_sequence_packing")
+    assert count_nodes(plan, "Exchange") == 1, plan_nodes(plan)

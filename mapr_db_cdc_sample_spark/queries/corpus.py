@@ -299,3 +299,100 @@ def q92(spark, sf_dir):
             F.sum("n_tok").cast("long").alias("sum_tokens"),
         )
     )
+
+
+# --- benchmark decontamination ------------------------------------------
+# Before training, every corpus is screened for documents that contain
+# benchmark/eval text (else the eval is contaminated). Benchmark set here
+# = docs with doc_id % 97 == 0; every 13th doc gets a benchmark doc's
+# text appended so the screen has planted ground truth to find.
+
+_DECONTAM_ORACLE = """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT d.doc_id + 2000000, d.text || ' ' || b.text
+        FROM documents d JOIN documents b ON b.doc_id = (d.doc_id % 6) * 97
+        WHERE d.doc_id % 13 = 0
+    ), toks AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0) AS tk
+        FROM corpus
+    ), hv AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+                                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                   s -> ('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT)) AS gs
+        FROM toks
+    ), bench AS (
+        SELECT doc_id AS bench_id, gs AS bgs FROM hv
+        WHERE doc_id % 97 = 0 AND doc_id < 1000000
+    )
+    SELECT g.doc_id, b.bench_id,
+           CAST(LEN(LIST_INTERSECT(g.gs, b.bgs)) AS INT) AS n_shared,
+           ROUND(CAST(LEN(LIST_INTERSECT(g.gs, b.bgs)) AS DOUBLE) / LEN(g.gs), 4)
+               AS contam_frac
+    FROM hv g, bench b
+    WHERE g.doc_id <> b.bench_id
+      AND LEN(LIST_INTERSECT(g.gs, b.bgs)) >= 10
+"""
+
+
+@register("q99_decontamination", oracle=_DECONTAM_ORACLE)
+def q99(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing >= 10 hashed
+    word-3-grams with any benchmark doc. The benchmark side is exploded
+    and BROADCAST (real benchmark suites are a few million grams — driver
+    -side small); the corpus side is one linear explode; the aggregate
+    groups only (doc, bench) pairs that actually collide on a gram, so
+    nothing quadratic ever materializes. Same hashed-gram map as the
+    MinHash pipeline (functions/text.py), so Jaccard-style counts match
+    DuckDB's LIST_INTERSECT exactly."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sc = spark.sparkContext
+    bench_src = d.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
+    )
+    planted = (
+        d.where(F.col("doc_id") % 13 == 0)
+        .join(F.broadcast(bench_src), F.col("b_id") == (F.col("doc_id") % 6) * 97)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), F.col("b_text")).alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionAll(planted).repartition(
+        sc.defaultParallelism
+    )
+    grams = corpus.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                T.shingles(T.tokens(F.col("text")), 3), T.shingle_hash60
+            )
+        ).alias("gs"),
+    )
+    corp = grams.select(
+        "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("h")
+    )
+    bench = grams.where(
+        (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1000000)
+    ).select(F.col("doc_id").alias("bench_id"), F.explode("gs").alias("bh"))
+    return (
+        corp.join(
+            F.broadcast(bench),
+            (F.col("h") == F.col("bh")) & (F.col("doc_id") != F.col("bench_id")),
+        )
+        .groupBy("doc_id", "bench_id", "n_grams")
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .where(F.col("n_shared") >= 10)
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_shared",
+            F.round(F.col("n_shared").cast("double") / F.col("n_grams"), 4).alias(
+                "contam_frac"
+            ),
+        )
+    )

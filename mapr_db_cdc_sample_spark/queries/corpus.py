@@ -396,3 +396,60 @@ def q99(spark, sf_dir):
             ),
         )
     )
+
+
+# --- mixture reweighting --------------------------------------------------
+# Target language mix for the training corpus; weight = target share /
+# actual token share (the number an epoch sampler like q90 consumes).
+
+_TARGET_MIX = {"en": 0.40, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def _target_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _TARGET_MIX.items()
+    )
+    return f"CASE lang {whens} ELSE 0.0 END"
+
+
+@register(
+    "q100_mixture_weights",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                        x -> LENGTH(x) > 0))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per)
+    SELECT lang, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share,
+           ROUND({_target_case_sql()} * t / n_tokens, 6) AS weight
+    FROM per, tot
+    """,
+)
+def q100(spark, sf_dir):
+    """Mixture reweighting (domain balancing): per-language token counts,
+    actual token share, and the sampling weight target_share/actual_share
+    that a deterministic sampler (q90) applies to hit the target mix.
+    One groupBy over the corpus + a 1-row broadcast total — the 100 TB
+    cost is the token-count scan, which fuses with the quality pass.
+    Shares/weights are double divisions of exact integers (bit-identical
+    across engines), rounded(6) for display stability."""
+    d = load_tables(spark, sf_dir)["documents"]
+    per = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(T.tokens(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    target = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _TARGET_MIX.items()],
+        F.lit(0.0),
+    )
+    return per.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias("token_share"),
+        F.round(target * F.col("t") / F.col("n_tokens"), 6).alias("weight"),
+    )

@@ -1,0 +1,149 @@
+"""Semantic guarantees of the corpus-prep operators (queries/corpus.py)
+that the oracle hash can't express: redaction completeness, packing
+budget invariants, decontamination recall/precision, sampler accuracy."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from mapr_db_cdc_sample_spark.queries import load_all
+from mapr_db_cdc_sample_spark.queries.corpus import (
+    _EMAIL_RE,
+    _IP_RE,
+    _PHONE_RE,
+    _pii_corpus,
+)
+
+REGISTRY = load_all()
+
+
+def test_pii_redaction_is_complete(spark, sf_dir):
+    """After redaction NO pattern matches anywhere — the property a
+    compliance pass actually needs (counting found-PII isn't enough)."""
+    from mapr_db_cdc_sample_spark.io import load_tables
+
+    c = _pii_corpus(load_tables(spark, sf_dir)["documents"])
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    residue = c.select(
+        (
+            F.regexp_count(red, F.lit(_EMAIL_RE))
+            + F.regexp_count(red, F.lit(_PHONE_RE))
+            + F.regexp_count(red, F.lit(_IP_RE))
+        ).alias("n")
+    ).agg(F.sum("n").alias("total"))
+    assert residue.collect()[0].total == 0
+
+
+def test_pii_counts_match_plant(spark, sf_dir):
+    """Every 5th doc was planted with exactly one email+phone+IP; all
+    other docs must report zero finds."""
+    rows = REGISTRY["q88_pii_redaction"].fn(spark, sf_dir).collect()
+    for r in rows:
+        if r.doc_id % 5 == 0:
+            assert (r.n_emails, r.n_phones, r.n_ips) == (1, 1, 1), r
+        else:
+            assert (r.n_emails, r.n_phones, r.n_ips) == (0, 0, 0), r
+
+
+def test_sequence_packing_conserves_and_bounds(spark, sf_dir):
+    """Packing must conserve docs/tokens exactly, and every sequence
+    except a shard's last must have landed because the PREVIOUS content
+    crossed the 1024 boundary — i.e. consecutive seq_ids per shard."""
+    from mapr_db_cdc_sample_spark.io import load_tables
+    from mapr_db_cdc_sample_spark.functions import text as T
+
+    d = load_tables(spark, sf_dir)["documents"]
+    exp = d.select(
+        F.count("*").alias("docs"),
+        F.sum(F.size(T.tokens(F.col("text")))).alias("toks"),
+    ).collect()[0]
+    rows = REGISTRY["q92_sequence_packing"].fn(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == exp.docs
+    assert sum(r.sum_tokens for r in rows) == exp.toks
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[(r.lang, r.shard)].append(r.seq_id)
+    for seqs in by_shard.values():
+        seqs.sort()
+        assert seqs == list(range(seqs[0], seqs[0] + len(seqs))), seqs
+        assert seqs[0] == 0
+
+
+def test_decontamination_recall_and_precision(spark, sf_dir):
+    """Every planted doc (benchmark text appended) must be flagged
+    against its source benchmark doc, and every flagged pair must
+    GENUINELY share >= 10 distinct word-3-grams (re-verified in pure
+    Python — the corpus has natural near-dups over its tiny vocab, so
+    extra hits are legitimate but must never be hash artifacts)."""
+    from mapr_db_cdc_sample_spark.io import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"]
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+    planted = {
+        (i + 2000000, (i % 6) * 97) for i in texts if i % 13 == 0
+    }
+    hits = {
+        (r.doc_id, r.bench_id): r.n_shared
+        for r in REGISTRY["q99_decontamination"].fn(spark, sf_dir).collect()
+    }
+    assert planted <= set(hits), f"missed {sorted(planted - set(hits))[:5]}"
+
+    def grams(doc_id):
+        if doc_id >= 2000000:
+            base = doc_id - 2000000
+            text = texts[base] + " " + texts[(base % 6) * 97]
+        else:
+            text = texts[doc_id]
+        tk = [t for t in text.lower().split(" ") if t]
+        return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+    for (a, b), n_shared in hits.items():
+        true_shared = len(grams(a) & grams(b))
+        assert true_shared == n_shared >= 10, (a, b, n_shared, true_shared)
+
+
+def test_stratified_sample_hits_rates(spark, sf_dir):
+    """Achieved per-lang rates must sit within a generous binomial
+    envelope of the configured thresholds (md5 uniformity check)."""
+    from mapr_db_cdc_sample_spark.io import load_tables
+    from mapr_db_cdc_sample_spark.queries.corpus import _RATE24
+
+    d = load_tables(spark, sf_dir)["documents"]
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r.lang: r.n
+        for r in REGISTRY["q90_stratified_sample"]
+        .fn(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, n in totals.items():
+        rate = _RATE24[lang] / 16777216.0
+        got = kept.get(lang, 0) / n
+        # 4-sigma binomial envelope (small strata are noisy)
+        sigma = (rate * (1 - rate) / n) ** 0.5
+        assert abs(got - rate) <= max(4 * sigma, 0.02), (lang, got, rate, n)
+
+
+def test_training_order_is_seeded_permutation_prefix(spark, sf_dir):
+    """q91 returns the lexicographically-first 256 hash keys; re-running
+    must give the identical order (no RNG), and the keys must be the
+    md5 of the seeded doc key."""
+    import hashlib
+
+    rows1 = REGISTRY["q91_training_order"].fn(spark, sf_dir).collect()
+    rows2 = REGISTRY["q91_training_order"].fn(spark, sf_dir).collect()
+    assert [r.doc_id for r in rows1] == [r.doc_id for r in rows2]
+    for r in rows1[:10]:
+        assert r.skey == hashlib.md5(f"epoch0-{r.doc_id}".encode()).hexdigest()
+    keys = [r.skey for r in rows1]
+    assert keys == sorted(keys)

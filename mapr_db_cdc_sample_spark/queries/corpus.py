@@ -160,12 +160,24 @@ def q89(spark, sf_dir):
     g2 = T.shingles(tk, 2)
     top_frac = F.round(top_cnt.cast("double") / F.size(tk), 4)
     dup2 = F.round(1.0 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2), 4)
-    return base.select(
+    # two-step projection: the quadratic top-word scan and the 2-gram
+    # dedup are each referenced twice (output + keep flag); Spark has no
+    # CSE within a Project, but CollapseProject declines to inline a
+    # non-cheap alias consumed twice, so staging them computes each once
+    scored = base.select(
         "doc_id",
         F.size(tk).alias("n_tokens"),
         top_frac.alias("top_word_frac"),
         dup2.alias("dup_2gram_frac"),
-        ((top_frac <= 0.12) & (dup2 <= 0.55)).cast("int").alias("keep"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "top_word_frac",
+        "dup_2gram_frac",
+        (
+            (F.col("top_word_frac") <= 0.12) & (F.col("dup_2gram_frac") <= 0.55)
+        ).cast("int").alias("keep"),
     )
 
 
@@ -362,23 +374,33 @@ def q99(spark, sf_dir):
             F.concat(F.col("text"), F.lit(" "), F.col("b_text")).alias("text"),
         )
     )
-    corpus = d.select("doc_id", "text").unionAll(planted).repartition(
-        sc.defaultParallelism
-    )
-    grams = corpus.select(
+    corpus = d.select("doc_id", "text").unionAll(planted)
+    # Materialize TOKENS at the exchange, then build grams from the
+    # shipped arrays: inside shingles() the tokens subtree is inlined
+    # into every element_at (Spark has no CSE inside lambdas), so
+    # computing grams straight from text re-splits the whole document
+    # per window element — quadratic per doc, and the inferred
+    # size(gs)>0 filter for a plain explode() pushes below the Project
+    # and re-expands the expression again on the pre-exchange (single
+    # row-group => single task) side. explode_outer infers no such
+    # filter; the null guard runs above the Generate instead.
+    toks = corpus.select(
+        "doc_id", T.tokens(F.col("text")).alias("tk")
+    ).repartition(sc.defaultParallelism)
+    grams = toks.select(
         "doc_id",
         F.array_distinct(
-            F.transform(
-                T.shingles(T.tokens(F.col("text")), 3), T.shingle_hash60
-            )
+            F.transform(T.shingles(F.col("tk"), 3), T.shingle_hash60)
         ).alias("gs"),
     )
     corp = grams.select(
-        "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("h")
+        "doc_id", F.size("gs").alias("n_grams"), F.explode_outer("gs").alias("h")
+    ).where(F.col("h").isNotNull())
+    bench = (
+        grams.where((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1000000))
+        .select(F.col("doc_id").alias("bench_id"), F.explode_outer("gs").alias("bh"))
+        .where(F.col("bh").isNotNull())
     )
-    bench = grams.where(
-        (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1000000)
-    ).select(F.col("doc_id").alias("bench_id"), F.explode("gs").alias("bh"))
     return (
         corp.join(
             F.broadcast(bench),

@@ -60,6 +60,8 @@ HEADLINE = [
     "q93_pricing_summary",
     "q96_large_orders",
     "q97_returned_revenue",
+    "q99_decontamination",
+    "q100_mixture_weights",
     "q77_pivot",
     "q83_kmeans",
     "q85_dedup_corpus",

@@ -871,3 +871,75 @@ def q85(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
     corpus = _minhash_corpus(d)  # planted near-dups for every 11th doc
     return dedup_corpus(corpus, jaccard_threshold=0.5).select("doc_id")
+
+
+# ------------------------------------- int8 scalar quantization (q101)
+
+_QUANT_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), scaled AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> ABS(x))) / 127.0 AS scale
+        FROM e
+    ), quant AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS INT)) AS q
+        FROM scaled
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale_r,
+           CAST(list_sum(q) AS BIGINT) AS sum_q,
+           CAST(list_max(q) AS INT) AS max_q,
+           CAST(list_min(q) AS INT) AS min_q,
+           ROUND(list_sum(list_transform(range(1, LEN(v) + 1),
+                 i -> POWER(v[i] - q[i] * scale, 2))) / LEN(v), 6) AS mse
+    FROM quant
+"""
+
+
+@register("q101_embedding_quantize", oracle=_QUANT_ORACLE)
+def q101(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column (the compression
+    step before an ANN index ships to serving): per-vector scale =
+    max|x|/127, code = floor(x/scale + 0.5) — floor(x+0.5) instead of
+    round() because Spark and DuckDB disagree on round-half of
+    negatives, floor is bit-identical. Codes/sums are integer-exact;
+    only the reconstruction MSE is floating (sequential fold in index
+    order on both engines, rounded 6). Staged projections keep `scale`
+    and `q` as materialized attributes — inlining them into the lambdas
+    would re-run array_max per element (the q99 lesson). Pure map work:
+    zero shuffles at any corpus size."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scaled = e.select(
+        "vec_id",
+        v.alias("v"),
+        (F.array_max(F.transform(v, F.abs)) / 127.0).alias("scale"),
+    )
+    quant = scaled.select(
+        "vec_id",
+        "v",
+        "scale",
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / F.col("scale") + 0.5).cast("int"),
+        ).alias("q"),
+    )
+    sq_err = F.zip_with(
+        F.col("v"),
+        F.col("q"),
+        lambda x, qi: F.pow(x - qi.cast("double") * F.col("scale"), 2),
+    )
+    return quant.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("bigint"), lambda a, b: a + b.cast("bigint")
+        ).alias("sum_q"),
+        F.array_max("q").alias("max_q"),
+        F.array_min("q").alias("min_q"),
+        F.round(
+            F.aggregate(sq_err, F.lit(0.0), lambda a, b: a + b) / F.size("v"), 6
+        ).alias("mse"),
+    )

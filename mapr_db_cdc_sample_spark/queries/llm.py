@@ -822,19 +822,15 @@ FROM kept WHERE rn = 1 GROUP BY lang
 """
 
 
-@register("q87_training_corpus", oracle=_TRAINING_CORPUS_ORACLE)
-def q87(spark, sf_dir):
-    """The composite a training-data pipeline actually ships: quality
-    gate (length / stopword-ratio / type-token-ratio, thresholds compared
-    on ROUNDED values for engine stability) -> exact dedup (min doc_id
-    per normalized-text fingerprint) -> per-language corpus budget
-    (docs, tokens, mean TTR via decimal-exact sum). Every stage is a
-    shuffle on a uniform key (fingerprint, lang); nothing quadratic."""
-    d = load_tables(spark, sf_dir)["documents"]
+def quality_gated(d):
+    """Quality gate shared by q87 (batch composite) and q102 (streaming
+    ingestion): length / stopword-ratio / type-token-ratio thresholds
+    compared on ROUNDED values for engine stability. Stateless — a pure
+    projection+filter, so it applies unchanged to a streaming frame."""
     tk = T.tokens(F.col("text"))
     base = d.select("doc_id", "lang", "text", tk.alias("tk")).where(F.size("tk") >= 20)
     ntok = F.size("tk").cast("double")
-    scored = base.select(
+    return base.select(
         "doc_id",
         "lang",
         "text",
@@ -842,6 +838,17 @@ def q87(spark, sf_dir):
         F.round(T.stopword_count(F.col("tk")).cast("double") / ntok, 4).alias("swr"),
         F.round(F.size(F.array_distinct("tk")).cast("double") / ntok, 4).alias("ttr"),
     ).where((F.col("swr") > 0.01) & (F.col("ttr") > 0.3))
+
+
+@register("q87_training_corpus", oracle=_TRAINING_CORPUS_ORACLE)
+def q87(spark, sf_dir):
+    """The composite a training-data pipeline actually ships: quality
+    gate (quality_gated above) -> exact dedup (min doc_id per
+    normalized-text fingerprint) -> per-language corpus budget
+    (docs, tokens, mean TTR via decimal-exact sum). Every stage is a
+    shuffle on a uniform key (fingerprint, lang); nothing quadratic."""
+    d = load_tables(spark, sf_dir)["documents"]
+    scored = quality_gated(d)
     # keep-min-doc_id per fingerprint as min(struct(doc_id, ...)): a pure
     # hash aggregate with map-side partials — no per-partition sort like a
     # row_number window would need (doc_id leads the struct, so struct

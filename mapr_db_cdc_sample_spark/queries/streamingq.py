@@ -212,3 +212,34 @@ def q70(spark, sf_dir):
     )
     q.awaitTermination()
     return _with_input_count(spark.table(name), n)
+
+
+@register("q102_stream_quality_gate")
+def q102(spark, sf_dir):
+    """Streaming corpus ingestion with a quality gate: the documents
+    table replayed as a file stream, filtered by the SAME stateless
+    quality expressions as the batch composite (llm.quality_gated — a
+    pure projection/filter, so it applies to a streaming frame
+    unchanged), then a complete-mode per-language budget (docs, tokens).
+    This is how a 100 TB corpus actually arrives — as a stream of crawl
+    shards — with the gate fused into ingestion and only the tiny
+    per-lang aggregate carrying state."""
+    from .llm import quality_gated
+
+    d = (
+        load_tables(spark, sf_dir)["documents"]
+        .orderBy("doc_id")
+        .limit(_MAX_STREAM_EVENTS)
+    )
+    n = d.count()
+    path = write_replay(d, n_chunks=3, order_by="doc_id")
+    stream = read_replay(spark, path, d.schema, files_per_trigger=1)
+    budget = (
+        quality_gated(stream)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+    return _with_input_count(_drain(budget, "q102", "complete"), n)

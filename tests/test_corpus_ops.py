@@ -147,3 +147,26 @@ def test_training_order_is_seeded_permutation_prefix(spark, sf_dir):
         assert r.skey == hashlib.md5(f"epoch0-{r.doc_id}".encode()).hexdigest()
     keys = [r.skey for r in rows1]
     assert keys == sorted(keys)
+
+
+def test_stream_quality_gate_matches_batch(spark, sf_dir):
+    """q102's complete-mode streaming budget must equal the batch
+    quality gate aggregated directly (stateless gate => stream==batch)."""
+    from mapr_db_cdc_sample_spark.io import load_tables
+    from mapr_db_cdc_sample_spark.queries.llm import quality_gated
+
+    batch = {
+        (r.lang, r.n_docs, r.sum_tokens)
+        for r in quality_gated(load_tables(spark, sf_dir)["documents"])
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .collect()
+    }
+    streamed = {
+        (r.lang, r.n_docs, r.sum_tokens)
+        for r in REGISTRY["q102_stream_quality_gate"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch

@@ -39,12 +39,17 @@ def shingles(toks: Column, k: int = 3) -> Column:
     expression into every lambda call site, so the indexed form
     re-evaluates the whole tokenizer per window element — O(len^2) per
     document when called as shingles(tokens(text)) (measured 10x on
-    q99). The zip form evaluates `toks` k+1 times total, linear."""
+    q99). The zip form evaluates `toks` k+1 times total, linear.
+    coalesce keeps the old contract of [] (not NULL) for NULL token
+    input — slice/arrays_zip would otherwise propagate the NULL."""
     n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     parts = [F.slice(toks, j + 1, n).alias(f"t{j}") for j in range(k)]
-    return F.transform(
-        F.arrays_zip(*parts),
-        lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(k)]),
+    return F.coalesce(
+        F.transform(
+            F.arrays_zip(*parts),
+            lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(k)]),
+        ),
+        F.array().cast("array<string>"),
     )
 
 

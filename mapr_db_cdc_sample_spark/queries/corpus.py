@@ -446,7 +446,7 @@ def _target_case_sql() -> str:
     ), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per)
     SELECT lang, n_docs, n_tokens,
            ROUND(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share,
-           ROUND({_target_case_sql()} * t / n_tokens, 6) AS weight
+           ROUND(CAST({_target_case_sql()} AS DOUBLE) * t / n_tokens, 6) AS weight
     FROM per, tot
     """,
 )

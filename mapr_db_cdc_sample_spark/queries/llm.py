@@ -889,6 +889,7 @@ _QUANT_ORACLE = """
         SELECT vec_id, v,
                list_max(list_transform(v, x -> ABS(x))) / 127.0 AS scale
         FROM e
+        WHERE list_max(list_transform(v, x -> ABS(x))) > 0.0
     ), quant AS (
         SELECT vec_id, v, scale,
                list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS INT)) AS q
@@ -919,11 +920,14 @@ def q101(spark, sf_dir):
     zero shuffles at any corpus size."""
     e = load_tables(spark, sf_dir)["embeddings"]
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # zero/empty vectors are excluded BEFORE dividing: scale 0 would make
+    # x/scale NaN and the int cast abort under ANSI (both engines filter
+    # identically, so the exclusion is oracle-visible, not silent)
     scaled = e.select(
         "vec_id",
         v.alias("v"),
         (F.array_max(F.transform(v, F.abs)) / 127.0).alias("scale"),
-    )
+    ).where(F.col("scale") > 0.0)
     quant = scaled.select(
         "vec_id",
         "v",

@@ -154,10 +154,16 @@ def test_stream_quality_gate_matches_batch(spark, sf_dir):
     quality gate aggregated directly (stateless gate => stream==batch)."""
     from mapr_db_cdc_sample_spark.io import load_tables
     from mapr_db_cdc_sample_spark.queries.llm import quality_gated
+    from mapr_db_cdc_sample_spark.queries.streamingq import _MAX_STREAM_EVENTS
 
+    sliced = (
+        load_tables(spark, sf_dir)["documents"]
+        .orderBy("doc_id")
+        .limit(_MAX_STREAM_EVENTS)
+    )
     batch = {
         (r.lang, r.n_docs, r.sum_tokens)
-        for r in quality_gated(load_tables(spark, sf_dir)["documents"])
+        for r in quality_gated(sliced)
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),

@@ -475,3 +475,31 @@ def q100(spark, sf_dir):
         F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias("token_share"),
         F.round(target * F.col("t") / F.col("n_tokens"), 6).alias("weight"),
     )
+
+
+@register(
+    "q103_stratified_topn",
+    oracle="""
+    SELECT lang, doc_id, CAST(pos AS INT) AS pos FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY MD5('fold7-' || doc_id), doc_id) AS pos
+        FROM documents) t
+    WHERE pos <= 40
+    """,
+)
+def q103(spark, sf_dir):
+    """Deterministic fixed-size per-stratum sample (eval/holdout fold
+    selection): the N lexicographically-first seeded md5 keys per
+    language. Unlike rate-based sampling (q90) this guarantees EXACTLY
+    min(N, |stratum|) rows per stratum. Scale path: rank<=k over a
+    window triggers WindowGroupLimit (plan-asserted) — every task
+    locally top-ks before the lang shuffle, so the exchange carries
+    O(strata x N), not the corpus."""
+    d = load_tables(spark, sf_dir)["documents"]
+    skey = F.md5(F.concat(F.lit("fold7-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(skey, F.col("doc_id"))
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("pos"))
+        .where(F.col("pos") <= 40)
+    )

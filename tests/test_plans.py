@@ -199,3 +199,10 @@ def test_sequence_packing_single_shuffle(spark, sf_dir):
     (l,s,seq), so the whole pack is one exchange."""
     plan = _plan(spark, sf_dir, "q92_sequence_packing")
     assert count_nodes(plan, "Exchange") == 1, plan_nodes(plan)
+
+
+def test_stratified_topn_uses_group_limit(spark, sf_dir):
+    """q103: rank<=k must push WindowGroupLimit so each task top-ks
+    locally before the stratum shuffle."""
+    plan = _plan(spark, sf_dir, "q103_stratified_topn")
+    assert has(plan, "WindowGroupLimit"), plan_nodes(plan)

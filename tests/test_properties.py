@@ -65,3 +65,22 @@ def test_running_sum_matches_prefix_sum(spark, rows):
         acc[k] = acc.get(k, 0) + v
         want[i] = acc[k]
     assert got == want
+
+
+@given(
+    toks=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=12
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_shingles_match_python_reference(spark, toks, k):
+    """The arrays_zip shingle builder (functions/text.py — rewritten in
+    round 2 for linearity) must produce exactly the Python sliding
+    windows, including the empty-array edge for len(toks) < k."""
+    from mapr_db_cdc_sample_spark.functions import text as T
+
+    df = spark.createDataFrame([(toks,)], "tk: array<string>")
+    got = df.select(T.shingles(F.col("tk"), k).alias("sh")).collect()[0].sh
+    want = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    assert got == want

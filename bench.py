@@ -62,6 +62,7 @@ HEADLINE = [
     "q97_returned_revenue",
     "q99_decontamination",
     "q100_mixture_weights",
+    "q103_stratified_topn",
     "q77_pivot",
     "q83_kmeans",
     "q85_dedup_corpus",

@@ -176,3 +176,54 @@ def test_stream_quality_gate_matches_batch(spark, sf_dir):
         for r in REGISTRY["q102_stream_quality_gate"].fn(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_text_kernels_cross_engine_on_adversarial_strings(spark, duck):
+    """Differential fuzz beyond the fixed corpus: normalize/tokens/PII
+    regexes evaluated by BOTH engines on adversarial ASCII (regex
+    metacharacters as literals, tab/CR/LF runs, TRIM edges, embedded
+    emails/phones/IPs) must agree byte-for-byte — the engine contract
+    the oracle gate rests on."""
+    import random
+    import string
+
+    from mapr_db_cdc_sample_spark.queries.corpus import (
+        _EMAIL_RE,
+        _IP_RE,
+        _PHONE_RE,
+    )
+
+    random.seed(7)
+    alpha = (
+        string.ascii_letters + string.digits + " \t.,-@%_+'\"()[]{}:;!?/\\#$&*=~^|<>\n\r"
+    )
+    cases = ["", " ", "  a  b ", "a\tb\nc", "\\s", ".*", "a" * 100,
+             "mail x@y.zz or 555-1234 at 10.0.3.4", "x@@y..z 555-12345 10.0.999.1"]
+    for _ in range(40):
+        cases.append("".join(random.choice(alpha) for _ in range(random.randint(0, 50))))
+    rows = [(i, c) for i, c in enumerate(cases)]
+    from mapr_db_cdc_sample_spark.functions import text as T
+
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {
+        r.id: (r.fp, r.ntok, r.ne, r.np, r.ni)
+        for r in df.select(
+            "id",
+            F.md5(T.normalize(F.col("t"))).alias("fp"),
+            F.size(T.tokens(F.col("t"))).alias("ntok"),
+            F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).alias("ne"),
+            F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).alias("np"),
+            F.regexp_count(F.col("t"), F.lit(_IP_RE)).alias("ni"),
+        ).collect()
+    }
+    for i, c in rows:
+        want = duck.execute(
+            r"""SELECT MD5(regexp_replace(TRIM(LOWER(?)), '\s+', ' ', 'g')),
+                       LEN(LIST_FILTER(STRING_SPLIT(LOWER(?), ' '), x -> LENGTH(x) > 0)),
+                       LEN(regexp_extract_all(?, '{e}')),
+                       LEN(regexp_extract_all(?, '{p}')),
+                       LEN(regexp_extract_all(?, '{i}'))
+            """.format(e=_EMAIL_RE, p=_PHONE_RE, i=_IP_RE),
+            [c, c, c, c, c],
+        ).fetchone()
+        assert tuple(want) == got[i], (repr(c), want, got[i])

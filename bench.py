@@ -63,6 +63,7 @@ HEADLINE = [
     "q99_decontamination",
     "q100_mixture_weights",
     "q103_stratified_topn",
+    "q104_corpus_pipeline",
     "q77_pivot",
     "q83_kmeans",
     "q85_dedup_corpus",

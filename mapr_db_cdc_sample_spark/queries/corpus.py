@@ -503,3 +503,169 @@ def q103(spark, sf_dir):
         d.select("lang", "doc_id", F.row_number().over(w).alias("pos"))
         .where(F.col("pos") <= 40)
     )
+
+
+# --- the whole pipeline in one DAG --------------------------------------
+
+_PIPELINE_ORACLE = """
+    WITH t0 AS (
+        SELECT doc_id, lang, text,
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS tk
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang, text, tk,
+               CAST(LEN(tk) AS INT) AS n_tokens,
+               ROUND(CAST(LEN(LIST_FILTER(tk, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / LEN(tk), 4) AS swr,
+               ROUND(CAST(LEN(LIST_DISTINCT(tk)) AS DOUBLE) / LEN(tk), 4) AS ttr
+        FROM t0 WHERE LEN(tk) >= 20
+    ), gated AS (
+        SELECT * FROM scored WHERE swr > 0.01 AND ttr > 0.3
+    ), kept AS (
+        SELECT doc_id, lang, n_tokens, tk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g'))
+                ORDER BY doc_id) AS rn
+            FROM gated) x
+        WHERE rn = 1
+    ), gr AS (
+        SELECT doc_id, lang, n_tokens,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+                                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                   s -> ('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT)) AS gs
+        FROM kept
+    ), bench AS (
+        SELECT doc_id AS bench_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+                                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                   s -> ('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT)) AS bgs
+        FROM t0 WHERE doc_id % 97 = 0
+    ), contaminated AS (
+        SELECT DISTINCT g.doc_id
+        FROM gr g, bench b
+        WHERE g.doc_id <> b.bench_id AND LEN(LIST_INTERSECT(g.gs, b.bgs)) >= 10
+    ), sampled AS (
+        SELECT doc_id, lang, n_tokens FROM gr
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+          AND ('0x' || SUBSTR(MD5('s42-' || doc_id), 1, 6))::BIGINT <
+              CASE lang WHEN 'en' THEN 4194304
+                        WHEN 'de' THEN 8388608
+                        WHEN 'es' THEN 8388608
+                        WHEN 'fr' THEN 8388608
+                        WHEN 'zh' THEN 16777216
+                        ELSE 16777216 END
+    ), placed AS (
+        SELECT lang, doc_id % 8 AS shard, n_tokens,
+               SUM(CAST(n_tokens AS BIGINT)) OVER (
+                   PARTITION BY lang, doc_id % 8 ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_off
+        FROM sampled
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT (shard, CAST(FLOOR(start_off / 1024.0) AS BIGINT))) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM placed
+    GROUP BY lang
+"""
+
+
+@register("q104_corpus_pipeline", oracle=_PIPELINE_ORACLE)
+def q104(spark, sf_dir):
+    """The WHOLE corpus pipeline as one DAG — quality gate (q87's) →
+    exact dedup (min-id per fingerprint) → benchmark decontamination
+    (q99's, on the surviving docs) → stratified sampling (q90's integer
+    thresholds) → sequence packing (q92's shard-local windows) →
+    per-language corpus budget. Every stage keeps its individual
+    operator's scale shape: gates are map-only, dedup shuffles once on
+    md5, the benchmark gram side broadcasts, sampling is a filter, and
+    packing windows on (lang, shard). Fully DuckDB-oracled end to end —
+    the hash check covers the COMPOSITION, not just the stages."""
+    from .llm import quality_gated
+
+    sc = spark.sparkContext
+    d = load_tables(spark, sf_dir)["documents"]
+    gated = quality_gated(d)
+    kept = (
+        gated.groupBy(F.md5(T.normalize(F.col("text"))).alias("fp"))
+        .agg(F.min(F.struct("doc_id", "lang", "n_tokens", "text")).alias("r"))
+        .select("r.*")
+    )
+    # tokens materialized behind the exchange before gram work (q99 lesson)
+    ktoks = kept.select(
+        "doc_id", "lang", "n_tokens", T.tokens(F.col("text")).alias("tk")
+    ).repartition(sc.defaultParallelism)
+    gr = ktoks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.array_distinct(
+            F.transform(T.shingles(F.col("tk"), 3), T.shingle_hash60)
+        ).alias("gs"),
+    )
+    btoks = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bench_id"), T.tokens(F.col("text")).alias("tk"))
+        .repartition(sc.defaultParallelism)
+    )
+    bench = (
+        btoks.select(
+            "bench_id",
+            F.explode_outer(
+                F.array_distinct(
+                    F.transform(T.shingles(F.col("tk"), 3), T.shingle_hash60)
+                )
+            ).alias("bh"),
+        )
+        .where(F.col("bh").isNotNull())
+    )
+    corp = gr.select(
+        "doc_id", F.explode_outer("gs").alias("h")
+    ).where(F.col("h").isNotNull())
+    contaminated = (
+        corp.join(
+            F.broadcast(bench),
+            (F.col("h") == F.col("bh")) & (F.col("doc_id") != F.col("bench_id")),
+        )
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 10)
+        .select("doc_id")
+        .distinct()
+    )
+    u24 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("s42-"), F.col("doc_id").cast("string"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("long")
+    thresh = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _RATE24.items()],
+        F.lit(_DEFAULT_RATE24),
+    )
+    sampled = (
+        gr.join(contaminated, "doc_id", "left_anti")
+        .where(u24 < thresh)
+        .select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tok"))
+    )
+    w = (
+        Window.partitionBy("lang", F.col("doc_id") % 8)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sampled.select(
+        "lang",
+        (F.col("doc_id") % 8).alias("shard"),
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_off"),
+    )
+    return placed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(
+            F.col("shard"), F.floor(F.col("start_off") / 1024.0).cast("long")
+        ).alias("n_seqs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+    )

@@ -64,6 +64,8 @@ HEADLINE = [
     "q100_mixture_weights",
     "q103_stratified_topn",
     "q104_corpus_pipeline",
+    "q105_semantic_retrieval",
+    "q106_bm25_retrieval",
     "q77_pivot",
     "q83_kmeans",
     "q85_dedup_corpus",

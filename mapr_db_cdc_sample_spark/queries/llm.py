@@ -954,3 +954,136 @@ def q101(spark, sf_dir):
             F.aggregate(sq_err, F.lit(0.0), lambda a, b: a + b) / F.size("v"), 6
         ).alias("mse"),
     )
+
+
+# ------------------------------------- retrieval composites (q105-q106)
+
+_RETRIEVE_ORACLE = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    hits AS (
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY sim DESC, e.vec_id
+        LIMIT 10
+    )
+    SELECT h.vec_id, h.sim, d.lang, MD5(d.text) AS text_md5
+    FROM hits h JOIN documents d ON d.doc_id = h.vec_id
+    ORDER BY h.sim DESC, h.vec_id
+    """
+
+
+@register("q105_semantic_retrieval", oracle=_RETRIEVE_ORACLE)
+def q105(spark, sf_dir):
+    """Semantic retrieval end-to-end: exact top-k cosine over embeddings
+    (q38's kernel) joined back to the documents table — the fetch step a
+    vector store performs after ANN. The 10-row hit list broadcasts into
+    the documents join, so the fetch is a partition-pruned point lookup
+    at scale, never a fact-fact shuffle."""
+    t = load_tables(spark, sf_dir)
+    e, d = t["embeddings"], t["documents"]
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    hits = (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", V.cosine(F.col("embedding"), F.col("qe")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+    return (
+        d.join(F.broadcast(hits), d["doc_id"] == hits["vec_id"])
+        .select("vec_id", "sim", "lang", F.md5(F.col("text")).alias("text_md5"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+    )
+
+
+_BM25_TERMS = ("table", "fast", "key")
+
+
+def _eq_term(t: str):
+    # closure factory: a default-arg lambda (lambda x, t=t) would be read
+    # as a multi-arg (value, index, ...) lambda by PySpark's HOF binder
+    return lambda x: x == t
+
+_BM25_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS tk
+        FROM documents
+    ), feat AS (
+        SELECT doc_id, CAST(LEN(tk) AS DOUBLE) AS dl,
+               CAST(LEN(LIST_FILTER(tk, x -> x = 'table')) AS DOUBLE) AS tf0,
+               CAST(LEN(LIST_FILTER(tk, x -> x = 'fast')) AS DOUBLE) AS tf1,
+               CAST(LEN(LIST_FILTER(tk, x -> x = 'key')) AS DOUBLE) AS tf2
+        FROM docs
+    ), stats AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               COUNT(*) FILTER (tf0 > 0) AS df0,
+               COUNT(*) FILTER (tf1 > 0) AS df1,
+               COUNT(*) FILTER (tf2 > 0) AS df2
+        FROM feat
+    )
+    SELECT doc_id,
+           ROUND(
+             ROUND(LN((n - df0 + 0.5) / (df0 + 0.5) + 1), 6) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ROUND(LN((n - df1 + 0.5) / (df1 + 0.5) + 1), 6) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ROUND(LN((n - df2 + 0.5) / (df2 + 0.5) + 1), 6) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           , 4) AS score
+    FROM feat, stats
+    WHERE tf0 + tf1 + tf2 > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+"""
+
+
+@register("q106_bm25_retrieval", oracle=_BM25_ORACLE)
+def q106(spark, sf_dir):
+    """BM25 keyword retrieval (k1=1.2, b=0.75, fixed 3-term query): the
+    lexical half of hybrid search. One linear pass computes per-doc term
+    frequencies; the corpus stats (N, avgdl, per-term document
+    frequencies) are ONE 1-row aggregate broadcast back — so scoring is
+    a map-only second pass, and top-20 plans as TakeOrderedAndProject.
+    Determinism: idf (the only transcendental) is rounded(6) on both
+    engines before entering the product; ranking is on the rounded(4)
+    score with doc_id tiebreak."""
+    d = load_tables(spark, sf_dir)["documents"]
+    feat = d.select(
+        "doc_id",
+        T.tokens(F.col("text")).alias("tk"),
+    ).select(
+        "doc_id",
+        F.size("tk").cast("double").alias("dl"),
+        *[
+            F.size(F.filter(F.col("tk"), _eq_term(t)))
+            .cast("double")
+            .alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = feat.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.round(
+            F.log((F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1),
+            6,
+        )
+        term = idf * (F.col(f"tf{i}") * 2.2) / (
+            F.col(f"tf{i}") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+        score = term if score is None else score + term
+    return (
+        feat.join(F.broadcast(stats))
+        .where(sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS))) > 0)
+        .select("doc_id", F.round(score, 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(20)
+    )

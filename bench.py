@@ -66,6 +66,9 @@ HEADLINE = [
     "q104_corpus_pipeline",
     "q105_semantic_retrieval",
     "q106_bm25_retrieval",
+    "q107_hybrid_rrf",
+    "q108_token_entropy",
+    "q109_source_overlap",
     "q77_pivot",
     "q83_kmeans",
     "q85_dedup_corpus",

@@ -1038,17 +1038,11 @@ _BM25_ORACLE = """
 """
 
 
-@register("q106_bm25_retrieval", oracle=_BM25_ORACLE)
-def q106(spark, sf_dir):
-    """BM25 keyword retrieval (k1=1.2, b=0.75, fixed 3-term query): the
-    lexical half of hybrid search. One linear pass computes per-doc term
-    frequencies; the corpus stats (N, avgdl, per-term document
-    frequencies) are ONE 1-row aggregate broadcast back — so scoring is
-    a map-only second pass, and top-20 plans as TakeOrderedAndProject.
-    Determinism: idf (the only transcendental) is rounded(6) on both
-    engines before entering the product; ranking is on the rounded(4)
-    score with doc_id tiebreak."""
-    d = load_tables(spark, sf_dir)["documents"]
+def _bm25_scored(d):
+    """(doc_id, score): rounded(4) BM25 scores for every doc matching at
+    least one query term — shared kernel of q106 and the q107 fusion.
+    One linear pass builds term frequencies; corpus stats are a 1-row
+    broadcast, so scoring is map-only."""
     feat = d.select(
         "doc_id",
         T.tokens(F.col("text")).alias("tk"),
@@ -1084,6 +1078,290 @@ def q106(spark, sf_dir):
         feat.join(F.broadcast(stats))
         .where(sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS))) > 0)
         .select("doc_id", F.round(score, 4).alias("score"))
+    )
+
+
+@register("q106_bm25_retrieval", oracle=_BM25_ORACLE)
+def q106(spark, sf_dir):
+    """BM25 keyword retrieval (k1=1.2, b=0.75, fixed 3-term query): the
+    lexical half of hybrid search. One linear pass computes per-doc term
+    frequencies; the corpus stats (N, avgdl, per-term document
+    frequencies) are ONE 1-row aggregate broadcast back — so scoring is
+    a map-only second pass, and top-20 plans as TakeOrderedAndProject.
+    Determinism: idf (the only transcendental) is rounded(6) on both
+    engines before entering the product; ranking is on the rounded(4)
+    score with doc_id tiebreak."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        _bm25_scored(d)
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(20)
+    )
+
+
+# The sem/bm25 top-20 CTEs shared by the q107 oracle: identical ranking
+# expressions to the q105/q106 oracles, wrapped with ROW_NUMBER.
+_RRF_ORACLE = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sem AS (
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY sim DESC, e.vec_id
+        LIMIT 20
+    ), semr AS (
+        SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INT) AS r_sem
+        FROM sem
+    ), docs AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS tk
+        FROM documents
+    ), feat AS (
+        SELECT doc_id, CAST(LEN(tk) AS DOUBLE) AS dl,
+               CAST(LEN(LIST_FILTER(tk, x -> x = 'table')) AS DOUBLE) AS tf0,
+               CAST(LEN(LIST_FILTER(tk, x -> x = 'fast')) AS DOUBLE) AS tf1,
+               CAST(LEN(LIST_FILTER(tk, x -> x = 'key')) AS DOUBLE) AS tf2
+        FROM docs
+    ), stats AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               COUNT(*) FILTER (tf0 > 0) AS df0,
+               COUNT(*) FILTER (tf1 > 0) AS df1,
+               COUNT(*) FILTER (tf2 > 0) AS df2
+        FROM feat
+    ), bm AS (
+        SELECT doc_id,
+               ROUND(
+                 ROUND(LN((n - df0 + 0.5) / (df0 + 0.5) + 1), 6) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + ROUND(LN((n - df1 + 0.5) / (df1 + 0.5) + 1), 6) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + ROUND(LN((n - df2 + 0.5) / (df2 + 0.5) + 1), 6) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               , 4) AS score
+        FROM feat, stats
+        WHERE tf0 + tf1 + tf2 > 0
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    ), bmr AS (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_bm25
+        FROM bm
+    )
+    SELECT COALESCE(s.vec_id, b.doc_id) AS doc_id,
+           ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + s.r_sem), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / (60 + b.r_bm25), 0), 6) AS rrf,
+           CAST(COALESCE(s.r_sem, 0) AS INT) AS r_sem,
+           CAST(COALESCE(b.r_bm25, 0) AS INT) AS r_bm25
+    FROM semr s FULL OUTER JOIN bmr b ON s.vec_id = b.doc_id
+    ORDER BY rrf DESC, doc_id
+"""
+
+
+@register("q107_hybrid_rrf", oracle=_RRF_ORACLE)
+def q107(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (k=60): fuse the
+    semantic top-20 (q105's cosine kernel) with the BM25 top-20 (q106's
+    kernel). Both legs end in TakeOrderedAndProject, so the fusion
+    operates on two 20-row lists — the full-outer join and the
+    row_number windows are driver-trivial no matter the corpus size;
+    all heavy work stays in the two distributed legs. Determinism: RRF
+    score is a sum of two exact IEEE divisions of integer ranks (ranks
+    themselves are row_numbers over rounded scores with unique id
+    tiebreaks), rounded(6)."""
+    t = load_tables(spark, sf_dir)
+    e, d = t["embeddings"], t["documents"]
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sem = (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", V.cosine(F.col("embedding"), F.col("qe")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(20)
+        .withColumn(
+            "r_sem",
+            F.row_number().over(Window.orderBy(F.col("sim").desc(), F.col("vec_id"))),
+        )
+    )
+    bm = (
+        _bm25_scored(d)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(20)
+        .withColumn(
+            "r_bm25",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+            ),
+        )
+    )
+    joined = sem.join(bm, sem["vec_id"] == bm["doc_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_bm25")), F.lit(0.0)),
+        6,
+    )
+    return joined.select(
+        F.coalesce(sem["vec_id"], bm["doc_id"]).alias("doc_id"),
+        rrf.alias("rrf"),
+        F.coalesce(F.col("r_sem"), F.lit(0)).alias("r_sem"),
+        F.coalesce(F.col("r_bm25"), F.lit(0)).alias("r_bm25"),
+    ).orderBy(F.col("rrf").desc(), F.col("doc_id"))
+
+
+# --------------------------------- corpus analytics (q108-q109)
+
+_ENTROPY_ORACLE = """
+    WITH tf AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (
+            SELECT doc_id,
+                   UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0)) AS tok
+            FROM documents
+        )
+        GROUP BY doc_id, tok
+    ), agg AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n,
+               COUNT(*) AS nd,
+               SUM(CAST(c AS DECIMAL(18,0)) * CAST(ROUND(LOG2(c), 6) AS DECIMAL(20,6))) AS clog
+        FROM tf
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           CAST(nd AS INT) AS n_distinct,
+           ROUND(ROUND(LOG2(CAST(n AS DOUBLE)), 6) - CAST(clog AS DOUBLE) / n, 4) AS entropy,
+           (ROUND(ROUND(LOG2(CAST(n AS DOUBLE)), 6) - CAST(clog AS DOUBLE) / n, 4) >= 3.5) AS kept
+    FROM agg
+"""
+
+
+@register("q108_token_entropy", oracle=_ENTROPY_ORACLE)
+def q108(spark, sf_dir):
+    """Token-distribution entropy quality filter: Shannon entropy of the
+    per-doc unigram distribution (low entropy = repetitive boilerplate —
+    the information-theoretic sibling of q89's Gopher repetition rules).
+    Shape: explode + two map-side-combinable groupBys, no window, no
+    skew (keys are (doc, token) then doc). Determinism: computed as
+    log2(n) - (1/n)*sum(c*log2(c)); the only transcendental log2 is
+    rounded(6) per term, and the sum runs in exact DECIMAL so it is
+    associative (order-independent) on both engines; final value
+    rounded(4), kept-flag compares the rounded value."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tf = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("nd"),
+        F.sum(
+            F.col("c").cast("decimal(18,0)")
+            * F.round(F.log2("c"), 6).cast("decimal(20,6)")
+        ).alias("clog"),
+    )
+    entropy = F.round(
+        F.round(F.log2(F.col("n").cast("double")), 6)
+        - F.col("clog").cast("double") / F.col("n"),
+        4,
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_tokens"),
+        F.col("nd").cast("int").alias("n_distinct"),
+        entropy.alias("entropy"),
+        (entropy >= 3.5).alias("kept"),
+    )
+
+
+_OVERLAP_ORACLE = """
+    WITH toks AS (
+        SELECT source,
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0) AS tk
+        FROM documents
+    ), sg AS (
+        SELECT DISTINCT source, MD5(g) AS h
+        FROM (
+            SELECT source,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+            FROM toks
+        )
+    ), per_src AS (
+        SELECT source, COUNT(*) AS n FROM sg GROUP BY source
+    ), shared AS (
+        SELECT a.source AS sa, b.source AS sb, COUNT(*) AS ns
+        FROM sg a JOIN sg b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT sa AS source_a, sb AS source_b, ns AS n_shared,
+           pa.n AS n_a, pb.n AS n_b,
+           ROUND(CAST(ns AS DOUBLE) / (pa.n + pb.n - ns), 4) AS jaccard
+    FROM shared
+    JOIN per_src pa ON pa.source = sa
+    JOIN per_src pb ON pb.source = sb
+"""
+
+
+@register("q109_source_overlap", oracle=_OVERLAP_ORACLE)
+def q109(spark, sf_dir):
+    """Inter-source contamination matrix: for every source pair, the
+    count and Jaccard of shared distinct 3-gram shingles — the corpus
+    diagnostic behind 'which crawls duplicate each other' (and the
+    source-level view of q99's decontamination overlap). Shape: one
+    shingle pass -> distinct (source, hash) -> groupBy(hash) with a
+    collect_set bounded by the SOURCE dimension cardinality (20 here;
+    for web-scale domain counts you'd cap the set like operators/banding
+    does for LSH buckets), pair expansion via higher-order combos (no
+    self-join: a join would recompute the shingle subtree twice), then a
+    count groupBy on ~|S|^2 keys joined to two broadcast per-source
+    counts. All integers until one final rounded division."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sg = (
+        d.select(
+            "source", F.explode(T.shingles(T.tokens(F.col("text")), 3)).alias("s")
+        )
+        .select("source", F.md5("s").alias("h"))
+        .distinct()
+    )
+    # one persisted shingle pass feeds the pair counts AND both
+    # per-source totals — without it Spark re-runs the scan+shingle+
+    # distinct subtree three times (q44's convention)
+    sg.persist()
+    per_src = sg.groupBy("source").agg(F.count("*").alias("n_sg"))
+    ss = (
+        sg.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    shared = (
+        ss.select(F.explode(combos).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = per_src.select(F.col("source").alias("a"), F.col("n_sg").alias("n_a"))
+    nb = per_src.select(F.col("source").alias("b"), F.col("n_sg").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select(
+            F.col("a").alias("source_a"),
+            F.col("b").alias("source_b"),
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
     )

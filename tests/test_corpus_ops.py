@@ -227,3 +227,78 @@ def test_text_kernels_cross_engine_on_adversarial_strings(spark, duck):
             [c, c, c, c, c],
         ).fetchone()
         assert tuple(want) == got[i], (repr(c), want, got[i])
+
+
+def test_rrf_fusion_semantics(spark, sf_dir):
+    """A doc in both lists scores exactly 1/(60+r_sem)+1/(60+r_bm25);
+    single-list docs score one term; output covers exactly the union of
+    the two top-20s."""
+    out = REGISTRY["q107_hybrid_rrf"].fn(spark, sf_dir).collect()
+    assert out, "fusion returned no rows"
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids)), "duplicate doc in fusion output"
+    for r in out:
+        assert (r.r_sem > 0) or (r.r_bm25 > 0)
+        want = (1.0 / (60 + r.r_sem) if r.r_sem else 0.0) + (
+            1.0 / (60 + r.r_bm25) if r.r_bm25 else 0.0
+        )
+        assert abs(r.rrf - want) < 1e-6, (r, want)
+    # fused order is rrf-desc with doc_id tiebreak
+    keys = [(-r.rrf, r.doc_id) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_token_entropy_bounds(spark):
+    """Entropy is 0 for a constant doc, log2(n) for all-distinct tokens,
+    and always within [0, log2(n_distinct)]."""
+    import math
+
+    rows = [
+        (1, "spam spam spam spam"),
+        (2, "a b c d e f g h"),
+        (3, "x x y y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from mapr_db_cdc_sample_spark.functions import text as T
+
+    tf = (
+        df.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("c").cast("decimal(18,0)")
+            * F.round(F.log2("c"), 6).cast("decimal(20,6)")
+        ).alias("clog"),
+    )
+    ent = {
+        r.doc_id: r.e
+        for r in agg.select(
+            "doc_id",
+            F.round(
+                F.round(F.log2(F.col("n").cast("double")), 6)
+                - F.col("clog").cast("double") / F.col("n"),
+                4,
+            ).alias("e"),
+        ).collect()
+    }
+    assert ent[1] == 0.0
+    assert abs(ent[2] - 3.0) < 1e-4  # log2(8) over 8 distinct tokens
+    assert abs(ent[3] - 1.0) < 1e-4  # two equiprobable tokens
+
+
+def test_source_overlap_matrix_is_symmetric_free(spark, sf_dir):
+    """Every pair appears once with source_a < source_b; Jaccard in
+    (0, 1]; shared count never exceeds either side's total."""
+    out = REGISTRY["q109_source_overlap"].fn(spark, sf_dir).collect()
+    assert out, "no overlapping source pairs found"
+    seen = set()
+    for r in out:
+        assert r.source_a < r.source_b
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert 0 < r.n_shared <= min(r.n_a, r.n_b)
+        assert 0 < r.jaccard <= 1.0

@@ -69,6 +69,8 @@ HEADLINE = [
     "q107_hybrid_rrf",
     "q108_token_entropy",
     "q109_source_overlap",
+    "q110_perplexity_filter",
+    "q111_gap_fill",
     "q77_pivot",
     "q83_kmeans",
     "q85_dedup_corpus",

@@ -669,3 +669,96 @@ def q104(spark, sf_dir):
         ).alias("n_seqs"),
         F.sum("n_tok").cast("bigint").alias("sum_tokens"),
     )
+
+
+# ------------------------- bigram-LM perplexity filter (q110, CCNet-style)
+
+_PPL_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS tk
+        FROM documents
+    ), db AS (
+        SELECT doc_id, bg, COUNT(*) AS c_doc
+        FROM (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk), 1)),
+                          i -> tk[i] || ' ' || tk[i+1])) AS bg
+            FROM toks
+        )
+        GROUP BY doc_id, bg
+    ), cb AS (
+        SELECT bg, CAST(SUM(c_doc) AS BIGINT) AS c FROM db GROUP BY bg
+    ), c1 AS (
+        SELECT SPLIT_PART(bg, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS cc
+        FROM cb GROUP BY 1
+    ), v AS (
+        SELECT COUNT(DISTINCT w) AS vv
+        FROM (SELECT UNNEST(tk) AS w FROM toks) t
+    ), nll AS (
+        SELECT db.doc_id,
+               CAST(SUM(c_doc) AS INT) AS n_bigrams,
+               ROUND(-CAST(SUM(CAST(c_doc AS DECIMAL(18,0))
+                              * CAST(ROUND(LN((cb.c + 1) / (c1.cc + v.vv)), 6) AS DECIMAL(20,6)))
+                       AS DOUBLE) / CAST(SUM(c_doc) AS BIGINT), 4) AS avg_nll
+        FROM db
+        JOIN cb ON db.bg = cb.bg
+        JOIN c1 ON SPLIT_PART(db.bg, ' ', 1) = c1.w1, v
+        GROUP BY db.doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_nll, (avg_nll <= 3.45) AS kept FROM nll
+"""
+
+
+@register("q110_perplexity_filter", oracle=_PPL_ORACLE)
+def q110(spark, sf_dir):
+    """Perplexity-style quality filter (the CCNet recipe, self-trained):
+    fit an add-1-smoothed bigram LM on the corpus itself, score every doc
+    by its average negative log-likelihood, drop the high-NLL tail
+    (improbable token sequences = noisy/garbled text). Emits avg_nll
+    rather than exp(avg_nll): exp's last-ulp varies across engines and
+    the ranking/threshold is identical either way.
+
+    Shape: ONE persisted (doc, bigram, count) pass feeds the LM count
+    tables AND the scoring join. The context-count (vocab-sized) and
+    vocab-size (1-row) tables broadcast; the only shuffle join is
+    doc-bigrams x bigram-counts on the bigram key — Zipf-skewed at real
+    scale, which is exactly what AQE skew-join handles (and cb is
+    vocab^2-bounded, so it too broadcasts when the vocab is modest).
+    Determinism: ln rounded(6) into a DECIMAL-exact sum (order-free),
+    one double division, final round(4); kept compares the rounded
+    value."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tk = d.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    db = (
+        tk.select("doc_id", F.explode(T.shingles(F.col("tk"), 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c_doc"))
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+    )
+    db.persist()
+    cb = db.groupBy("bg").agg(F.sum("c_doc").alias("c"))
+    c1 = db.groupBy("w1").agg(F.sum("c_doc").alias("cc"))
+    v = tk.select(F.explode("tk").alias("w")).agg(
+        F.countDistinct("w").alias("vv")
+    )
+    ln_p = F.round(
+        F.log((F.col("c") + F.lit(1)).cast("double") / (F.col("cc") + F.col("vv"))),
+        6,
+    )
+    term = F.col("c_doc").cast("decimal(18,0)") * ln_p.cast("decimal(20,6)")
+    nll = (
+        db.join(cb, "bg")
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").cast("int").alias("n_bigrams"),
+            F.round(
+                -F.sum(term).cast("double") / F.sum("c_doc"), 4
+            ).alias("avg_nll"),
+        )
+    )
+    return nll.select(
+        "doc_id", "n_bigrams", "avg_nll", (F.col("avg_nll") <= 3.45).alias("kept")
+    )

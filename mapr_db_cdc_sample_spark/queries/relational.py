@@ -1198,3 +1198,82 @@ def q84(spark, sf_dir):
     return ev.where(F.col("event_id") % 10 == 0).select(
         "event_id", k.alias("k"), (k % 7).alias("k_mod")
     )
+
+
+# --------------------- time-series gap fill + forward fill (q111)
+
+_GAPFILL_ORACLE = """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(18,2))) AS hr_sum
+        FROM events GROUP BY 1, 2
+    ), bounds AS (SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM hourly),
+    spine AS (
+        SELECT u.user_id, UNNEST(generate_series(b.hmin, b.hmax, INTERVAL 1 HOUR)) AS h
+        FROM (SELECT DISTINCT user_id FROM events) u, bounds b
+    )
+    SELECT s.user_id,
+           CAST(epoch(s.h) AS BIGINT) AS hour_epoch,
+           CAST(COALESCE(e.n_events, 0) AS INT) AS n_events,
+           CAST(COALESCE(LAST_VALUE(e.hr_sum IGNORE NULLS) OVER (
+                PARTITION BY s.user_id ORDER BY s.h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS DOUBLE) AS filled_sum,
+           (e.n_events IS NULL) AS is_gap
+    FROM spine s LEFT JOIN hourly e ON e.user_id = s.user_id AND e.h = s.h
+"""
+
+
+@register("q111_gap_fill", oracle=_GAPFILL_ORACLE)
+def q111(spark, sf_dir):
+    """Time-series regularization: hourly resample of the events stream
+    onto a dense per-user spine (every user x every hour in the global
+    range), gaps carried forward (last observation carried forward,
+    zero before the first observation) — the standard prep for feeding
+    irregular event data to a forecasting model.
+
+    Shape: the heavy input collapses FIRST (groupBy user,hour — partial
+    agg on the raw events), and everything after runs on the reduced
+    hourly table: bounds are a 1-row broadcast, the spine explodes a
+    sequence() per user (rows = users x hours, generated, never
+    shuffled-in), the join and the forward-fill window share the
+    (user_id, h)/(user_id) key so at scale it's one exchange of the
+    REDUCED table, not the raw events. hr_sum accumulates in
+    DECIMAL(18,2) — money-exact and order-free on both engines; the
+    output hour is epoch seconds (BIGINT) to stay timezone-proof."""
+    e = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("hr_sum"),
+        )
+    )
+    hourly.persist()  # feeds the global bounds AND the spine join
+    bounds = hourly.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    spine = (
+        e.select("user_id")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("hmin"), F.col("hmax"), F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.unix_timestamp("h").alias("hour_epoch"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("int").alias("n_events"),
+        F.coalesce(F.last("hr_sum", ignorenulls=True).over(w), F.lit(0))
+        .cast("double")
+        .alias("filled_sum"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )

@@ -302,3 +302,56 @@ def test_source_overlap_matrix_is_symmetric_free(spark, sf_dir):
         seen.add((r.source_a, r.source_b))
         assert 0 < r.n_shared <= min(r.n_a, r.n_b)
         assert 0 < r.jaccard <= 1.0
+
+
+def test_perplexity_ranks_garbled_text_worse(spark):
+    """A doc of corpus-typical bigrams must score lower NLL than a doc of
+    bigrams the LM never saw — the property that makes the filter a
+    quality signal. Built on a tiny inline corpus with one outlier."""
+    rows = [(i, "the cat sat on the mat and the cat ran") for i in range(5)]
+    rows.append((99, "zq xv qzx vxq zzq qvv xxz vqz zxq qqv"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import mapr_db_cdc_sample_spark.queries.corpus as C
+    from unittest import mock
+
+    with mock.patch.object(C, "load_tables", lambda s, p: {"documents": df}):
+        out = {r.doc_id: r.avg_nll for r in C.q110(spark, "unused").collect()}
+    assert out[99] > max(v for k, v in out.items() if k != 99)
+
+
+def test_gap_fill_locf_semantics(spark):
+    """Gap rows carry the last observed hourly sum forward; hours before
+    a user's first event fill with 0; non-gap rows equal their own sum;
+    every user covers the identical global hour spine."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 0, 30)
+    rows = [
+        (1, base, 1, 10.0),                              # u1 hour 0
+        (2, base + dt.timedelta(hours=3), 2, 7.5),       # u2 hour 3 only
+        (2, base + dt.timedelta(hours=3, minutes=10), 1, 2.5),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, v, "click", "{}") for i, (u, ts, _, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, value double, event_type string, props string",
+    )
+
+    import mapr_db_cdc_sample_spark.queries.relational as R
+    from unittest import mock
+
+    with mock.patch.object(R, "load_tables", lambda s, p: {"events": df}):
+        out = R.q111(spark, "unused").collect()
+    by_user = defaultdict(dict)
+    for r in out:
+        by_user[r.user_id][r.hour_epoch] = r
+    hours = sorted(next(iter(by_user.values())).keys())
+    assert len(hours) == 4  # global span hour0..hour3
+    for u, cells in by_user.items():
+        assert sorted(cells.keys()) == hours
+    u1 = [by_user[1][h] for h in hours]
+    assert [r.filled_sum for r in u1] == [10.0, 10.0, 10.0, 10.0]
+    assert [r.is_gap for r in u1] == [False, True, True, True]
+    u2 = [by_user[2][h] for h in hours]
+    assert [r.filled_sum for r in u2] == [0.0, 0.0, 0.0, 10.0]  # 7.5+2.5
+    assert [r.n_events for r in u2] == [0, 0, 0, 2]

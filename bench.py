@@ -71,6 +71,7 @@ HEADLINE = [
     "q109_source_overlap",
     "q110_perplexity_filter",
     "q111_gap_fill",
+    "q112_salted_join",
     "q77_pivot",
     "q83_kmeans",
     "q85_dedup_corpus",

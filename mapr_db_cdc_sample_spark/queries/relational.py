@@ -1277,3 +1277,59 @@ def q111(spark, sf_dir):
         .alias("filled_sum"),
         F.col("n_events").isNull().alias("is_gap"),
     )
+
+
+# --------------------------- skew-join salting demo (q112)
+
+_N_SALT = 8
+
+_SALTED_JOIN_ORACLE = """
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0 ELSE l_orderkey END AS k,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2)) AS rev
+        FROM lineitem
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM fact f JOIN orders o ON f.k = o.o_orderkey
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register("q112_salted_join", oracle=_SALTED_JOIN_ORACLE)
+def q112(spark, sf_dir):
+    """Skew-join salting, the join-side twin of q74's salted agg: a
+    deterministically skewed fact key (every 3rd lineitem rerouted to
+    order 0 — one key carrying ~1/3 of the table, the shape AQE calls a
+    skewed partition) joined WITHOUT a hot partition by salting: the
+    fact side tags each row with salt = l_linenumber % 8, the dim side
+    replicates each order 8x via explode, and the join key becomes
+    (key, salt) — the hot key's rows spread across 8 partitions, at the
+    cost of an 8x dim replication (dims are the small side; this is the
+    standard trade). The oracle is the UNSALTED join: salting must not
+    change a single row. Money sums factor-cast to exact decimals
+    (tpch.py recipe)."""
+    t = load_tables(spark, sf_dir)
+    li, orders = t["lineitem"], t["orders"]
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        (F.col("l_linenumber") % _N_SALT).alias("salt"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount")).cast("decimal(4,2)")
+        ).alias("rev"),
+    )
+    dim = orders.select("o_orderkey", "o_orderpriority").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_N_SALT)]))
+    )
+    joined = fact.join(
+        dim, (fact["k"] == dim["o_orderkey"]) & (fact["salt"] == dim["salt"])
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )

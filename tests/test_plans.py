@@ -206,3 +206,60 @@ def test_stratified_topn_uses_group_limit(spark, sf_dir):
     locally before the stratum shuffle."""
     plan = _plan(spark, sf_dir, "q103_stratified_topn")
     assert has(plan, "WindowGroupLimit"), plan_nodes(plan)
+
+
+def test_retrieval_topk_short_circuits(spark, sf_dir):
+    """Both retrieval legs must plan top-k as TakeOrderedAndProject (no
+    global sort), and the hybrid fusion keeps BOTH legs that way."""
+    for name, want in (
+        ("q105_semantic_retrieval", 1),
+        ("q106_bm25_retrieval", 1),
+        ("q107_hybrid_rrf", 2),
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert count_nodes(plan, "TakeOrderedAndProject") == want, (
+            name,
+            plan_nodes(plan),
+        )
+
+
+def test_entropy_agg_is_partial_then_final(spark, sf_dir):
+    """Both groupBys of the entropy filter must partial-aggregate
+    map-side (4 HashAggregates: partial+final x 2 levels)."""
+    plan = _plan(spark, sf_dir, "q108_token_entropy")
+    assert count_nodes(plan, "HashAggregate") >= 4, plan_nodes(plan)
+    assert not has(plan, "SortMergeJoin")
+
+
+def test_source_overlap_reuses_persisted_shingles(spark, sf_dir):
+    """The shingle pass must be persisted and reused (no triple scan),
+    per-source totals must broadcast into the pair table."""
+    plan = _plan(spark, sf_dir, "q109_source_overlap")
+    assert has(plan, "InMemoryRelation"), "shingle pass not persisted"
+    assert count_nodes(plan, "BroadcastHashJoin") == 2, plan_nodes(plan)
+
+
+def test_perplexity_lm_tables_reuse_bigram_pass(spark, sf_dir):
+    """LM count tables and scoring must all read the ONE persisted
+    (doc,bigram,count) relation; context/vocab dims broadcast."""
+    plan = _plan(spark, sf_dir, "q110_perplexity_filter")
+    assert has(plan, "InMemoryRelation"), "bigram pass not persisted"
+    assert count_nodes(plan, "BroadcastExchange") >= 2, plan_nodes(plan)
+
+
+def test_gap_fill_collapses_events_before_join(spark, sf_dir):
+    """The raw events table must reduce to hourly partial aggregates
+    before any join — the spine join runs on the REDUCED table."""
+    plan = _plan(spark, sf_dir, "q111_gap_fill")
+    assert count_nodes(plan, "HashAggregate") >= 2, plan_nodes(plan)
+    assert has(plan, "InMemoryRelation"), "hourly table not persisted"
+    # the spine is generated (explode of sequence), not shuffled in
+    assert has(plan, "Generate"), plan_nodes(plan)
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """The salted join must key on (k, salt) — both exchanges carry the
+    salt — and the dim side must show the x8 replication Generate."""
+    plan = _plan(spark, sf_dir, "q112_salted_join")
+    assert has(plan, "Generate"), "dim-side salt replication missing"
+    assert "salt" in plan, plan[:1500]

@@ -43,10 +43,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _CACHE[key]
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts") if name == "events" else None
+    if ts_type == "bigint":
         # nanosAsLong read (see session.RUNTIME_CONFS): ns → µs timestamp,
         # truncating exactly like DuckDB does for the same parquet.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Parquet timestamp[us] without UTC adjustment reads as
+        # TIMESTAMP_NTZ, which withWatermark rejects. Cast to LTZ —
+        # identical wall clock under the UTC session timezone, and the
+        # type every streaming/event query was validated against.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _CACHE[key] = df
     return df
 

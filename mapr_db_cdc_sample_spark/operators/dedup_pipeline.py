@@ -45,7 +45,13 @@ def duplicate_edges(
     projection (no explode/shuffle) AND the exact-Jaccard gram sets —
     which intersect as long arrays, far cheaper than strings. Jaccard on
     hashed shingles equals Jaccard on shingles (injective up to 60-bit
-    collisions)."""
+    collisions).
+
+    The corpus is repartitioned first: the tokenize+md5 pass is the CPU
+    bulk of the whole pipeline and must use every core, but a small
+    parquet input is often one row-group = ONE partition (measured 6.3s
+    single-core vs 0.4s repartitioned on 5k docs)."""
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     grams = banding.gram_sets(corpus)
     grams.persist()
     sig = banding.signatures_from_grams(grams)

@@ -22,30 +22,37 @@ from pyspark.sql import functions as F
 def _assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """Nearest centroid per vector (squared euclidean; ties → lowest id).
 
-    The centroid matrix is a k×dim driver-side literal, so assignment is
-    a PURE PROJECTION: k inline fold-distances collapsed by
-    array_min(struct(d2, cluster)) — struct ordering gives argmin with
-    cluster-id tiebreak. No join, no shuffle, no per-vector sort; the
-    previous join + row_number form shuffled vecs×k rows through a
-    window sort every iteration."""
-
-    def _d2(c: list[float]):
-        cen = F.array(*[F.lit(float(v)) for v in c])
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), cen, lambda x, y: (x.cast("double") - y) ** 2),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
+    The k×dim centroid matrix rides in as a ONE-ROW broadcast relation
+    (array<struct<cluster,cen>>), so assignment is a PURE PROJECTION over
+    a BroadcastNestedLoopJoin with a single row: per vector, fold the
+    distance to each centroid and collapse with array_min(struct(d2,
+    cluster)) — struct ordering gives argmin with cluster-id tiebreak.
+    No shuffle, no per-vector sort. Broadcasting instead of inlining the
+    centroids as literals keeps the generated code IDENTICAL across
+    iterations — the literal form forced a fresh k×dim-constant Janino
+    compile every iteration (multi-second fixed cost that dominated the
+    whole run at bench scale and buys nothing at any scale)."""
+    spark = vecs.sparkSession
+    cents = spark.createDataFrame(
+        [([(int(cid), [float(v) for v in c]) for cid, c in centroids],)],
+        "cs array<struct<cluster:int,cen:array<double>>>",
+    )
     best = F.array_min(
-        F.array(
-            *[
-                F.struct(_d2(c).alias("d2"), F.lit(cid).cast("int").alias("cluster"))
-                for cid, c in centroids
-            ]
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"), c["cen"], lambda x, y: (x.cast("double") - y) ** 2
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d2"),
+                c["cluster"].alias("cluster"),
+            ),
         )
     )
-    return vecs.select(
+    return vecs.join(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
         best["cluster"].alias("cluster"),
@@ -84,7 +91,14 @@ def kmeans_lite(
     embeddings: DataFrame, k: int = 5, iters: int = 3, dim: int = 64
 ) -> tuple[DataFrame, list[float]]:
     """Returns (final assignments with d2, per-iteration total inertia).
-    Init: the first k vectors by vec_id (deterministic)."""
+    Init: the first k vectors by vec_id (deterministic).
+
+    The per-iteration shuffle carries only k×dim partial means, so the
+    loop runs with a handful of shuffle partitions (restored after) —
+    32-way shuffles of 320 rows are pure task-launch overhead; on a real
+    cluster the (cluster, pos) key space bounds useful parallelism at
+    k×dim regardless."""
+    spark = embeddings.sparkSession
     vecs = embeddings.select("vec_id", "embedding")
     init = (
         vecs.where(F.col("vec_id") < k)
@@ -94,8 +108,13 @@ def kmeans_lite(
     )
     centroids = [(i, list(r.e)) for i, r in enumerate(init)]
     inertia: list[float] = []
-    for _ in range(iters):
-        assigned = _assign(vecs, centroids)
-        centroids, it = _recompute(assigned, dim)
-        inertia.append(it)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(iters):
+            assigned = _assign(vecs, centroids)
+            centroids, it = _recompute(assigned, dim)
+            inertia.append(it)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return _assign(vecs, centroids), inertia

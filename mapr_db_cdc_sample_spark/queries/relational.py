@@ -1338,3 +1338,78 @@ def q112(spark, sf_dir):
         F.count("*").alias("n_lines"),
         F.sum("rev").cast("double").alias("revenue"),
     )
+
+
+# ------------------- SCD Type-2 dimension build from a changelog (q113)
+
+_SCD2_ORACLE = """
+    SELECT user_id,
+           event_id,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from,
+           CAST(FLOOR(epoch(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                AS BIGINT) AS valid_to,
+           CAST(CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM events
+"""
+
+
+@register("q113_scd2_dimension", oracle=_SCD2_ORACLE)
+def q113(spark, sf_dir):
+    """SCD Type-2 dimension build: each changelog row becomes a validity
+    interval [valid_from, valid_to) via lead(ts) over the per-key
+    history; the open interval (null valid_to) is the current version.
+    This is the batch materialization a CDC consumer runs to turn the
+    reference's change stream into a queryable temporal dimension
+    (reference semantics: every CDC message replaces the document state
+    — FtsAndGeoServiceJSONWithCDC.java:118-169 applies changes in
+    arrival order; here arrival order is (ts, event_id), a unique key,
+    so the interval assignment is total and engine-stable).
+
+    Scale: ONE shuffle on user_id (uniform), window sorts within
+    partitions; epochs are BIGINT so the hash check is integer-exact."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("valid_from"),
+        F.unix_timestamp(nxt).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
+# ----------------- CDC snapshot compaction: latest row per key (q114)
+
+_SNAPSHOT_ORACLE = """
+    SELECT user_id,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS last_ts_epoch,
+           event_id AS last_event_id,
+           event_type AS last_type,
+           value AS last_value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+"""
+
+
+@register("q114_cdc_snapshot", oracle=_SNAPSHOT_ORACLE)
+def q114(spark, sf_dir):
+    """Changelog compaction to a snapshot: the latest state per key, the
+    batch twin of the streaming materialization (q66) and the classic
+    CDC "table from topic" read. Implemented as ONE aggregation with a
+    struct-max (ts, event_id lexicographic argmax — no window, no sort,
+    partial aggregation halves the shuffle); the oracle is the
+    row_number form, proving method-independence of the result."""
+    ev = load_tables(spark, sf_dir)["events"]
+    m = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
+    g = ev.groupBy("user_id").agg(m)
+    return g.select(
+        "user_id",
+        F.unix_timestamp("m.ts").alias("last_ts_epoch"),
+        F.col("m.event_id").alias("last_event_id"),
+        F.col("m.event_type").alias("last_type"),
+        F.col("m.value").alias("last_value"),
+    )

@@ -81,6 +81,10 @@ HEADLINE = [
     "q83_kmeans",
     "q85_dedup_corpus",
     "q87_training_corpus",
+    "q113_scd2_dimension",
+    "q114_cdc_snapshot",
+    "q115_doc_chunking",
+    "q116_jaccard_estimate",
 ]
 
 

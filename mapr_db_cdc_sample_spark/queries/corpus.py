@@ -774,3 +774,52 @@ def q110(spark, sf_dir):
     return nll.select(
         "doc_id", "n_bigrams", "avg_nll", (F.col("avg_nll") <= 3.45).alias("kept")
     )
+
+
+# --- fixed-size token chunking with overlap (q115) ----------------------
+
+_CHUNK, _STRIDE = 64, 48
+
+_CHUNK_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS tk
+        FROM documents
+    ), c AS (
+        SELECT doc_id, tk, UNNEST(range(1, LEN(tk) + 1, {_STRIDE})) AS s
+        FROM t WHERE LEN(tk) > 0
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {_STRIDE} AS INT) AS chunk_idx,
+           CAST(LEN(list_slice(tk, s, s + {_CHUNK} - 1)) AS INT) AS n_tokens,
+           MD5(ARRAY_TO_STRING(list_slice(tk, s, s + {_CHUNK} - 1), ' ')) AS chunk_md5
+    FROM c
+"""
+
+
+@register("q115_doc_chunking", oracle=_CHUNK_ORACLE)
+def q115(spark, sf_dir):
+    """Context-window chunking: split each document into {chunk}=64-token
+    windows advancing by {stride}=48 (16-token overlap so no boundary
+    context is lost) — the standard prep before tokenizer/packing in a
+    training pipeline. Pure projection + one generator explode: chunk
+    starts come from sequence(1, n_tokens, stride), each start slices
+    the SAME materialized token array (no re-tokenization per chunk),
+    posexplode supplies chunk_idx. Chunk content is carried as an md5 so
+    the cross-engine check is exact without shipping the tokens."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select("doc_id", T.tokens(F.col("text")).alias("tk")).where(
+        F.size("tk") > 0
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("tk"), F.lit(_STRIDE)),
+        lambda s: F.slice(F.col("tk"), s, _CHUNK),
+    )
+    return base.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("chunk").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
+    )

@@ -1365,3 +1365,83 @@ def q109(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+# --------------- MinHash estimator quality audit (q116)
+
+_EST_TERMS = " + ".join(f"CAST(sa.mh{j} = sb.mh{j} AS INT)" for j in range(8))
+
+_JACCARD_EST_ORACLE = _MINHASH_CTE + _BANDS_CTE + f"""
+, cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+), grams AS (
+    SELECT doc_id, LIST_DISTINCT(hs) AS gs FROM hv
+), scored AS (
+    SELECT cand.doc_a, cand.doc_b,
+           ROUND(CAST({{est}} AS DOUBLE) / 8, 4) AS est_jaccard,
+           ROUND(CAST(LEN(LIST_INTERSECT(ga.gs, gb.gs)) AS DOUBLE) /
+                 (LEN(ga.gs) + LEN(gb.gs) - LEN(LIST_INTERSECT(ga.gs, gb.gs))),
+                 4) AS exact_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = cand.doc_a
+    JOIN sig sb ON sb.doc_id = cand.doc_b
+    JOIN grams ga ON ga.doc_id = cand.doc_a
+    JOIN grams gb ON gb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+       ROUND(ABS(est_jaccard - exact_jaccard), 4) AS abs_err
+FROM scored
+""".format(est=_EST_TERMS)
+
+
+@register("q116_jaccard_estimate", oracle=_JACCARD_EST_ORACLE)
+def q116(spark, sf_dir):
+    """Estimator quality audit: for every LSH candidate pair, the
+    signature-based Jaccard ESTIMATE (fraction of agreeing minhashes —
+    the only similarity a pure-LSH pipeline ever sees) side by side with
+    the exact shingle-set Jaccard, plus the absolute error. This is the
+    monitoring query a production dedup pipeline runs on a sample to
+    decide band/row parameters; at 100 TB it runs on the capped candidate
+    set, never all pairs. One persisted gram pass feeds signatures,
+    candidates, AND exact verification (q46's sharing pattern); the
+    estimate is a projection over the 8 signature columns; both
+    similarities compare on ROUND(...,4) so the hash check is stable."""
+    d = load_tables(spark, sf_dir)["documents"]
+    corpus = _minhash_corpus(d)
+    grams = B.gram_sets(corpus)
+    grams.persist()
+    sig = B.signatures_from_grams(grams)
+    cands = B.bucket_pairs(B.band_buckets(B.minhash_bands(sig)))
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(8)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(8)]
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"))
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(8)
+    )
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    uni = F.size("ga") + F.size("gb") - inter
+    scored = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree.cast("double") / 8, 4).alias("est_jaccard"),
+            F.round(inter.cast("double") / uni, 4).alias("exact_jaccard"),
+        )
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "exact_jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 4).alias("abs_err"),
+    )

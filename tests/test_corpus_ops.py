@@ -355,3 +355,85 @@ def test_gap_fill_locf_semantics(spark):
     u2 = [by_user[2][h] for h in hours]
     assert [r.filled_sum for r in u2] == [0.0, 0.0, 0.0, 10.0]  # 7.5+2.5
     assert [r.n_events for r in u2] == [0, 0, 0, 2]
+
+
+# --- round-3 operators: SCD2 / snapshot / chunking / estimator ----------
+
+
+def test_scd2_intervals_partition_history(spark, sf_dir):
+    """Per user: intervals are disjoint, contiguous (valid_to == next
+    valid_from), and exactly one open (is_current) interval."""
+    rows = REGISTRY["q113_scd2_dimension"].fn(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: (r.valid_from, r.event_id))
+        assert sum(r.is_current for r in ivs) == 1
+        assert ivs[-1].is_current == 1 and ivs[-1].valid_to is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, no overlap/gap
+
+
+def test_cdc_snapshot_is_latest_event_per_user(spark, sf_dir):
+    """The snapshot row per user matches the max-(ts, event_id) event."""
+    from mapr_db_cdc_sample_spark.io import load_tables
+
+    snap = {r.user_id: r for r in REGISTRY["q114_cdc_snapshot"].fn(spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir)["events"].collect()
+    latest = {}
+    for e in ev:
+        k = (e.ts, e.event_id)
+        if e.user_id not in latest or k > latest[e.user_id][0]:
+            latest[e.user_id] = (k, e)
+    assert set(snap) == set(latest)
+    for uid, (_, e) in latest.items():
+        s = snap[uid]
+        assert (s.last_event_id, s.last_type, s.last_value) == (
+            e.event_id,
+            e.event_type,
+            e.value,
+        )
+
+
+def test_chunking_covers_every_token_with_overlap(spark, sf_dir):
+    """Chunks tile the document: starts advance by the stride, sizes are
+    full except the tail, and total coverage equals the token count."""
+    from mapr_db_cdc_sample_spark.io import load_tables
+    from mapr_db_cdc_sample_spark.functions import text as T
+    from mapr_db_cdc_sample_spark.queries.corpus import _CHUNK, _STRIDE
+
+    d = load_tables(spark, sf_dir)["documents"]
+    n_tokens = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", F.size(T.tokens(F.col("text"))).alias("n")).collect()
+    }
+    chunks = REGISTRY["q115_doc_chunking"].fn(spark, sf_dir).collect()
+    per_doc = defaultdict(list)
+    for c in chunks:
+        per_doc[c.doc_id].append(c)
+    for doc_id, cs in per_doc.items():
+        cs.sort(key=lambda c: c.chunk_idx)
+        n = n_tokens[doc_id]
+        assert [c.chunk_idx for c in cs] == list(range(len(cs)))
+        for c in cs:
+            start = c.chunk_idx * _STRIDE + 1
+            assert c.n_tokens == min(_CHUNK, n - start + 1)
+        # every token index is inside some chunk (stride < chunk = overlap)
+        assert (len(cs) - 1) * _STRIDE + cs[-1].n_tokens == n
+
+
+def test_jaccard_estimate_tracks_exact_on_planted_dups(spark, sf_dir):
+    """Planted near-identical pairs (doc, doc+' zz') must show BOTH a
+    high estimate and a high exact Jaccard; the mean absolute estimator
+    error over all candidates stays under the 8-hash-binomial bound."""
+    rows = REGISTRY["q116_jaccard_estimate"].fn(spark, sf_dir).collect()
+    assert rows
+    planted = [r for r in rows if r.doc_b == r.doc_a + 1000000]
+    assert planted, "expected planted mutated-copy candidates"
+    for r in planted:
+        assert r.exact_jaccard > 0.8
+        assert r.est_jaccard >= 0.75  # at most 2/8 hashes may disagree
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_err < 0.25

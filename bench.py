@@ -85,6 +85,8 @@ HEADLINE = [
     "q114_cdc_snapshot",
     "q115_doc_chunking",
     "q116_jaccard_estimate",
+    "q117_incremental_agg",
+    "q118_bucketed_join",
 ]
 
 

@@ -8,13 +8,25 @@ tests/test_scale_ops.py asserts the Exchange-free plan.
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(
     df: DataFrame, table_name: str, bucket_key: str, n_buckets: int = 8
 ) -> None:
-    """Persist df as a bucketed+sorted managed table (overwriting)."""
+    """Persist df as a bucketed+sorted managed table (overwriting).
+
+    A fresh session's metastore doesn't know tables a previous process
+    left in the warehouse dir, and saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS even in overwrite mode — drop both the
+    catalog entry and any orphaned location first."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    shutil.rmtree(f"{wh}/{table_name}", ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_key)

@@ -1413,3 +1413,93 @@ def q114(spark, sf_dir):
         F.col("m.event_type").alias("last_type"),
         F.col("m.value").alias("last_value"),
     )
+
+
+# ------------- incremental aggregate maintenance (q117)
+
+_INCR_AGG_ORACLE = """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+"""
+
+_INCR_SPLIT = "2024-01-15"
+
+
+@register("q117_incremental_agg", oracle=_INCR_AGG_ORACLE)
+def q117(spark, sf_dir):
+    """Incremental aggregate maintenance: the engine-side identity that
+    makes materialized-view refresh cheap — agg(old) MERGE agg(delta) ==
+    agg(old UNION delta). The events table is split at a date boundary
+    into the "stored" history and the "new arrivals"; each side is
+    aggregated independently (as a refresh job would read stored partials
+    + only the delta partition), then the partials merge by summing. The
+    ORACLE is the full recompute, so the check proves the merge is
+    lossless: counts are integer-exact and value sums accumulate in
+    DECIMAL(18,2) (order- and split-point-free).
+
+    At 100 TB this is the difference between scanning one day and
+    scanning three years: count/sum/min/max (and sketches like HLL) are
+    all mergeable; the partial table is keyed and partitioned exactly
+    like the output."""
+    ev = load_tables(spark, sf_dir)["events"]
+    split = F.lit(_INCR_SPLIT).cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        )
+
+    merged = (
+        partial(ev.where(F.col("ts") < split))
+        .unionAll(partial(ev.where(F.col("ts") >= split)))
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("sv"))
+    )
+    return merged.select(
+        "user_id",
+        "n_events",
+        F.col("sv").cast("double").alias("sum_value"),
+    )
+
+
+# ------------- bucketed exchange-free join as a registry entry (q118)
+
+_BUCKETED_ORACLE = """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register("q118_bucketed_join", oracle=_BUCKETED_ORACLE)
+def q118(spark, sf_dir):
+    """Bucketed co-located join surfaced through the driver gate: both
+    sides are written bucketed+sorted on the join key (the one-time
+    write-time shuffle), and the sort-merge join then plans with NO
+    exchange and NO sort on either side (asserted in
+    tests/test_scale_ops.py). The oracle is the plain join — bucketing
+    must be invisible in the result. At 100 TB this is the standard
+    trade for any fact table joined repeatedly on the same key: pay the
+    shuffle once at ingest, never at query time."""
+    from ..operators.bucketing import write_bucketed
+
+    t = load_tables(spark, sf_dir)
+    write_bucketed(
+        t["orders"].select("o_custkey", "o_totalprice"), "q118_orders_b", "o_custkey"
+    )
+    write_bucketed(
+        t["customer"].select("c_custkey", "c_mktsegment"), "q118_customer_b", "c_custkey"
+    )
+    joined = spark.table("q118_orders_b").join(
+        spark.table("q118_customer_b"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )

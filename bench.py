@@ -87,6 +87,8 @@ HEADLINE = [
     "q116_jaccard_estimate",
     "q117_incremental_agg",
     "q118_bucketed_join",
+    "q119_asof_tolerance",
+    "q120_rolling_active_users",
 ]
 
 

@@ -1503,3 +1503,101 @@ def q118(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
     )
+
+
+# ------------- as-of join with staleness tolerance (q119)
+
+_ASOF_TOL_ORACLE = """
+    SELECT event_id, user_id, last_click_ts,
+           CAST(CASE WHEN last_click_ts IS NOT NULL
+                THEN FLOOR(epoch(p_ts)) - FLOOR(epoch(last_click_ts)) END
+                AS BIGINT) AS staleness_sec
+    FROM (
+        SELECT p.event_id, p.user_id, p.ts AS p_ts,
+               (SELECT MAX(c.ts) FROM events c
+                 WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                   AND c.ts <= p.ts
+                   AND c.ts >= p.ts - INTERVAL 1 HOUR) AS last_click_ts
+        FROM events p
+        WHERE p.event_type = 'purchase'
+    ) t
+"""
+
+
+@register("q119_asof_tolerance", oracle=_ASOF_TOL_ORACLE)
+def q119(spark, sf_dir):
+    """As-of join with a max-staleness tolerance — the feature-store /
+    market-data variant of q12: a purchase only sees a click if it is at
+    most 1 hour old, otherwise the match is null. Same single-shuffle
+    union+window plan as q12 (operators/asof.py); the tolerance is a
+    post-filter, which is EXACT here: the carried value is the latest
+    click <= ts, and if the latest is older than the tolerance, every
+    click is. Staleness is a floored-epoch difference (integer-exact)."""
+    from ..operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    j = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts", carry=["ts"]
+    )
+    fresh = F.col("asof_ts") >= F.col("ts") - F.expr("interval 1 hour")
+    last_click = F.when(fresh, F.col("asof_ts"))
+    return j.select(
+        "event_id",
+        "user_id",
+        last_click.alias("last_click_ts"),
+        F.when(fresh, F.unix_timestamp("ts") - F.unix_timestamp("asof_ts"))
+        .cast("long")
+        .alias("staleness_sec"),
+    )
+
+
+# ------------- rolling-window distinct count (q120)
+
+_ROLLING_ACTIVE_ORACLE = """
+    SELECT CAST(FLOOR(epoch(d.day)) AS BIGINT) AS day_epoch,
+           COUNT(DISTINCT e.user_id) AS n_active_7d
+    FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM events) d
+    JOIN events e
+      ON date_trunc('day', e.ts) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+"""
+
+
+@register("q120_rolling_active_users", oracle=_ROLLING_ACTIVE_ORACLE)
+def q120(spark, sf_dir):
+    """Rolling 7-day active users per day — a sliding-window DISTINCT
+    count, which Spark's window API cannot express (no count(distinct)
+    over a RANGE frame). Re-expressed linearly: collapse events to
+    distinct (user, day) presences FIRST (the only pass over the raw
+    table), explode each presence into the <=7 rolling windows it
+    contributes to, and count distinct users per window day (inner join
+    to observed days drops windows beyond the data edge, matching the
+    oracle's spine). Work is |presences| x 7, never |events| x window —
+    at 100 TB the presence table is the pre-aggregated fraction of the
+    input and the explode factor is the constant window length."""
+    ev = load_tables(spark, sf_dir)["events"]
+    presence = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    days = presence.select("day").distinct()
+    contrib = presence.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.expr("interval 6 days"), F.expr("interval 1 day")
+            )
+        ).alias("wday"),
+    )
+    return (
+        contrib.join(days.withColumnRenamed("day", "wday"), "wday")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("n_active_7d"))
+        .select(
+            F.unix_timestamp("wday").alias("day_epoch"),
+            "n_active_7d",
+        )
+    )

@@ -89,6 +89,9 @@ HEADLINE = [
     "q118_bucketed_join",
     "q119_asof_tolerance",
     "q120_rolling_active_users",
+    "q121_histogram",
+    "q122_fuzzy_match",
+    "q123_hll_sketch_union",
 ]
 
 

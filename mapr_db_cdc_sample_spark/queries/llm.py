@@ -1445,3 +1445,45 @@ def q116(spark, sf_dir):
         "exact_jaccard",
         F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 4).alias("abs_err"),
     )
+
+
+# --------------- blocked fuzzy entity matching (q122)
+
+_FUZZY_ORACLE = """
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@register("q122_fuzzy_match", oracle=_FUZZY_ORACLE)
+def q122(spark, sf_dir):
+    """Entity resolution by blocked fuzzy matching: candidate pairs come
+    only from within a blocking key (p_brand — the classic cheap
+    blocker), then edit distance <= 3 verifies. The quadratic term is
+    strictly within-block (the LSH-bucket invariant again, with
+    levenshtein instead of Jaccard as the verifier); both engines
+    implement classic Levenshtein so the distance is integer-exact.
+    At 100 TB the block key comes from a cheap normalizer (brand, zip,
+    sorted-token prefix) and blocks are capped like LSH buckets."""
+    p = load_tables(spark, sf_dir)["part"]
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        "p_brand",
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "p_brand")
+        .where(F.col("part_a") < F.col("part_b"))
+        .where(dist <= 3)
+        .select("part_a", "part_b", "name_a", "name_b", dist.cast("int").alias("dist"))
+    )

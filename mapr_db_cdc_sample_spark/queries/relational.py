@@ -1601,3 +1601,31 @@ def q120(spark, sf_dir):
             "n_active_7d",
         )
     )
+
+
+# ------------- fixed-width histogram (q121)
+
+_HISTOGRAM_ORACLE = """
+    SELECT event_type,
+           CAST(FLOOR(value / 10) AS INT) AS bin,
+           CAST(FLOOR(value / 10) * 10 AS DOUBLE) AS bin_lo,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("q121_histogram", oracle=_HISTOGRAM_ORACLE)
+def q121(spark, sf_dir):
+    """Fixed-width histogram per group: bin = floor(value/width). One
+    partial-aggregated groupBy over (type, bin) — |bins| output rows, so
+    at 100 TB the shuffle carries the histogram, not the data. The bin
+    edge is a double division both engines perform on the identical
+    parquet double, so boundary values bin identically."""
+    ev = load_tables(spark, sf_dir)["events"]
+    b = F.floor(F.col("value") / 10)
+    return ev.groupBy(
+        "event_type",
+        b.cast("int").alias("bin"),
+        (b * 10).cast("double").alias("bin_lo"),
+    ).agg(F.count("*").alias("n"))

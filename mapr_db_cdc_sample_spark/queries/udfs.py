@@ -138,3 +138,30 @@ def q74(spark, sf_dir):
         F.when(F.col("event_id") % 10 < 8, F.lit(0)).otherwise(F.col("user_id")),
     )
     return salted_count_sum(skewed, "hot_key", "value", n_salts=16, salt_source="event_id")
+
+
+@register("q123_hll_sketch_union", tags=("approx",))
+def q123(spark, sf_dir):
+    """Mergeable HLL sketches (DataSketches hll_sketch_agg): per-type
+    user sketches built in one pass, then UNIONED into a global estimate
+    — the sketch twin of q117's partial-agg identity, and the reason
+    approx-distinct scales: per-partition sketch state is O(k), merge is
+    associative, and a 100 TB refresh unions yesterday's stored sketches
+    with today's delta instead of rescanning. Rows-only (sketches have
+    no SQL oracle); the error bound vs exact is asserted in tests."""
+    ev = load_tables(spark, sf_dir)["events"]
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_type_out = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("long").alias("est_users"),
+        "exact_users",
+    )
+    merged = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").cast("long").alias("est_users"),
+        F.lit(None).cast("long").alias("exact_users"),
+    )
+    return per_type_out.unionByName(merged)

@@ -437,3 +437,35 @@ def test_jaccard_estimate_tracks_exact_on_planted_dups(spark, sf_dir):
         assert r.est_jaccard >= 0.75  # at most 2/8 hashes may disagree
     mean_err = sum(r.abs_err for r in rows) / len(rows)
     assert mean_err < 0.25
+
+
+def test_hll_sketch_union_error_bounded(spark, sf_dir):
+    """Per-type estimates within 5% of exact; the unioned ALL estimate
+    within 5% of the true global distinct-user count."""
+    from mapr_db_cdc_sample_spark.io import load_tables
+
+    rows = {r.event_type: r for r in REGISTRY["q123_hll_sketch_union"].fn(spark, sf_dir).collect()}
+    for t, r in rows.items():
+        if t == "ALL":
+            continue
+        assert abs(r.est_users - r.exact_users) / max(r.exact_users, 1) < 0.05
+    exact_all = (
+        load_tables(spark, sf_dir)["events"].select("user_id").distinct().count()
+    )
+    assert abs(rows["ALL"].est_users - exact_all) / exact_all < 0.05
+
+
+def test_fuzzy_match_symmetric_and_blocked(spark, sf_dir):
+    """Every emitted pair shares the block key and has true edit distance
+    <= 3; planted identical-name pairs within a brand are found."""
+    from mapr_db_cdc_sample_spark.io import load_tables
+
+    pairs = REGISTRY["q122_fuzzy_match"].fn(spark, sf_dir).collect()
+    assert pairs
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in load_tables(spark, sf_dir)["part"].collect()
+    }
+    for r in pairs:
+        assert brand[r.part_a] == brand[r.part_b]
+        assert r.dist <= 3 and r.part_a < r.part_b

@@ -1480,10 +1480,15 @@ def q122(spark, sf_dir):
         F.col("p_name").alias("name_b"),
         "p_brand",
     )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    # thresholded levenshtein (Spark 3.5+) runs the banded O(threshold*n)
+    # early-exit algorithm and returns -1 past the threshold — the filter
+    # must exclude -1, not just compare <=. (Measured: ~1.7x the plain
+    # form at sf0.1; a |len(a)-len(b)|<=3 pre-filter was tried and REMOVED
+    # — on short names it costs more than it prunes.)
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 3)
     return (
         a.join(b, "p_brand")
         .where(F.col("part_a") < F.col("part_b"))
-        .where(dist <= 3)
+        .where(dist.between(0, 3))
         .select("part_a", "part_b", "name_a", "name_b", dist.cast("int").alias("dist"))
     )

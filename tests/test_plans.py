@@ -262,3 +262,53 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q112_salted_join")
     assert has(plan, "Generate"), "dim-side salt replication missing"
     assert "salt" in plan, plan[:1500]
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """q113: one shuffle (user_id) feeds the lead() window — nothing else."""
+    plan = _plan(spark, sf_dir, "q113_scd2_dimension")
+    assert count_nodes(plan, "Exchange") == 1, plan_nodes(plan)
+    assert has(plan, "Window")
+
+
+def test_snapshot_compaction_partial_agg_no_window(spark, sf_dir):
+    """q114: struct-max aggregates partially before the shuffle and plans
+    NO window sort (the whole point vs the row_number form)."""
+    plan = _plan(spark, sf_dir, "q114_cdc_snapshot")
+    assert "partial_max" in plan, plan[:2000]
+    assert not has(plan, "Window"), plan_nodes(plan)
+    assert count_nodes(plan, "Exchange") == 1, plan_nodes(plan)
+
+
+def test_chunking_is_generate_only(spark, sf_dir):
+    """q115: chunking is scan → generate → project; zero exchanges."""
+    plan = _plan(spark, sf_dir, "q115_doc_chunking")
+    assert count_nodes(plan, "Exchange") == 0, plan_nodes(plan)
+    assert has(plan, "Generate")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """q118: the join over bucketed tables must not shuffle either side
+    (the aggregation after it may)."""
+    from mapr_db_cdc_sample_spark.io import load_tables
+    from mapr_db_cdc_sample_spark.operators.bucketing import write_bucketed
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    write_bucketed(t["orders"].select("o_custkey", "o_totalprice"), "tp_orders_b", "o_custkey")
+    write_bucketed(t["customer"].select("c_custkey", "c_mktsegment"), "tp_customer_b", "c_custkey")
+    j = spark.table("tp_orders_b").join(
+        spark.table("tp_customer_b"), F.col("o_custkey") == F.col("c_custkey")
+    )
+    plan = formatted_plan(j)
+    assert count_nodes(plan, "Exchange") == 0, plan_nodes(plan)
+
+
+def test_rolling_active_users_aggregates_presence_first(spark, sf_dir):
+    """q120: the raw-event pass collapses to distinct (user, day) BEFORE
+    the window explode — the explode factor applies to presences, not
+    events (the plan shows the distinct aggregate below the Generate)."""
+    plan = _plan(spark, sf_dir, "q120_rolling_active_users")
+    gen = plan.find("Generate")
+    assert gen != -1
+    assert has(plan[gen:], "HashAggregate"), "no presence dedup below the explode"

@@ -92,6 +92,8 @@ HEADLINE = [
     "q121_histogram",
     "q122_fuzzy_match",
     "q123_hll_sketch_union",
+    "q124_frame_sample",
+    "q125_media_resize",
 ]
 
 

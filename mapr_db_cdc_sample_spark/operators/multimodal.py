@@ -83,3 +83,67 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(features, FEATURE_SCHEMA)
+
+
+#: Frame-sampling contract: fixed-size byte frames, every Nth kept.
+FRAME_BYTES = 64
+FRAME_EVERY = 4
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, format string, new_width int, new_height int, thumb_md5 string"
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = FRAME_BYTES, every: int = FRAME_EVERY
+) -> DataFrame:
+    """Video-style frame sampling over a BinaryType payload: split into
+    fixed-size byte frames, keep every Nth (frame 0 always kept). Pure
+    JVM expressions — substring works on binary, and the generator
+    explodes frame INDICES (tiny ints), never duplicating the payload
+    per frame before slicing. Real decoders replace the fixed-size split
+    with container parsing; the sampling/stride/explode plumbing is the
+    part that scales and is exercised here."""
+    n_frames = F.ceil(F.length("payload") / F.lit(frame_bytes)).cast("int")
+    idx = F.filter(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: i % every == 0,
+    )
+    frame = F.col("payload").substr(
+        F.col("frame_idx") * frame_bytes + 1, F.lit(frame_bytes)
+    )
+    return (
+        media.where(F.length("payload") > 0)
+        .select("doc_id", "payload", F.explode(idx).alias("frame_idx"))
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.length(frame).alias("n_frame_bytes"),
+            F.md5(frame).alias("frame_md5"),
+        )
+    )
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Thumbnail/resize pass via mapInPandas over Arrow batches: halve
+    the (fake-)decoded dimensions and emit an md5 of the "thumbnail"
+    (deterministically the first 256 payload bytes — a real resizer
+    re-encodes; the batch plumbing, binary handling, and output contract
+    are what this exercises). decode_image() documents the real-decoder
+    swap-in point."""
+    import hashlib as _h
+
+    def resize(batches):
+        for pdf in batches:
+            outs = {"doc_id": [], "format": [], "new_width": [], "new_height": [], "thumb_md5": []}
+            for doc_id, fmt, payload in zip(pdf["doc_id"], pdf["format"], pdf["payload"]):
+                raw = bytes(payload)
+                w, h, _c = _fake_decode(raw, fmt)
+                outs["doc_id"].append(doc_id)
+                outs["format"].append(fmt)
+                outs["new_width"].append(max(w // 2, 1))
+                outs["new_height"].append(max(h // 2, 1))
+                outs["thumb_md5"].append(_h.md5(raw[:256]).hexdigest())
+            yield pd.DataFrame(outs)
+
+    return media.mapInPandas(resize, RESIZE_SCHEMA)

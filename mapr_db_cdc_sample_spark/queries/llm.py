@@ -1492,3 +1492,59 @@ def q122(spark, sf_dir):
         .where(dist.between(0, 3))
         .select("part_a", "part_b", "name_a", "name_b", dist.cast("int").alias("dist"))
     )
+
+
+# --------------- multimodal: frame sampling + resize (q124/q125)
+
+_FRAME_ORACLE = """
+    WITH f AS (
+        SELECT doc_id, text,
+               UNNEST(range(0, CAST(CEIL(LENGTH(text) / 64.0) AS INT))) AS fi
+        FROM documents WHERE LENGTH(text) > 0
+    )
+    SELECT doc_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST(LENGTH(SUBSTR(text, CAST(fi AS INT) * 64 + 1, 64)) AS INT) AS n_frame_bytes,
+           MD5(SUBSTR(text, CAST(fi AS INT) * 64 + 1, 64)) AS frame_md5
+    FROM f WHERE fi % 4 = 0
+"""
+
+
+@register("q124_frame_sample", oracle=_FRAME_ORACLE)
+def q124(spark, sf_dir):
+    """Multimodal frame sampling: fixed-size byte frames over the binary
+    payload, every 4th kept (operators/multimodal.sample_frames). The
+    generator explodes frame indices, not payload copies; slicing and
+    hashing are JVM binary expressions. The oracle runs the same byte
+    arithmetic on the text (the synth payload is its UTF-8 bytes and the
+    corpus is pure ASCII, so char == byte positions)."""
+    from ..operators.multimodal import sample_frames, synth_media
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return sample_frames(synth_media(d))
+
+
+_RESIZE_ORACLE = """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS format,
+           CAST(GREATEST((16 + ('0x' || SUBSTR(MD5(text), 1, 2))::INT % 240) // 2, 1)
+                AS INT) AS new_width,
+           CAST(GREATEST((16 + ('0x' || SUBSTR(MD5(text), 3, 2))::INT % 240) // 2, 1)
+                AS INT) AS new_height,
+           MD5(SUBSTR(text, 1, 256)) AS thumb_md5
+    FROM documents
+"""
+
+
+@register("q125_media_resize", oracle=_RESIZE_ORACLE)
+def q125(spark, sf_dir):
+    """Multimodal resize/thumbnail pass through mapInPandas Arrow batches
+    (operators/multimodal.resize_media): halved (fake-)decoded dims and
+    a thumbnail hash. The Python side is the REAL batch plumbing a GPU/
+    PIL resizer plugs into (decode_image is the documented swap-in); the
+    fake decoder's md5 arithmetic is replayed exactly by the DuckDB
+    oracle, so even this Python path is hash-checked."""
+    from ..operators.multimodal import resize_media, synth_media
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return resize_media(synth_media(d))

@@ -165,3 +165,47 @@ def q123(spark, sf_dir):
         F.lit(None).cast("long").alias("exact_users"),
     )
     return per_type_out.unionByName(merged)
+
+
+@register(
+    "q126_python_udtf",
+    oracle=None,  # set below: reuses q115's chunking oracle
+)
+def q126(spark, sf_dir):
+    """Python user-defined TABLE function (Spark 4 @udtf) invoked via
+    LATERAL — the arbitrary-fanout row producer the UDF surface was
+    missing. Semantics are deliberately q115's chunking contract
+    (64-token windows, stride 48) so the SAME DuckDB oracle hash-checks
+    this path: the UDTF yields (chunk_idx, n_tokens, chunk_md5) per doc,
+    md5-exact across engines. Row-at-a-time Python is the documented
+    slow path (q115 is the JVM-expression twin); the surface, the
+    LATERAL plan shape, and the exact-result contract are what this
+    proves."""
+    import hashlib as _h
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk_md5 string")
+    class ChunkSpans:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").lower().split(" ") if t]
+            idx, start = 0, 0
+            while start < len(toks):
+                chunk = toks[start : start + 64]
+                yield idx, len(chunk), _h.md5(" ".join(chunk).encode()).hexdigest()
+                idx += 1
+                start += 48
+
+    load_tables(spark, sf_dir)
+    spark.udtf.register("chunk_spans", ChunkSpans)
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_md5 "
+        "FROM documents d, LATERAL chunk_spans(d.text) c"
+    )
+
+
+# reuse q115's oracle: identical contract, different execution mechanism
+from .corpus import _CHUNK_ORACLE as _Q126_ORACLE  # noqa: E402
+from . import REGISTRY as _REG  # noqa: E402
+
+_REG["q126_python_udtf"].oracle = _Q126_ORACLE

@@ -462,10 +462,10 @@ def test_fuzzy_match_symmetric_and_blocked(spark, sf_dir):
 
     pairs = REGISTRY["q122_fuzzy_match"].fn(spark, sf_dir).collect()
     assert pairs
-    brand = {
-        r.p_partkey: r.p_brand
+    block = {
+        r.p_partkey: (r.p_brand, r.p_type)
         for r in load_tables(spark, sf_dir)["part"].collect()
     }
     for r in pairs:
-        assert brand[r.part_a] == brand[r.part_b]
+        assert block[r.part_a] == block[r.part_b]
         assert r.dist <= 3 and r.part_a < r.part_b

@@ -94,6 +94,8 @@ HEADLINE = [
     "q123_hll_sketch_union",
     "q124_frame_sample",
     "q125_media_resize",
+    "q126_python_udtf",
+    "q127_embedding_outliers",
 ]
 
 

@@ -1553,3 +1553,81 @@ def q125(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     return resize_media(synth_media(d))
+
+
+# --------------- per-group centroid + embedding outliers (q127)
+
+_OUTLIER_ORACLE = """
+    WITH e AS (
+        SELECT d.lang, v.vec_id,
+               LIST_TRANSFORM(v.embedding,
+                              x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS q
+        FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id
+    ), comp AS (
+        SELECT lang, pos, SUM(val) AS s, COUNT(*) AS n
+        FROM (SELECT lang, UNNEST(q) AS val, GENERATE_SUBSCRIPTS(q, 1) AS pos
+              FROM e)
+        GROUP BY 1, 2
+    ), cent AS (
+        SELECT lang, LIST(CAST(s AS DOUBLE) / n ORDER BY pos) AS cen
+        FROM comp GROUP BY lang
+    ), scored AS (
+        SELECT e.lang, e.vec_id,
+               ROUND(list_cosine_similarity(e.q::DOUBLE[], c.cen), 4) AS cos_centroid
+        FROM e JOIN cent c ON c.lang = e.lang
+    )
+    SELECT lang, vec_id, cos_centroid
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY cos_centroid, vec_id) AS rn
+          FROM scored) t
+    WHERE rn <= 3
+"""
+
+
+@register("q127_embedding_outliers", oracle=_OUTLIER_ORACLE)
+def q127(spark, sf_dir):
+    """Embedding quality filter: per-language centroid, then the 3 docs
+    least aligned with their group (lowest cosine to centroid) — the
+    standard embedding-space outlier sweep before training. Cross-engine
+    exactness trick: embeddings are quantized to integers
+    (floor(x*1e6+0.5), the q101 recipe) FIRST, so centroid sums, dot
+    products, and norms are sums of exact integers below 2^53 —
+    bit-identical in any accumulation order on both engines; only the
+    final cosine division is floating point, and it divides identical
+    doubles. Centroids are k x dim (a broadcast); ranking is
+    WindowGroupLimit on the ROUNDED cosine with vec_id tiebreak."""
+    t = load_tables(spark, sf_dir)
+    v, d = t["embeddings"], t["documents"]
+    e = v.join(
+        d.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+    ).select(
+        "lang",
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x * 1000000 + 0.5).cast("long")
+        ).alias("q"),
+    )
+    comp = (
+        e.select("lang", F.posexplode("q").alias("pos", "val"))
+        .groupBy("lang", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    )
+    cent = comp.groupBy("lang").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pos", (F.col("s").cast("double") / F.col("n")).alias("c"))
+                )
+            ),
+            lambda x: x["c"],
+        ).alias("cen")
+    )
+    scored = e.join(F.broadcast(cent), "lang").select(
+        "lang", "vec_id", V.cosine(F.col("q"), F.col("cen")).alias("cos_centroid")
+    )
+    w = Window.partitionBy("lang").orderBy("cos_centroid", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("lang", "vec_id", "cos_centroid")
+    )

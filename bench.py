@@ -96,6 +96,7 @@ HEADLINE = [
     "q125_media_resize",
     "q126_python_udtf",
     "q127_embedding_outliers",
+    "q128_funnel",
 ]
 
 

@@ -1629,3 +1629,78 @@ def q121(spark, sf_dir):
         b.cast("int").alias("bin"),
         (b * 10).cast("double").alias("bin_lo"),
     ).agg(F.count("*").alias("n"))
+
+
+# ------------- ordered conversion funnel (q128)
+
+_FUNNEL_ORACLE = """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS INT) AS stage, 'signup' AS stage_name, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click_after_signup', COUNT(*) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase_after_click', COUNT(*) FROM s3
+"""
+
+
+@register("q128_funnel", oracle=_FUNNEL_ORACLE)
+def q128(spark, sf_dir):
+    """Ordered conversion funnel (signup → later click → later purchase):
+    users advance a stage only with a STRICTLY LATER event, the product-
+    analytics staple that a naive per-type count gets wrong (a click
+    before the signup must not count). Three chained filtered
+    aggregations, each keyed on user_id — the per-stage join reuses the
+    same uniform key, the stage tables shrink monotonically, and at
+    100 TB each stage is one partial-agg pass over an already-filtered
+    event slice, never a window over full history."""
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def stage(prev, etype, tcol):
+        e = ev.where(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+        pcol = prev.columns[-1]
+        return (
+            e.join(prev, "user_id")
+            .where(F.col("ts") > F.col(pcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s1 = stage(None, "signup", "t1")
+    s2 = stage(s1, "click", "t2")
+    s3 = stage(s2, "purchase", "t3")
+    rows = [
+        s1.agg(F.count("*").alias("n_users")).select(
+            F.lit(1).cast("int").alias("stage"),
+            F.lit("signup").alias("stage_name"),
+            "n_users",
+        ),
+        s2.agg(F.count("*").alias("n_users")).select(
+            F.lit(2).cast("int").alias("stage"),
+            F.lit("click_after_signup").alias("stage_name"),
+            "n_users",
+        ),
+        s3.agg(F.count("*").alias("n_users")).select(
+            F.lit(3).cast("int").alias("stage"),
+            F.lit("purchase_after_click").alias("stage_name"),
+            "n_users",
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -97,6 +97,8 @@ HEADLINE = [
     "q126_python_udtf",
     "q127_embedding_outliers",
     "q128_funnel",
+    "q129_supplier_shipped_last",
+    "q130_profit_attribution",
 ]
 
 

@@ -279,3 +279,106 @@ def q98(spark, sf_dir):
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+_Q129_ORACLE = """
+    SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+"""
+
+
+@register("q129_supplier_shipped_last", oracle=_Q129_ORACLE)
+def q129(spark, sf_dir):
+    """TPC-H Q21's join structure (the hardest shape in the suite: a
+    correlated EXISTS and NOT EXISTS against the same fact table)
+    adapted to this schema: suppliers who shipped LAST among
+    multi-supplier orders. Spark side decorrelates by hand — one
+    leftsemi (another supplier exists in the order) and one leftanti
+    (no other supplier shipped later) against slim (orderkey, suppkey,
+    shipdate) projections of the same scan; the oracle keeps the
+    correlated-subquery form, proving plan-shape independence. Both
+    probes join on l_orderkey (uniform); count is over distinct orders;
+    top-10 has the s_name tiebreak."""
+    t = load_tables(spark, sf_dir)
+    li, sup = t["lineitem"], t["supplier"]
+    slim = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = slim.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = slim.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    has_other = slim.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "leftsemi",
+    )
+    shipped_last = has_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        & (F.col("d3") > F.col("l_shipdate")),
+        "leftanti",
+    )
+    return (
+        shipped_last.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+_Q130_ORACLE = """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+"""
+
+
+@register("q130_profit_attribution", oracle=_Q130_ORACLE)
+def q130(spark, sf_dir):
+    """TPC-H Q9's shape (the widest join tree: fact + 4 dimensions) —
+    profit per supplier-nation per order-year for one part family. The
+    p_name filter prunes part BEFORE the join (pushdown through a join
+    key), part/supplier/nation broadcast, and only the orders join
+    shuffles fact-side. Money factors decimal-cast per the determinism
+    rules; year is integer-exact."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    p = t["part"].where(F.col("p_name").like("%gear%")).select("p_partkey")
+    s = t["supplier"].select("s_suppkey", "s_nationkey")
+    n = t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))
+    o = t["orders"].select("o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum(rev).cast("double").alias("profit"))
+    )

@@ -99,6 +99,7 @@ HEADLINE = [
     "q128_funnel",
     "q129_supplier_shipped_last",
     "q130_profit_attribution",
+    "q131_frequent_itemsets",
 ]
 
 

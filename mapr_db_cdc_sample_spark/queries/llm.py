@@ -1631,3 +1631,40 @@ def q127(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("lang", "vec_id", "cos_centroid")
     )
+
+
+# --------------- frequent itemsets (q131)
+
+@register("q131_frequent_itemsets", tags=("approx",))
+def q131(spark, sf_dir):
+    """Frequent itemsets over order baskets (pyspark.ml FPGrowth) — the
+    co-occurrence miner (what parts sell together; for corpora: what
+    sources/tags co-occur). Baskets = distinct parts per order;
+    FP-Growth's support counts are EXACT for a given minSupport (the
+    algorithm prunes, it doesn't approximate), so the property test
+    verifies reported supports against brute-force counts for 1- and
+    2-itemsets. Rows-only: itemset arrays aren't SQL-oracle-friendly,
+    and the itemset lattice is the genuinely iterative part. Output is
+    deterministic: items sorted inside each set, sets ranked by
+    (freq desc, items)."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=0.002, minConfidence=0.1
+    ).fit(baskets)
+    return (
+        model.freqItemsets.select(
+            F.to_json(F.sort_array(F.col("items"))).alias("itemset"),
+            F.size("items").alias("k"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+        .orderBy(F.col("freq").desc(), "itemset")
+        .limit(100)
+    )

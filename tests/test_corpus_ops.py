@@ -469,3 +469,30 @@ def test_fuzzy_match_symmetric_and_blocked(spark, sf_dir):
     for r in pairs:
         assert block[r.part_a] == block[r.part_b]
         assert r.dist <= 3 and r.part_a < r.part_b
+
+
+def test_frequent_itemsets_supports_are_exact(spark, sf_dir):
+    """FP-Growth reported frequencies equal brute-force basket counts
+    for every 1- and 2-itemset it emits, and all meet minSupport."""
+    import json as _json
+
+    from mapr_db_cdc_sample_spark.io import load_tables
+
+    rows = REGISTRY["q131_frequent_itemsets"].fn(spark, sf_dir).collect()
+    assert rows
+    baskets = [
+        set(r.items)
+        for r in load_tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+        .collect()
+    ]
+    n = len(baskets)
+    for r in rows:
+        items = set(_json.loads(r.itemset))
+        assert r.freq >= 0.002 * n
+        if len(items) <= 2:
+            exact = sum(1 for b in baskets if items <= b)
+            assert exact == r.freq, (r.itemset, exact, r.freq)

@@ -100,6 +100,7 @@ HEADLINE = [
     "q129_supplier_shipped_last",
     "q130_profit_attribution",
     "q131_frequent_itemsets",
+    "q132_interval_join",
 ]
 
 

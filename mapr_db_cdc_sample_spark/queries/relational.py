@@ -1704,3 +1704,67 @@ def q128(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ------------- bucketized interval join (q132)
+
+_INTERVAL_ORACLE = """
+    WITH b AS (
+        SELECT CAST(FLOOR(FLOOR(epoch(MIN(ts))) / 3600) * 3600 AS BIGINT) AS t0
+        FROM events
+    ), w AS (
+        SELECT CAST(i AS INT) AS w_id,
+               t0 + i * 21600 AS ws,
+               t0 + i * 21600 + 7200 AS we
+        FROM b, UNNEST(range(0, 120)) AS t(i)
+    )
+    SELECT w.w_id, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users
+    FROM w JOIN events e
+      ON FLOOR(epoch(e.ts)) >= w.ws AND FLOOR(epoch(e.ts)) < w.we
+    GROUP BY w.w_id
+"""
+
+
+@register("q132_interval_join", oracle=_INTERVAL_ORACLE)
+def q132(spark, sf_dir):
+    """Interval/range join re-expressed as a bucket EQUI-join — the only
+    shape that survives two LARGE sides at 100 TB (a raw range predicate
+    plans as broadcast-nested-loop: quadratic). 2-hour maintenance
+    windows every 6 hours are exploded into the hour buckets they
+    overlap; events carry their hour bucket; the join key is the bucket
+    (uniform, shuffleable, AQE-coalescible) and the exact range
+    predicate runs as a cheap post-filter within bucket matches. Window
+    boundaries are whole hours, so floored-epoch comparisons agree
+    across engines at every edge. The oracle is the plain range
+    predicate — bucketization must be invisible in the result."""
+    ev = load_tables(spark, sf_dir)["events"]
+    t0 = ev.agg(
+        (F.floor(F.unix_timestamp(F.min("ts")) / 3600) * 3600).alias("t0")
+    )
+    w = (
+        t0.select(F.explode(F.sequence(F.lit(0), F.lit(119))).alias("i"), "t0")
+        .select(
+            F.col("i").cast("int").alias("w_id"),
+            (F.col("t0") + F.col("i") * 21600).alias("ws"),
+            (F.col("t0") + F.col("i") * 21600 + 7200).alias("we"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("ws") / 3600), F.floor((F.col("we") - 1) / 3600)
+                )
+            ),
+        )
+    )
+    e = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+    ).withColumn("bucket", F.floor(F.col("es") / 3600))
+    joined = e.join(w, "bucket").where(
+        (F.col("es") >= F.col("ws")) & (F.col("es") < F.col("we"))
+    )
+    return joined.groupBy("w_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

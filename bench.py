@@ -101,6 +101,8 @@ HEADLINE = [
     "q130_profit_attribution",
     "q131_frequent_itemsets",
     "q132_interval_join",
+    "q133_partition_prune",
+    "q134_json_source",
 ]
 
 

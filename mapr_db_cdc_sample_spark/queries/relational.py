@@ -1768,3 +1768,90 @@ def q132(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ------------- partitioned write + partition-pruned scan (q133)
+
+_PART_PRUNE_ORACLE = """
+    SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    WHERE date_trunc('day', ts) = '2024-01-03'
+    GROUP BY 1, 2
+"""
+
+
+@register("q133_partition_prune", oracle=_PART_PRUNE_ORACLE)
+def q133(spark, sf_dir):
+    """Write-path day-partitioning + partition-PRUNED read, surfaced
+    through the driver gate (q118's pattern, for partitioning instead of
+    bucketing): events land as day=YYYY-MM-DD directories, and the
+    single-day read shows PartitionFilters in the scan — at 100 TB the
+    pruned read touches 1/365th of the files, the difference between a
+    table scan and an index lookup. The partitioned copy is (re)written
+    per invocation into a process-scoped tmp dir; the oracle reads the
+    unpartitioned原 table with the same predicate — layout must be
+    invisible in the result."""
+    import tempfile
+
+    ev = load_tables(spark, sf_dir)["events"]
+    path = tempfile.mkdtemp(prefix="q133_part_")
+    ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(path)
+    part = spark.read.parquet(path).where(F.col("day") == "2024-01-03")
+    return part.groupBy(
+        F.unix_timestamp(F.to_timestamp("day")).alias("day_epoch"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+# ------------- JSON-lines source round-trip (q134)
+
+_JSON_SRC_ORACLE = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register("q134_json_source", oracle=_JSON_SRC_ORACLE)
+def q134(spark, sf_dir):
+    """Source-format coverage: the events table serialized to JSON lines
+    and read back through spark.read.json with an EXPLICIT schema (never
+    inference at scale — one pass saved and types pinned), then
+    aggregated. The oracle aggregates the parquet original, so the
+    round-trip must lose nothing: epoch-micros survive as longs, doubles
+    as doubles. At 100 TB, JSON is the interchange/landing format and
+    this is the ingest pattern: schema-on-read with strict types,
+    straight into columnar aggregation."""
+    import tempfile
+
+    ev = load_tables(spark, sf_dir)["events"]
+    path = tempfile.mkdtemp(prefix="q134_json_")
+    # micros-as-long keeps the timestamp exact through text
+    ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").json(path)
+    schema = (
+        "event_id bigint, ts_us bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -312,3 +312,13 @@ def test_rolling_active_users_aggregates_presence_first(spark, sf_dir):
     gen = plan.find("Generate")
     assert gen != -1
     assert has(plan[gen:], "HashAggregate"), "no presence dedup below the explode"
+
+
+def test_partition_prune_reaches_scan(spark, sf_dir):
+    """q133's single-day read must carry a PartitionFilter on day (the
+    pruned scan is the whole point of the partitioned write)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q133_partition_prune")
+    m = re.findall(r"PartitionFilters: \[[^\]]*day[^\]]*\]", plan)
+    assert m, plan[:2000]

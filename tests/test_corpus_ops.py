@@ -496,3 +496,62 @@ def test_frequent_itemsets_supports_are_exact(spark, sf_dir):
         if len(items) <= 2:
             exact = sum(1 for b in baskets if items <= b)
             assert exact == r.freq, (r.itemset, exact, r.freq)
+
+
+def test_incremental_agg_merge_is_split_invariant(spark, sf_dir):
+    """agg(old) merged with agg(delta) must equal the direct aggregation
+    for ANY split point, not just q117's registered one — the property
+    that makes incremental refresh trustworthy."""
+    from mapr_db_cdc_sample_spark.io import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    direct = {
+        r.user_id: (r.n, float(r.s))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        )
+
+    for split in ["2024-01-02", "2024-01-15", "2024-02-27"]:
+        cut = F.lit(split).cast("timestamp")
+        merged = {
+            r.user_id: (r.n, float(r.s))
+            for r in partial(ev.where(F.col("ts") < cut))
+            .unionAll(partial(ev.where(F.col("ts") >= cut)))
+            .groupBy("user_id")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("s").cast("double").alias("s"),
+            )
+            .collect()
+        }
+        assert merged == direct, split
+
+
+def test_interval_join_counts_match_bruteforce(spark, sf_dir):
+    """q132's per-window counts re-verified in pure Python from the raw
+    events (boundary semantics: ws <= floor(epoch) < we)."""
+    import math
+
+    from mapr_db_cdc_sample_spark.io import load_tables
+
+    rows = {r.w_id: (r.n_events, r.n_users) for r in REGISTRY["q132_interval_join"].fn(spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts").collect()
+    epochs = [(r.user_id, math.floor(r.ts.timestamp())) for r in ev]
+    t0 = (min(e for _, e in epochs) // 3600) * 3600
+    brute = {}
+    for i in range(120):
+        ws, we = t0 + i * 21600, t0 + i * 21600 + 7200
+        hits = [(u, e) for u, e in epochs if ws <= e < we]
+        if hits:
+            brute[i] = (len(hits), len({u for u, _ in hits}))
+    assert rows == brute

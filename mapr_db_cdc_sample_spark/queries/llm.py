@@ -182,11 +182,19 @@ _BANDS_CTE = """, bands AS (
         '2:' || mh4 || ':' || mh5,
         '3:' || mh6 || ':' || mh7]) AS band
     FROM sig WHERE mh0 IS NOT NULL
-)"""
+), bands_capped AS (
+    -- model the Spark side's mega-bucket cap (banding.DEFAULT_BUCKET_CAP):
+    -- buckets above the cap are dropped from candidate generation on BOTH
+    -- engines, so a boilerplate cluster can never make them diverge
+    SELECT doc_id, band FROM (
+        SELECT doc_id, band, COUNT(*) OVER (PARTITION BY band) AS n_ids
+        FROM bands
+    ) WHERE n_ids BETWEEN 2 AND {cap}
+)""".format(cap=B.DEFAULT_BUCKET_CAP)
 
 _LSH_PAIRS_ORACLE = _MINHASH_CTE + _BANDS_CTE + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+FROM bands_capped a JOIN bands_capped b ON a.band = b.band AND a.doc_id < b.doc_id
 """
 
 
@@ -283,7 +291,7 @@ def q45(spark, sf_dir):
 _JACCARD_ORACLE = _MINHASH_CTE + _BANDS_CTE + """
 , cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    FROM bands_capped a JOIN bands_capped b ON a.band = b.band AND a.doc_id < b.doc_id
 ), grams AS (
     -- Jaccard over 60-bit-hashed shingles == over shingle strings (the
     -- hash map is shared with the Spark side, so even a collision would
@@ -563,15 +571,11 @@ LIMIT 5
 """
 
 
-@register("q52_ann_ivf", oracle=_IVF_ORACLE)
-def q52(spark, sf_dir):
-    """ANN, IVF-style: 10 fixed centroids (vec_id < 10 — a deterministic
-    'training' stand-in), every vector assigned to its nearest centroid
-    (argmax over a 10-row broadcast), query probes its top-2 cells, exact
-    top-5 within the probed cells. The linear scan of q38 becomes a scan
-    of ~2/10ths of the data; at 100 TB the assignment is a write-time
-    partition key."""
-    e = load_tables(spark, sf_dir)["embeddings"]
+def _ivf_parts(e):
+    """Shared IVF stages: (centroids, per-vector nearest-centroid
+    assignment, query vector for vec_id 42). 10 fixed centroids
+    (vec_id < 10 — a deterministic 'training' stand-in); assignment is
+    an argmax over a 10-row broadcast."""
     cent = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
     )
@@ -585,6 +589,19 @@ def q52(spark, sf_dir):
         .select("vec_id", "embedding", "c_id")
     )
     q = e.where(F.col("vec_id") == 42).select(F.col("embedding").alias("qe"))
+    return cent, assigned, q
+
+
+@register("q52_ann_ivf", oracle=_IVF_ORACLE)
+def q52(spark, sf_dir):
+    """ANN, IVF-style: 10 fixed centroids (vec_id < 10 — a deterministic
+    'training' stand-in), every vector assigned to its nearest centroid
+    (argmax over a 10-row broadcast), query probes its top-2 cells, exact
+    top-5 within the probed cells. The linear scan of q38 becomes a scan
+    of ~2/10ths of the data; q135 materializes this assignment as a
+    write-time partition key — the 100 TB form."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    cent, assigned, q = _ivf_parts(e)
     probe = (
         cent.join(F.broadcast(q))
         .select("c_id", V.cosine(F.col("qe"), F.col("ce")).alias("q_sim"))
@@ -594,6 +611,46 @@ def q52(spark, sf_dir):
     )
     return (
         assigned.join(F.broadcast(probe), "c_id")
+        .join(F.broadcast(q))
+        .where(F.col("vec_id") != 42)
+        .select("vec_id", V.cosine(F.col("embedding"), F.col("qe")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+@register("q135_ivf_partition_scan", oracle=_IVF_ORACLE)
+def q135(spark, sf_dir):
+    """The PERSISTED form of q52: the centroid assignment becomes a
+    write-time partition key (cell=N directories — the q133 pattern
+    applied to vectors), and the query plans against the LAYOUT — the
+    two probed cell ids are resolved first (a 2-row driver action, the
+    index-lookup step every vector store performs at query time), then
+    the scan reads ONLY those two directories (PartitionFilters,
+    plan-asserted) and exact-re-ranks within them. At 100 TB this is the
+    difference between scanning the corpus per query and reading ~2/10ths
+    of it; the index build cost amortizes over every query served. The
+    oracle is q52's SQL unchanged — the layout must be invisible in the
+    result."""
+    from ..scratch import scratch_dir
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    cent, assigned, q = _ivf_parts(e)
+    path = scratch_dir("q135_ivf")
+    assigned.withColumnRenamed("c_id", "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    probe_ids = [
+        r.c_id
+        for r in cent.join(F.broadcast(q))
+        .select("c_id", V.cosine(F.col("qe"), F.col("ce")).alias("q_sim"))
+        .orderBy(F.col("q_sim").desc(), F.col("c_id"))
+        .limit(2)
+        .collect()
+    ]
+    idx = spark.read.parquet(path)
+    return (
+        idx.where(F.col("cell").isin(probe_ids))
         .join(F.broadcast(q))
         .where(F.col("vec_id") != 42)
         .select("vec_id", V.cosine(F.col("embedding"), F.col("qe")).alias("sim"))
@@ -1374,7 +1431,7 @@ _EST_TERMS = " + ".join(f"CAST(sa.mh{j} = sb.mh{j} AS INT)" for j in range(8))
 _JACCARD_EST_ORACLE = _MINHASH_CTE + _BANDS_CTE + f"""
 , cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    FROM bands_capped a JOIN bands_capped b ON a.band = b.band AND a.doc_id < b.doc_id
 ), grams AS (
     SELECT doc_id, LIST_DISTINCT(hs) AS gs FROM hv
 ), scored AS (
@@ -1635,18 +1692,60 @@ def q127(spark, sf_dir):
 
 # --------------- frequent itemsets (q131)
 
-@register("q131_frequent_itemsets", tags=("approx",))
+#: minSupport = 1/512 — EXACTLY representable in binary, so Spark's
+#: `ceil(minSupport * numBaskets)` (double math, ml/fpm/FPGrowth) and the
+#: oracle's `CEIL(n / 512)` agree for every basket count. A decimal like
+#: 0.002 would put the two engines one basket apart whenever
+#: 0.002*n crosses an integer (0.002 is not a binary-exact double).
+_FPM_MIN_SUPPORT = 1.0 / 512
+
+_ITEMSETS_ORACLE = """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), stats AS (
+        SELECT CEIL(CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) / 512) AS min_count
+        FROM baskets
+    ), k1 AS (
+        SELECT '[' || l_partkey || ']' AS itemset, 1 AS k, COUNT(*) AS freq
+        FROM baskets GROUP BY l_partkey
+    ), k2 AS (
+        SELECT '[' || a.l_partkey || ',' || b.l_partkey || ']' AS itemset,
+               2 AS k, COUNT(*) AS freq
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1
+    ), k3 AS (
+        SELECT '[' || a.l_partkey || ',' || b.l_partkey || ',' || c.l_partkey || ']' AS itemset,
+               3 AS k, COUNT(*) AS freq
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        JOIN baskets c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+        GROUP BY 1
+    ), allsets AS (
+        SELECT * FROM k1 UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3
+    )
+    SELECT itemset, k, CAST(freq AS BIGINT) AS freq
+    FROM allsets, stats
+    WHERE freq >= min_count
+    ORDER BY freq DESC, itemset
+    LIMIT 100
+"""
+
+
+@register("q131_frequent_itemsets", oracle=_ITEMSETS_ORACLE)
 def q131(spark, sf_dir):
     """Frequent itemsets over order baskets (pyspark.ml FPGrowth) — the
     co-occurrence miner (what parts sell together; for corpora: what
     sources/tags co-occur). Baskets = distinct parts per order;
     FP-Growth's support counts are EXACT for a given minSupport (the
-    algorithm prunes, it doesn't approximate), so the property test
-    verifies reported supports against brute-force counts for 1- and
-    2-itemsets. Rows-only: itemset arrays aren't SQL-oracle-friendly,
-    and the itemset lattice is the genuinely iterative part. Output is
-    deterministic: items sorted inside each set, sets ranked by
-    (freq desc, items)."""
+    algorithm prunes, it doesn't approximate), which makes the full
+    DuckDB oracle possible: the k<=3 slice of the lattice is plain SQL
+    (self-joins on the basket table + HAVING), so the driver hash-checks
+    FP-Growth's counts end-to-end; the pytest property test additionally
+    brute-forces 1-/2-itemset supports. Output is deterministic: items
+    sorted inside each set, sets ranked by (freq desc, items), and the
+    emitted slice is capped at k<=3 to keep the oracle enumerable (the
+    miner still builds the full lattice)."""
     from pyspark.ml.fpm import FPGrowth
 
     li = load_tables(spark, sf_dir)["lineitem"]
@@ -1657,10 +1756,11 @@ def q131(spark, sf_dir):
         .agg(F.collect_set("l_partkey").alias("items"))
     )
     model = FPGrowth(
-        itemsCol="items", minSupport=0.002, minConfidence=0.1
+        itemsCol="items", minSupport=_FPM_MIN_SUPPORT, minConfidence=0.1
     ).fit(baskets)
     return (
-        model.freqItemsets.select(
+        model.freqItemsets.where(F.size("items") <= 3)
+        .select(
             F.to_json(F.sort_array(F.col("items"))).alias("itemset"),
             F.size("items").alias("k"),
             F.col("freq").cast("long").alias("freq"),

@@ -1790,14 +1790,15 @@ def q133(spark, sf_dir):
     bucketing): events land as day=YYYY-MM-DD directories, and the
     single-day read shows PartitionFilters in the scan — at 100 TB the
     pruned read touches 1/365th of the files, the difference between a
-    table scan and an index lookup. The partitioned copy is (re)written
-    per invocation into a process-scoped tmp dir; the oracle reads the
-    unpartitioned原 table with the same predicate — layout must be
+    table scan and an index lookup. The partitioned copy is rewritten
+    in place into one process-scoped dir (overwrite mode — bench's
+    min-of-N loop reuses it, nothing leaks); the oracle reads the
+    unpartitioned table with the same predicate — layout must be
     invisible in the result."""
-    import tempfile
+    from ..scratch import scratch_dir
 
     ev = load_tables(spark, sf_dir)["events"]
-    path = tempfile.mkdtemp(prefix="q133_part_")
+    path = scratch_dir("q133_part")
     ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.mode(
         "overwrite"
     ).partitionBy("day").parquet(path)
@@ -1832,10 +1833,10 @@ def q134(spark, sf_dir):
     as doubles. At 100 TB, JSON is the interchange/landing format and
     this is the ingest pattern: schema-on-read with strict types,
     straight into columnar aggregation."""
-    import tempfile
+    from ..scratch import scratch_dir
 
     ev = load_tables(spark, sf_dir)["events"]
-    path = tempfile.mkdtemp(prefix="q134_json_")
+    path = scratch_dir("q134_json")
     # micros-as-long keeps the timestamp exact through text
     ev.select(
         "event_id",
@@ -1855,3 +1856,41 @@ def q134(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ------------- AQE skew-join splitting, observable (q136)
+
+_AQE_SKEW_ORACLE = """
+    WITH ev AS (
+        SELECT CASE WHEN event_id % 10 < 8 THEN 1
+                    ELSE user_id % 100 + 1 END AS join_key,
+               value
+        FROM events
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM ev JOIN customer c ON c.c_custkey = ev.join_key
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register("q136_aqe_skew_join", oracle=_AQE_SKEW_ORACLE)
+def q136(spark, sf_dir):
+    """AQE skew-join splitting exercised END TO END (SURVEY §4.2 names it
+    for the 100 TB posture; q74/q112 cover manual salting — this is the
+    runtime-automatic twin): 80% of events hash to ONE join key, the
+    broadcast path is disabled so the join genuinely shuffles, and AQE's
+    OptimizeSkewedJoin splits the hot partition into advisory-sized
+    pieces at runtime (plan-asserted in tests via the skew=true marker).
+    The skew confs are scoped to THIS query's execution — the result is
+    materialized under them (localCheckpoint), then the session confs are
+    restored, because Spark reads SQLConf at execution time, not at
+    DataFrame construction. Oracle = the plain join: splitting must be
+    invisible in the result."""
+    from ..operators import skew
+
+    t = load_tables(spark, sf_dir)
+    df = skew.skewed_segment_rollup(t["events"], t["customer"])
+    with skew.scoped_confs(spark, skew.AQE_SKEW_CONFS):
+        return df.localCheckpoint(eager=True)

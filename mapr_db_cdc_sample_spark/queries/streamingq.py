@@ -11,7 +11,6 @@ and applyInPandasWithState document materialization.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import functions as F
@@ -19,6 +18,7 @@ from pyspark.sql import functions as F
 from ..cdc.fixtures import synth_cdc_from_events
 from ..cdc.schema import CDC_JSON_SCHEMA
 from ..io import load_tables
+from ..scratch import scratch_dir
 from ..sources.replay import read_replay, run_to_memory, write_replay
 from . import register
 
@@ -73,7 +73,7 @@ def q60(spark, sf_dir):
     ev, _ = _bounded_events(spark, sf_dir)
     cdc = synth_cdc_from_events(ev)
     n = cdc.count()
-    base = tempfile.mkdtemp(prefix="q60_")
+    base = scratch_dir()
     replay = write_replay(cdc, n_chunks=4, order_by="ts")
     stream = read_replay(spark, replay, CDC_JSON_SCHEMA, files_per_trigger=2)
     fts_dir, geo_dir = f"{base}/fts", f"{base}/geo"
@@ -206,7 +206,7 @@ def q70(spark, sf_dir):
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="q70_ckpt_"))
+        .option("checkpointLocation", scratch_dir())
         .trigger(availableNow=True)
         .start()
     )

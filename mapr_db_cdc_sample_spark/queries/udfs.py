@@ -150,9 +150,16 @@ def q123(spark, sf_dir):
     with today's delta instead of rescanning. Rows-only (sketches have
     no SQL oracle); the error bound vs exact is asserted in tests."""
     ev = load_tables(spark, sf_dir)["events"]
-    per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.countDistinct("user_id").alias("exact_users"),
+    # persisted: both output branches (per-type rows AND the union-merge)
+    # consume this aggregation; uncached, the events scan + sketch build
+    # would execute twice. The cached relation is k rows of sketch state.
+    per_type = (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .persist()
     )
     per_type_out = per_type.select(
         "event_type",

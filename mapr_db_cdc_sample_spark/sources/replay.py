@@ -11,12 +11,13 @@ chunks is by file order — same guarantees as per-partition Kafka order.
 from __future__ import annotations
 
 import os
-import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+from ..scratch import scratch_dir
 
 
 def write_replay(
@@ -30,7 +31,7 @@ def write_replay(
     With `order_by` (an event-time column) chunks are RANGE-partitioned on
     time, like a real changelog whose files arrive in order — required for
     watermark tests, where a random split would make most data late."""
-    path = base_dir or tempfile.mkdtemp(prefix="cdc_replay_")
+    path = base_dir or scratch_dir()
     if order_by:
         df = df.repartitionByRange(n_chunks, F.col(order_by)).sortWithinPartitions(order_by)
     else:
@@ -67,7 +68,8 @@ def read_replay(
 
 
 def checkpoint_dir() -> str:
-    return tempfile.mkdtemp(prefix="cdc_ckpt_")
+    # unique by contract: checkpoint offsets/state are query-scoped
+    return scratch_dir()
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):

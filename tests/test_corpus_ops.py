@@ -489,10 +489,12 @@ def test_frequent_itemsets_supports_are_exact(spark, sf_dir):
         .agg(F.collect_set("l_partkey").alias("items"))
         .collect()
     ]
+    import math
+
     n = len(baskets)
     for r in rows:
         items = set(_json.loads(r.itemset))
-        assert r.freq >= 0.002 * n
+        assert r.freq >= math.ceil(n / 512)
         if len(items) <= 2:
             exact = sum(1 for b in baskets if items <= b)
             assert exact == r.freq, (r.itemset, exact, r.freq)

@@ -322,3 +322,34 @@ def test_partition_prune_reaches_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q133_partition_prune")
     m = re.findall(r"PartitionFilters: \[[^\]]*day[^\]]*\]", plan)
     assert m, plan[:2000]
+
+
+def test_ivf_partition_prune_reaches_scan(spark, sf_dir):
+    """q135: the probed-cell read must carry a PartitionFilter on cell —
+    the persisted-IVF layout only pays off if the scan skips the other
+    ~8/10ths of the index directories."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q135_ivf_partition_scan")
+    m = re.findall(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
+    assert m, plan[:2000]
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """q136: with the scoped skew confs, AQE's OptimizeSkewedJoin must
+    actually fire on the 80%-hot key (SortMergeJoin(skew=true) in the
+    final adaptive plan) and the result must equal the plain join."""
+    from mapr_db_cdc_sample_spark.io import load_tables
+    from mapr_db_cdc_sample_spark.operators import skew
+
+    t = load_tables(spark, sf_dir)
+    plain = {
+        tuple(r)
+        for r in skew.skewed_segment_rollup(t["events"], t["customer"]).collect()
+    }
+    with skew.scoped_confs(spark, skew.AQE_SKEW_CONFS):
+        df = skew.skewed_segment_rollup(t["events"], t["customer"])
+        split = {tuple(r) for r in df.collect()}
+        executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in executed, executed[:3000]
+    assert split == plain

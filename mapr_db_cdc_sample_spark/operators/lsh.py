@@ -84,9 +84,12 @@ def brp_ann_candidates(
     cands = joined.select(
         F.col("datasetA.vec_id").alias("vec_id"),
         F.col("datasetA.embedding").alias("embedding"),
-    ).join(F.broadcast(q.select("qe")))
+    ).join(F.broadcast(q.select("qe", V.norm(F.col("qe")).alias("qn"))))
     return (
-        cands.select("vec_id", V.cosine(F.col("embedding"), F.col("qe")).alias("sim"))
+        cands.select(
+            "vec_id",
+            V.cosine_pre(F.col("embedding"), F.col("qe"), F.col("qn")).alias("sim"),
+        )
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(k)
     )

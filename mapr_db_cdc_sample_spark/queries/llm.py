@@ -64,6 +64,16 @@ def q37(spark, sf_dir):
     ).agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
 
 
+def _query_vec(e, vid: int):
+    """1-row broadcastable query frame (qe, qn): the query vector WITH
+    its norm, so probe-side cosines fold the corpus vector only
+    (V.cosine_pre — the norm of the constant side is computed once here,
+    not once per corpus row)."""
+    return e.where(F.col("vec_id") == vid).select(
+        F.col("embedding").alias("qe"), V.norm(F.col("embedding")).alias("qn")
+    )
+
+
 @register(
     "q38_cosine_topk",
     oracle="""
@@ -78,18 +88,19 @@ def q37(spark, sf_dir):
 )
 def q38(spark, sf_dir):
     """Similarity search, exact top-k cosine. The query vector is a 1-row
-    broadcast (never a fact-side crossJoin); ranking is on the ROUNDED
-    sim so the top-k set is stable across engines; orderBy+limit plans as
-    TakeOrderedAndProject. Scale path: operators/lsh.py (IVF/LSH) replaces
-    the linear scan; this exact form is the recall oracle."""
+    broadcast (never a fact-side crossJoin) carrying its precomputed norm;
+    ranking is on the ROUNDED sim so the top-k set is stable across
+    engines; orderBy+limit plans as TakeOrderedAndProject. Scale path:
+    operators/lsh.py (IVF/LSH) replaces the linear scan; this exact form
+    is the recall oracle."""
     e = load_tables(spark, sf_dir)["embeddings"]
-    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    q = _query_vec(e, 0)
     return (
         e.where(F.col("vec_id") != 0)
         .join(F.broadcast(q))
         .select(
             "vec_id",
-            V.cosine(F.col("embedding"), F.col("qe")).alias("sim"),
+            V.cosine_pre(F.col("embedding"), F.col("qe"), F.col("qn")).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(10)
@@ -575,20 +586,29 @@ def _ivf_parts(e):
     """Shared IVF stages: (centroids, per-vector nearest-centroid
     assignment, query vector for vec_id 42). 10 fixed centroids
     (vec_id < 10 — a deterministic 'training' stand-in); assignment is
-    an argmax over a 10-row broadcast."""
+    an argmax over a 10-row broadcast. Norms are computed ONCE per side
+    (en per vector, cn per centroid, qn on the query) so each of the
+    10 per-pair cosines folds only the dot product — and `en` rides
+    along in the assignment so re-rank never re-folds it either (a real
+    IVF store persists norms next to vectors for exactly this reason)."""
     cent = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        V.norm(F.col("embedding")).alias("cn"),
     )
-    sim_to_c = V.cosine(F.col("embedding"), F.col("ce"))
+    ee = e.select("vec_id", "embedding", V.norm(F.col("embedding")).alias("en"))
+    sim_to_c = F.round(
+        V.dot(F.col("embedding"), F.col("ce")) / (F.col("en") * F.col("cn")), 4
+    )
     w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("c_id"))
     assigned = (
-        e.join(F.broadcast(cent))
-        .select("vec_id", "embedding", "c_id", sim_to_c.alias("c_sim"))
+        ee.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "en", "c_id", sim_to_c.alias("c_sim"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "c_id")
+        .select("vec_id", "embedding", "en", "c_id")
     )
-    q = e.where(F.col("vec_id") == 42).select(F.col("embedding").alias("qe"))
+    q = _query_vec(e, 42)
     return cent, assigned, q
 
 
@@ -604,7 +624,12 @@ def q52(spark, sf_dir):
     cent, assigned, q = _ivf_parts(e)
     probe = (
         cent.join(F.broadcast(q))
-        .select("c_id", V.cosine(F.col("qe"), F.col("ce")).alias("q_sim"))
+        .select(
+            "c_id",
+            F.round(
+                V.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("q_sim"),
+        )
         .orderBy(F.col("q_sim").desc(), F.col("c_id"))
         .limit(2)
         .select("c_id")
@@ -613,7 +638,12 @@ def q52(spark, sf_dir):
         assigned.join(F.broadcast(probe), "c_id")
         .join(F.broadcast(q))
         .where(F.col("vec_id") != 42)
-        .select("vec_id", V.cosine(F.col("embedding"), F.col("qe")).alias("sim"))
+        .select(
+            "vec_id",
+            F.round(
+                V.dot(F.col("embedding"), F.col("qe")) / (F.col("en") * F.col("qn")), 4
+            ).alias("sim"),
+        )
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(5)
     )
@@ -643,7 +673,12 @@ def q135(spark, sf_dir):
     probe_ids = [
         r.c_id
         for r in cent.join(F.broadcast(q))
-        .select("c_id", V.cosine(F.col("qe"), F.col("ce")).alias("q_sim"))
+        .select(
+            "c_id",
+            F.round(
+                V.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("q_sim"),
+        )
         .orderBy(F.col("q_sim").desc(), F.col("c_id"))
         .limit(2)
         .collect()
@@ -653,7 +688,12 @@ def q135(spark, sf_dir):
         idx.where(F.col("cell").isin(probe_ids))
         .join(F.broadcast(q))
         .where(F.col("vec_id") != 42)
-        .select("vec_id", V.cosine(F.col("embedding"), F.col("qe")).alias("sim"))
+        .select(
+            "vec_id",
+            F.round(
+                V.dot(F.col("embedding"), F.col("qe")) / (F.col("en") * F.col("qn")), 4
+            ).alias("sim"),
+        )
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(5)
     )
@@ -1040,11 +1080,14 @@ def q105(spark, sf_dir):
     at scale, never a fact-fact shuffle."""
     t = load_tables(spark, sf_dir)
     e, d = t["embeddings"], t["documents"]
-    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    q = _query_vec(e, 0)
     hits = (
         e.where(F.col("vec_id") != 0)
         .join(F.broadcast(q))
-        .select("vec_id", V.cosine(F.col("embedding"), F.col("qe")).alias("sim"))
+        .select(
+            "vec_id",
+            V.cosine_pre(F.col("embedding"), F.col("qe"), F.col("qn")).alias("sim"),
+        )
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(10)
     )
@@ -1225,11 +1268,14 @@ def q107(spark, sf_dir):
     tiebreaks), rounded(6)."""
     t = load_tables(spark, sf_dir)
     e, d = t["embeddings"], t["documents"]
-    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    q = _query_vec(e, 0)
     sem = (
         e.where(F.col("vec_id") != 0)
         .join(F.broadcast(q))
-        .select("vec_id", V.cosine(F.col("embedding"), F.col("qe")).alias("sim"))
+        .select(
+            "vec_id",
+            V.cosine_pre(F.col("embedding"), F.col("qe"), F.col("qn")).alias("sim"),
+        )
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(20)
         .withColumn(
@@ -1678,9 +1724,13 @@ def q127(spark, sf_dir):
             ),
             lambda x: x["c"],
         ).alias("cen")
-    )
+    ).withColumn("cn", V.norm(F.col("cen")))
+    # centroid norm precomputed per broadcast row (one per lang), not
+    # re-folded per scored vector
     scored = e.join(F.broadcast(cent), "lang").select(
-        "lang", "vec_id", V.cosine(F.col("q"), F.col("cen")).alias("cos_centroid")
+        "lang",
+        "vec_id",
+        V.cosine_pre(F.col("q"), F.col("cen"), F.col("cn")).alias("cos_centroid"),
     )
     w = Window.partitionBy("lang").orderBy("cos_centroid", "vec_id")
     return (

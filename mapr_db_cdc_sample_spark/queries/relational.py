@@ -1894,3 +1894,209 @@ def q136(spark, sf_dir):
     df = skew.skewed_segment_rollup(t["events"], t["customer"])
     with skew.scoped_confs(spark, skew.AQE_SKEW_CONFS):
         return df.localCheckpoint(eager=True)
+
+
+# ------------- sessionized funnel (q137)
+
+_SESSION_FUNNEL_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, ts, event_type, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_part('epoch', ts) - date_part('epoch', LAG(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM seq
+    ), s1 AS (
+        SELECT user_id, session_no,
+               MIN(ts) FILTER (event_type = 'view') AS t_view
+        FROM sess GROUP BY user_id, session_no
+    ), s2 AS (
+        SELECT s1.user_id, s1.session_no, s1.t_view,
+               MIN(e.ts) FILTER (e.event_type = 'click' AND e.ts >= s1.t_view) AS t_click
+        FROM s1 LEFT JOIN sess e
+          ON e.user_id = s1.user_id AND e.session_no = s1.session_no
+        GROUP BY s1.user_id, s1.session_no, s1.t_view
+    ), s3 AS (
+        SELECT s2.user_id, s2.session_no, s2.t_view, s2.t_click,
+               MIN(e.ts) FILTER (e.event_type = 'purchase' AND e.ts >= s2.t_click) AS t_buy
+        FROM s2 LEFT JOIN sess e
+          ON e.user_id = s2.user_id AND e.session_no = s2.session_no
+        GROUP BY s2.user_id, s2.session_no, s2.t_view, s2.t_click
+    )
+    SELECT COUNT(*) AS n_sessions,
+           COUNT(t_view) AS n_view,
+           COUNT(t_click) AS n_view_click,
+           COUNT(t_buy) AS n_view_click_buy
+    FROM s3
+"""
+
+
+@register("q137_session_funnel", oracle=_SESSION_FUNNEL_ORACLE)
+def q137(spark, sf_dir):
+    """Sessionized ORDERED funnel: 30-minute-inactivity sessions (q81's
+    lag+cumsum sessionizer) and, within each session, the strict
+    view -> click -> purchase progression (each stage's timestamp must be
+    >= the previous stage's — q128's funnel logic applied per session
+    instead of per user). Every aggregation and self-join keys on
+    (user_id, session_no); hashpartitioning(user_id) from the sessionizer
+    window CLUSTERS those keys already, so the whole stage chain runs in
+    one exchange. Output is 1 row of stage counts — exact integers."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_no"),
+    )
+    key = ["user_id", "session_no"]
+    s1 = sess.groupBy(*key).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    s2 = (
+        s1.join(sess, key, "left")
+        .groupBy(*key, "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    s3 = (
+        s2.join(sess, key, "left")
+        .groupBy(*key, "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_buy")
+        )
+    )
+    return s3.agg(
+        F.count("*").alias("n_sessions"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_buy").alias("n_view_click_buy"),
+    )
+
+
+# ------------- runtime Bloom-filter join pruning (q138)
+
+_BLOOM_JOIN_ORACLE = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+"""
+
+
+@register("q138_runtime_bloom_join", oracle=_BLOOM_JOIN_ORACLE)
+def q138(spark, sf_dir):
+    """Runtime Bloom-filter join pruning (Spark's InjectRuntimeFilter):
+    the selective dimension predicate (1/5 of orders) is turned into a
+    bloom_filter_agg at runtime and pushed into the FACT side's scan
+    filter, so lineitem rows for non-urgent orders die at the scan
+    instead of crossing the shuffle — the engine-native form of the
+    semi-join reduction every warehouse performs at 100 TB. Broadcast is
+    disabled in the scoped confs so the join genuinely shuffles (with a
+    broadcastable dim Spark rightly prefers broadcast and no filter is
+    needed). Executed under scoped confs (q136's pattern); the
+    might_contain marker is plan-asserted in tests. Oracle = the plain
+    join: the filter is a pure reduction, invisible in the result."""
+    from ..operators.skew import scoped_confs
+
+    t = load_tables(spark, sf_dir)
+    df = bloom_pruned_join(t["lineitem"], t["orders"])
+    with scoped_confs(spark, BLOOM_JOIN_CONFS):
+        return df.localCheckpoint(eager=True)
+
+
+#: Thresholds that let InjectRuntimeFilter fire at test scale: the
+#: application-side floor drops to 0 (default 10 GB) and broadcast is
+#: disabled so a shuffle join exists to inject into. Semantics untouched.
+BLOOM_JOIN_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "64MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_pruned_join(lineitem, orders):
+    """lineitem x urgent-orders rollup — the join shape InjectRuntimeFilter
+    targets (selective creation side, big application side)."""
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    return (
+        lineitem.join(urgent, lineitem["l_orderkey"] == urgent["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ------------- manifest/zone-map file pruning (q139)
+
+_ZONEMAP_ORACLE = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    WHERE event_id BETWEEN 250 AND 499
+    GROUP BY event_type
+"""
+
+
+@register("q139_zonemap_prune", oracle=_ZONEMAP_ORACLE)
+def q139(spark, sf_dir):
+    """Manifest/zone-map file pruning (operators/zonemap.py): the events
+    table is written CLUSTERED on event_id into 16 files, a per-file
+    min/max manifest is built (what an Iceberg/Delta planner reads), and
+    the range query scans only the overlapping files — file-level
+    skipping across the table, where parquet row-group stats only skip
+    within one file. The residual predicate still applies, so pruning is
+    invisible in the result (oracle = the unclustered full-table filter);
+    the test asserts selected_files < total_files. At 100 TB this is the
+    difference between listing+footer-reading a million files and
+    reading a manifest."""
+    from ..operators.zonemap import build_manifest, pruned_scan, write_clustered
+    from ..scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir)["events"]
+    path = scratch_dir("q139_zone")
+    write_clustered(ev, path, "event_id", 16)
+    manifest = build_manifest(spark, path, "event_id")
+    # a range that is a strict subset of every sf's id space (ids start
+    # at 0 at all scales), so pruning is non-trivial at each test size
+    lo, hi = 250, 499
+    df, _n_sel, _n_tot = pruned_scan(spark, manifest, lo, hi)
+    return (
+        df.where(F.col("event_id").between(lo, hi))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )

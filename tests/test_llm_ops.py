@@ -166,3 +166,54 @@ def test_dedup_corpus_removes_planted_keeps_originals(spark, sf_dir):
     planted = {i + 1000000 for i in originals if i % 11 == 0}
     caught = planted - kept
     assert len(caught) >= 0.8 * len(planted), f"caught only {len(caught)}/{len(planted)}"
+
+
+def test_kmeans_numpy_assignment_matches_jvm_fold(spark, sf_dir):
+    """The Arrow/BLAS assignment kernel must pick the same cluster for
+    every vector as a plain JVM zip_with+aggregate fold of ||x-c||^2
+    (d2 may differ in last-ulp association order only)."""
+    from pyspark.sql import functions as F
+
+    from mapr_db_cdc_sample_spark.io import load_tables
+    from mapr_db_cdc_sample_spark.operators.kmeans import _assign
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    vecs = e.select("vec_id", "embedding")
+    init = (
+        vecs.where(F.col("vec_id") < 5)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("c"))
+        .collect()
+    )
+    cents = [(i, list(r.c)) for i, r in enumerate(init)]
+    got = {r.vec_id: (r.cluster, r.d2) for r in _assign(vecs, cents).collect()}
+
+    cdf = spark.createDataFrame(
+        [([(int(cid), c) for cid, c in cents],)],
+        "cs array<struct<cluster:int,cen:array<double>>>",
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"), c["cen"], lambda x, y: (x.cast("double") - y) ** 2
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                ).alias("d2"),
+                c["cluster"].alias("cluster"),
+            ),
+        )
+    )
+    ref = {
+        r.vec_id: (r.cluster, r.d2)
+        for r in vecs.join(F.broadcast(cdf)).select(
+            "vec_id", best["cluster"].alias("cluster"), best["d2"].alias("d2")
+        ).collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k][0] == ref[k][0], (k, got[k], ref[k])
+        assert abs(got[k][1] - ref[k][1]) < 1e-9

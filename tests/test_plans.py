@@ -353,3 +353,55 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
         executed = df._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in executed, executed[:3000]
     assert split == plain
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """q138: under the scoped confs, InjectRuntimeFilter must push a
+    might_contain(bloom) predicate onto the lineitem side — the runtime
+    semi-join reduction — and the result must equal the plain join."""
+    from mapr_db_cdc_sample_spark.io import load_tables
+    from mapr_db_cdc_sample_spark.operators.skew import scoped_confs
+    from mapr_db_cdc_sample_spark.queries.relational import (
+        BLOOM_JOIN_CONFS,
+        bloom_pruned_join,
+    )
+
+    t = load_tables(spark, sf_dir)
+    plain = {tuple(r) for r in bloom_pruned_join(t["lineitem"], t["orders"]).collect()}
+    with scoped_confs(spark, BLOOM_JOIN_CONFS):
+        df = bloom_pruned_join(t["lineitem"], t["orders"])
+        filtered = {tuple(r) for r in df.collect()}
+        executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in executed, executed[:3000]
+    assert "bloom_filter_agg" in executed
+    assert filtered == plain
+
+
+def test_zonemap_prunes_files(spark, sf_dir):
+    """q139: the manifest must select a strict subset of files for a
+    subset range, and the pruned scan + residual filter must equal the
+    full-table filter exactly."""
+    from pyspark.sql import functions as F
+
+    from mapr_db_cdc_sample_spark.io import load_tables
+    from mapr_db_cdc_sample_spark.operators.zonemap import (
+        build_manifest,
+        pruned_scan,
+        write_clustered,
+    )
+    from mapr_db_cdc_sample_spark.scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir)["events"]
+    path = scratch_dir("zm_test")
+    write_clustered(ev, path, "event_id", 16)
+    manifest = build_manifest(spark, path, "event_id")
+    df, n_sel, n_tot = pruned_scan(spark, manifest, 250, 499)
+    assert 0 < n_sel < n_tot, (n_sel, n_tot)
+    pruned = sorted(
+        tuple(r) for r in df.where(F.col("event_id").between(250, 499)).collect()
+    )
+    full = sorted(
+        tuple(r) for r in ev.where(F.col("event_id").between(250, 499)).collect()
+    )
+    assert len(pruned) == len(full)
+    assert {r[0] for r in pruned} == {r[0] for r in full}

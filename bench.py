@@ -103,6 +103,22 @@ HEADLINE = [
     "q132_interval_join",
     "q133_partition_prune",
     "q134_json_source",
+    "q135_ivf_partition_scan",
+    "q136_aqe_skew_join",
+    "q137_session_funnel",
+    "q138_runtime_bloom_join",
+    "q139_zonemap_prune",
+    "q140_order_priority_exists",
+    "q141_volume_shipping",
+    "q142_market_share",
+    "q143_important_stock",
+    "q144_customer_distribution",
+    "q145_top_supplier",
+    "q146_parts_supplier_count",
+    "q147_small_qty_revenue",
+    "q148_disjunctive_revenue",
+    "q149_dominant_supplier",
+    "q150_min_cost_supplier",
 ]
 
 

@@ -84,3 +84,131 @@ def test_shingles_match_python_reference(spark, toks, k):
     got = df.select(T.shingles(F.col("tk"), k).alias("sh")).collect()[0].sh
     want = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # user
+            st.integers(0, 40000),      # epoch seconds
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_session_funnel_matches_python_reference(spark, events):
+    """q137's sessionize+staged-min funnel ≡ a direct Python simulation
+    (30-min gap sessions; strict view<=click<=purchase ordering by ts)."""
+    data = [
+        (u, ts, et, i) for i, (u, ts, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(data, "user_id int, tsec long, event_type string, event_id int")
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    gap = F.col("tsec") - F.lag("tsec").over(w)
+    sess = df.select(
+        "user_id",
+        F.col("tsec").alias("ts"),
+        "event_type",
+        F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+    )
+    key = ["user_id", "session_no"]
+    s1 = sess.groupBy(*key).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    s2 = (
+        s1.join(sess, key, "left")
+        .groupBy(*key, "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    s3 = (
+        s2.join(sess, key, "left")
+        .groupBy(*key, "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_buy")
+        )
+    )
+    got = s3.agg(
+        F.count("*").alias("n_sessions"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_buy").alias("n_buy"),
+    ).collect()[0]
+
+    # Python reference
+    by_user: dict[int, list[tuple[int, str, int]]] = {}
+    for u, ts, et, i in data:
+        by_user.setdefault(u, []).append((ts, i, et))
+    sessions = []
+    for u, evs in by_user.items():
+        evs.sort()
+        cur: list[tuple[int, str]] = []
+        last = None
+        for ts, _i, et in evs:
+            if last is not None and ts - last > 1800:
+                sessions.append(cur)
+                cur = []
+            cur.append((ts, et))
+            last = ts
+        sessions.append(cur)
+    n_view = n_click = n_buy = 0
+    for sev in sessions:
+        t1 = min((ts for ts, et in sev if et == "view"), default=None)
+        if t1 is None:
+            continue
+        n_view += 1
+        t2 = min((ts for ts, et in sev if et == "click" and ts >= t1), default=None)
+        if t2 is None:
+            continue
+        n_click += 1
+        t3 = min((ts for ts, et in sev if et == "purchase" and ts >= t2), default=None)
+        if t3 is not None:
+            n_buy += 1
+    assert (got.n_sessions, got.n_view, got.n_click, got.n_buy) == (
+        len(sessions), n_view, n_click, n_buy,
+    ), (sessions, tuple(got))
+
+
+@given(
+    keys=st.lists(st.integers(0, 1000), min_size=4, max_size=60, unique=True),
+    lo=st.integers(0, 1000),
+    span=st.integers(0, 300),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_zonemap_pruned_scan_equals_full_filter(spark, tmp_path_factory, keys, lo, span):
+    """Zone-map pruning over a clustered write returns EXACTLY the rows a
+    full-table filter returns, for any range — including empty overlaps."""
+    from mapr_db_cdc_sample_spark.operators.zonemap import (
+        build_manifest,
+        pruned_scan,
+        write_clustered,
+    )
+
+    hi = lo + span
+    df = spark.createDataFrame([(k, k * 2) for k in keys], "k long, v long")
+    path = str(tmp_path_factory.mktemp("zm") / "t")
+    write_clustered(df, path, "k", 4)
+    manifest = build_manifest(spark, path, "k")
+    pruned, n_sel, n_tot = pruned_scan(spark, manifest, lo, hi)
+    got = sorted(
+        tuple(r) for r in pruned.where(F.col("k").between(lo, hi)).collect()
+    )
+    want = sorted((k, k * 2) for k in keys if lo <= k <= hi)
+    assert got == want, (n_sel, n_tot, got, want)

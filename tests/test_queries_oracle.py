@@ -10,7 +10,14 @@ from mapr_db_cdc_sample_spark.oracle import compare
 from mapr_db_cdc_sample_spark.queries import load_all
 
 REGISTRY = load_all()
-ORACLED = [name for name, q in sorted(REGISTRY.items()) if q.oracle]
+# rotation aliases are the same callable + oracle as their canonical
+# entry (queries/aliases.py) — re-running them here would only double
+# suite time, so the differential test covers canonical names
+ORACLED = [
+    name
+    for name, q in sorted(REGISTRY.items())
+    if q.oracle and "rotation-alias" not in q.tags
+]
 
 
 @pytest.mark.parametrize("name", ORACLED)

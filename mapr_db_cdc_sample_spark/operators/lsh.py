@@ -24,11 +24,19 @@ SEED = 42
 
 
 def _token_vectors(docs: DataFrame, num_features: int = 1 << 16) -> DataFrame:
-    """documents → sparse binary token vectors (HashingTF is seedless
-    murmur3 — deterministic)."""
+    """documents → sparse binary 3-gram-shingle vectors (HashingTF is
+    seedless murmur3 — deterministic). Shingles, not raw tokens: the
+    engine's exact pipeline (q44, operators/banding.py) defines near-dup
+    as shingle-set Jaccard, and raw token SETS are pathologically dense
+    on a small-vocabulary corpus (every doc shares most distinct words →
+    quadratic candidate blowup; measured 1M+ "near-dup" pairs on 5k
+    synthetic docs). Same elements on both pipelines → comparable
+    thresholds and a meaningful recall test."""
     from pyspark.ml.feature import HashingTF
 
-    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    toks = docs.select(
+        "doc_id", T.shingles(T.tokens(F.col("text")), 3).alias("tk")
+    )
     tf = HashingTF(inputCol="tk", outputCol="features", numFeatures=num_features, binary=True)
     return tf.transform(toks).where(F.size("tk") > 0)
 

@@ -22,6 +22,8 @@ strings compare identically), doubles are rounded, ints are exact.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -701,13 +703,30 @@ def q135(spark, sf_dir):
 
 # ------------------------------------ operator-backed (LSH / UDF / media)
 
+#: q53's pyspark.ml approxSimilarityJoin materializes (doc, hash-bucket)
+#: pairs for BOTH join sides with no bucket cap — unlike the engine's own
+#: banding pipeline (operators/banding.py) there is no mega-bucket guard,
+#: and at sf0.1 the join blew past 5 minutes. The query is a SURFACE demo
+#: of the ml API (the recall test vs exact q44 runs at test scale); bound
+#: its input like the streaming queries bound theirs, loudly.
+_MAX_ML_LSH_DOCS = int(os.environ.get("SPARK_GRAFT_ML_LSH_DOCS", "5000"))
+
+
 @register("q53_minhash_lsh_ml", tags=("approx",))
 def q53(spark, sf_dir):
     """pyspark.ml MinHashLSH near-dup pairs (approximate; rows-only check
-    — recall vs the exact q44 pipeline is asserted in tests)."""
+    — recall vs the exact q44 pipeline is asserted in tests). Input is
+    capped at _MAX_ML_LSH_DOCS (deterministic doc_id prefix): the ml
+    API's approxSimilarityJoin has no bucket-size cap, so it is the demo
+    surface here while operators/banding.py (capped, audited) is the
+    at-scale path — see docs/SCALE.md."""
     from ..operators.lsh import minhash_lsh_pairs
 
-    d = load_tables(spark, sf_dir)["documents"]
+    d = (
+        load_tables(spark, sf_dir)["documents"]
+        .orderBy("doc_id")
+        .limit(_MAX_ML_LSH_DOCS)
+    )
     corpus = _minhash_corpus(d)
     return minhash_lsh_pairs(corpus, threshold=0.1)
 

@@ -243,3 +243,31 @@ def q102(spark, sf_dir):
         )
     )
     return _with_input_count(_drain(budget, "q102", "complete"), n)
+
+
+@register("q151_stream_stream_outer")
+def q151(spark, sf_dir):
+    """Stream-stream LEFT OUTER band join (the missing cell of the
+    streaming-join matrix: q65 stream-static, q68 stream-stream inner).
+    Unmatched clicks emit once both watermarks pass their join window —
+    so the stream is replayed in time-ordered chunks (watermark advances
+    per chunk) and the availableNow drain emits every unmatched click
+    whose window closed before the final watermark. Rows-only by nature;
+    the matched-rows == batch-inner-join equivalence and the
+    unmatched ⊆ batch-unmatched containment are asserted in
+    tests/test_streaming.py."""
+    from ..streaming.windows import stream_stream_click_purchase_outer
+
+    ev, _ = _bounded_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    n = clicks.count() + purchases.count()
+    cs = read_replay(
+        spark, write_replay(clicks, 3, order_by="ts"), ev.schema, files_per_trigger=1
+    )
+    ps = read_replay(
+        spark, write_replay(purchases, 3, order_by="ts"), ev.schema, files_per_trigger=1
+    )
+    return _with_input_count(
+        _drain(stream_stream_click_purchase_outer(cs, ps), "q151"), n
+    )

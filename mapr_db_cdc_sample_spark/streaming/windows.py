@@ -117,3 +117,35 @@ def stream_stream_click_purchase(clicks: DataFrame, purchases: DataFrame) -> Dat
     return c.join(p, cond).select(
         "purchase_id", "click_id", "p_user", "click_ts", "purchase_ts", "value"
     )
+
+
+def stream_stream_click_purchase_outer(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics the inner form can't
+    give: every click emits, matched or not. Outer emission is
+    watermark-driven: a click's null-extended row can only be produced
+    once BOTH watermarks pass the end of its join window (before that, a
+    matching purchase could still arrive), so unmatched rows appear late
+    by construction — with availableNow replay the final drain emits
+    them. State stays bounded exactly as in the inner join: each side
+    buffers watermark + band."""
+    c = clicks.withWatermark("ts", "30 minutes").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", "30 minutes").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    return c.join(p, cond, "left_outer").select(
+        "click_id", "c_user", "click_ts", "purchase_id", "purchase_ts", "value"
+    )

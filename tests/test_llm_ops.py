@@ -34,12 +34,19 @@ def test_minhash_lsh_ml_finds_planted_dups(spark, sf_dir):
         for r in REGISTRY["q53_minhash_lsh_ml"].fn(spark, sf_dir).collect()
     }
     docs = load_tables(spark, sf_dir)["documents"]
-    # a planted pair's Jaccard distance is 1/(distinct_tokens+1) — only
-    # pairs under the operator's 0.1 threshold are REQUIRED to be found
+    # the ml pipeline now vectorizes 3-gram SHINGLE sets (same elements
+    # as the exact q44 pipeline); a planted pair's Jaccard distance is
+    # 1/(distinct_shingles+1), so only pairs under the operator's 0.1
+    # threshold (distinct shingles > 10) are REQUIRED to be found
     planted = {
         (r.doc_id, r.doc_id + 1000000)
         for r in docs.where(F.col("doc_id") % 11 == 0)
-        .select("doc_id", F.size(F.array_distinct(T.tokens(F.col("text")))).alias("nd"))
+        .select(
+            "doc_id",
+            F.size(
+                F.array_distinct(T.shingles(T.tokens(F.col("text")), 3))
+            ).alias("nd"),
+        )
         .collect()
         if r.nd > 10
     }

@@ -342,3 +342,56 @@ def test_watermark_drops_late_data(spark, tmp_path):
     }
     assert streaming_w0["click"] == 2  # minutes 0 and 5; straggler dropped
     assert batch_w0["click"] == 3  # batch mode has no watermark: counts it
+
+
+def test_stream_stream_outer_join_matches_batch(spark, sf_dir):
+    """Matched rows of the streaming LEFT OUTER band join must equal the
+    batch inner join exactly; emitted null-extended rows must be a subset
+    of the batch unmatched set (outer emission is watermark-gated, so the
+    tail of the stream may legitimately be withheld) and non-empty (old
+    unmatched clicks DO flush once the watermark passes them)."""
+    from pyspark.sql import functions as F
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+    from mapr_db_cdc_sample_spark.queries.streamingq import _bounded_events
+    from mapr_db_cdc_sample_spark.streaming.windows import (
+        stream_stream_click_purchase_outer,
+    )
+
+    REGISTRY = load_all()
+    out = REGISTRY["q151_stream_stream_outer"].fn(spark, sf_dir)
+    got_matched = {
+        (r.click_id, r.purchase_id)
+        for r in out.where(F.col("purchase_id").isNotNull()).collect()
+    }
+    got_unmatched = {r.click_id for r in out.where(F.col("purchase_id").isNull()).collect()}
+
+    ev, _ = _bounded_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    batch = c.join(p, cond, "left_outer")
+    want_matched = {
+        (r.click_id, r.purchase_id)
+        for r in batch.where(F.col("purchase_id").isNotNull()).collect()
+    }
+    want_unmatched = {
+        r.click_id for r in batch.where(F.col("purchase_id").isNull()).collect()
+    }
+    assert got_matched == want_matched
+    assert got_unmatched <= want_unmatched
+    assert got_unmatched, "no unmatched clicks flushed — watermark never advanced"

@@ -44,6 +44,7 @@ def load_all() -> dict[str, QueryDef]:
     from . import tpch  # noqa: F401
     from . import tpch2  # noqa: F401
     from . import udfs  # noqa: F401
+    from . import analytics  # noqa: F401
 
     # must come last: clones oracled q49-q99 entries under window-sorted
     # names so the external gate verifies that band (see module docstring)

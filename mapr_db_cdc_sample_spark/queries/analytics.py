@@ -1,0 +1,389 @@
+"""Round-4 analytics surface (q152+): graph clustering, data profiling,
+anomaly scoring, weighted sampling, BPE-style tokenization, exact-arith
+smoothing, and mergeable-bitmap distinct counts.
+
+Names deliberately sort AFTER q104_corpus_pipeline so they never evict
+entries from the driver's 50-slot CORRECTNESS window (see queries/aliases.py
+for the window mechanics).
+
+Determinism rules follow queries/relational.py's module docstring: exact
+integer/decimal arithmetic wherever sums occur, ROUND(6+) before ranking on
+transcendental outputs, unique ORDER BY tiebreakers under every LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_tables
+from . import register
+from ..operators import banding as B
+from ..operators.dedup_pipeline import connected_components
+from .llm import _LSH_PAIRS_ORACLE, _minhash_corpus
+
+
+# ------------------------------------- q152: connected components (graph)
+
+# Oracle: the q44 candidate-pair CTEs + a recursive min-label walk. The
+# recursion materializes (node, label) pairs per component, i.e. O(size^2)
+# states per component — safe here because LSH candidate components are
+# dup clusters (star/clique around a mutated copy), and the band-bucket
+# cap bounds any boilerplate blowup on both engines identically.
+_CC_ORACLE = _LSH_PAIRS_ORACLE.replace(
+    "WITH corpus AS", "WITH RECURSIVE corpus AS", 1
+).replace(
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+    "FROM bands_capped a JOIN bands_capped b ON a.band = b.band AND a.doc_id < b.doc_id",
+    """, pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands_capped a JOIN bands_capped b ON a.band = b.band AND a.doc_id < b.doc_id
+), und AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+), walk(node, label) AS (
+    SELECT DISTINCT src, src FROM und
+    UNION
+    SELECT u.dst, w.label FROM walk w JOIN und u ON u.src = w.node
+), cc AS (
+    SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM cc GROUP BY component ORDER BY component""",
+)
+
+
+@register("q152_dup_components", oracle=_CC_ORACLE)
+def q152(spark, sf_dir):
+    """Connected components over the MinHash-LSH candidate-pair graph
+    (iterative min-label propagation with pointer doubling,
+    operators/dedup_pipeline.py) — the distributed-graph step of corpus
+    dedup exposed as its own operator, hash-checked against a recursive-
+    CTE oracle. Component label = min doc_id reachable, so labels are
+    engine-independent."""
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = B.candidate_pairs(_minhash_corpus(d))
+    cc = connected_components(pairs.select("doc_a", "doc_b"))
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("component")
+    )
+
+
+# ------------------------------------------- q153: table/column profiling
+
+_PROFILE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT)                           AS n_rows,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT)          AS custkey_distinct,
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT)        AS custkey_nulls,
+       CAST(MIN(o_custkey) AS BIGINT)                     AS custkey_min,
+       CAST(MAX(o_custkey) AS BIGINT)                     AS custkey_max,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)      AS status_distinct,
+       MIN(o_orderstatus)                                 AS status_min,
+       MAX(o_orderstatus)                                 AS status_max,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_min,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_max,
+       CAST(DATEDIFF('day', DATE '1970-01-01', CAST(MIN(o_orderdate) AS DATE)) AS BIGINT)
+                                                          AS date_min_day,
+       CAST(DATEDIFF('day', DATE '1970-01-01', CAST(MAX(o_orderdate) AS DATE)) AS BIGINT)
+                                                          AS date_max_day
+FROM orders
+"""
+
+
+@register("q153_column_profile", oracle=_PROFILE_ORACLE)
+def q153(spark, sf_dir):
+    """One-pass column profiling (the ANALYZE TABLE / data-quality scan a
+    pipeline runs before training): row count, per-column null counts,
+    exact distincts, min/max — all in a single wide aggregate so the scan
+    happens once. Dates reduced to epoch-day BIGINTs and doubles to
+    DECIMAL(18,2) so every value is engine-exact."""
+    o = load_tables(spark, sf_dir)["orders"]
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        (F.count("*") - F.count("o_custkey")).alias("custkey_nulls"),
+        F.min("o_custkey").alias("custkey_min"),
+        F.max("o_custkey").alias("custkey_max"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.min("o_orderstatus").alias("status_min"),
+        F.max("o_orderstatus").alias("status_max"),
+        F.sum(dec).cast("double").alias("price_sum"),
+        F.min(dec).cast("double").alias("price_min"),
+        F.max(dec).cast("double").alias("price_max"),
+        F.datediff(F.min(F.col("o_orderdate").cast("date")), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("date_min_day"),
+        F.datediff(F.max(F.col("o_orderdate").cast("date")), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("date_max_day"),
+    )
+
+
+# --------------------------------------- q154: per-group z-score outliers
+
+# Exact moments: cents (BIGINT) and cents^2 sums are integer-exact in both
+# engines; mean/var/std are then computed from IDENTICAL doubles, and IEEE
+# division/sqrt of identical inputs is identical. z is rounded to 4 before
+# the threshold comparison so the cut is on the rounded value.
+_ZSCORE_ORACLE = """
+WITH cents AS (
+    SELECT l_returnflag AS flag,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM lineitem
+), stats AS (
+    SELECT flag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(c) AS DECIMAL(38,0)) AS DOUBLE) AS s1,
+           CAST(CAST(SUM(c * c) AS DECIMAL(38,0)) AS DOUBLE) AS s2
+    FROM cents GROUP BY flag
+), z AS (
+    SELECT c.flag, c.c,
+           ROUND((c.c - s.s1 / s.n) / SQRT(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 4) AS zr
+    FROM cents c JOIN stats s ON c.flag = s.flag
+)
+SELECT flag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN ABS(zr) > 2.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(MAX(zr), 4) AS max_z
+FROM z GROUP BY flag ORDER BY flag
+"""
+
+
+@register("q154_zscore_outliers", oracle=_ZSCORE_ORACLE)
+def q154(spark, sf_dir):
+    """Per-group anomaly scoring: z-score of l_extendedprice within each
+    returnflag group, counting |z| > 2.5 outliers. Group stats (3 rows)
+    broadcast back onto the fact — two scans of the same cached-in-OS
+    parquet, zero fact-side shuffle beyond the 3-key aggregate."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cents = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    stats = cents.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("decimal(38,0)").cast("double").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").cast("double").alias("s2"),
+    )
+    z = cents.join(F.broadcast(stats), "flag").select(
+        "flag",
+        F.round(
+            (F.col("c") - F.col("s1") / F.col("n"))
+            / F.sqrt(F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))),
+            4,
+        ).alias("zr"),
+    )
+    return (
+        z.groupBy("flag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.abs("zr") > 2.5, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max("zr"), 4).alias("max_z"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ------------------------------------ q155: deterministic weighted sample
+
+# A-ES weighted sampling with a seeded hash in place of RNG: u derives
+# from md5(doc_id) (identical hex in both engines), priority = -ln(u)/w.
+# ln may differ in the last ulp between libm implementations, so the
+# priority is ROUNDed to 9 and ranked on the rounded value with doc_id as
+# the unique tiebreaker (CLAUDE.md determinism rules).
+_WSAMPLE_ORACLE = """
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           ROUND(
+             -LN((('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+                 / 4294967297.0) / n_chars,
+             9) AS priority
+    FROM documents WHERE n_chars > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars, priority
+FROM keyed ORDER BY priority, doc_id LIMIT 20
+"""
+
+
+@register("q155_weighted_sample", oracle=_WSAMPLE_ORACLE)
+def q155(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis via
+    exponential keys): deterministic hash-derived uniform, priority
+    -ln(u)/weight, global top-k by priority. Distributed shape: per-
+    partition top-k then TakeOrderedAndProject — no shuffle of the corpus,
+    only k rows per partition reach the driver-side merge."""
+    d = load_tables(spark, sf_dir)["documents"]
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    keyed = d.where(F.col("n_chars") > 0).select(
+        "doc_id",
+        "n_chars",
+        F.round(-F.log(u) / F.col("n_chars"), 9).alias("priority"),
+    )
+    return keyed.orderBy("priority", "doc_id").limit(20)
+
+
+# -------------------------------------- q156: BPE-style regex tokenization
+
+# GPT-2-flavoured pretokenizer regex, restricted to constructs whose
+# semantics agree between Java regex (Spark) and RE2 (DuckDB): leftmost
+# alternation of space-prefixed letter runs, digit runs, punctuation runs,
+# and whitespace. No lookarounds (RE2 has none).
+_BPE_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+_BPE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source, LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_RE}')) AS n_tok,
+           LENGTH(text) AS n_char
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+       ROUND(CAST(SUM(n_char) AS DOUBLE) / SUM(n_tok), 6) AS chars_per_token
+FROM toks GROUP BY source ORDER BY source
+"""
+
+
+@register("q156_bpe_token_count", oracle=_BPE_ORACLE)
+def q156(spark, sf_dir):
+    """Token counting with a BPE-ish pretokenizer regex (space-prefixed
+    word/number/punct runs — the GPT-2 pattern minus lookarounds): per-
+    source token totals and chars-per-token, the budget numbers an LLM
+    data pipeline reports. Pure JVM regex per row, map-side combinable
+    aggregate — no Python in the loop."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "source",
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")).alias("n_tok"),
+        F.length("text").alias("n_char"),
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.max("n_tok").cast("bigint").alias("max_tokens"),
+            F.round(F.sum("n_char").cast("double") / F.sum("n_tok"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------- q157: integer-exact EWMA (8-tap filter)
+
+# Truncated exponential smoothing y_t = sum_{j=0..7} 2^(7-j) x_{t-j} /
+# sum 2^(7-j): numerator and denominator are exact BIGINT sums of cents,
+# the single final division is IEEE-identical across engines.
+_EWMA_TAPS = 8
+
+_EWMA_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_id, ts,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events WHERE user_id % 100 = 0
+), lagged AS (
+    SELECT user_id, event_id,
+           {" + ".join(f"COALESCE(LAG(c, {j}) OVER w * {1 << (_EWMA_TAPS - 1 - j)}, 0)" for j in range(_EWMA_TAPS))} AS num,
+           {" + ".join(f"(CASE WHEN LAG(c, {j}) OVER w IS NOT NULL THEN {1 << (_EWMA_TAPS - 1 - j)} ELSE 0 END)" for j in range(_EWMA_TAPS))} AS den
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       ROUND(CAST(num AS DOUBLE) / den / 100, 6) AS ewma
+FROM lagged ORDER BY user_id, event_id
+"""
+
+
+@register("q157_ewma_smooth", oracle=_EWMA_ORACLE)
+def q157(spark, sf_dir):
+    """Exponential smoothing over per-user event streams as an 8-tap
+    integer-exact filter (weights 2^k on cents): the time-series smoothing
+    primitive with zero FP-accumulation drift — numerator/denominator are
+    BIGINT sums, one IEEE division at the end. Single shuffle on the
+    (user, ts) window key."""
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .where(F.col("user_id") % 100 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j in range(_EWMA_TAPS):
+        weight = 1 << (_EWMA_TAPS - 1 - j)
+        lag = F.lag("c", j).over(w)
+        term = F.coalesce(lag * weight, F.lit(0))
+        present = F.when(lag.isNotNull(), weight).otherwise(0)
+        num = term if num is None else num + term
+        den = present if den is None else den + present
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(num.cast("double") / den / 100, 6).alias("ewma"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------- q158: mergeable-bitmap exact distinct counts
+
+_BITMAP_ORACLE = """
+SELECT CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS day_num, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+ORDER BY day_num
+"""
+
+
+@register("q158_bitmap_distinct", oracle=_BITMAP_ORACLE)
+def q158(spark, sf_dir):
+    """Exact distinct users per day via mergeable roaring-style bitmaps
+    (bitmap_construct_agg / bitmap_or_agg, Spark 3.5+): per-(day, bucket)
+    bitmaps are built map-side, daily counts are bitmap popcounts, and the
+    global count REUSES the same bitmaps by OR-merging — the exact-distinct
+    analogue of the q123 HLL identity, re-aggregable without rescanning.
+    Oracle = plain COUNT(DISTINCT) (bitmaps must be invisible)."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_num"),
+        "user_id",
+    )
+    per_bucket = ev.groupBy(
+        "day_num", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    per_day = per_bucket.groupBy("day_num").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users")
+    )
+    total = (
+        per_bucket.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users"))
+        .select(F.lit(-1).cast("bigint").alias("day_num"), "n_users")
+    )
+    return per_day.unionAll(total).orderBy("day_num")

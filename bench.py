@@ -119,6 +119,16 @@ HEADLINE = [
     "q148_disjunctive_revenue",
     "q149_dominant_supplier",
     "q150_min_cost_supplier",
+    "q152_dup_components",
+    "q153_column_profile",
+    "q154_zscore_outliers",
+    "q155_weighted_sample",
+    "q156_bpe_token_count",
+    "q157_ewma_smooth",
+    "q158_bitmap_distinct",
+    "q159_csv_source",
+    "q160_pagerank",
+    "q161_index_dedup",
 ]
 
 

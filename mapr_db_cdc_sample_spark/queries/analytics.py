@@ -387,3 +387,264 @@ def q158(spark, sf_dir):
         .select(F.lit(-1).cast("bigint").alias("day_num"), "n_users")
     )
     return per_day.unionAll(total).orderBy("day_num")
+
+
+# ----------------------------------------- q159: CSV source round-trip
+
+_CSV_SRC_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(LENGTH(props)) AS BIGINT) AS props_chars
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("q159_csv_source", oracle=_CSV_SRC_ORACLE)
+def q159(spark, sf_dir):
+    """Source-format coverage (q134's JSON twin): events serialized to
+    RFC-4180 CSV (quote-doubling escape, so the JSON `props` strings with
+    embedded commas/quotes survive) and read back with an EXPLICIT schema
+    — never inference at scale. Timestamps travel as epoch-micros longs.
+    The oracle aggregates the parquet original, so the text round-trip
+    must be lossless; props_chars hashes the quoting fidelity."""
+    from ..scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir)["events"]
+    path = scratch_dir("q159_csv")
+    csv_opts = {"quote": '"', "escape": '"', "header": "false"}
+    ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").options(**csv_opts).csv(path)
+    schema = (
+        "event_id bigint, ts_us bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    back = spark.read.schema(schema).options(**csv_opts).csv(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.length("props")).cast("bigint").alias("props_chars"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------- q160: PageRank (fixed 3 rounds)
+
+# Undirected co-purchase graph: distinct (part, supplier) pairs from
+# lineitem, both directions (supplier nodes offset by 10^7). Every node
+# has degree >= 1 in both directions, so no dangling-mass handling is
+# needed and each iteration covers every node.
+#
+# Determinism: per-edge contribution = ROUND(rank/outdeg, 12) cast to
+# DECIMAL(28,12) -> the aggregation is exact integer arithmetic in both
+# engines regardless of order; the damping update is one IEEE multiply/
+# add on identical doubles, ROUNDed to 9 before the next round. Final
+# ranking sorts by the ROUNDED rank with node id as the unique tiebreak.
+_PR_ITER_SQL = """, {out} AS (
+    SELECT e.dst AS node,
+           ROUND(0.15 + 0.85 * CAST(SUM(CAST(ROUND(r.rank / d.outdeg, 12) AS DECIMAL(28,12)) ) AS DOUBLE), 9) AS rank
+    FROM edges e
+    JOIN {inp} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+)"""
+
+_PAGERANK_ORACLE = (
+    """
+WITH edges AS (
+    SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst FROM lineitem
+    UNION ALL
+    SELECT DISTINCT l_suppkey + 10000000 AS src, l_partkey AS dst FROM lineitem
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg)"""
+    + _PR_ITER_SQL.format(out="r1", inp="r0")
+    + _PR_ITER_SQL.format(out="r2", inp="r1")
+    + _PR_ITER_SQL.format(out="r3", inp="r2")
+    + """
+SELECT CAST(node AS BIGINT) AS node, rank
+FROM r3 ORDER BY rank DESC, node LIMIT 25
+"""
+)
+
+
+@register("q160_pagerank", oracle=_PAGERANK_ORACLE)
+def q160(spark, sf_dir):
+    """PageRank (3 fixed power iterations, d=0.85) over the undirected
+    part<->supplier co-purchase graph — the canonical iterative-algorithm
+    shape on Spark: per-iteration plan is [broadcast rank+degree tables
+    onto the edge list -> one groupBy(dst) shuffle]; the edge list itself
+    is scanned from the same cached scan each round, never recomputed
+    into a longer lineage (plans stay O(1) deep because each iteration
+    only references the previous ranks DataFrame). At cluster scale the
+    rank table outgrows broadcast and the same code degrades gracefully
+    to a shuffle join on src; the edge list would be bucketed by src
+    (q118 pattern) to make every iteration exchange-free on the edge
+    side. Oracle = 3 unrolled SQL iterations with integer-exact
+    contribution sums (engine-identical, see comment above)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    edges = (
+        pairs.select(
+            F.col("l_partkey").alias("src"),
+            (F.col("l_suppkey") + 10000000).alias("dst"),
+        )
+        .unionAll(
+            pairs.select(
+                (F.col("l_suppkey") + 10000000).alias("src"),
+                F.col("l_partkey").alias("dst"),
+            )
+        )
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("outdeg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    for _ in range(3):
+        contrib = (
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["node"])
+            .join(F.broadcast(deg), "src")
+            .select(
+                "dst",
+                F.round(F.col("rank") / F.col("outdeg"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.round(F.lit(0.15) + F.lit(0.85) * F.sum("c").cast("double"), 9).alias(
+                "rank"
+            )
+        )
+    out = ranks.orderBy(F.desc("rank"), "node").limit(25).select(
+        F.col("node").cast("bigint").alias("node"), "rank"
+    )
+    edges.unpersist()
+    return out
+
+
+# ----------------- q161: incremental dedup against a persisted LSH index
+
+from .llm import _MINHASH_CTE, _BANDS_CTE  # noqa: E402
+
+
+def _index_dedup_oracle() -> str:
+    # Same tokenize/shingle/minhash CTEs as q43/q44 (kept in sync by
+    # string-substituting only the corpus definition), with a three-part
+    # corpus: the existing docs (the "index"), near-dup new docs (every
+    # 7th, mutated) and genuinely novel new docs (every 13th, reversed).
+    cte = _MINHASH_CTE.replace(
+        "SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id % 11 = 0",
+        """SELECT doc_id + 2000000, text || ' qq' FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 3000000, REVERSE(text) FROM documents WHERE doc_id % 13 = 0""",
+    )
+    bands = """, bands AS (
+    SELECT doc_id, UNNEST([
+        '0:' || mh0 || ':' || mh1,
+        '1:' || mh2 || ':' || mh3,
+        '2:' || mh4 || ':' || mh5,
+        '3:' || mh6 || ':' || mh7]) AS band
+    FROM sig WHERE mh0 IS NOT NULL
+), old_capped AS (
+    -- index-side mega-bucket cap (same rationale as q44's bands_capped,
+    -- but singleton buckets stay: the match partner is a NEW doc)
+    SELECT doc_id, band FROM (
+        SELECT doc_id, band, COUNT(*) OVER (PARTITION BY band) AS n_ids
+        FROM bands WHERE doc_id < 2000000
+    ) WHERE n_ids <= {cap}
+), cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+    FROM bands n JOIN old_capped o ON n.band = o.band
+    WHERE n.doc_id >= 2000000
+), grams AS (
+    SELECT doc_id, LIST_DISTINCT(hs) AS gs FROM hv
+), dup AS (
+    SELECT DISTINCT c.new_id FROM cand c
+    JOIN grams gn ON gn.doc_id = c.new_id
+    JOIN grams go ON go.doc_id = c.old_id
+    WHERE (LEN(gn.gs) + LEN(go.gs) - LEN(LIST_INTERSECT(gn.gs, go.gs))) > 0
+      AND ROUND(CAST(LEN(LIST_INTERSECT(gn.gs, go.gs)) AS DOUBLE) /
+                (LEN(gn.gs) + LEN(go.gs) - LEN(LIST_INTERSECT(gn.gs, go.gs))), 4) >= 0.5
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM corpus
+WHERE doc_id >= 2000000 AND doc_id NOT IN (SELECT new_id FROM dup)
+ORDER BY doc_id""".format(cap=B.DEFAULT_BUCKET_CAP)
+    return cte + bands
+
+
+@register("q161_index_dedup", oracle=_index_dedup_oracle())
+def q161(spark, sf_dir):
+    """Incremental (cross-run) dedup: a NEW document batch is deduplicated
+    against a PERSISTED LSH signature index of the existing corpus — the
+    continuous-ingest shape of corpus dedup, where the index outlives any
+    one batch and only the new batch pays tokenize/minhash cost per run.
+    Here the index is genuinely materialized to parquet and read back
+    (layout invisible to the oracle, q133/q135 pattern); at 100 TB it
+    would be written bucketed BY band hash so the new-batch probe join is
+    exchange-free on the index side. Near-dup new docs (verified 3-gram
+    Jaccard >= 0.5 against their band-bucket candidates) are dropped;
+    novel docs survive."""
+    from ..scratch import scratch_dir
+
+    d = load_tables(spark, sf_dir)["documents"]
+    old = d.select("doc_id", "text")
+    new = (
+        d.where(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat("text", F.lit(" qq")).alias("text"),
+        )
+        .unionAll(
+            d.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.reverse("text").alias("text"),
+            )
+        )
+    )
+
+    # Build + persist the index once (in production this is a standing
+    # table maintained across runs; grams for the old side are persisted
+    # alongside the bands for the verify stage).
+    old_grams = B.gram_sets(old).persist()
+    old_bands = B.minhash_bands(B.signatures_from_grams(old_grams))
+    w = Window.partitionBy("band")
+    idx_path = scratch_dir("q161_index")
+    (
+        old_bands.withColumn("n_ids", F.count("*").over(w))
+        .where(F.col("n_ids") <= B.DEFAULT_BUCKET_CAP)
+        .select(F.col("doc_id").alias("old_id"), "band")
+        .write.mode("overwrite")
+        .parquet(idx_path)
+    )
+    idx = spark.read.parquet(idx_path)
+
+    new_grams = B.gram_sets(new).persist()
+    new_bands = B.minhash_bands(B.signatures_from_grams(new_grams))
+    cand = (
+        new_bands.join(idx, "band")
+        .select(F.col("doc_id").alias("new_id"), "old_id")
+        .distinct()
+    )
+    gn = new_grams.select(F.col("doc_id").alias("new_id"), F.col("gs").alias("gn"))
+    go = old_grams.select(F.col("doc_id").alias("old_id"), F.col("gs").alias("go"))
+    inter = F.size(F.array_intersect(F.col("gn"), F.col("go")))
+    uni = F.size("gn") + F.size("go") - inter
+    dup = (
+        cand.join(gn, "new_id")
+        .join(go, "old_id")
+        .where((uni > 0) & (F.round(inter.cast("double") / uni, 4) >= 0.5))
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    return new.select("doc_id").join(dup, "doc_id", "left_anti").orderBy("doc_id")

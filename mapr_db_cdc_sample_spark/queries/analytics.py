@@ -506,9 +506,17 @@ def q160(spark, sf_dir):
                 F.col("l_partkey").alias("dst"),
             )
         )
-        .persist()
+        # eager checkpoint, not persist+unpersist: the caller executes the
+        # returned plan later, so an unpersist here would fire before the
+        # action; the checkpoint also cuts the distinct() out of the
+        # 3-reference lineage (edges is read 3x, built once)
+        .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("outdeg"))
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
     for _ in range(3):
         contrib = (
@@ -526,11 +534,11 @@ def q160(spark, sf_dir):
                 "rank"
             )
         )
-    out = ranks.orderBy(F.desc("rank"), "node").limit(25).select(
-        F.col("node").cast("bigint").alias("node"), "rank"
+    return (
+        ranks.orderBy(F.desc("rank"), "node")
+        .limit(25)
+        .select(F.col("node").cast("bigint").alias("node"), "rank")
     )
-    edges.unpersist()
-    return out
 
 
 # ----------------- q161: incremental dedup against a persisted LSH index

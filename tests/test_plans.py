@@ -405,3 +405,41 @@ def test_zonemap_prunes_files(spark, sf_dir):
     )
     assert len(pruned) == len(full)
     assert {r[0] for r in pruned} == {r[0] for r in full}
+
+
+# ---------------------------------------------- round-4 analytics surface
+
+
+def test_weighted_sample_is_topk_no_shuffle(spark, sf_dir):
+    # q155: global top-k by priority must be TakeOrderedAndProject (per-
+    # partition top-k + driver merge), never a full sort shuffle.
+    plan = _plan(spark, sf_dir, "q155_weighted_sample")
+    assert has(plan, "TakeOrderedAndProject"), plan[:1500]
+    assert not has(plan, "Exchange"), "weighted sample shuffled the corpus"
+
+
+def test_zscore_stats_broadcast(spark, sf_dir):
+    # q154: the 3-row per-group stats table joins back via broadcast.
+    plan = _plan(spark, sf_dir, "q154_zscore_outliers")
+    assert has(plan, "BroadcastHashJoin"), plan_nodes(plan)
+    assert not has(plan, "SortMergeJoin")
+
+
+def test_pagerank_iterations_broadcast_ranks(spark, sf_dir):
+    # q160: each of the 3 iterations = 2 broadcasts (ranks, degrees) onto
+    # the checkpointed edge list + exactly one groupBy(dst) shuffle.
+    from mapr_db_cdc_sample_spark.queries import load_all
+
+    df = load_all()["q160_pagerank"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_nodes(plan, "BroadcastHashJoin") == 6, plan_nodes(plan)
+    assert not has(plan, "SortMergeJoin")
+
+
+def test_bpe_token_count_single_scan_partial_agg(spark, sf_dir):
+    # q156: tokenization runs map-side into a partial+final aggregate;
+    # only text/source are read.
+    plan = _plan(spark, sf_dir, "q156_bpe_token_count")
+    assert count_nodes(plan, "HashAggregate") >= 2
+    schemas = read_schemas(plan)
+    assert schemas and all("doc_id" not in s for s in schemas), schemas

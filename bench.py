@@ -129,6 +129,8 @@ HEADLINE = [
     "q159_csv_source",
     "q160_pagerank",
     "q161_index_dedup",
+    "q162_simhash_pairs",
+    "q163_snapshot_diff",
 ]
 
 

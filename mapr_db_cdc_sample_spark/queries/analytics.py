@@ -656,3 +656,185 @@ def q161(spark, sf_dir):
         .distinct()
     )
     return new.select("doc_id").join(dup, "doc_id", "left_anti").orderBy("doc_id")
+
+
+# ------------------- q162: SimHash hamming-ball near-dup pairs (banded)
+
+from ..functions import text as T  # noqa: E402
+
+_SIMHASH_BITS = 60
+_SIMHASH_BAND_BITS = 15  # 4 bands; pigeonhole covers hamming <= 3
+
+
+def _simhash60_sql(corpus_cte: str) -> str:
+    """60-bit simhash CTEs over an arbitrary corpus CTE (same vote/
+    combine arithmetic as q45's 16-bit form, widened so 15-bit band
+    buckets stay sparse at corpus scale)."""
+    votes = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH corpus AS ({corpus_cte}
+), tok AS (
+    SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                      t -> LENGTH(t) > 0)) AS t
+    FROM corpus
+), hashed AS (
+    SELECT doc_id, ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT AS h FROM tok
+), votes AS (
+    SELECT doc_id, {votes}
+    FROM hashed GROUP BY doc_id
+), sh AS (
+    SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM votes
+)"""
+
+
+_SIMHASH_PAIRS_ORACLE = _simhash60_sql(
+    """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id % 11 = 0"""
+) + f""", bands AS (
+    SELECT doc_id, simhash,
+           UNNEST([{", ".join(
+               f"'{i}:' || ((simhash // {1 << (i * _SIMHASH_BAND_BITS)}) % {1 << _SIMHASH_BAND_BITS})"
+               for i in range(4))}]) AS nib
+    FROM sh
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sa, b.simhash AS sb
+    FROM bands a JOIN bands b ON a.nib = b.nib AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(BIT_COUNT(XOR(sa, sb)) AS INT) AS hamming
+FROM cand WHERE BIT_COUNT(XOR(sa, sb)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("q162_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
+def q162(spark, sf_dir):
+    """SimHash near-dup PAIRS (the dedup-matrix cell q45 leaves open:
+    fingerprints -> candidate pairs): 60-bit simhash, banded into 4
+    15-bit segments — by pigeonhole any pair within hamming distance 3
+    shares at least one segment, so candidates come from 4 equi-joins on
+    sparse 15-bit buckets (never all-pairs), then the exact popcount
+    filter keeps pairs with BIT_COUNT(XOR) <= 3. One explode + one
+    60-column vote aggregate (map-side combinable), one band shuffle."""
+    d = load_tables(spark, sf_dir)["documents"]
+    corpus = _minhash_corpus(d)
+    tok = corpus.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("t")
+    ).select("doc_id", T.shingle_hash60(F.col("t")).alias("h"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    sh = votes.select("doc_id", sim.cast("long").alias("simhash"))
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{i}:"),
+                        (F.shiftright(F.col("simhash"), i * _SIMHASH_BAND_BITS).bitwiseAND(F.lit(mask))).cast("string"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("nib"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "nib")
+    b_ = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "nib")
+    cand = (
+        a.join(b_, "nib")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.where(ham <= 3)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------ q163: CDC snapshot diff (point-in-time)
+
+_SNAPDIFF_T1 = "2024-01-20"
+
+_SNAPDIFF_ORACLE = f"""
+WITH s1 AS (
+    SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_SNAPDIFF_T1}'
+    ) WHERE rn = 1
+), s2 AS (
+    SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+)
+SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+       CASE WHEN s1.user_id IS NULL THEN 'added'
+            WHEN s2.user_id IS NULL THEN 'removed'
+            WHEN s1.event_id <> s2.event_id THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(s1.event_id AS BIGINT) AS t1_event,
+       CAST(s2.event_id AS BIGINT) AS t2_event
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+ORDER BY user_id
+"""
+
+
+@register("q163_snapshot_diff", oracle=_SNAPDIFF_ORACLE)
+def q163(spark, sf_dir):
+    """Point-in-time snapshot DIFF (CDC audit: what changed between two
+    materializations): the q114 struct-max argmax evaluated at two time
+    cutoffs, full-outer joined on the key with an added/removed/changed/
+    unchanged verdict. Both snapshots are one partial-aggregatable
+    aggregation; at scale the T1 snapshot is the stored table and only
+    the (T1, T2] delta is scanned — this query IS that identity, with
+    the oracle recomputing both sides from scratch."""
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def snap(df):
+        m = F.max(F.struct("ts", "event_id", "event_type")).alias("m")
+        return df.groupBy("user_id").agg(m).select(
+            "user_id",
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.event_type").alias("event_type"),
+        )
+
+    s1 = snap(ev.where(F.col("ts") < F.lit(_SNAPDIFF_T1).cast("timestamp")))
+    s2 = snap(ev)
+    j = s1.alias("s1").join(
+        s2.alias("s2"), F.col("s1.user_id") == F.col("s2.user_id"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("s1.user_id"), F.col("s2.user_id")).alias("user_id"),
+        F.when(F.col("s1.user_id").isNull(), "added")
+        .when(F.col("s2.user_id").isNull(), "removed")
+        .when(F.col("s1.event_id") != F.col("s2.event_id"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.col("s1.event_id").cast("bigint").alias("t1_event"),
+        F.col("s2.event_id").cast("bigint").alias("t2_event"),
+    ).orderBy("user_id")

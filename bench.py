@@ -131,6 +131,8 @@ HEADLINE = [
     "q161_index_dedup",
     "q162_simhash_pairs",
     "q163_snapshot_diff",
+    "q164_orc_source",
+    "q165_compaction",
 ]
 
 
@@ -145,6 +147,13 @@ def build_payload(timings: dict, names: list, total: float, sf_val) -> str:
         "sf": sf_val,
         "n_queries": len(timings),
         "detail": "BENCH_FULL.json",
+        # r1-r3 ran without cache isolation, so queries sharing a logical
+        # subplan (the LSH gram pass feeding q43/q44/q46/q85) reused each
+        # other's persisted blocks and timed artificially low, while
+        # accumulated stale blocks inflated late-running queries (q109 was
+        # 4.5s dirty vs 1.5s isolated). Round-over-round comparisons for
+        # the LSH family should expect ~+1.5s of now-visible real work.
+        "note": "per-query cache-isolated since r4 (clearCache between queries)",
     }
     budget = 1800
     for name in names:
@@ -182,6 +191,9 @@ def main() -> None:
             run_to_completion(registry[name].fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Cached blocks left behind by persist()ing queries would build up
+        # heap pressure and distort later queries' timings — isolate them.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

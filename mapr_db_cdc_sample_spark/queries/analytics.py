@@ -838,3 +838,95 @@ def q163(spark, sf_dir):
         F.col("s1.event_id").cast("bigint").alias("t1_event"),
         F.col("s2.event_id").cast("bigint").alias("t2_event"),
     ).orderBy("user_id")
+
+
+# ----------------------------------------- q164: ORC source round-trip
+
+_ORC_SRC_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(MIN(event_id) AS BIGINT) AS min_event,
+       CAST(MAX(event_id) AS BIGINT) AS max_event
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("q164_orc_source", oracle=_ORC_SRC_ORACLE)
+def q164(spark, sf_dir):
+    """Source-format coverage: ORC (the third columnar/landing format
+    after parquet and JSON/CSV text) — native Spark writer/reader, stripe
+    statistics give the same scan-level pushdown class as parquet. The
+    oracle aggregates the parquet original: the ORC round-trip must be
+    value-identical (timestamps kept as epoch-micros longs to stay
+    encoder-exact)."""
+    from ..scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir)["events"]
+    path = scratch_dir("q164_orc")
+    ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    ).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------- q165: small-files compaction (tiny->big)
+
+_COMPACT_ORACLE = """
+SELECT CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY 1 ORDER BY day_num
+"""
+
+
+@register("q165_compaction", oracle=_COMPACT_ORACLE)
+def q165(spark, sf_dir):
+    """Small-files compaction — the table-maintenance job every streaming
+    ingest needs (micro-batches land thousands of KB-sized files; scans
+    then pay per-file open/footer cost). A 64-way fragmented copy of
+    events is rewritten into a handful of right-sized files with
+    coalesce (no shuffle: compaction is a read+write, never a
+    repartition), and the day-level aggregate over the COMPACTED table
+    must hash-match the original (oracle reads the parquet source). The
+    4x/16x file-count reduction is asserted in tests/test_scale_ops.py."""
+    from ..scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir)["events"]
+    frag_path = scratch_dir("q165_frag")
+    compact_path = scratch_dir("q165_compact")
+    ev.select("event_id", "ts", "user_id", "event_type", "value").repartition(
+        64
+    ).write.mode("overwrite").parquet(frag_path)
+    # compact: coalesce merges partitions without a shuffle; target file
+    # count would be ceil(bytes/128MB) on a real table
+    spark.read.parquet(frag_path).coalesce(4).write.mode("overwrite").parquet(
+        compact_path
+    )
+    back = spark.read.parquet(compact_path)
+    return (
+        back.groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day_num")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("day_num")
+    )

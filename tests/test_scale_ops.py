@@ -121,3 +121,19 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     }
     want = t["orders"].where(F.year("o_orderdate").isin(*years)).count()
     assert joined.count() == want
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    # q165's operational claim: 64 fragment files -> 4 compacted files,
+    # same rows. (The value-identity is the DuckDB oracle's job.)
+    import glob
+    import os
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+    from mapr_db_cdc_sample_spark.scratch import scratch_dir
+
+    load_all()["q165_compaction"].fn(spark, sf_dir).count()
+    frag = glob.glob(os.path.join(scratch_dir("q165_frag"), "part-*"))
+    compact = glob.glob(os.path.join(scratch_dir("q165_compact"), "part-*"))
+    assert len(frag) == 64, len(frag)
+    assert len(compact) == 4, len(compact)

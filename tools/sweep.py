@@ -62,6 +62,11 @@ def main() -> int:
         secs = time.perf_counter() - t0
         results[name]["secs"] = round(secs, 1)
         print(f"{name}: {status} ({secs:.1f}s)")
+        # Several queries persist() intermediates and hand back a lazy DF,
+        # so their cached blocks outlive the query; across a 190+ entry
+        # sweep that accumulates into executor memory pressure. Each query
+        # still pays its own persists — this only stops cross-query leak.
+        spark.catalog.clearCache()
     print(f"== {fails} failures ==")
     out = os.environ.get("SPARK_GRAFT_SWEEP_JSON")
     if out:

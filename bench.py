@@ -133,6 +133,8 @@ HEADLINE = [
     "q163_snapshot_diff",
     "q164_orc_source",
     "q165_compaction",
+    "q166_power_iteration",
+    "q167_train_val_test",
 ]
 
 

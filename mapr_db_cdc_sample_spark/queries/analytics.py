@@ -930,3 +930,144 @@ def q165(spark, sf_dir):
         )
         .orderBy("day_num")
     )
+
+
+# ---------------- q166: power iteration (top principal direction, exact)
+
+# Integer-exact distributed linear algebra: embeddings quantized to
+# BIGINT (x1000), the iteration vector carried at scale 1e6, and every
+# matrix product an exact BIGINT sum (magnitudes bounded: |q|<=320,
+# u <= 64*320*1e6 = 2e10; u rescaled /1e4 before the transpose product so
+# w <= #vecs*320*2e6 — BIGINT-safe through sf100). The norm uses
+# DECIMAL(19,0)^2 -> DECIMAL(38,0) sums (exact in both engines), one
+# IEEE sqrt+division per round, ROUND half-away re-quantization. The
+# result is bit-identical across engines with NO transcendental-rounding
+# slack anywhere.
+_POWER_ITER_SQL = """, u{t} AS (
+    SELECT vec_id, CAST(ROUND(CAST(SUM(qv_ij * v) AS DOUBLE) / 10000.0) AS BIGINT) AS u
+    FROM qx JOIN v{p} USING (j) GROUP BY vec_id
+), w{t} AS (
+    SELECT j, CAST(SUM(qv_ij * u) AS BIGINT) AS w
+    FROM qx JOIN u{t} USING (vec_id) GROUP BY j
+), n{t} AS (
+    SELECT SQRT(CAST(SUM(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))) AS DOUBLE)) AS nrm
+    FROM w{t}
+), v{t} AS (
+    SELECT j, CAST(ROUND(CAST(w AS DOUBLE) / nrm * 1000000) AS BIGINT) AS v
+    FROM w{t}, n{t}
+)"""
+
+_POWER_ORACLE = (
+    """
+WITH q AS (
+    SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+    FROM embeddings
+), qx AS (
+    SELECT vec_id, i - 1 AS j, qv[i] AS qv_ij
+    FROM q, UNNEST(RANGE(1, LEN(qv) + 1)) AS t(i)
+), v0 AS (
+    SELECT i AS j, CAST(1000000 AS BIGINT) AS v FROM RANGE(0, 64) r(i)
+)"""
+    + _POWER_ITER_SQL.format(t=1, p=0)
+    + _POWER_ITER_SQL.format(t=2, p=1)
+    + _POWER_ITER_SQL.format(t=3, p=2)
+    + """
+SELECT CAST(j AS INT) AS j, v FROM v3 ORDER BY j
+"""
+)
+
+
+@register("q166_power_iteration", oracle=_POWER_ORACLE)
+def q166(spark, sf_dir):
+    """Top principal direction of the embedding matrix by 3 distributed
+    power iterations (v <- normalize(Xᵀ(Xv))) — the PCA building block,
+    fully distributed: NO driver-side collect anywhere; the 64-row
+    iteration vector and the 1-row norm broadcast onto the exploded
+    matrix, each round is two small-key aggregations. The matrix explode
+    is checkpointed once and reread each round. Bit-identical to the SQL
+    oracle via integer-exact quantized arithmetic (see comment above)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qx = (
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    "embedding", lambda x: F.round(x * 1000).cast("bigint")
+                )
+            ).alias("j", "qv_ij"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = spark.range(64).select(
+        F.col("id").alias("j"), F.lit(1000000).cast("bigint").alias("v")
+    )
+    for _ in range(3):
+        u = (
+            qx.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(
+                F.round(F.sum(F.col("qv_ij") * F.col("v")).cast("double") / 10000.0)
+                .cast("bigint")
+                .alias("u")
+            )
+        )
+        w = (
+            qx.join(u, "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("qv_ij") * F.col("u")).cast("bigint").alias("w"))
+        )
+        wd = F.col("w").cast("decimal(19,0)")
+        nrm = w.agg(
+            F.sqrt(F.sum(wd * wd).cast("double")).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "j",
+            F.round(F.col("w").cast("double") / F.col("nrm") * 1000000)
+            .cast("bigint")
+            .alias("v"),
+        )
+    return v.select(F.col("j").cast("int").alias("j"), "v").orderBy("j")
+
+
+# -------------------- q167: deterministic train/val/test corpus split
+
+_SPLIT_ORACLE = """
+WITH keyed AS (
+    SELECT lang, n_chars,
+           ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bucket
+    FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM keyed GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
+@register("q167_train_val_test", oracle=_SPLIT_ORACLE)
+def q167(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by content-stable hash
+    (md5 of the doc key, NOT random): re-running the pipeline on a grown
+    corpus keeps every existing doc in its original split — the property
+    that prevents train/test leakage across dataset versions. Pure map +
+    small aggregate; the split column costs one hash per row."""
+    d = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    keyed = d.select(
+        "lang",
+        "n_chars",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    )
+    return (
+        keyed.groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang", "split")
+    )

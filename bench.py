@@ -135,6 +135,8 @@ HEADLINE = [
     "q165_compaction",
     "q166_power_iteration",
     "q167_train_val_test",
+    "q168_correlation_matrix",
+    "q169_mutual_information",
 ]
 
 

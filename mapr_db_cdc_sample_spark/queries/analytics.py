@@ -960,7 +960,7 @@ _POWER_ITER_SQL = """, u{t} AS (
 _POWER_ORACLE = (
     """
 WITH q AS (
-    SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+    SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
     FROM embeddings
 ), qx AS (
     SELECT vec_id, i - 1 AS j, qv[i] AS qv_ij
@@ -992,7 +992,7 @@ def q166(spark, sf_dir):
             "vec_id",
             F.posexplode(
                 F.transform(
-                    "embedding", lambda x: F.round(x * 1000).cast("bigint")
+                    "embedding", lambda x: F.round(x.cast("double") * 1000).cast("bigint")
                 )
             ).alias("j", "qv_ij"),
         )
@@ -1070,4 +1070,165 @@ def q167(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
         .orderBy("lang", "split")
+    )
+
+
+# -------------------- q168: correlation matrix from integer-exact moments
+
+# Pearson r for every measure pair from EXACT integer moments (cents /
+# hundredths): sums, sums of squares and cross-products are BIGINT/
+# DECIMAL(38,0)-exact in both engines, so the single r formula evaluates
+# on identical doubles; ROUND(6) output. This sidesteps engine-native
+# corr() entirely (Welford vs naive accumulation would differ in ulps).
+_CORR_ORACLE = """
+WITH m AS (
+    SELECT l_returnflag AS flag,
+           CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+           CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d
+    FROM lineitem
+), s AS (
+    SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(q) AS DECIMAL(38,0)) AS DOUBLE) AS sq,
+           CAST(CAST(SUM(p) AS DECIMAL(38,0)) AS DOUBLE) AS sp,
+           CAST(CAST(SUM(d) AS DECIMAL(38,0)) AS DOUBLE) AS sd,
+           CAST(CAST(SUM(q * q) AS DECIMAL(38,0)) AS DOUBLE) AS sqq,
+           CAST(CAST(SUM(p * p) AS DECIMAL(38,0)) AS DOUBLE) AS spp,
+           CAST(CAST(SUM(d * d) AS DECIMAL(38,0)) AS DOUBLE) AS sdd,
+           CAST(CAST(SUM(q * p) AS DECIMAL(38,0)) AS DOUBLE) AS sqp,
+           CAST(CAST(SUM(q * d) AS DECIMAL(38,0)) AS DOUBLE) AS sqd,
+           CAST(CAST(SUM(p * d) AS DECIMAL(38,0)) AS DOUBLE) AS spd
+    FROM m GROUP BY flag
+)
+SELECT flag,
+       n,
+       ROUND((n * sqp - sq * sp) / SQRT((n * sqq - sq * sq) * (n * spp - sp * sp)), 6) AS corr_qty_price,
+       ROUND((n * sqd - sq * sd) / SQRT((n * sqq - sq * sq) * (n * sdd - sd * sd)), 6) AS corr_qty_disc,
+       ROUND((n * spd - sp * sd) / SQRT((n * spp - sp * sp) * (n * sdd - sd * sd)), 6) AS corr_price_disc
+FROM s ORDER BY flag
+"""
+
+
+@register("q168_correlation_matrix", oracle=_CORR_ORACLE)
+def q168(spark, sf_dir):
+    """Per-group Pearson correlation matrix over the lineitem measures —
+    the profiling statistic feeding feature selection. ONE pass builds
+    all nine exact moments (map-side combinable wide aggregate, shuffle
+    carries 3 groups x 10 numbers); the r formula then runs on identical
+    IEEE inputs in both engines instead of trusting engine-native corr()
+    accumulation order."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cents = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("bigint")  # noqa: E731
+    m = li.select(
+        F.col("l_returnflag").alias("flag"),
+        cents("l_quantity").alias("q"),
+        cents("l_extendedprice").alias("p"),
+        cents("l_discount").alias("d"),
+    )
+    big = lambda e: F.sum(e).cast("decimal(38,0)").cast("double")  # noqa: E731
+    s = m.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        big(F.col("q")).alias("sq"),
+        big(F.col("p")).alias("sp"),
+        big(F.col("d")).alias("sd"),
+        big(F.col("q") * F.col("q")).alias("sqq"),
+        big(F.col("p") * F.col("p")).alias("spp"),
+        big(F.col("d") * F.col("d")).alias("sdd"),
+        big(F.col("q") * F.col("p")).alias("sqp"),
+        big(F.col("q") * F.col("d")).alias("sqd"),
+        big(F.col("p") * F.col("d")).alias("spd"),
+    )
+    n, sq, sp, sd = F.col("n"), F.col("sq"), F.col("sp"), F.col("sd")
+    sqq, spp, sdd = F.col("sqq"), F.col("spp"), F.col("sdd")
+    sqp, sqd, spd = F.col("sqp"), F.col("sqd"), F.col("spd")
+
+    def r(sxy, sx, sy, sxx, syy):
+        return F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        )
+
+    return s.select(
+        "flag",
+        "n",
+        r(sqp, sq, sp, sqq, spp).alias("corr_qty_price"),
+        r(sqd, sq, sd, sqq, sdd).alias("corr_qty_disc"),
+        r(spd, sp, sd, spp, sdd).alias("corr_price_disc"),
+    ).orderBy("flag")
+
+
+# ----------------- q169: mutual information (event_type vs day-of-week)
+
+# Counts are exact, so every probability is an identical IEEE double;
+# each cell's PMI term (one ln) is ROUNDed(6) and the per-type sums
+# accumulate the ROUNDED terms in DECIMAL(18,6) — order-free and
+# engine-identical (the repo's standard transcendental-sum recipe, q108).
+_MI_ORACLE = """
+WITH cells AS (
+    SELECT event_type AS etype, DAYOFWEEK(CAST(ts AS DATE)) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+), tot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+), px AS (
+    SELECT etype, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY etype
+), py AS (
+    SELECT dow, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY dow
+), terms AS (
+    SELECT cells.etype, cells.dow,
+           ROUND((CAST(c AS DOUBLE) / n) *
+                 LN((CAST(c AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy)), 6) AS pmi
+    FROM cells, tot
+    JOIN px ON px.etype = cells.etype
+    JOIN py ON py.dow = cells.dow
+)
+SELECT etype,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CAST(pmi AS DECIMAL(18,6))) AS DOUBLE) AS mi_part
+FROM terms GROUP BY etype ORDER BY etype
+"""
+
+
+@register("q169_mutual_information", oracle=_MI_ORACLE)
+def q169(spark, sf_dir):
+    """Mutual information between event type and day-of-week — the
+    dependence screen run before using a feature pair. Contingency cells
+    aggregate first (shuffle carries |types| x 7 cells, not events);
+    marginals broadcast back; one ln per CELL, rounded, then summed in
+    decimal so the reduction is order-free."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cells = (
+        ev.select(
+            F.col("event_type").alias("etype"),
+            F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+        )
+        .groupBy("etype", "dow")
+        .agg(F.count("*").alias("c"))
+    )
+    cells = cells.localCheckpoint(eager=True)  # 3 consumers below
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    px = cells.groupBy("etype").agg(F.sum("c").cast("bigint").alias("cx"))
+    py = cells.groupBy("dow").agg(F.sum("c").cast("bigint").alias("cy"))
+    terms = (
+        cells.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(px), "etype")
+        .join(F.broadcast(py), "dow")
+        .select(
+            "etype",
+            F.round(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(
+                    (F.col("c").cast("double") * F.col("n"))
+                    / (F.col("cx").cast("double") * F.col("cy"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        terms.groupBy("etype")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(F.col("pmi").cast("decimal(18,6)")).cast("double").alias("mi_part"),
+        )
+        .orderBy("etype")
     )

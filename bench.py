@@ -137,6 +137,7 @@ HEADLINE = [
     "q167_train_val_test",
     "q168_correlation_matrix",
     "q169_mutual_information",
+    "q170_zorder_prune",
 ]
 
 

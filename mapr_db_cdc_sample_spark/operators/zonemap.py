@@ -62,3 +62,69 @@ def pruned_scan(
     if not selected:  # degenerate: nothing can match; empty frame, same schema
         return spark.read.parquet(manifest[0][0]).limit(0), 0, len(manifest)
     return spark.read.parquet(*selected), len(selected), len(manifest)
+
+
+# ------------------------- Z-order (2-D) clustering + two-column manifest
+
+def zvalue(x, y, bits: int = 8):
+    """Morton/Z-order interleave of two bucketized dims (JVM expressions
+    only): bit b of x lands at 2b, bit b of y at 2b+1. Locality in z ==
+    locality in BOTH dims, which is what makes one clustered layout
+    serve two-dimensional predicates."""
+    z = None
+    for b in range(bits):
+        xb = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+        yb = F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        z = xb + yb if z is None else z + xb + yb
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, xcol: str, ycol: str, n_files: int) -> None:
+    """Cluster on the interleaved z-value: each file covers a compact
+    rectangle-ish region of (x, y) space, so per-file min/max of BOTH
+    columns are tight."""
+    z = zvalue(F.col(xcol), F.col(ycol))
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def build_manifest2(spark: SparkSession, path: str, xcol: str, ycol: str) -> list[tuple]:
+    """[(file, xlo, xhi, ylo, yhi)] — the two-column zone map."""
+    stats = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"), F.col(xcol).alias("x"), F.col(ycol).alias("y"))
+        .groupBy("f")
+        .agg(
+            F.min("x").alias("xlo"),
+            F.max("x").alias("xhi"),
+            F.min("y").alias("ylo"),
+            F.max("y").alias("yhi"),
+        )
+        .collect()
+    )
+    return [(r.f, r.xlo, r.xhi, r.ylo, r.yhi) for r in stats]
+
+
+def pruned_scan2(
+    spark: SparkSession,
+    manifest: list[tuple],
+    xlo,
+    xhi,
+    ylo,
+    yhi,
+) -> tuple[DataFrame, int, int]:
+    """Scan only files whose zones overlap BOTH predicate ranges."""
+    selected = [
+        f
+        for f, fxlo, fxhi, fylo, fyhi in manifest
+        if fxlo <= xhi and fxhi >= xlo and fylo <= yhi and fyhi >= ylo
+    ]
+    if not selected:
+        return spark.read.parquet(manifest[0][0]).limit(0), 0, len(manifest)
+    return spark.read.parquet(*selected), len(selected), len(manifest)

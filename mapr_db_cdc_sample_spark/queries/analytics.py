@@ -1232,3 +1232,49 @@ def q169(spark, sf_dir):
         )
         .orderBy("etype")
     )
+
+
+# ------------------ q170: Z-order clustering + 2-D manifest file pruning
+
+_ZORDER_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events
+WHERE (user_id % 256) BETWEEN 16 AND 79
+  AND DAYOFMONTH(CAST(ts AS DATE)) BETWEEN 8 AND 15
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("q170_zorder_prune", oracle=_ZORDER_ORACLE)
+def q170(spark, sf_dir):
+    """Z-order (Morton) clustering + two-column zone-map pruning — the
+    q139 data-skipping story extended to 2-D predicates: one layout
+    serves range filters on BOTH user and day because bit-interleaved
+    clustering keeps each file a compact rectangle of (user, day) space
+    (what Delta OPTIMIZE ZORDER BY does, built from Spark primitives in
+    operators/zonemap.py). The manifest records per-file min/max of both
+    dims; planning intersects the predicate with it and scans only
+    overlapping files (ratio asserted in tests); the exact residual
+    filter keeps the result hash-identical to the full-table oracle."""
+    from ..operators.zonemap import build_manifest2, pruned_scan2, write_zordered
+    from ..scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "ub", (F.col("user_id") % 256).cast("int")
+    ).withColumn("dayb", F.dayofmonth(F.col("ts").cast("date")))
+    path = scratch_dir("q170_zorder")
+    write_zordered(ev, path, "ub", "dayb", 16)
+    manifest = build_manifest2(spark, path, "ub", "dayb")
+    xlo, xhi, ylo, yhi = 16, 79, 8, 15
+    df, _sel, _tot = pruned_scan2(spark, manifest, xlo, xhi, ylo, yhi)
+    return (
+        df.where(F.col("ub").between(xlo, xhi) & F.col("dayb").between(ylo, yhi))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("event_type")
+    )

@@ -137,3 +137,30 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     compact = glob.glob(os.path.join(scratch_dir("q165_compact"), "part-*"))
     assert len(frag) == 64, len(frag)
     assert len(compact) == 4, len(compact)
+
+
+def test_zorder_manifest_prunes_2d(spark, sf_dir):
+    # q170's layout claim: a 2-D range predicate (1/4 of each dim) scans
+    # well under half the files because z-order keeps both dims compact
+    # per file.
+    from pyspark.sql import functions as F
+
+    from mapr_db_cdc_sample_spark.io import load_tables
+    from mapr_db_cdc_sample_spark.operators.zonemap import (
+        build_manifest2,
+        pruned_scan2,
+        write_zordered,
+    )
+    from mapr_db_cdc_sample_spark.scratch import scratch_dir
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .withColumn("ub", (F.col("user_id") % 256).cast("int"))
+        .withColumn("dayb", F.dayofmonth(F.col("ts").cast("date")))
+    )
+    path = scratch_dir("test_zorder")
+    write_zordered(ev, path, "ub", "dayb", 16)
+    manifest = build_manifest2(spark, path, "ub", "dayb")
+    _df, n_sel, n_tot = pruned_scan2(spark, manifest, 16, 79, 8, 15)
+    assert n_tot == 16, n_tot
+    assert n_sel <= n_tot // 2, (n_sel, n_tot)

@@ -138,6 +138,8 @@ HEADLINE = [
     "q168_correlation_matrix",
     "q169_mutual_information",
     "q170_zorder_prune",
+    "q171_arrow_udf",
+    "q172_observed_metrics",
 ]
 
 

@@ -1278,3 +1278,72 @@ def q170(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------- q171: Arrow-optimized Python UDF (Spark 4 useArrow=True)
+
+_ARROW_UDF_ORACLE = """
+SELECT doc_id,
+       LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_words_udf
+FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id
+"""
+
+
+@register("q171_arrow_udf", oracle=_ARROW_UDF_ORACLE)
+def q171(spark, sf_dir):
+    """Arrow-optimized scalar Python UDF (`@udf(..., useArrow=True)`,
+    Spark 3.5+/4): the third rung of the Python-eval ladder the surface
+    documents — q57 row-at-a-time pickle, q55/q58 pandas_udf, and this:
+    scalar-UDF ergonomics with Arrow-batched transfer (no pandas in the
+    function signature). Integer result, so it hash-checks exactly."""
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def n_words(text: str) -> int:
+        return text.count(" ") + 1
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.where(F.col("doc_id") % 20 == 0)
+        .select("doc_id", n_words("text").alias("n_words_udf"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------- q172: observed metrics (df.observe accumulators)
+
+_OBSERVE_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events WHERE value > 0 GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("q172_observed_metrics", oracle=_OBSERVE_ORACLE)
+def q172(spark, sf_dir):
+    """Inline data-quality metrics with df.observe (CollectMetrics): the
+    pipeline counts rows/nulls/range-violations IN the same pass that
+    computes the result — no second scan for the audit numbers (at 100 TB
+    an extra metrics scan is real money). The observation is registered
+    on the pre-filter scan; the returned result is the ordinary oracled
+    aggregate, and the metric plumbing is asserted in tests via the
+    Observation API."""
+    from pyspark.sql import Observation
+
+    ev = load_tables(spark, sf_dir)["events"]
+    obs = Observation("q172_quality")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("value") <= 0, 1).otherwise(0)).alias("nonpositive"),
+    )
+    return (
+        observed.where(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("event_type")
+    )

@@ -164,3 +164,26 @@ def test_zorder_manifest_prunes_2d(spark, sf_dir):
     _df, n_sel, n_tot = pruned_scan2(spark, manifest, 16, 79, 8, 15)
     assert n_tot == 16, n_tot
     assert n_sel <= n_tot // 2, (n_sel, n_tot)
+
+
+def test_observe_metrics_single_pass(spark, sf_dir):
+    # q172's claim: quality metrics ride the same pass as the result.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from mapr_db_cdc_sample_spark.io import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    obs = Observation("test_q172")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("value") <= 0, 1).otherwise(0)).alias("nonpositive"),
+    )
+    out = observed.where(F.col("value") > 0).groupBy("event_type").count()
+    out.collect()
+    got = obs.get
+    total = ev.count()
+    bad = ev.where(F.col("value") <= 0).count()
+    assert got["rows_seen"] == total
+    assert got["nonpositive"] == bad

@@ -271,3 +271,28 @@ def q151(spark, sf_dir):
     return _with_input_count(
         _drain(stream_stream_click_purchase_outer(cs, ps), "q151"), n
     )
+
+
+@register("q173_stream_trending")
+def q173(spark, sf_dir):
+    """Streaming trending top-k: tumbling 6h windows of per-type counts in
+    COMPLETE output mode, ranked per window after the drain. Complete
+    mode is the only mode where a downstream rank over the in-progress
+    aggregate is well-defined (append would rank partial windows); on a
+    cluster this materializes the small windowed aggregate per trigger —
+    state is |windows x types|, never events. Equivalence to the batch
+    twin (groupBy window+type -> rank) is asserted in
+    tests/test_streaming.py."""
+    from pyspark.sql import Window as W
+
+    from ..streaming.windows import tumbling_type_counts
+
+    stream, n = _events_stream(spark, sf_dir)
+    counts = _drain(tumbling_type_counts(stream), "q173", "complete")
+    rank_w = W.partitionBy("win_start").orderBy(F.desc("n"), "event_type")
+    top = (
+        counts.withColumn("rnk", F.row_number().over(rank_w))
+        .where(F.col("rnk") <= 3)
+        .orderBy("win_start", "rnk")
+    )
+    return _with_input_count(top, n)

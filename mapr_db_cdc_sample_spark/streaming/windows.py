@@ -149,3 +149,18 @@ def stream_stream_click_purchase_outer(
     return c.join(p, cond, "left_outer").select(
         "click_id", "c_user", "click_ts", "purchase_id", "purchase_ts", "value"
     )
+
+
+def tumbling_type_counts(events: DataFrame) -> DataFrame:
+    """Per-(6h tumbling window, event_type) counts for complete-mode
+    trending: tiny state (|windows| x |types| rows), no watermark needed
+    because complete mode re-emits the whole aggregate each trigger."""
+    return (
+        events.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )

@@ -395,3 +395,28 @@ def test_stream_stream_outer_join_matches_batch(spark, sf_dir):
     assert got_matched == want_matched
     assert got_unmatched <= want_unmatched
     assert got_unmatched, "no unmatched clicks flushed — watermark never advanced"
+
+
+def test_stream_trending_matches_batch(spark, sf_dir):
+    # q173: complete-mode windowed counts + post-drain rank == batch twin.
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+    from mapr_db_cdc_sample_spark.queries.streamingq import _bounded_events
+    from mapr_db_cdc_sample_spark.streaming.windows import tumbling_type_counts
+
+    got = {
+        (r.win_start, r.event_type, r.n, r.rnk)
+        for r in load_all()["q173_stream_trending"].fn(spark, sf_dir).collect()
+    }
+    ev, _ = _bounded_events(spark, sf_dir)
+    rank_w = W.partitionBy("win_start").orderBy(F.desc("n"), "event_type")
+    want = {
+        (r.win_start, r.event_type, r.n, r.rnk)
+        for r in tumbling_type_counts(ev)
+        .withColumn("rnk", F.row_number().over(rank_w))
+        .where(F.col("rnk") <= 3)
+        .collect()
+    }
+    assert got == want

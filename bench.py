@@ -140,6 +140,8 @@ HEADLINE = [
     "q170_zorder_prune",
     "q171_arrow_udf",
     "q172_observed_metrics",
+    "q174_pareto_frontier",
+    "q175_schema_evolution",
 ]
 
 

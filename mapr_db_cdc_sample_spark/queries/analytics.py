@@ -1347,3 +1347,109 @@ def q172(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------- q174: Pareto frontier (skyline) via prefix max
+
+# Dominance on integer axes (spend cents, order count): p is dominated
+# iff some q has x>=p.x, y>=p.y with one strict. With x integer, the
+# strictly-higher-x running max is a RANGE frame ending 1 PRECEDING under
+# ORDER BY x DESC — O(n log n) total, no self-join. Same-x dominance is a
+# per-x partition max. All-integer arithmetic: engine-exact.
+_SKYLINE_ORACLE = """
+WITH pts AS (
+    SELECT o_custkey AS cust,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM orders GROUP BY o_custkey
+), flagged AS (
+    SELECT cust, x, y,
+           MAX(y) OVER (ORDER BY x DESC RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_y_higher_x,
+           MAX(y) OVER (PARTITION BY x) AS max_y_same_x
+    FROM pts
+)
+SELECT cust, x, y FROM flagged
+WHERE (max_y_higher_x IS NULL OR max_y_higher_x < y) AND y >= max_y_same_x
+ORDER BY x DESC, cust
+"""
+
+
+@register("q174_pareto_frontier", oracle=_SKYLINE_ORACLE)
+def q174(spark, sf_dir):
+    """Skyline / Pareto frontier of customers on (total spend, order
+    count) — the multi-objective 'best' query. NOT the naive quadratic
+    NOT-EXISTS self-join: dominance reduces to two window maxima (a
+    strictly-higher-x running max via an integer RANGE frame, and a
+    same-x partition max), so the whole operator is one sort shuffle —
+    the shape that survives 10^9 input groups."""
+    o = load_tables(spark, sf_dir)["orders"]
+    pts = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x"),
+        F.count("*").alias("y"),
+    )
+    w_higher = (
+        Window.orderBy(F.col("x").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("x")
+    flagged = pts.select(
+        "cust",
+        "x",
+        "y",
+        F.max("y").over(w_higher).alias("max_y_higher_x"),
+        F.max("y").over(w_same).alias("max_y_same_x"),
+    )
+    return (
+        flagged.where(
+            (F.col("max_y_higher_x").isNull() | (F.col("max_y_higher_x") < F.col("y")))
+            & (F.col("y") >= F.col("max_y_same_x"))
+        )
+        .select("cust", "x", "y")
+        .orderBy(F.col("x").desc(), "cust")
+    )
+
+
+# ----------------- q175: schema evolution (mergeSchema across versions)
+
+_SCHEMA_EVO_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN event_id % 2 = 1 THEN CAST(user_id AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS sum_enriched
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("q175_schema_evolution", oracle=_SCHEMA_EVO_ORACLE)
+def q175(spark, sf_dir):
+    """Schema evolution on a partitioned landing table: version-1 files
+    lack a column that version-2 files carry; `mergeSchema` unions the
+    schemas at read time and v1 rows surface NULL for the new column (the
+    additive-column contract every long-lived 100 TB table relies on —
+    never rewrite old files to add a column). The aggregate folds the
+    NULLs exactly like the oracle's CASE over the original events."""
+    from ..scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir)["events"]
+    path = scratch_dir("q175_evo")
+    v1 = ev.where(F.col("event_id") % 2 == 0).select("event_id", "event_type")
+    v2 = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", F.col("user_id").alias("enriched_uid")
+    )
+    v1.write.mode("overwrite").parquet(path + "/v=1")
+    v2.write.mode("overwrite").parquet(path + "/v=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        path + "/v=1", path + "/v=2"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce(F.col("enriched_uid"), F.lit(0)))
+            .cast("bigint")
+            .alias("sum_enriched"),
+        )
+        .orderBy("event_type")
+    )

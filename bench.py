@@ -142,6 +142,8 @@ HEADLINE = [
     "q172_observed_metrics",
     "q174_pareto_frontier",
     "q175_schema_evolution",
+    "q176_equidepth_histogram",
+    "q177_time_weighted_avg",
 ]
 
 

@@ -1453,3 +1453,111 @@ def q175(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ------------------- q176: equi-depth histogram (ntile quantile bins)
+
+# ntile over a TOTAL order (cents, then the unique line id) is engine-
+# deterministic — the optimizer-statistics shape (equi-depth, not
+# equi-width like q121): bin boundaries adapt to the distribution.
+_EQUIDEPTH_ORACLE = """
+WITH c AS (
+    SELECT l_returnflag AS flag,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           l_orderkey * 10 + l_linenumber AS uid
+    FROM lineitem
+), binned AS (
+    SELECT flag, cents,
+           NTILE(8) OVER (PARTITION BY flag ORDER BY cents, uid) AS bin
+    FROM c
+)
+SELECT flag, CAST(bin AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(cents) AS BIGINT) AS lo_cents,
+       CAST(MAX(cents) AS BIGINT) AS hi_cents
+FROM binned GROUP BY flag, bin ORDER BY flag, bin
+"""
+
+
+@register("q176_equidepth_histogram", oracle=_EQUIDEPTH_ORACLE)
+def q176(spark, sf_dir):
+    """Equi-depth histogram (8 quantile bins per group) — the statistic
+    CBOs and drift monitors actually keep (equi-width q121 starves on
+    skew; equi-depth adapts). ntile over a total order with a unique
+    tiebreaker is deterministic in both engines; one window sort + the
+    |groups|x8 aggregate."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+    )
+    w = Window.partitionBy("flag").orderBy("cents", "uid")
+    return (
+        c.withColumn("bin", F.ntile(8).over(w))
+        .groupBy("flag", F.col("bin").cast("int").alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("flag", "bin")
+    )
+
+
+# ------------------------- q177: time-weighted average (TWAP) per user
+
+# Each value holds from its event until the next (step function); TWAP =
+# sum(value * hold_micros) / total_micros. Cents x micros products are
+# BIGINT-exact (<= 1e7 * 2.6e12 ~ 2.6e19 — DECIMAL(38,0) sums to stay
+# safe), one IEEE division at the end.
+_TWAP_ORACLE = """
+WITH seq AS (
+    SELECT user_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           EPOCH_US(ts) AS t,
+           LEAD(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+    FROM events WHERE user_id % 10 = 0
+), held AS (
+    SELECT user_id, cents, t_next - t AS hold
+    FROM seq WHERE t_next IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_holds,
+       ROUND(CAST(CAST(SUM(cents * hold) AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(SUM(hold) AS DECIMAL(38,0)) AS DOUBLE) / 100, 6) AS twap
+FROM held GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("q177_time_weighted_avg", oracle=_TWAP_ORACLE)
+def q177(spark, sf_dir):
+    """Time-weighted average (TWAP) per user: each reading holds until
+    the next event (step-function integral / total time) — the correct
+    average for irregularly-sampled series where plain AVG over-weights
+    bursts. One (user, ts) window shuffle for the lead; integer-exact
+    cents x micros accumulation."""
+    ev = load_tables(spark, sf_dir)["events"].where(F.col("user_id") % 10 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    )
+    held = seq.where(F.col("t_next").isNotNull()).select(
+        "user_id", "cents", (F.col("t_next") - F.col("t")).alias("hold")
+    )
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_holds"),
+            F.round(
+                F.sum(F.col("cents") * F.col("hold")).cast("decimal(38,0)").cast("double")
+                / F.sum("hold").cast("decimal(38,0)").cast("double")
+                / 100,
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )

@@ -144,6 +144,7 @@ HEADLINE = [
     "q175_schema_evolution",
     "q176_equidepth_histogram",
     "q177_time_weighted_avg",
+    "q178_dead_letter_route",
 ]
 
 

@@ -1561,3 +1561,61 @@ def q177(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ------------------ q178: malformed-record dead-letter routing (ingest)
+
+# Every 5th record's JSON payload is corrupted (prefix byte -> invalid in
+# any JSON parser); the ingest splits parse-successes from a dead-letter
+# count IN ONE PASS. Spark's from_json yields NULL on malformed input;
+# the oracle's json_valid() marks the same rows — both sides then extract
+# the same field from the survivors.
+_DLQ_ORACLE = """
+WITH raw AS (
+    SELECT event_type,
+           CASE WHEN event_id % 5 = 0 THEN 'x' || props ELSE props END AS payload
+    FROM events
+), parsed AS (
+    SELECT event_type,
+           CASE WHEN JSON_VALID(payload)
+                THEN CAST(payload->>'k' AS BIGINT) END AS k
+    FROM raw
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(k) AS BIGINT) AS n_good,
+       CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_dead,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("q178_dead_letter_route", oracle=_DLQ_ORACLE)
+def q178(spark, sf_dir):
+    """Dead-letter routing for malformed ingest records: parse failures
+    become NULL (never exceptions — one poison record must not kill a
+    100 TB job), counted per type in the same pass that aggregates the
+    survivors. The reference's JSON lane handles malformed changes the
+    same nulling way (cdc/pipeline.py); this is the generic landing-zone
+    form."""
+    ev = load_tables(spark, sf_dir)["events"]
+    raw = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 5 == 0, F.concat(F.lit("x"), F.col("props")))
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    parsed = raw.select(
+        "event_type",
+        F.from_json("payload", "k bigint").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count("k").alias("n_good"),
+            (F.count("*") - F.count("k")).alias("n_dead"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

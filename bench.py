@@ -145,6 +145,7 @@ HEADLINE = [
     "q176_equidepth_histogram",
     "q177_time_weighted_avg",
     "q178_dead_letter_route",
+    "q179_incremental_join",
 ]
 
 

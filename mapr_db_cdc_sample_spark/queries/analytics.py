@@ -1619,3 +1619,68 @@ def q178(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ------------- q179: incremental JOIN maintenance (delta-join identity)
+
+# The view-maintenance identity for joins:
+#   (A ∪ dA) ⋈ (B ∪ dB) = A⋈B ∪ dA⋈B ∪ A⋈dB ∪ dA⋈dB
+# — a refresh job computes only the three delta terms against the stored
+# A⋈B. The oracle recomputes the full join from scratch, proving the
+# incremental result is lossless. Split point: orders BEFORE the date are
+# "stored", orders after are the delta batch; lineitem splits by its
+# orders' side via shipdate.
+_DELTA_JOIN_SPLIT = "2024-01-15"
+
+_DELTA_JOIN_ORACLE = """
+SELECT o.o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus ORDER BY status
+"""
+
+
+@register("q179_incremental_join", oracle=_DELTA_JOIN_ORACLE)
+def q179(spark, sf_dir):
+    """Incremental materialized-JOIN maintenance (q117's identity lifted
+    from aggregates to joins): the stored term A⋈B and the three delta
+    terms dA⋈B, A⋈dB, dA⋈dB are computed independently and unioned; the
+    oracle is the from-scratch full join, so the check proves the
+    incremental refresh is lossless. Each term aggregates BEFORE the
+    union (partial-agg merge, q117 style), so the refresh shuffles only
+    delta-sized data at the margin — the reason view maintenance beats
+    recompute at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    split = F.lit(_DELTA_JOIN_SPLIT).cast("timestamp")
+    o_old = t["orders"].where(F.col("o_orderdate") < split)
+    o_new = t["orders"].where(F.col("o_orderdate") >= split)
+    l_all = t["lineitem"]
+    # lineitem has no independent arrival date here; side it by shipdate
+    l_old = l_all.where(F.col("l_shipdate") < split)
+    l_new = l_all.where(F.col("l_shipdate") >= split)
+
+    def term(o, l):
+        return (
+            o.select("o_orderkey", "o_orderstatus")
+            .join(l.select("l_orderkey", "l_extendedprice"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev_dec"),
+            )
+        )
+
+    merged = (
+        term(o_old, l_old)
+        .unionAll(term(o_new, l_old))
+        .unionAll(term(o_old, l_new))
+        .unionAll(term(o_new, l_new))
+        .groupBy("status")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+    return merged.orderBy("status")

@@ -543,7 +543,7 @@ def q160(spark, sf_dir):
 
 # ----------------- q161: incremental dedup against a persisted LSH index
 
-from .llm import _MINHASH_CTE, _BANDS_CTE  # noqa: E402
+from .llm import _MINHASH_CTE  # noqa: E402
 
 
 def _index_dedup_oracle() -> str:

@@ -146,6 +146,7 @@ HEADLINE = [
     "q177_time_weighted_avg",
     "q178_dead_letter_route",
     "q179_incremental_join",
+    "q180_percentile_vector",
 ]
 
 

@@ -1684,3 +1684,47 @@ def q179(spark, sf_dir):
         )
     )
     return merged.orderBy("status")
+
+
+# ------------------ q180: per-group exact percentile vector (p25..p95)
+
+# Interpolated percentiles are midpoints of two cents values — exact
+# doubles apart from the interpolation product; FLOOR-truncation at 2
+# decimals absorbs the one multiply's ulp (the q80 median recipe,
+# extended to a vector of quantiles).
+_PCTL_ORACLE = """
+SELECT l_returnflag AS flag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       FLOOR(QUANTILE_CONT(l_extendedprice, 0.25) * 100) / 100 AS p25,
+       FLOOR(QUANTILE_CONT(l_extendedprice, 0.50) * 100) / 100 AS p50,
+       FLOOR(QUANTILE_CONT(l_extendedprice, 0.75) * 100) / 100 AS p75,
+       FLOOR(QUANTILE_CONT(l_extendedprice, 0.95) * 100) / 100 AS p95
+FROM lineitem GROUP BY flag ORDER BY flag
+"""
+
+
+@register("q180_percentile_vector", oracle=_PCTL_ORACLE)
+def q180(spark, sf_dir):
+    """Exact interpolated percentile vector per group (p25/p50/p75/p95)
+    — the latency-style summary for monitoring dashboards. Spark's exact
+    percentile is a sort-based aggregate (one shuffle on the 3-key
+    group); all four quantiles share a single sorted pass. Floor-truncate
+    at cents absorbs interpolation-product ulps (q80 recipe)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+
+    def p(frac, name):
+        return (
+            F.floor(F.expr(f"percentile(l_extendedprice, {frac})") * 100) / 100
+        ).alias(name)
+
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").alias("n"),
+            p(0.25, "p25"),
+            p(0.50, "p50"),
+            p(0.75, "p75"),
+            p(0.95, "p95"),
+        )
+        .orderBy("flag")
+    )

@@ -1699,7 +1699,7 @@ SELECT l_returnflag AS flag,
        FLOOR(QUANTILE_CONT(l_extendedprice, 0.50) * 100) / 100 AS p50,
        FLOOR(QUANTILE_CONT(l_extendedprice, 0.75) * 100) / 100 AS p75,
        FLOOR(QUANTILE_CONT(l_extendedprice, 0.95) * 100) / 100 AS p95
-FROM lineitem GROUP BY flag ORDER BY flag
+FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY flag ORDER BY flag
 """
 
 
@@ -1708,9 +1708,16 @@ def q180(spark, sf_dir):
     """Exact interpolated percentile vector per group (p25/p50/p75/p95)
     — the latency-style summary for monitoring dashboards. Spark's exact
     percentile is a sort-based aggregate (one shuffle on the 3-key
-    group); all four quantiles share a single sorted pass. Floor-truncate
-    at cents absorbs interpolation-product ulps (q80 recipe)."""
-    li = load_tables(spark, sf_dir)["lineitem"]
+    group); all four quantiles share a single sorted pass. Kept on a
+    decile slice: exact percentile materializes EVERY group value in the
+    aggregation buffer and parallelism collapses to |groups| — at scale
+    the answer is the mergeable sketch (q67 approx_percentile) or
+    distributed selection, and this entry pins the exact semantics those
+    approximate. Floor-truncate at cents absorbs interpolation-product
+    ulps (q80 recipe)."""
+    li = load_tables(spark, sf_dir)["lineitem"].where(
+        F.col("l_orderkey") % 10 == 0
+    )
 
     def p(frac, name):
         return (

@@ -147,6 +147,11 @@ HEADLINE = [
     "q178_dead_letter_route",
     "q179_incremental_join",
     "q180_percentile_vector",
+    "q181_markov_transitions",
+    "q182_retention_cohorts",
+    "q183_floored_balance",
+    "q184_integrity_audit",
+    "q185_chi_square",
 ]
 
 

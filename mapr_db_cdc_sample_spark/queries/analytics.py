@@ -1735,3 +1735,299 @@ def q180(spark, sf_dir):
         )
         .orderBy("flag")
     )
+
+
+# -------------------- q181: Markov transition matrix over event streams
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+    SELECT event_type AS cur,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+), pairs AS (
+    SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c
+    FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+), totals AS (
+    SELECT prev, CAST(SUM(c) AS BIGINT) AS tot FROM pairs GROUP BY prev
+)
+SELECT p.prev, p.cur, p.c,
+       ROUND(CAST(p.c AS DOUBLE) / t.tot, 6) AS prob
+FROM pairs p JOIN totals t ON p.prev = t.prev
+ORDER BY p.prev, p.cur
+"""
+
+
+@register("q181_markov_transitions", oracle=_MARKOV_ORACLE)
+def q181(spark, sf_dir):
+    """First-order Markov transition matrix of user behavior (the
+    path-mining / next-event-prediction statistic): one (user, ts)
+    window shuffle builds the lag pairs, the matrix aggregate carries
+    |types|² cells, transition probabilities divide exact counts.
+    At 100 TB the window shuffle is the only event-volume stage."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    pairs = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = pairs.groupBy("prev").agg(F.sum("c").cast("bigint").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "prev")
+        .select(
+            "prev",
+            "cur",
+            "c",
+            F.round(F.col("c").cast("double") / F.col("tot"), 6).alias("prob"),
+        )
+        .orderBy("prev", "cur")
+    )
+
+
+# ----------------------------- q182: retention cohorts (first-week based)
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+    SELECT user_id,
+           CAST(DATEDIFF('day', DATE '1970-01-01', CAST(MIN(ts) AS DATE)) // 7 AS BIGINT) AS cohort_week
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id,
+           CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS active_week
+    FROM events
+)
+SELECT f.cohort_week,
+       CAST(a.active_week - f.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+"""
+
+
+@register("q182_retention_cohorts", oracle=_RETENTION_ORACLE)
+def q182(spark, sf_dir):
+    """Retention cohort analysis (the product-analytics staple): users
+    cohorted by first-active week, counted per (cohort, week offset).
+    Two partial-aggregatable passes over (user, week) presences — the
+    activity table is DISTINCT (user, week), orders of magnitude smaller
+    than events — then a broadcast of the per-user cohort map. Epoch-
+    week integers keep every value engine-exact."""
+    ev = load_tables(spark, sf_dir)["events"]
+    week = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) / 7
+    ).cast("bigint")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    activity = ev.select("user_id", week.alias("active_week")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------- q183: floored running balance (cap-at-zero cumsum)
+
+# A register that can't go negative: B_t = S_t - MIN(0, running_min(S)).
+# The recursive-looking reset folds into two prefix aggregates — pure
+# window algebra, no iteration, engine-exact on cents.
+_FLOORED_ORACLE = """
+WITH flows AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type IN ('purchase', 'click')
+                THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS delta
+    FROM events WHERE user_id % 25 = 0
+), sums AS (
+    SELECT user_id, ts, event_id,
+           SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+    FROM flows
+), pref AS (
+    SELECT user_id, event_id, s,
+           MIN(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min
+    FROM sums
+)
+SELECT user_id, event_id,
+       CAST(s - LEAST(CAST(0 AS BIGINT), run_min) AS BIGINT) AS balance_cents
+FROM pref ORDER BY user_id, event_id
+"""
+
+
+@register("q183_floored_balance", oracle=_FLOORED_ORACLE)
+def q183(spark, sf_dir):
+    """Running balance floored at zero (inventory/credit semantics) WITHOUT
+    recursion: cap-at-zero folds into prefix-sum minus its running
+    minimum (clamped at 0) — two stacked window aggregates on one (user,
+    ts) sort, the non-iterative form of a seemingly stateful scan.
+    Integer cents keep it engine-exact."""
+    ev = load_tables(spark, sf_dir)["events"].where(F.col("user_id") % 25 == 0)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    flows = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type").isin("purchase", "click"), cents)
+        .otherwise(-cents)
+        .alias("delta"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = flows.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("delta").over(w).alias("s"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pref.select(
+            "user_id",
+            "event_id",
+            (F.col("s") - F.least(F.lit(0).cast("bigint"), F.min("s").over(w2)))
+            .cast("bigint")
+            .alias("balance_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ------------------- q184: referential-integrity / key-quality audit
+
+_INTEGRITY_ORACLE = """
+SELECT 'lineitem_orphans' AS check_name,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_bad
+UNION ALL
+SELECT 'orders_unknown_customer',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'customer_dup_keys',
+       CAST((SELECT COUNT(*) FROM (
+             SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)) AS BIGINT)
+UNION ALL
+SELECT 'orders_null_keys',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL) AS BIGINT)
+ORDER BY check_name
+"""
+
+
+@register("q184_integrity_audit", oracle=_INTEGRITY_ORACLE)
+def q184(spark, sf_dir):
+    """Referential-integrity audit — the data-contract checks a pipeline
+    runs before promoting a table: orphaned facts (anti join), unknown
+    dimension keys (anti join), duplicate primary keys (having count>1),
+    null keys (scan). Each check is its own minimal-shape job; anti
+    joins broadcast the key side when small and all checks reduce to
+    one-row counts."""
+    t = load_tables(spark, sf_dir)
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("bigint").alias("n_bad"),
+        )
+
+    orphans = t["lineitem"].select("l_orderkey").join(
+        t["orders"].select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    )
+    unknown_cust = t["orders"].select("o_custkey").join(
+        t["customer"].select("c_custkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_anti",
+    )
+    dup_keys = (
+        t["customer"].groupBy("c_custkey").count().where(F.col("count") > 1)
+    )
+    null_keys = t["orders"].where(
+        F.col("o_orderkey").isNull() | F.col("o_custkey").isNull()
+    )
+    return (
+        one("lineitem_orphans", orphans)
+        .unionAll(one("orders_unknown_customer", unknown_cust))
+        .unionAll(one("customer_dup_keys", dup_keys))
+        .unionAll(one("orders_null_keys", null_keys))
+        .orderBy("check_name")
+    )
+
+
+# -------------------- q185: chi-square independence statistic
+
+# Observed counts exact; expected = row_tot*col_tot/n on identical
+# doubles; per-cell (O-E)^2/E ROUNDed(6) then decimal-summed — the q169
+# recipe with a different statistic. Completes the dependence toolkit
+# (q168 corr, q169 MI, q185 chi2).
+_CHI2_ORACLE = """
+WITH cells AS (
+    SELECT event_type AS etype, DAYOFWEEK(CAST(ts AS DATE)) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+px AS (SELECT etype, CAST(SUM(o) AS BIGINT) AS rx FROM cells GROUP BY etype),
+py AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ry FROM cells GROUP BY dow),
+terms AS (
+    SELECT cells.etype,
+           ROUND(POWER(o - CAST(rx AS DOUBLE) * ry / n, 2) / (CAST(rx AS DOUBLE) * ry / n), 6) AS t
+    FROM cells, tot JOIN px ON px.etype = cells.etype JOIN py ON py.dow = cells.dow
+)
+SELECT etype,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS chi2_part
+FROM terms GROUP BY etype ORDER BY etype
+"""
+
+
+@register("q185_chi_square", oracle=_CHI2_ORACLE)
+def q185(spark, sf_dir):
+    """Chi-square independence statistic over the (event type, day-of-
+    week) contingency table — the third dependence screen (q168 corr,
+    q169 MI). Same cells-first shape: the statistic's cost is the one
+    contingency aggregate; everything after broadcasts."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cells = (
+        ev.select(
+            F.col("event_type").alias("etype"),
+            F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+        )
+        .groupBy("etype", "dow")
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    px = cells.groupBy("etype").agg(F.sum("o").cast("bigint").alias("rx"))
+    py = cells.groupBy("dow").agg(F.sum("o").cast("bigint").alias("ry"))
+    e = F.col("rx").cast("double") * F.col("ry") / F.col("n")
+    terms = (
+        cells.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(px), "etype")
+        .join(F.broadcast(py), "dow")
+        .select("etype", F.round(F.pow(F.col("o") - e, 2) / e, 6).alias("t"))
+    )
+    return (
+        terms.groupBy("etype")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(F.col("t").cast("decimal(18,6)")).cast("double").alias("chi2_part"),
+        )
+        .orderBy("etype")
+    )

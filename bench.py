@@ -152,6 +152,10 @@ HEADLINE = [
     "q183_floored_balance",
     "q184_integrity_audit",
     "q185_chi_square",
+    "q186_spatial_join",
+    "q187_pareto_share",
+    "q188_ab_test",
+    "q189_ignore_nulls_window",
 ]
 
 

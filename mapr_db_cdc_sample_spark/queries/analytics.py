@@ -2031,3 +2031,302 @@ def q185(spark, sf_dir):
         )
         .orderBy("etype")
     )
+
+
+# --------------- q186: spatial radius join via grid bucketing (geo lane)
+
+# The reference routes address changes to a geo topic; this is the geo
+# OPERATOR a consumer of that topic runs: find (customer, supplier)
+# pairs within a radius. Coordinates derive deterministically from keys
+# (the testdata carries no lat/lon). The scale shape: quadratic work is
+# confined to 1-degree grid cells — each left point probes its 3x3
+# neighborhood (explode 9 cells), candidates equi-join on cell, the
+# exact haversine (ROUNDed km) filters. Never all-pairs.
+_GEO_R_KM = 120.0
+
+_SPATIAL_ORACLE = f"""
+WITH cust AS (
+    SELECT c_custkey AS id,
+           (c_custkey * 37 % 1200) / 10.0 - 60.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon
+    FROM customer WHERE c_custkey % 5 = 0
+), supp AS (
+    SELECT s_suppkey AS id,
+           (s_suppkey * 53 % 1200) / 10.0 - 60.0 AS lat,
+           (s_suppkey * 17 % 3600) / 10.0 - 180.0 AS lon
+    FROM supplier
+), dists AS (
+    SELECT c.id AS cust, s.id AS supp,
+           ROUND(2 * 6371.0 * ASIN(SQRT(
+               POWER(SIN(RADIANS(s.lat - c.lat) / 2), 2) +
+               COS(RADIANS(c.lat)) * COS(RADIANS(s.lat)) *
+               POWER(SIN(RADIANS(s.lon - c.lon) / 2), 2))), 4) AS km
+    FROM cust c JOIN supp s
+      ON FLOOR(s.lat) BETWEEN FLOOR(c.lat) - 1 AND FLOOR(c.lat) + 1
+     AND FLOOR(s.lon) BETWEEN FLOOR(c.lon) - 1 AND FLOOR(c.lon) + 1
+)
+SELECT cust, supp, km FROM dists WHERE km <= {_GEO_R_KM}
+ORDER BY cust, supp
+"""
+
+
+@register("q186_spatial_join", oracle=_SPATIAL_ORACLE)
+def q186(spark, sf_dir):
+    """Spatial radius join (geo lane, see module comment): 1-degree grid
+    cells bound the quadratic work — the left side explodes its 3x3
+    neighbor cells, candidates meet on an equi-join key, and the exact
+    haversine (rounded before the threshold, engine-stable) filters.
+    At 111 km/degree a 120 km radius never escapes the neighborhood."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].where(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("cust"),
+        ((F.col("c_custkey") * 37 % 1200) / 10.0 - 60.0).alias("clat"),
+        ((F.col("c_custkey") * 91 % 3600) / 10.0 - 180.0).alias("clon"),
+    )
+    supp = t["supplier"].select(
+        F.col("s_suppkey").alias("supp"),
+        ((F.col("s_suppkey") * 53 % 1200) / 10.0 - 60.0).alias("slat"),
+        ((F.col("s_suppkey") * 17 % 3600) / 10.0 - 180.0).alias("slon"),
+    )
+    cells = cust.select(
+        "*",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(-1), F.lit(1)),
+                    lambda dx: F.transform(
+                        F.sequence(F.lit(-1), F.lit(1)),
+                        lambda dy: F.concat_ws(
+                            ":",
+                            (F.floor("clat") + dx).cast("string"),
+                            (F.floor("clon") + dy).cast("string"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("cell"),
+    )
+    scell = supp.withColumn(
+        "cell",
+        F.concat_ws(
+            ":",
+            F.floor("slat").cast("string"),
+            F.floor("slon").cast("string"),
+        ),
+    )
+    cand = cells.join(scell, "cell")
+    rad = F.radians
+    km = F.round(
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(rad(F.col("slat") - F.col("clat")) / 2), 2)
+                + F.cos(rad("clat"))
+                * F.cos(rad("slat"))
+                * F.pow(F.sin(rad(F.col("slon") - F.col("clon")) / 2), 2)
+            )
+        ),
+        4,
+    )
+    return (
+        cand.select("cust", "supp", km.alias("km"))
+        .where(F.col("km") <= _GEO_R_KM)
+        .distinct()
+        .orderBy("cust", "supp")
+    )
+
+
+# ----------------- q187: Pareto 80/20 revenue contribution per nation
+
+_PARETO_ORACLE = """
+WITH rev AS (
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+), tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev),
+ranked AS (
+    SELECT nation, cents,
+           SUM(cents) OVER (ORDER BY cents DESC, nation
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM rev
+)
+SELECT nation, cents,
+       ROUND(CAST(cum AS DOUBLE) / t, 6) AS cum_share,
+       CAST(CASE WHEN CAST(cum - cents AS DOUBLE) / t < 0.8 THEN 1 ELSE 0 END AS INT) AS in_core
+FROM ranked, tot ORDER BY cents DESC, nation
+"""
+
+
+@register("q187_pareto_share", oracle=_PARETO_ORACLE)
+def q187(spark, sf_dir):
+    """Pareto 80/20 contribution analysis: nations ranked by revenue with
+    cumulative share; `in_core` marks the head that covers 80% of
+    revenue (flag computed from the PRE-row cumulative so the boundary
+    nation is included, engine-stable on exact cents). Dim joins
+    broadcast; the window runs over |nations| rows."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    ).localCheckpoint(eager=True)
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
+    w = (
+        Window.orderBy(F.col("cents").desc(), "nation")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.select("nation", "cents", F.sum("cents").over(w).alias("cum"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "cents",
+            F.round(F.col("cum").cast("double") / F.col("t"), 6).alias("cum_share"),
+            F.when((F.col("cum") - F.col("cents")).cast("double") / F.col("t") < 0.8, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("in_core"),
+        )
+        .orderBy(F.col("cents").desc(), "nation")
+    )
+
+
+# -------------------------- q188: A/B lift with Welch t-statistic
+
+# Variant assignment = md5 hash parity (deterministic); means/variances
+# from integer-exact moments (q154 recipe); the t formula evaluates on
+# identical doubles, ROUNDed(4).
+_ABTEST_ORACLE = """
+WITH assigned AS (
+    SELECT CASE WHEN ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                THEN 'control' ELSE 'treatment' END AS variant,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events WHERE event_type = 'purchase'
+), s AS (
+    SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(c) AS DECIMAL(38,0)) AS DOUBLE) AS s1,
+           CAST(CAST(SUM(c * c) AS DECIMAL(38,0)) AS DOUBLE) AS s2
+    FROM assigned GROUP BY variant
+), wide AS (
+    SELECT MAX(CASE WHEN variant = 'control' THEN n END) AS nc,
+           MAX(CASE WHEN variant = 'control' THEN s1 END) AS s1c,
+           MAX(CASE WHEN variant = 'control' THEN s2 END) AS s2c,
+           MAX(CASE WHEN variant = 'treatment' THEN n END) AS nt,
+           MAX(CASE WHEN variant = 'treatment' THEN s1 END) AS s1t,
+           MAX(CASE WHEN variant = 'treatment' THEN s2 END) AS s2t
+    FROM s
+)
+SELECT nc, nt,
+       ROUND((s1t / nt - s1c / nc) / 100, 4) AS lift_dollars,
+       ROUND((s1t / nt - s1c / nc) /
+             SQRT((s2t / nt - (s1t / nt) * (s1t / nt)) / nt +
+                  (s2c / nc - (s1c / nc) * (s1c / nc)) / nc), 4) AS t_stat
+FROM wide
+"""
+
+
+@register("q188_ab_test", oracle=_ABTEST_ORACLE)
+def q188(spark, sf_dir):
+    """A/B experiment readout: hash-assigned variants (deterministic,
+    rerun-stable — the q167 principle), mean lift and Welch t-statistic
+    from one integer-exact moment aggregate per variant. The entire
+    analysis is 2 aggregate rows pivoted wide; event volume touches only
+    the first aggregate."""
+    ev = load_tables(spark, sf_dir)["events"].where(F.col("event_type") == "purchase")
+    variant = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    assigned = ev.select(
+        variant.alias("variant"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    s = assigned.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("decimal(38,0)").cast("double").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").cast("double").alias("s2"),
+    )
+    def side(v, col):
+        return F.max(F.when(F.col("variant") == v, F.col(col)))
+    wide = s.agg(
+        side("control", "n").alias("nc"),
+        side("control", "s1").alias("s1c"),
+        side("control", "s2").alias("s2c"),
+        side("treatment", "n").alias("nt"),
+        side("treatment", "s1").alias("s1t"),
+        side("treatment", "s2").alias("s2t"),
+    )
+    mc = F.col("s1c") / F.col("nc")
+    mt = F.col("s1t") / F.col("nt")
+    vc = F.col("s2c") / F.col("nc") - mc * mc
+    vt = F.col("s2t") / F.col("nt") - mt * mt
+    return wide.select(
+        "nc",
+        "nt",
+        F.round((mt - mc) / 100, 4).alias("lift_dollars"),
+        F.round((mt - mc) / F.sqrt(vt / F.col("nt") + vc / F.col("nc")), 4).alias("t_stat"),
+    )
+
+
+# ------------------ q189: IGNORE NULLS window navigation (gap carry)
+
+_IGNORE_NULLS_ORACLE = """
+WITH vals AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS v
+    FROM events WHERE user_id % 50 = 0
+)
+SELECT user_id, event_id,
+       LAST_VALUE(v IGNORE NULLS) OVER w AS carried,
+       FIRST_VALUE(v IGNORE NULLS) OVER w AS first_seen
+FROM vals
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+@register("q189_ignore_nulls_window", oracle=_IGNORE_NULLS_ORACLE)
+def q189(spark, sf_dir):
+    """IGNORE NULLS window navigation — the missing cell of the q22
+    lag/lead/first/last family and the engine primitive under LOCF
+    (q111 builds it manually; this is the declarative form): every third
+    reading is nulled and last_value(..., ignoreNulls) carries the
+    previous good value forward in one window pass."""
+    ev = load_tables(spark, sf_dir)["events"].where(F.col("user_id") % 50 == 0)
+    vals = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        vals.select(
+            "user_id",
+            "event_id",
+            F.last("v", ignorenulls=True).over(w).alias("carried"),
+            F.first("v", ignorenulls=True).over(w).alias("first_seen"),
+        )
+        .orderBy("user_id", "event_id")
+    )

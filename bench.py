@@ -156,6 +156,10 @@ HEADLINE = [
     "q187_pareto_share",
     "q188_ab_test",
     "q189_ignore_nulls_window",
+    "q190_rollup_chain",
+    "q191_table_fingerprint",
+    "q192_rolling_anomaly",
+    "q193_skew_report",
 ]
 
 

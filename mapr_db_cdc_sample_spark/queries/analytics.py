@@ -2330,3 +2330,194 @@ def q189(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ------------- q190: rollup lattice (day -> month reaggregation chain)
+
+_ROLLUP_CHAIN_ORACLE = """
+SELECT event_type,
+       CAST(DATE_TRUNC('month', CAST(ts AS DATE)) AS DATE) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2 ORDER BY event_type, month
+"""
+
+
+@register("q190_rollup_chain", oracle=_ROLLUP_CHAIN_ORACLE)
+def q190(spark, sf_dir):
+    """Rollup lattice: the monthly aggregate is computed FROM the daily
+    aggregate, never from raw events — the day table is the materialized
+    rollup every warehouse maintains, and higher granularities reaggregate
+    it (decimal partial sums merge losslessly, the q117 identity up the
+    time lattice). The oracle aggregates raw events directly, proving the
+    two-level chain exact. Shuffle sizes: events→days once, then
+    days→months on a table that is ~1/30th the size."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("dec_total"),
+        )
+    )
+    return (
+        daily.groupBy(
+            "event_type",
+            F.trunc("day", "month").alias("month"),
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("dec_total").cast("double").alias("total"),
+        )
+        .orderBy("event_type", "month")
+    )
+
+
+# ---------------- q191: order-independent table fingerprint (checksum)
+
+# Replication/migration equality primitive: one deterministic 60-bit
+# hash per row (all columns canonicalized to integers first), summed in
+# DECIMAL(38,0) — order-free, partition-free, engine-exact. Two tables
+# are byte-equal iff (n, fingerprint) match (up to hash collisions).
+_FINGERPRINT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(('0x' || SUBSTR(MD5(
+           CAST(event_id AS VARCHAR) || '|' ||
+           CAST(EPOCH_US(ts) AS VARCHAR) || '|' ||
+           CAST(user_id AS VARCHAR) || '|' ||
+           event_type || '|' ||
+           CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
+       ), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS DOUBLE) AS fingerprint
+FROM events
+"""
+
+
+@register("q191_table_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def q191(spark, sf_dir):
+    """Order-independent table fingerprint: canonicalize every column to
+    an integer string (epoch-micros, cents), md5 each row to 60 bits,
+    SUM in DECIMAL(38,0). Any row order, any partitioning, any engine —
+    same (n, fingerprint) — the cheap equality check for replication,
+    backfills and engine migrations (this repo's own oracle gate in
+    miniature). One map pass + one scalar aggregate."""
+    ev = load_tables(spark, sf_dir)["events"]
+    row_str = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.unix_micros("ts").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("decimal(38,0)")
+    return ev.agg(
+        F.count("*").alias("n"),
+        F.sum(h).cast("decimal(38,0)").cast("double").alias("fingerprint"),
+    )
+
+
+# --------------- q192: rolling-window anomaly score (24-event z-score)
+
+# Rolling mean/std from exact BIGINT sum/sumsq over a ROWS frame — the
+# q154 recipe made windowed; z ROUNDed(4) before the threshold.
+_ROLLING_ANOM_ORACLE = """
+WITH c AS (
+    SELECT user_id, ts, event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+    FROM events WHERE user_id % 25 = 0
+), rolled AS (
+    SELECT user_id, event_id, v,
+           SUM(v) OVER w AS s1, SUM(v * v) OVER w AS s2,
+           COUNT(*) OVER w AS n
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       ROUND((v - CAST(s1 AS DOUBLE) / n) /
+             SQRT(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 4) AS z
+FROM rolled
+WHERE n >= 24
+  AND CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
+ORDER BY user_id, event_id
+"""
+
+
+@register("q192_rolling_anomaly", oracle=_ROLLING_ANOM_ORACLE)
+def q192(spark, sf_dir):
+    """Rolling anomaly score: z of each reading against its own trailing
+    24-event window (q154's global z-score made streaming-shaped — the
+    monitoring primitive). Exact BIGINT rolling sum/sumsq feed identical
+    IEEE mean/std; full windows only. One (user, ts) sort shuffle."""
+    ev = load_tables(spark, sf_dir)["events"].where(F.col("user_id") % 25 == 0)
+    c = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    rolled = c.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.sum("v").over(w).alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("s2"),
+        F.count("*").over(w).alias("n"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    return (
+        rolled.where((F.col("n") >= 24) & (var > 0))
+        .select(
+            "user_id",
+            "event_id",
+            F.round((F.col("v") - mean) / F.sqrt(var), 4).alias("z"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------- q193: key-skew diagnosis report (ops tooling)
+
+_SKEW_REPORT_ORACLE = """
+WITH sizes AS (
+    SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MAX(c) AS BIGINT) AS max_group,
+       ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS mean_group,
+       CAST(SUM(CASE WHEN c >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+       CAST(SUM(CASE WHEN c >= 7 THEN c ELSE 0 END) AS BIGINT) AS rows_in_heavy
+FROM sizes
+"""
+
+
+@register("q193_skew_report", oracle=_SKEW_REPORT_ORACLE)
+def q193(spark, sf_dir):
+    """Key-skew diagnosis — the report run BEFORE choosing a join
+    strategy (broadcast / salt / AQE, q74/q112/q136): group-size
+    distribution of the join key, heavy-hitter count and their row
+    share. Two aggregates, the second over |keys| rows; the decision it
+    feeds is exactly why q136 exists."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    sizes = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("c"))
+    heavy = F.when(F.col("c") >= 7, 1).otherwise(0)
+    return sizes.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").alias("max_group"),
+        F.round(F.sum("c").cast("double") / F.count("*"), 6).alias("mean_group"),
+        F.sum(heavy).cast("bigint").alias("n_heavy"),
+        F.sum(F.when(F.col("c") >= 7, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_in_heavy"),
+    )

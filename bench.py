@@ -160,6 +160,11 @@ HEADLINE = [
     "q191_table_fingerprint",
     "q192_rolling_anomaly",
     "q193_skew_report",
+    "q194_ppjoin",
+    "q195_minmax_scale",
+    "q196_vocab_oov",
+    "q197_zero_fill_grid",
+    "q198_period_growth",
 ]
 
 

@@ -2521,3 +2521,315 @@ def q193(spark, sf_dir):
         .cast("bigint")
         .alias("rows_in_heavy"),
     )
+
+
+# ------------ q194: set-similarity join via prefix filtering (PPJoin-lite)
+
+# The LOSSLESS candidate-generation family (vs LSH's probabilistic one,
+# q44): order each doc's token set by ascending global frequency; two
+# sets with Jaccard >= t MUST share a token in their first
+# |set| - ceil(t*|set|) + 1 rarest tokens (prefix filter), so candidates
+# come from an equi-join on prefix tokens — rare tokens, so buckets stay
+# small. The oracle is the EXACT all-pairs thresholded Jaccard on the
+# same slice: prefix filtering must lose nothing.
+_PPJOIN_T = 0.6
+
+_PPJOIN_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 8 = 0
+), toks AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                     t -> LENGTH(t) > 0)) AS tk
+    FROM corpus
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           LEN(LIST_INTERSECT(a.tk, b.tk)) AS inter,
+           LEN(a.tk) + LEN(b.tk) - LEN(LIST_INTERSECT(a.tk, b.tk)) AS uni
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+FROM pairs
+WHERE uni > 0 AND ROUND(CAST(inter AS DOUBLE) / uni, 4) >= {_PPJOIN_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("q194_ppjoin", oracle=_PPJOIN_ORACLE)
+def q194(spark, sf_dir):
+    """Set-similarity self-join with PREFIX FILTERING (PPJoin family):
+    tokens ranked by ascending global frequency, each doc emits only its
+    prefix (|set| - ceil(t|set|) + 1 rarest tokens), candidates equi-join
+    on those rare tokens, exact Jaccard verifies. Lossless by the prefix
+    theorem — the oracle is the brute-force all-pairs join and must match
+    EXACTLY (contrast q44's probabilistic LSH recall). Rare-token buckets
+    keep the join near-linear; the freq ranking is one broadcast."""
+    import math
+
+    d = load_tables(spark, sf_dir)["documents"].where(F.col("doc_id") % 8 == 0)
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower("text"), " "), lambda t: F.length(t) > 0
+            )
+        ).alias("tk"),
+    ).localCheckpoint(eager=True)
+    tok_freq = (
+        toks.select(F.explode("tk").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("freq"))
+    )
+    exploded = toks.select("doc_id", F.size("tk").alias("sz"), F.explode("tk").alias("t"))
+    ranked = exploded.join(F.broadcast(tok_freq), "t").select(
+        "doc_id",
+        "sz",
+        "t",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy("freq", "t")
+        )
+        .alias("pos"),
+    )
+    # prefix length = sz - ceil(t*sz) + 1
+    prefix = ranked.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.col("sz") * _PPJOIN_T) + 1
+    ).select("doc_id", "t")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "t")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tka"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tkb"))
+    inter = F.size(F.array_intersect("tka", "tkb"))
+    uni = F.size("tka") + F.size("tkb") - inter
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where((uni > 0) & (F.round(inter.cast("double") / uni, 4) >= _PPJOIN_T))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / uni, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------- q195: min-max feature scaling per group
+
+_MINMAX_ORACLE = """
+WITH c AS (
+    SELECT l_returnflag AS flag, l_orderkey * 10 + l_linenumber AS uid,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+    FROM lineitem WHERE l_orderkey % 20 = 0
+), b AS (
+    SELECT flag, CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi
+    FROM c GROUP BY flag
+)
+SELECT c.flag, c.uid,
+       ROUND(CAST(c.v - b.lo AS DOUBLE) / (b.hi - b.lo), 6) AS scaled
+FROM c JOIN b ON c.flag = b.flag
+WHERE b.hi > b.lo
+ORDER BY c.flag, c.uid
+"""
+
+
+@register("q195_minmax_scale", oracle=_MINMAX_ORACLE)
+def q195(spark, sf_dir):
+    """Per-group min-max feature scaling (the [0,1] normalization before
+    model input): group bounds are a 3-row broadcast back onto the fact;
+    integer numerator/denominator feed one IEEE division per row."""
+    li = load_tables(spark, sf_dir)["lineitem"].where(F.col("l_orderkey") % 20 == 0)
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+    )
+    b = c.groupBy("flag").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    return (
+        c.join(F.broadcast(b), "flag")
+        .where(F.col("hi") > F.col("lo"))
+        .select(
+            "flag",
+            "uid",
+            F.round(
+                (F.col("v") - F.col("lo")).cast("double") / (F.col("hi") - F.col("lo")),
+                6,
+            ).alias("scaled"),
+        )
+        .orderBy("flag", "uid")
+    )
+
+
+# ------------------- q196: vocabulary build + OOV-rate scoring
+
+_VOCAB_MIN_FREQ = 5
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                      t -> LENGTH(t) > 0)) AS t
+    FROM documents
+), vocab AS (
+    SELECT t FROM toks GROUP BY t HAVING COUNT(*) >= {_VOCAB_MIN_FREQ}
+), scored AS (
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM toks LEFT JOIN vocab v ON toks.t = v.t
+    GROUP BY toks.doc_id
+)
+SELECT CAST((SELECT COUNT(*) FROM vocab) AS BIGINT) AS vocab_size,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_oov) AS BIGINT) AS total_oov,
+       CAST(SUM(CASE WHEN n_oov * 5 > n_tok THEN 1 ELSE 0 END) AS BIGINT) AS high_oov_docs
+FROM scored
+"""
+
+
+@register("q196_vocab_oov", oracle=_VOCAB_ORACLE)
+def q196(spark, sf_dir):
+    """Tokenizer-vocabulary build (min-frequency cutoff) + per-doc OOV
+    scoring against it — the two-pass vocabulary pipeline every tokenizer
+    training run starts with. The vocab broadcasts back onto the token
+    stream; the high-OOV flag (oov > 20%) uses integer cross-products,
+    no division. One token pass feeds both stages."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+        ).alias("t"),
+    ).localCheckpoint(eager=True)
+    vocab = toks.groupBy("t").agg(F.count("*").alias("freq")).where(
+        F.col("freq") >= _VOCAB_MIN_FREQ
+    )
+    scored = (
+        toks.join(
+            F.broadcast(vocab.select("t", F.lit(1).alias("in_vocab"))), "t", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    vocab_size = vocab.agg(F.count("*").cast("bigint").alias("vocab_size"))
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_oov").cast("bigint").alias("total_oov"),
+        F.sum(F.when(F.col("n_oov") * 5 > F.col("n_tok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("high_oov_docs"),
+    ).crossJoin(F.broadcast(vocab_size)).select(
+        "vocab_size", "n_docs", "total_tokens", "total_oov", "high_oov_docs"
+    )
+
+
+# ---------------- q197: zero-filled reporting grid (calendar x type)
+
+_ZEROFILL_ORACLE = """
+WITH days AS (
+    SELECT UNNEST(GENERATE_SERIES(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY))::DATE AS day
+), types AS (
+    SELECT DISTINCT event_type FROM events
+), grid AS (
+    SELECT day, event_type FROM days CROSS JOIN types
+), counts AS (
+    SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events WHERE user_id % 100 = 0 GROUP BY 1, 2
+)
+SELECT CAST(DATEDIFF('day', DATE '1970-01-01', g.day) AS BIGINT) AS day_num,
+       g.event_type AS event_type,
+       COALESCE(c.n, 0) AS n,
+       COALESCE(c.total, 0.0) AS total
+FROM grid g LEFT JOIN counts c ON g.day = c.day AND g.event_type = c.event_type
+ORDER BY day_num, g.event_type
+"""
+
+
+@register("q197_zero_fill_grid", oracle=_ZEROFILL_ORACLE)
+def q197(spark, sf_dir):
+    """Zero-filled reporting grid: every (calendar day × type) cell
+    reported, absent combinations as explicit zeros — the BI contract
+    that makes downstream charts gap-free (q10's bounded cross join of
+    two TINY dims + a left join of the sparse counts; the fact table
+    never cross-joins anything)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    days = spark.range(30).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    counts = (
+        ev.where(F.col("user_id") % 100 == 0)
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+    return (
+        grid.join(counts, ["day", "event_type"], "left")
+        .select(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day_num"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce(F.col("total"), F.lit(0.0)).alias("total"),
+        )
+        .orderBy("day_num", "event_type")
+    )
+
+
+# ------------------ q198: period-over-period growth (MoM per type)
+
+_MOM_ORACLE = """
+WITH weekly AS (
+    SELECT event_type,
+           CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS week,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, n,
+       CAST(LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS BIGINT) AS prev_n,
+       ROUND(CAST(n - LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE)
+             / LAG(n) OVER (PARTITION BY event_type ORDER BY week), 6) AS growth
+FROM weekly ORDER BY event_type, week
+"""
+
+
+@register("q198_period_growth", oracle=_MOM_ORACLE)
+def q198(spark, sf_dir):
+    """Period-over-period growth (week-over-week per type): the rollup +
+    lag window that powers every trend dashboard. Aggregate first (cells
+    = |types|×|weeks|), window second — the window never sees event
+    volume."""
+    ev = load_tables(spark, sf_dir)["events"]
+    week = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) / 7
+    ).cast("bigint")
+    weekly = ev.groupBy("event_type", week.alias("week")).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return (
+        weekly.select(
+            "event_type",
+            "week",
+            "n",
+            prev.cast("bigint").alias("prev_n"),
+            F.round((F.col("n") - prev).cast("double") / prev, 6).alias("growth"),
+        )
+        .orderBy("event_type", "week")
+    )

@@ -165,6 +165,11 @@ HEADLINE = [
     "q196_vocab_oov",
     "q197_zero_fill_grid",
     "q198_period_growth",
+    "q199_item_cooccurrence",
+    "q200_target_encoding",
+    "q201_rfm_segments",
+    "q202_sequence_match",
+    "q203_merkle_diff",
 ]
 
 

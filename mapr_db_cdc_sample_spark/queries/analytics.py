@@ -2833,3 +2833,322 @@ def q198(spark, sf_dir):
         )
         .orderBy("event_type", "week")
     )
+
+
+# -------------- q199: item co-occurrence similarity (recsys prep)
+
+# Quadratic work bounded by per-order basket size (TPC-H baskets are
+# ~4-7 lines): pair expansion inside each order, then cosine from exact
+# integer co-occurrence counts. The classic item-item similarity build.
+_COOC_ORACLE = """
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey AS ord, l_partkey AS item
+    FROM lineitem WHERE l_orderkey % 10 = 0
+), item_n AS (
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM baskets GROUP BY item
+), pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS cooc
+    FROM baskets a JOIN baskets b ON a.ord = b.ord AND a.item < b.item
+    GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.cooc,
+       ROUND(CAST(p.cooc AS DOUBLE) / SQRT(CAST(na.n AS DOUBLE) * nb.n), 6) AS cosine
+FROM pairs p
+JOIN item_n na ON na.item = p.item_a
+JOIN item_n nb ON nb.item = p.item_b
+WHERE p.cooc >= 2
+ORDER BY item_a, item_b
+"""
+
+
+@register("q199_item_cooccurrence", oracle=_COOC_ORACLE)
+def q199(spark, sf_dir):
+    """Item-item co-occurrence similarity (the recsys candidate build):
+    pair expansion strictly WITHIN each order basket (quadratic only in
+    basket size, the LSH invariant again), cosine from exact integer
+    counts with marginals broadcast back. cooc >= 2 prunes the noise
+    tail before the join."""
+    li = load_tables(spark, sf_dir)["lineitem"].where(F.col("l_orderkey") % 10 == 0)
+    baskets = li.select(
+        F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("item")
+    ).distinct()
+    item_n = baskets.groupBy("item").agg(F.count("*").alias("n"))
+    a = baskets.select(F.col("ord"), F.col("item").alias("item_a"))
+    b = baskets.select(F.col("ord"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "ord")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("cooc"))
+        .where(F.col("cooc") >= 2)
+    )
+    na = item_n.select(F.col("item").alias("item_a"), F.col("n").alias("na"))
+    nb = item_n.select(F.col("item").alias("item_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "cooc",
+            F.round(
+                F.col("cooc").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("item_a", "item_b")
+    )
+
+
+# ------------------- q200: leave-one-out target encoding (ML feature)
+
+# LOO mean excluding the row itself: (sum_cat - x) / (n_cat - 1) — the
+# encoding that avoids target leakage. Exact integer sums broadcast per
+# category; one IEEE division per row, ROUNDed(6).
+_TARGET_ENC_ORACLE = """
+WITH rows_ AS (
+    SELECT o_orderkey, o_orderpriority AS cat,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+    FROM orders WHERE o_orderkey % 10 = 0
+), stats AS (
+    SELECT cat, CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+    FROM rows_ GROUP BY cat
+)
+SELECT r.o_orderkey, r.cat,
+       ROUND(CAST(s.s - r.y AS DOUBLE) / (s.n - 1) / 100, 6) AS loo_mean
+FROM rows_ r JOIN stats s ON r.cat = s.cat
+WHERE s.n > 1
+ORDER BY r.o_orderkey
+"""
+
+
+@register("q200_target_encoding", oracle=_TARGET_ENC_ORACLE)
+def q200(spark, sf_dir):
+    """Leave-one-out target encoding (categorical → numeric without
+    target leakage): per-category exact sums broadcast back, each row's
+    encoding excludes itself via (sum - y) / (n - 1). The standard
+    high-cardinality-categorical feature for gradient boosting."""
+    o = load_tables(spark, sf_dir)["orders"].where(F.col("o_orderkey") % 10 == 0)
+    rows_ = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("y"),
+    )
+    stats = rows_.groupBy("cat").agg(
+        F.sum("y").cast("bigint").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        rows_.join(F.broadcast(stats), "cat")
+        .where(F.col("n") > 1)
+        .select(
+            "o_orderkey",
+            "cat",
+            F.round((F.col("s") - F.col("y")).cast("double") / (F.col("n") - 1) / 100, 6)
+            .alias("loo_mean"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------- q201: RFM customer segmentation
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey AS cust,
+           CAST(MAX(DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS last_day,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS monetary
+    FROM orders GROUP BY o_custkey
+), scored AS (
+    SELECT cust, last_day, freq, monetary,
+           NTILE(4) OVER (ORDER BY last_day DESC, cust) AS r,
+           NTILE(4) OVER (ORDER BY freq DESC, cust) AS f,
+           NTILE(4) OVER (ORDER BY monetary DESC, cust) AS m
+    FROM per_cust
+)
+SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary) AS BIGINT) AS segment_cents
+FROM scored GROUP BY r, f, m ORDER BY r, f, m
+"""
+
+
+@register("q201_rfm_segments", oracle=_RFM_ORACLE)
+def q201(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quartiles — the
+    CRM workhorse): one per-customer aggregate, three ntile windows with
+    unique tiebreaks (engine-deterministic), segment rollup. Windows run
+    over |customers|, never orders."""
+    o = load_tables(spark, sf_dir)["orders"]
+    per_cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        )
+        .cast("bigint")
+        .alias("last_day"),
+        F.count("*").alias("freq"),
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary"),
+    )
+    r = F.ntile(4).over(Window.orderBy(F.col("last_day").desc(), "cust"))
+    f = F.ntile(4).over(Window.orderBy(F.col("freq").desc(), "cust"))
+    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "cust"))
+    scored = per_cust.select(
+        "cust",
+        "monetary",
+        r.cast("int").alias("r"),
+        f.cast("int").alias("f"),
+        m.cast("int").alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary").cast("bigint").alias("segment_cents"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+# ---------------- q202: sequence-pattern detection (A→B within 1 hour)
+
+# match_recognize-lite: "purchase preceded by a click within an hour",
+# solved with the q189 primitive — carry the last click time forward
+# (last_value ignoreNulls) and compare. One window pass, no self-join.
+_SEQ_ORACLE = """
+WITH marked AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN EPOCH_US(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+    FROM events
+)
+SELECT user_id, event_id,
+       CAST((EPOCH_US(ts) - last_click_us) // 1000 AS BIGINT) AS gap_ms
+FROM marked
+WHERE event_type = 'purchase'
+  AND last_click_us IS NOT NULL
+  AND EPOCH_US(ts) - last_click_us <= 3600000000
+ORDER BY user_id, event_id
+"""
+
+
+@register("q202_sequence_match", oracle=_SEQ_ORACLE)
+def q202(spark, sf_dir):
+    """Sequence-pattern detection (MATCH_RECOGNIZE-lite): purchases with
+    a click by the same user within the preceding hour. The carried
+    last-click timestamp (last_value ignoreNulls over a 1-PRECEDING
+    frame) turns the event-sequence join into ONE window pass — no
+    self-join, no interval explosion."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_us = F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(click_us, ignorenulls=True).over(w).alias("last_click_us"),
+    )
+    gap = F.unix_micros("ts") - F.col("last_click_us")
+    return (
+        marked.where(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_us").isNotNull()
+            & (gap <= 3600000000)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(gap / 1000).cast("bigint").alias("gap_ms"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ------------- q203: Merkle-bucket replica diff (anti-entropy repair)
+
+# Two "replicas" of events (the original, and a copy with deterministic
+# corruption injected into every 1000th row) are fingerprinted per key
+# bucket (q191's checksum, bucketed); only mismatching buckets surface.
+# At 100 TB this is how replica repair avoids comparing tables row by
+# row: ship 1024 bucket digests, re-sync only the buckets that differ.
+_MERKLE_ORACLE = """
+WITH canon AS (
+    SELECT event_id, event_id % 1024 AS bucket,
+           ('0x' || SUBSTR(MD5(
+               CAST(event_id AS VARCHAR) || '|' ||
+               CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
+           ), 1, 15))::BIGINT AS h
+    FROM events
+), replica AS (
+    SELECT event_id, event_id % 1024 AS bucket,
+           ('0x' || SUBSTR(MD5(
+               CAST(event_id AS VARCHAR) || '|' ||
+               CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    + CASE WHEN event_id % 1000 = 0 THEN 1 ELSE 0 END AS VARCHAR)
+           ), 1, 15))::BIGINT AS h
+    FROM events
+), a AS (
+    SELECT bucket, CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS DOUBLE) AS fp,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM canon GROUP BY bucket
+), b AS (
+    SELECT bucket, CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS DOUBLE) AS fp,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM replica GROUP BY bucket
+)
+SELECT a.bucket AS bucket, a.n AS n_rows
+FROM a JOIN b ON a.bucket = b.bucket
+WHERE a.fp <> b.fp OR a.n <> b.n
+ORDER BY bucket
+"""
+
+
+@register("q203_merkle_diff", oracle=_MERKLE_ORACLE)
+def q203(spark, sf_dir):
+    """Merkle-bucket replica diff (anti-entropy repair): both replicas
+    reduce to 1024 per-bucket (fingerprint, count) digests — q191's
+    order-free checksum, bucketed — and only differing buckets surface
+    for re-sync. Corruption is injected deterministically into every
+    1000th row of the 'replica' so the diff is data-defined."""
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def digest(corrupt: bool):
+        cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        if corrupt:
+            cents = cents + F.when(F.col("event_id") % 1000 == 0, 1).otherwise(0)
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("event_id").cast("string"),
+                        cents.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("decimal(38,0)")
+        return ev.groupBy((F.col("event_id") % 1024).alias("bucket")).agg(
+            F.sum(h).cast("decimal(38,0)").cast("double").alias("fp"),
+            F.count("*").alias("n"),
+        )
+
+    a = digest(False)
+    b = digest(True).withColumnRenamed("fp", "fp_b").withColumnRenamed("n", "n_b")
+    return (
+        a.join(b, "bucket")
+        .where((F.col("fp") != F.col("fp_b")) | (F.col("n") != F.col("n_b")))
+        .select("bucket", F.col("n").cast("bigint").alias("n_rows"))
+        .orderBy("bucket")
+    )

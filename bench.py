@@ -170,6 +170,10 @@ HEADLINE = [
     "q201_rfm_segments",
     "q202_sequence_match",
     "q203_merkle_diff",
+    "q204_late_dim_fallback",
+    "q205_max_concurrency",
+    "q206_lift_table",
+    "q207_auc_ranksum",
 ]
 
 

@@ -3152,3 +3152,245 @@ def q203(spark, sf_dir):
         .select("bucket", F.col("n").cast("bigint").alias("n_rows"))
         .orderBy("bucket")
     )
+
+
+# ------------- q204: late-arriving dimension fallback (Unknown member)
+
+_LATE_DIM_ORACLE = """
+WITH dim AS (
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 7 <> 0
+)
+SELECT COALESCE(d.c_mktsegment, 'UNKNOWN') AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders o LEFT JOIN dim d ON d.c_custkey = o.o_custkey
+GROUP BY 1 ORDER BY segment
+"""
+
+
+@register("q204_late_dim_fallback", oracle=_LATE_DIM_ORACLE)
+def q204(spark, sf_dir):
+    """Late-arriving dimension handling: facts whose dim row hasn't
+    landed yet (1/7th of customers withheld) roll up under an explicit
+    UNKNOWN member instead of being dropped or failing the job — the
+    warehouse conformance pattern that keeps totals complete. Broadcast
+    left join + COALESCE; re-running after the dim lands reclassifies
+    automatically."""
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].where(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(dim), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ----------- q205: max concurrency via sweep line (interval algebra)
+
+# Classic sweep line distributed: intervals emit (+1 at start, -1 after
+# end), a running sum ordered by time gives instantaneous concurrency,
+# the max per day is the capacity-planning number. Tie order is pinned
+# (-1 before +1 at the same instant would END before START; we order
+# delta DESC so starts count first — engine-pinned via the ORDER BY).
+_CONCURRENCY_ORACLE = """
+WITH sessions AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           MIN(EPOCH_US(ts)) AS t0, MAX(EPOCH_US(ts)) AS t1
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+), pts AS (
+    SELECT day, t0 AS t, 1 AS delta, user_id FROM sessions
+    UNION ALL
+    SELECT day, t1 + 1, -1, user_id FROM sessions
+), swept AS (
+    SELECT day,
+           SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC, user_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+    FROM pts
+)
+SELECT CAST(DATEDIFF('day', DATE '1970-01-01', day) AS BIGINT) AS day_num,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent
+FROM swept GROUP BY day ORDER BY day_num
+"""
+
+
+@register("q205_max_concurrency", oracle=_CONCURRENCY_ORACLE)
+def q205(spark, sf_dir):
+    """Max concurrent user sessions per day by SWEEP LINE: each session
+    interval becomes a +1/-1 endpoint, one (day, time)-ordered running
+    sum gives instantaneous concurrency, max per day is the capacity
+    number. The interval problem that looks like a self-join is one
+    window pass over 2x|sessions| points."""
+    ev = load_tables(spark, sf_dir)["events"]
+    sessions = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    pts = sessions.select(
+        "day", F.col("t0").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        sessions.select(
+            "day", (F.col("t1") + 1).alias("t"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("delta").desc(), "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = pts.select("day", F.sum("delta").over(w).alias("conc"))
+    return (
+        swept.groupBy(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day_num")
+        )
+        .agg(F.max("conc").cast("bigint").alias("max_concurrent"))
+        .orderBy("day_num")
+    )
+
+
+# ---------------------- q206: decile lift table (model evaluation)
+
+# Pseudo-score = md5 hash mixed with the label signal so deciles are
+# non-trivial; label = purchase. Lift per decile from exact counts; the
+# score is deterministic (no model weights needed to pin the MECHANICS).
+_LIFT_ORACLE = """
+WITH scored AS (
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+           ('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               + CASE WHEN event_type = 'purchase' THEN 2000000000 ELSE 0 END AS score
+    FROM events
+), ranked AS (
+    SELECT label, NTILE(10) OVER (ORDER BY score DESC, event_id) AS decile
+    FROM scored
+), per_dec AS (
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS pos
+    FROM ranked GROUP BY decile
+), tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS post FROM per_dec
+)
+SELECT CAST(decile AS INT) AS decile, n, pos,
+       ROUND((CAST(pos AS DOUBLE) / n) / (CAST(post AS DOUBLE) / nt), 6) AS lift
+FROM per_dec, tot ORDER BY decile
+"""
+
+
+@register("q206_lift_table", oracle=_LIFT_ORACLE)
+def q206(spark, sf_dir):
+    """Decile lift table (campaign/model evaluation): rows ranked by
+    score into ntile(10) with a unique tiebreak, per-decile positive
+    rate over the global rate. The ranking window is the only
+    event-volume stage; everything after is 10 rows."""
+    ev = load_tables(spark, sf_dir)["events"]
+    label = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    score = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + F.when(F.col("event_type") == "purchase", 2000000000).otherwise(0)
+    )
+    scored = ev.select("event_id", label.alias("label"), score.alias("score"))
+    ranked = scored.select(
+        "label",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), "event_id"))
+        .cast("int")
+        .alias("decile"),
+    )
+    per_dec = ranked.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("label").cast("bigint").alias("pos")
+    )
+    tot = per_dec.agg(
+        F.sum("n").cast("bigint").alias("nt"), F.sum("pos").cast("bigint").alias("post")
+    )
+    return (
+        per_dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "pos",
+            F.round(
+                (F.col("pos").cast("double") / F.col("n"))
+                / (F.col("post").cast("double") / F.col("nt")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ------------------- q207: exact ROC AUC via rank-sum (Mann-Whitney)
+
+# AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with average ranks
+# for ties. Average tied rank is (min+max)/2 — a .5-exact double; every
+# other quantity is an exact integer, so AUC is engine-identical before
+# the final ROUND(6).
+_AUC_ORACLE = """
+WITH scored AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score
+    FROM events
+), ranked AS (
+    SELECT label,
+           RANK() OVER (ORDER BY score) AS rmin,
+           CAST(COUNT(*) OVER (PARTITION BY score) AS BIGINT) AS nties,
+           RANK() OVER (ORDER BY score) + COUNT(*) OVER (PARTITION BY score) - 1 AS rmax
+    FROM scored
+), sums AS (
+    SELECT CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+           CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+           SUM(CASE WHEN label = 1 THEN (rmin + rmax) / 2.0 ELSE 0 END) AS rsum
+    FROM ranked
+)
+SELECT np, nn,
+       ROUND((rsum - CAST(np AS DOUBLE) * (np + 1) / 2) / (CAST(np AS DOUBLE) * nn), 6) AS auc
+FROM sums
+"""
+
+
+@register("q207_auc_ranksum", oracle=_AUC_ORACLE)
+def q207(spark, sf_dir):
+    """Exact ROC AUC by the Mann-Whitney rank-sum identity — no curve
+    materialization, no threshold loop: one global rank (with average
+    tied ranks, .5-exact) and a scalar formula. The distributed shape is
+    a single sort + two scalar aggregates; the model-eval primitive at
+    any scale."""
+    ev = load_tables(spark, sf_dir)["events"]
+    scored = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("score"),
+    )
+    wr = Window.orderBy("score")
+    wt = Window.partitionBy("score")
+    ranked = scored.select(
+        "label",
+        F.rank().over(wr).alias("rmin"),
+        (F.rank().over(wr) + F.count("*").over(wt) - 1).alias("rmax"),
+    )
+    sums = ranked.agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).cast("bigint").alias("np"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).cast("bigint").alias("nn"),
+        F.sum(
+            F.when(F.col("label") == 1, (F.col("rmin") + F.col("rmax")) / 2.0).otherwise(
+                0.0
+            )
+        ).alias("rsum"),
+    )
+    return sums.select(
+        "np",
+        "nn",
+        F.round(
+            (F.col("rsum") - F.col("np").cast("double") * (F.col("np") + 1) / 2)
+            / (F.col("np").cast("double") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )

@@ -2526,27 +2526,40 @@ def q193(spark, sf_dir):
 # ------------ q194: set-similarity join via prefix filtering (PPJoin-lite)
 
 # The LOSSLESS candidate-generation family (vs LSH's probabilistic one,
-# q44): order each doc's token set by ascending global frequency; two
-# sets with Jaccard >= t MUST share a token in their first
-# |set| - ceil(t*|set|) + 1 rarest tokens (prefix filter), so candidates
-# come from an equi-join on prefix tokens — rare tokens, so buckets stay
-# small. The oracle is the EXACT all-pairs thresholded Jaccard on the
-# same slice: prefix filtering must lose nothing.
+# q44): order each doc's SHINGLE set by ascending global frequency; two
+# sets with Jaccard >= t MUST share an element among their first
+# |set| - ceil(t*|set|) + 1 rarest (prefix theorem), and their sizes
+# must satisfy t|a| <= |b| <= |a|/t (length theorem). Shingles, not
+# unigrams: the corpus vocabulary is small and shared, so a unigram
+# prefix prunes nothing — 3-gram shingles are near-unique per doc and
+# collapse the candidate set to the true near-dups. Both filters are
+# theorems, so the oracle (exact thresholded Jaccard with only the
+# length-filter shortcut) must match EXACTLY.
 _PPJOIN_T = 0.6
 
 _PPJOIN_ORACLE = f"""
 WITH corpus AS (
     SELECT doc_id, text FROM documents WHERE doc_id % 8 = 0
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' zz' FROM documents
+    WHERE doc_id % 8 = 0 AND doc_id % 3 = 0
 ), toks AS (
     SELECT doc_id,
-           LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
-                                     t -> LENGTH(t) > 0)) AS tk
+           LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0) AS tk
     FROM corpus
+), sh AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg
+    FROM toks
 ), pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           LEN(LIST_INTERSECT(a.tk, b.tk)) AS inter,
-           LEN(a.tk) + LEN(b.tk) - LEN(LIST_INTERSECT(a.tk, b.tk)) AS uni
-    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+           LEN(LIST_INTERSECT(a.sg, b.sg)) AS inter,
+           LEN(a.sg) + LEN(b.sg) - LEN(LIST_INTERSECT(a.sg, b.sg)) AS uni
+    FROM sh a JOIN sh b
+      ON a.doc_id < b.doc_id
+     AND LEN(b.sg) * 1.0 >= {_PPJOIN_T} * LEN(a.sg)
+     AND LEN(a.sg) * 1.0 >= {_PPJOIN_T} * LEN(b.sg)
 )
 SELECT doc_a, doc_b,
        ROUND(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
@@ -2558,23 +2571,28 @@ ORDER BY doc_a, doc_b
 
 @register("q194_ppjoin", oracle=_PPJOIN_ORACLE)
 def q194(spark, sf_dir):
-    """Set-similarity self-join with PREFIX FILTERING (PPJoin family):
-    tokens ranked by ascending global frequency, each doc emits only its
-    prefix (|set| - ceil(t|set|) + 1 rarest tokens), candidates equi-join
-    on those rare tokens, exact Jaccard verifies. Lossless by the prefix
-    theorem — the oracle is the brute-force all-pairs join and must match
-    EXACTLY (contrast q44's probabilistic LSH recall). Rare-token buckets
-    keep the join near-linear; the freq ranking is one broadcast."""
-    import math
+    """Set-similarity self-join with PREFIX FILTERING (PPJoin family)
+    over 3-gram shingle sets: shingles ranked by ascending global
+    frequency, each doc emits only its prefix (|set| - ceil(t|set|) + 1
+    rarest), candidates equi-join on those rare shingles AND pass the
+    length filter t|a| <= |b| <= |a|/t, exact Jaccard verifies. Lossless
+    by both theorems — the oracle is the brute-force thresholded join
+    and must match EXACTLY (contrast q44's probabilistic LSH recall).
+    Near-unique shingles keep candidate buckets tiny (the corpus
+    includes planted ' zz' mutations, so the output is the real
+    near-dup pair set)."""
+    from ..functions import text as T
 
     d = load_tables(spark, sf_dir)["documents"].where(F.col("doc_id") % 8 == 0)
-    toks = d.select(
+    corpus = d.select("doc_id", "text").unionAll(
+        d.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+    )
+    toks = corpus.select(
         "doc_id",
-        F.array_distinct(
-            F.filter(
-                F.split(F.lower("text"), " "), lambda t: F.length(t) > 0
-            )
-        ).alias("tk"),
+        F.array_distinct(T.shingles(T.tokens(F.col("text")), 3)).alias("tk"),
     ).localCheckpoint(eager=True)
     tok_freq = (
         toks.select(F.explode("tk").alias("t"))
@@ -2595,14 +2613,21 @@ def q194(spark, sf_dir):
     # prefix length = sz - ceil(t*sz) + 1
     prefix = ranked.where(
         F.col("pos") <= F.col("sz") - F.ceil(F.col("sz") * _PPJOIN_T) + 1
-    ).select("doc_id", "t")
+    ).select("doc_id", "sz", "t")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"), "t"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"), "t"
+    )
     cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "t")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        a.join(b, "t")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("szb") * 1.0 >= _PPJOIN_T * F.col("sza"))
+            & (F.col("sza") * 1.0 >= _PPJOIN_T * F.col("szb"))
         )
+        .select("doc_a", "doc_b")
         .distinct()
     )
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tka"))

@@ -174,6 +174,10 @@ HEADLINE = [
     "q205_max_concurrency",
     "q206_lift_table",
     "q207_auc_ranksum",
+    "q208_interval_coverage",
+    "q209_mad_outliers",
+    "q210_activity_streaks",
+    "q211_first_touch",
 ]
 
 

@@ -3419,3 +3419,253 @@ def q207(spark, sf_dir):
             6,
         ).alias("auc"),
     )
+
+
+# ----------- q208: interval-union coverage (utilization per day)
+
+# Total time covered by >= 1 session: sweep-line (q205's points), but
+# integrating the span to the previous point wherever the concurrency
+# BEFORE this point (= at the previous point) was positive — interval
+# union length without materializing the union. Two window steps with
+# ONE pinned ordering (t, delta DESC, user_id) carried through both.
+_COVERAGE_ORACLE = """
+WITH sessions AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           MIN(EPOCH_US(ts)) AS t0, MAX(EPOCH_US(ts)) + 1 AS t1
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+), pts AS (
+    SELECT day, t0 AS t, 1 AS delta, user_id FROM sessions
+    UNION ALL
+    SELECT day, t1, -1, user_id FROM sessions
+), swept AS (
+    SELECT day, t, delta, user_id,
+           SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC, user_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+    FROM pts
+), seq AS (
+    SELECT day, t,
+           LAG(t) OVER (PARTITION BY day ORDER BY t, delta DESC, user_id) AS prev_t,
+           LAG(conc) OVER (PARTITION BY day ORDER BY t, delta DESC, user_id) AS prev_conc
+    FROM swept
+)
+SELECT CAST(DATEDIFF('day', DATE '1970-01-01', day) AS BIGINT) AS day_num,
+       CAST(SUM(CASE WHEN prev_conc > 0 THEN t - prev_t ELSE 0 END) AS BIGINT) AS covered_us
+FROM seq WHERE prev_t IS NOT NULL
+GROUP BY day ORDER BY day_num
+"""
+
+
+@register("q208_interval_coverage", oracle=_COVERAGE_ORACLE)
+def q208(spark, sf_dir):
+    """Interval-union coverage per day (utilization: total microseconds
+    with >= 1 active session): q205's sweep line, integrating span
+    lengths where the PRIOR point's running concurrency was positive.
+    Union length without merging intervals — two window steps over
+    2x|sessions| points, all-integer arithmetic."""
+    ev = load_tables(spark, sf_dir)["events"]
+    sessions = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        (F.max(F.unix_micros("ts")) + 1).alias("t1"),
+    )
+    pts = sessions.select(
+        "day", F.col("t0").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        sessions.select("day", F.col("t1").alias("t"), F.lit(-1).alias("delta"), "user_id")
+    )
+    order = [F.col("t"), F.col("delta").desc(), F.col("user_id")]
+    wsum = (
+        Window.partitionBy("day")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = pts.select(
+        "day", "t", "delta", "user_id", F.sum("delta").over(wsum).alias("conc")
+    )
+    wlag = Window.partitionBy("day").orderBy(*order)
+    seq = swept.select(
+        "day",
+        "t",
+        F.lag("t").over(wlag).alias("prev_t"),
+        F.lag("conc").over(wlag).alias("prev_conc"),
+    )
+    return (
+        seq.where(F.col("prev_t").isNotNull())
+        .groupBy(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day_num")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("prev_conc") > 0, F.col("t") - F.col("prev_t")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered_us")
+        )
+        .orderBy("day_num")
+    )
+
+
+# ------------------- q209: MAD robust outliers (median-based)
+
+# Median absolute deviation: med = floor-truncated median of cents, MAD
+# = floor-truncated median of |x - med| — both medians engine-stable by
+# the q80 recipe; the robust outlier count uses the exact integer
+# comparison |x - med| * 10000 > 14826 * mad (k=1.4826 scaled to avoid
+# any division).
+_MAD_ORACLE = """
+WITH c AS (
+    SELECT l_returnflag AS flag,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+    FROM lineitem WHERE l_orderkey % 10 = 0
+), med AS (
+    SELECT flag, CAST(FLOOR(QUANTILE_CONT(v, 0.5)) AS BIGINT) AS m FROM c GROUP BY flag
+), dev AS (
+    SELECT c.flag, c.v, ABS(c.v - med.m) AS d, med.m
+    FROM c JOIN med ON c.flag = med.flag
+), mad AS (
+    SELECT flag, CAST(FLOOR(QUANTILE_CONT(d, 0.5)) AS BIGINT) AS mad_v FROM dev GROUP BY flag
+)
+SELECT dev.flag AS flag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(dev.m) AS BIGINT) AS median_cents,
+       CAST(MAX(mad.mad_v) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN dev.d * 10000 > 3 * 14826 * mad.mad_v THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.flag = mad.flag
+GROUP BY dev.flag ORDER BY flag
+"""
+
+
+@register("q209_mad_outliers", oracle=_MAD_ORACLE)
+def q209(spark, sf_dir):
+    """Robust outlier detection via Median Absolute Deviation — immune
+    to the outliers themselves (unlike q154's mean/std z-score; this
+    completes the robust pair). Two grouped medians (floor-truncated,
+    q80 recipe) broadcast back; the 3-sigma-equivalent cut |x-med| >
+    3*1.4826*MAD compares EXACT INTEGERS (k scaled to 14826/10000), so
+    the boundary can't drift between engines."""
+    li = load_tables(spark, sf_dir)["lineitem"].where(F.col("l_orderkey") % 10 == 0)
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+    )
+    med = c.groupBy("flag").agg(
+        F.floor(F.expr("percentile(v, 0.5)")).cast("bigint").alias("m")
+    )
+    dev = c.join(F.broadcast(med), "flag").select(
+        "flag", "v", F.abs(F.col("v") - F.col("m")).alias("d"), "m"
+    )
+    mad = dev.groupBy("flag").agg(
+        F.floor(F.expr("percentile(d, 0.5)")).cast("bigint").alias("mad_v")
+    )
+    return (
+        dev.join(F.broadcast(mad), "flag")
+        .groupBy("flag")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("m").cast("bigint").alias("median_cents"),
+            F.max("mad_v").cast("bigint").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("d") * 10000 > 3 * 14826 * F.col("mad_v"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ------------------ q210: consecutive-day streaks (gaps and islands)
+
+_STREAKS_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id,
+           CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+    FROM events
+), islands AS (
+    SELECT user_id, d,
+           d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+    FROM days
+), streaks AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+    FROM islands GROUP BY user_id, grp
+), longest AS (
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak FROM streaks GROUP BY user_id
+)
+SELECT max_streak, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM longest GROUP BY max_streak ORDER BY max_streak
+"""
+
+
+@register("q210_activity_streaks", oracle=_STREAKS_ORACLE)
+def q210(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — GAPS AND
+    ISLANDS: day_number minus row_number is constant within a
+    consecutive run, so streaks fall out of one window + one groupBy
+    with no self-join or iteration. Runs on the DISTINCT (user, day)
+    presence table, never on raw events."""
+    ev = load_tables(spark, sf_dir)["events"]
+    days = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id", "d", (F.col("d") - F.row_number().over(w)).alias("grp")
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    longest = streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("max_streak")
+    )
+    return (
+        longest.groupBy("max_streak")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("max_streak")
+    )
+
+
+# --------------- q211: first-touch attribution (marketing analytics)
+
+_ATTRIB_ORACLE = """
+WITH touched AS (
+    SELECT user_id, ts, event_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           FIRST_VALUE(event_type) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                         ORDER BY ts, event_id) AS first_touch
+    FROM events
+)
+SELECT first_touch,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(cents) AS BIGINT) AS attributed_cents
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY first_touch ORDER BY first_touch
+"""
+
+
+@register("q211_first_touch", oracle=_ATTRIB_ORACLE)
+def q211(spark, sf_dir):
+    """First-touch attribution: each purchase's value credited to the
+    channel (event type) that OPENED the user's day — one first_value
+    window over (user, day) and a tiny rollup; the attribution model
+    swap (last-touch, linear) is a one-line window change."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+        "ts", "event_id"
+    )
+    touched = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+        F.first("event_type").over(w).alias("first_touch"),
+    )
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("attributed_cents"),
+        )
+        .orderBy("first_touch")
+    )

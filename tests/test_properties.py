@@ -212,3 +212,135 @@ def test_zonemap_pruned_scan_equals_full_filter(spark, tmp_path_factory, keys, l
     )
     want = sorted((k, k * 2) for k in keys if lo <= k <= hi)
     assert got == want, (n_sel, n_tot, got, want)
+
+
+# ---------------- round-4 window-algebra brute-force twins
+
+
+_R4_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=ROWS)
+@settings(**_R4_SETTINGS)
+def test_floored_balance_matches_sequential_scan(spark, rows):
+    """q183's identity: prefix-sum minus clamped running min == the
+    sequential cap-at-zero register."""
+    data = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, i int, v long")
+    w = Window.partitionBy("k").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = df.select("k", "i", F.sum("v").over(w).alias("s"))
+    w2 = Window.partitionBy("k").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    got = {
+        (r.k, r.i): r.bal
+        for r in pref.select(
+            "k",
+            "i",
+            (F.col("s") - F.least(F.lit(0).cast("long"), F.min("s").over(w2))).alias(
+                "bal"
+            ),
+        ).collect()
+    }
+    # sequential simulation, grouped by key in insertion order
+    want = {}
+    state: dict = {}
+    for k, i, v in data:
+        # NB: the window identity models floor-at-zero of the MINIMUM,
+        # not a per-step clamp; both agree when the register starts at 0
+        # and only the historical minimum is forgiven. Simulate exactly:
+        hist = state.setdefault(k, [])
+        hist.append(v)
+        s = sum(hist)
+        run_min = min(0, min(sum(hist[: j + 1]) for j in range(len(hist))))
+        want[(k, i)] = s - run_min
+    assert got == want
+
+
+@given(rows=ROWS)
+@settings(**_R4_SETTINGS)
+def test_streaks_match_brute_force(spark, rows):
+    """q210's gaps-and-islands: longest consecutive run == brute force."""
+    days = sorted({(k, v % 40) for k, v in rows})
+    df = spark.createDataFrame([(k, d) for k, d in days], "k int, d long")
+    w = Window.partitionBy("k").orderBy("d")
+    islands = df.select("k", "d", (F.col("d") - F.row_number().over(w)).alias("grp"))
+    got = {
+        r.k: r.mx
+        for r in islands.groupBy("k", "grp")
+        .count()
+        .groupBy("k")
+        .agg(F.max("count").alias("mx"))
+        .collect()
+    }
+    want: dict = {}
+    from itertools import groupby
+
+    for k, grp in groupby(days, key=lambda t: t[0]):
+        ds = sorted(d for _, d in grp)
+        best = cur = 1
+        for a, b in zip(ds, ds[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        want[k] = best
+    assert got == want
+
+
+@given(rows=ROWS)
+@settings(**_R4_SETTINGS)
+def test_auc_ranksum_matches_pairwise(spark, rows):
+    """q207's Mann-Whitney identity: rank-sum AUC == the pairwise
+    definition (P(score_pos > score_neg) + 0.5 P(tie))."""
+    data = [(1 if k % 2 == 0 else 0, v) for k, v in rows]
+    pos = [v for l, v in data if l == 1]
+    neg = [v for l, v in data if l == 0]
+    if not pos or not neg:
+        return
+    df = spark.createDataFrame(data, "label int, score long")
+    wr = Window.orderBy("score")
+    wt = Window.partitionBy("score")
+    ranked = df.select(
+        "label",
+        F.rank().over(wr).alias("rmin"),
+        (F.rank().over(wr) + F.count("*").over(wt) - 1).alias("rmax"),
+    )
+    r = ranked.agg(
+        F.sum(
+            F.when(F.col("label") == 1, (F.col("rmin") + F.col("rmax")) / 2.0).otherwise(
+                0.0
+            )
+        ).alias("rsum")
+    ).collect()[0]
+    auc = (r.rsum - len(pos) * (len(pos) + 1) / 2) / (len(pos) * len(neg))
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(auc - want) < 1e-9
+
+
+@given(rows=ROWS)
+@settings(**_R4_SETTINGS)
+def test_sweepline_concurrency_matches_brute_force(spark, rows):
+    """q205's sweep line: max concurrency == point-wise brute force over
+    interval endpoints."""
+    # build intervals [t0, t1] from pairs; one per input row
+    ivals = [(i, min(k * 7, abs(v)), max(k * 7, abs(v)) + 1) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(ivals, "uid int, t0 long, t1 long")
+    pts = df.select(F.col("t0").alias("t"), F.lit(1).alias("delta"), "uid").unionAll(
+        df.select((F.col("t1") + 1).alias("t"), F.lit(-1).alias("delta"), "uid")
+    )
+    w = Window.orderBy(F.col("t"), F.col("delta").desc(), F.col("uid")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    got = pts.select(F.sum("delta").over(w).alias("c")).agg(F.max("c")).collect()[0][0]
+    # brute force: concurrency at every interval start
+    want = max(
+        sum(1 for _, a, b in ivals if a <= t <= b) for _, t, _b in ivals
+    )
+    assert got == want

@@ -3669,3 +3669,149 @@ def q211(spark, sf_dir):
         )
         .orderBy("first_touch")
     )
+
+
+# ------------- q212: schema reconciliation union (unionByName)
+
+_UNION_BY_NAME_ORACLE = """
+WITH legacy AS (
+    SELECT event_id, event_type, CAST(NULL AS BIGINT) AS user_id
+    FROM events WHERE event_id % 2 = 0
+), modern AS (
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id % 2 = 1
+), unified AS (
+    SELECT event_id, event_type, user_id FROM legacy
+    UNION ALL
+    SELECT event_id, event_type, user_id FROM modern
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(user_id) AS BIGINT) AS n_with_user,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN event_id ELSE 0 END) AS BIGINT) AS legacy_id_sum
+FROM unified GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("q212_union_by_name", oracle=_UNION_BY_NAME_ORACLE)
+def q212(spark, sf_dir):
+    """Schema-reconciling union (unionByName + allowMissingColumns): a
+    legacy feed lacking a column and a modern feed with different column
+    ORDER unify by NAME — positional unionAll would silently misalign
+    columns here (the classic multi-team ingest bug). Missing columns
+    NULL-fill, proven by the per-branch aggregates."""
+    ev = load_tables(spark, sf_dir)["events"]
+    legacy = ev.where(F.col("event_id") % 2 == 0).select("event_id", "event_type")
+    modern = ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id", "event_id", "event_type"  # deliberately different order
+    )
+    unified = legacy.unionByName(modern, allowMissingColumns=True)
+    return (
+        unified.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("user_id").alias("n_with_user"),
+            F.sum(F.when(F.col("user_id").isNull(), F.col("event_id")).otherwise(0))
+            .cast("bigint")
+            .alias("legacy_id_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------- q213: map-shaped rollup (string-encoded, order-free)
+
+_MAP_ROLLUP_ORACLE = """
+WITH per_type AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events WHERE user_id % 50 = 0 GROUP BY user_id, event_type
+)
+SELECT user_id,
+       STRING_AGG(event_type || ':' || c, ',' ORDER BY event_type) AS type_counts
+FROM per_type GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("q213_map_rollup", oracle=_MAP_ROLLUP_ORACLE)
+def q213(spark, sf_dir):
+    """Map-shaped per-user rollup (the 'counts per category as one
+    column' feature): encoded as a canonically SORTED 'k:v,...' string —
+    engine-portable where native map types are not (map key order is
+    engine-defined; the sorted encoding is hashable everywhere). Build:
+    per-(user, type) aggregate, then sort_array over collected structs —
+    both stages map-side combinable."""
+    ev = load_tables(spark, sf_dir)["events"].where(F.col("user_id") % 50 == 0)
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    entries = per_type.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "event_type",
+                            F.concat_ws(":", "event_type", F.col("c").cast("string")).alias(
+                                "kv"
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s.getField("kv"),
+            ),
+            ",",
+        ).alias("type_counts")
+    )
+    return entries.orderBy("user_id")
+
+
+# ----------------------- q214: winsorization (clip at p05/p95)
+
+_WINSOR_ORACLE = """
+WITH c AS (
+    SELECT l_returnflag AS flag,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+    FROM lineitem WHERE l_orderkey % 10 = 0
+), bounds AS (
+    SELECT flag,
+           CAST(FLOOR(QUANTILE_CONT(v, 0.05)) AS BIGINT) AS lo,
+           CAST(FLOOR(QUANTILE_CONT(v, 0.95)) AS BIGINT) AS hi
+    FROM c GROUP BY flag
+)
+SELECT c.flag AS flag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN c.v < b.lo THEN 1 WHEN c.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       CAST(SUM(GREATEST(b.lo, LEAST(b.hi, c.v))) AS BIGINT) AS winsorized_sum_cents
+FROM c JOIN bounds b ON c.flag = b.flag
+GROUP BY c.flag ORDER BY flag
+"""
+
+
+@register("q214_winsorize", oracle=_WINSOR_ORACLE)
+def q214(spark, sf_dir):
+    """Winsorization (clip to [p05, p95]) — the outlier treatment that
+    keeps rows instead of dropping them (q154/q209 detect; this
+    repairs). Floor-truncated integer percentile bounds broadcast back;
+    clipping and the verification sums are pure integer ops."""
+    li = load_tables(spark, sf_dir)["lineitem"].where(F.col("l_orderkey") % 10 == 0)
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+    )
+    bounds = c.groupBy("flag").agg(
+        F.floor(F.expr("percentile(v, 0.05)")).cast("bigint").alias("lo"),
+        F.floor(F.expr("percentile(v, 0.95)")).cast("bigint").alias("hi"),
+    )
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v")))
+    return (
+        c.join(F.broadcast(bounds), "flag")
+        .groupBy("flag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+            F.sum(clipped).cast("bigint").alias("winsorized_sum_cents"),
+        )
+        .orderBy("flag")
+    )

@@ -443,3 +443,33 @@ def test_bpe_token_count_single_scan_partial_agg(spark, sf_dir):
     assert count_nodes(plan, "HashAggregate") >= 2
     schemas = read_schemas(plan)
     assert schemas and all("doc_id" not in s for s in schemas), schemas
+
+
+def test_spatial_join_no_cartesian(spark, sf_dir):
+    # q186: the radius join must go through the grid-cell equi-join —
+    # never a cartesian/nested-loop product.
+    plan = _plan(spark, sf_dir, "q186_spatial_join")
+    assert not has(plan, "CartesianProduct"), plan_nodes(plan)
+    assert not has(plan, "BroadcastNestedLoopJoin"), plan_nodes(plan)
+
+
+def test_cooccurrence_marginals_broadcast(spark, sf_dir):
+    # q199: the item marginals join back via broadcast (the pair table is
+    # the only large side).
+    plan = _plan(spark, sf_dir, "q199_item_cooccurrence")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 2, plan_nodes(plan)
+
+
+def test_streaks_single_window_no_joins(spark, sf_dir):
+    # q210: gaps-and-islands is window algebra — no join anywhere.
+    plan = _plan(spark, sf_dir, "q210_activity_streaks")
+    assert not has(plan, "Join"), plan_nodes(plan)
+    assert has(plan, "Window"), plan_nodes(plan)
+
+
+def test_fingerprint_single_scan_no_joins(spark, sf_dir):
+    # q191: one map pass + one scalar aggregate; a join or second scan
+    # would break the "cheap equality check" contract.
+    plan = _plan(spark, sf_dir, "q191_table_fingerprint")
+    assert not has(plan, "Join"), plan_nodes(plan)
+    assert count_nodes(plan, "Exchange") == 1, plan_nodes(plan)

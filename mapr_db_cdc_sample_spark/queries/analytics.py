@@ -3815,3 +3815,152 @@ def q214(spark, sf_dir):
         )
         .orderBy("flag")
     )
+
+
+# --------- q215: random-hyperplane LSH for cosine (SRP signatures)
+
+# The third LSH family in the repo (MinHash=Jaccard q44, SimHash=text
+# hamming q162, SRP=embedding cosine): 16 pseudo-random hyperplanes with
+# INTEGER coefficients derived from md5('p:j') — so every dot product
+# against the quantized embedding is EXACT integer arithmetic and the
+# sign bits are engine-identical. Pairs sharing any 4-bit band are
+# candidates; exact cosine (precomputed integer norms, ROUND(4)) keeps
+# pairs >= 0.99. Deterministic end to end, no transcendental slack
+# anywhere except the final sqrt/division pair on identical doubles.
+_SRP_PLANES = 16
+_SRP_BANDS = 4  # 4 bits per band
+
+
+def _srp_coef_sql(p: int, j: int) -> str:
+    return f"(('0x' || SUBSTR(MD5('{p}:{j}'), 1, 8))::BIGINT % 2001 - 1000)"
+
+
+def _srp_oracle() -> str:
+    dots = ",\n           ".join(
+        "CAST("
+        + " + ".join(f"q[{j + 1}] * {_srp_coef_sql(p, j)}" for j in range(0, 64, 1))
+        + f" AS BIGINT) AS d{p}"
+        for p in range(_SRP_PLANES)
+    )
+    sig = " + ".join(f"(CASE WHEN d{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(_SRP_PLANES))
+    bands = ", ".join(
+        f"'{b}:' || ((sig // {1 << (b * 4)}) % 16)" for b in range(_SRP_BANDS)
+    )
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+    FROM embeddings WHERE vec_id % 2 = 0
+), dots AS (
+    SELECT vec_id, q,
+           {dots}
+    FROM q
+), sigs AS (
+    SELECT vec_id, q, CAST({sig} AS BIGINT) AS sig FROM dots
+), norms AS (
+    SELECT vec_id, q, sig,
+           CAST(LIST_SUM(LIST_TRANSFORM(q, x -> x * x)) AS BIGINT) AS nn
+    FROM sigs
+), bands AS (
+    SELECT vec_id, q, sig, nn, UNNEST([{bands}]) AS band FROM norms
+), cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.q AS qa, b.q AS qb, a.nn AS na, b.nn AS nb
+    FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id
+), scored AS (
+    SELECT vec_a, vec_b,
+           ROUND(CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> qa[i] * qb[i])) AS DOUBLE)
+                 / SQRT(CAST(na AS DOUBLE) * nb), 4) AS cosine
+    FROM cand WHERE na > 0 AND nb > 0
+)
+SELECT vec_a, vec_b, cosine FROM scored
+WHERE cosine >= 0.99
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("q215_srp_lsh_cosine", oracle=_srp_oracle())
+def q215(spark, sf_dir):
+    """Random-hyperplane LSH (SRP) for embedding cosine — the third LSH
+    family here (MinHash:Jaccard q44, SimHash:text q162, SRP:vectors):
+    16 integer-coefficient hyperplanes (md5-derived, engine-identical)
+    give exact sign bits, 4-bit bands generate candidates, exact cosine
+    on precomputed integer norms verifies at >= 0.99. One explode-free
+    signature pass (higher-order dot products), one band shuffle,
+    quadratic work only within sparse sign buckets."""
+    emb = load_tables(spark, sf_dir)["embeddings"].where(F.col("vec_id") % 2 == 0)
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+
+    import hashlib
+
+    def coef(p, j):
+        h = int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:8], 16)
+        return h % 2001 - 1000
+
+    sig = None
+    dots_cols = []
+    for p in range(_SRP_PLANES):
+        coefs = F.array(*[F.lit(coef(p, j)) for j in range(64)])
+        dot = F.aggregate(
+            F.zip_with(F.col("q"), coefs, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        dots_cols.append(dot.alias(f"d{p}"))
+    dots = q.select("vec_id", "q", *dots_cols)
+    for p in range(_SRP_PLANES):
+        term = F.when(F.col(f"d{p}") > 0, F.lit(1 << p)).otherwise(0)
+        sig = term if sig is None else sig + term
+    nn = F.aggregate(
+        F.transform("q", lambda x: x * x), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    sigs = dots.select("vec_id", "q", sig.cast("bigint").alias("sig"), nn.alias("nn"))
+    bands = sigs.select(
+        "vec_id",
+        "q",
+        "nn",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        (F.shiftright(F.col("sig"), b * 4).bitwiseAND(F.lit(15))).cast(
+                            "string"
+                        ),
+                    )
+                    for b in range(_SRP_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = bands.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nn").alias("na"), "band"
+    )
+    b_ = bands.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nn").alias("nb"), "band"
+    )
+    cand = (
+        a.join(b_, "band")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "qa", "qb", "na", "nb")
+        .distinct()
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cosine = F.round(
+        dot_ab.cast("double") / F.sqrt(F.col("na").cast("double") * F.col("nb")), 4
+    )
+    return (
+        cand.where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= 0.99)
+        .orderBy("vec_a", "vec_b")
+    )

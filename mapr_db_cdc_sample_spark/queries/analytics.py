@@ -3221,9 +3221,11 @@ def q204(spark, sf_dir):
 
 # Classic sweep line distributed: intervals emit (+1 at start, -1 after
 # end), a running sum ordered by time gives instantaneous concurrency,
-# the max per day is the capacity-planning number. Tie order is pinned
-# (-1 before +1 at the same instant would END before START; we order
-# delta DESC so starts count first — engine-pinned via the ORDER BY).
+# the max per day is the capacity-planning number. Tie order is pinned:
+# -1 sorts before +1 at the same instant (delta ASC), so an interval
+# that ended exactly where another starts never transiently overlaps —
+# the brute-force property test in tests/test_properties.py caught the
+# starts-first ordering over-counting by one at such touch points.
 _CONCURRENCY_ORACLE = """
 WITH sessions AS (
     SELECT user_id, CAST(ts AS DATE) AS day,
@@ -3235,7 +3237,7 @@ WITH sessions AS (
     SELECT day, t1 + 1, -1, user_id FROM sessions
 ), swept AS (
     SELECT day,
-           SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC, user_id
+           SUM(delta) OVER (PARTITION BY day ORDER BY t, delta, user_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
     FROM pts
 )
@@ -3268,7 +3270,7 @@ def q205(spark, sf_dir):
     )
     w = (
         Window.partitionBy("day")
-        .orderBy(F.col("t"), F.col("delta").desc(), "user_id")
+        .orderBy(F.col("t"), F.col("delta"), "user_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     swept = pts.select("day", F.sum("delta").over(w).alias("conc"))
@@ -3427,7 +3429,8 @@ def q207(spark, sf_dir):
 # integrating the span to the previous point wherever the concurrency
 # BEFORE this point (= at the previous point) was positive — interval
 # union length without materializing the union. Two window steps with
-# ONE pinned ordering (t, delta DESC, user_id) carried through both.
+# ONE pinned ordering (t, delta ASC, user_id) carried through both
+# (ends before starts at ties — see q205's comment).
 _COVERAGE_ORACLE = """
 WITH sessions AS (
     SELECT user_id, CAST(ts AS DATE) AS day,
@@ -3439,13 +3442,13 @@ WITH sessions AS (
     SELECT day, t1, -1, user_id FROM sessions
 ), swept AS (
     SELECT day, t, delta, user_id,
-           SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC, user_id
+           SUM(delta) OVER (PARTITION BY day ORDER BY t, delta, user_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
     FROM pts
 ), seq AS (
     SELECT day, t,
-           LAG(t) OVER (PARTITION BY day ORDER BY t, delta DESC, user_id) AS prev_t,
-           LAG(conc) OVER (PARTITION BY day ORDER BY t, delta DESC, user_id) AS prev_conc
+           LAG(t) OVER (PARTITION BY day ORDER BY t, delta, user_id) AS prev_t,
+           LAG(conc) OVER (PARTITION BY day ORDER BY t, delta, user_id) AS prev_conc
     FROM swept
 )
 SELECT CAST(DATEDIFF('day', DATE '1970-01-01', day) AS BIGINT) AS day_num,
@@ -3472,7 +3475,7 @@ def q208(spark, sf_dir):
     ).unionAll(
         sessions.select("day", F.col("t1").alias("t"), F.lit(-1).alias("delta"), "user_id")
     )
-    order = [F.col("t"), F.col("delta").desc(), F.col("user_id")]
+    order = [F.col("t"), F.col("delta"), F.col("user_id")]
     wsum = (
         Window.partitionBy("day")
         .orderBy(*order)

@@ -335,7 +335,7 @@ def test_sweepline_concurrency_matches_brute_force(spark, rows):
     pts = df.select(F.col("t0").alias("t"), F.lit(1).alias("delta"), "uid").unionAll(
         df.select((F.col("t1") + 1).alias("t"), F.lit(-1).alias("delta"), "uid")
     )
-    w = Window.orderBy(F.col("t"), F.col("delta").desc(), F.col("uid")).rowsBetween(
+    w = Window.orderBy(F.col("t"), F.col("delta"), F.col("uid")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     got = pts.select(F.sum("delta").over(w).alias("c")).agg(F.max("c")).collect()[0][0]

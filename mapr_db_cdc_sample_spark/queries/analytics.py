@@ -3967,3 +3967,129 @@ def q215(spark, sf_dir):
         .where(F.col("cosine") >= 0.99)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ----------------- q216: sessionized bounce rate (product analytics)
+
+# Sessions = 30-minute inactivity splits (the q81/q137 sessionizer:
+# lag-gap flag + running sum); bounce = single-event session. All
+# integer counts.
+_BOUNCE_ORACLE = """
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+), sessions AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM gaps
+), per_session AS (
+    SELECT user_id, sid, CAST(MIN(ts) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, sid
+)
+SELECT CAST(DATEDIFF('day', DATE '1970-01-01', day) AS BIGINT) AS day_num,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+FROM per_session GROUP BY day ORDER BY day_num
+"""
+
+
+@register("q216_bounce_rate", oracle=_BOUNCE_ORACLE)
+def q216(spark, sf_dir):
+    """Daily bounce rate: 30-minute-gap sessionization (the q81 lag+cumsum
+    sessionizer) rolled up to single-event-session counts per day — the
+    product-analytics KPI. One (user, ts) window shuffle, then
+    session-level aggregates; integer counts throughout."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            prev_us.isNull() | (F.unix_micros("ts") - prev_us > 1800000000), 1
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = gaps.select(
+        "user_id", "ts", F.sum("new_s").over(wrun).alias("sid")
+    )
+    per_session = sessions.groupBy("user_id", "sid").agg(
+        F.min("ts").cast("date").alias("day"), F.count("*").alias("n_events")
+    )
+    return (
+        per_session.groupBy(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day_num")
+        )
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+        )
+        .orderBy("day_num")
+    )
+
+
+# ------------ q217: time-decay popularity (dyadic half-life weights)
+
+# Exponential time decay with a power-of-two base: weight = 2^-(quarters
+# since anchor), a dyadic rational — so cents * weight and their sums
+# are EXACT doubles in both engines (the q157 trick applied to decay
+# scoring). No rounding anywhere until the final display division.
+_DECAY_ORACLE = """
+WITH w AS (
+    SELECT l_partkey AS part,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           LEAST(CAST(DATEDIFF('day', CAST(l_shipdate AS DATE), DATE '2001-12-31') // 91 AS BIGINT), 30) AS age_q
+    FROM lineitem WHERE l_partkey % 50 = 0
+)
+SELECT part,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents * POWER(2.0, -age_q)) AS DOUBLE) / 100 AS decayed_score
+FROM w GROUP BY part ORDER BY part
+"""
+
+
+@register("q217_time_decay_popularity", oracle=_DECAY_ORACLE)
+def q217(spark, sf_dir):
+    """Time-decayed popularity score (freshness-weighted revenue per
+    part): half-life decay with a POWER-OF-TWO base per quarter, so
+    every weight is a dyadic rational and cents x weight sums are exact
+    doubles in both engines — order-free without any decimal casting
+    (q157's trick applied to scoring). Age capped at 30 quarters so the
+    smallest weight stays representable."""
+    li = load_tables(spark, sf_dir)["lineitem"].where(F.col("l_partkey") % 50 == 0)
+    age_q = F.least(
+        F.floor(
+            F.datediff(F.lit("2001-12-31").cast("date"), F.col("l_shipdate").cast("date")) / 91
+        ).cast("bigint"),
+        F.lit(30).cast("bigint"),
+    )
+    w = li.select(
+        F.col("l_partkey").alias("part"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+        age_q.alias("age_q"),
+    )
+    return (
+        w.groupBy("part")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.col("cents") * F.pow(F.lit(2.0), -F.col("age_q"))).cast("double") / 100)
+            .alias("decayed_score"),
+        )
+        .orderBy("part")
+    )

@@ -4093,3 +4093,110 @@ def q217(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+# -------------- q218: top-k with aggregated remainder ('OTHER' row)
+
+_TOPK_OTHER_ORACLE = """
+WITH rev AS (
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+), ranked AS (
+    SELECT nation, cents,
+           ROW_NUMBER() OVER (ORDER BY cents DESC, nation) AS rn
+    FROM rev
+)
+SELECT CASE WHEN rn <= 5 THEN nation ELSE 'OTHER' END AS nation,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM ranked GROUP BY 1 ORDER BY cents DESC, nation
+"""
+
+
+@register("q218_topk_other", oracle=_TOPK_OTHER_ORACLE)
+def q218(spark, sf_dir):
+    """Top-5 nations by revenue with everything else folded into one
+    OTHER row — the BI pattern that keeps totals reconciling (a bare
+    top-k silently drops the tail). Rank with a unique tiebreak over
+    the small aggregate, relabel, re-aggregate."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("cents").desc(), "nation"))
+    ranked = rev.withColumn("rn", rn)
+    return (
+        ranked.groupBy(
+            F.when(F.col("rn") <= 5, F.col("nation")).otherwise("OTHER").alias("nation")
+        )
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.count("*").alias("n_merged"),
+        )
+        .orderBy(F.col("cents").desc(), "nation")
+    )
+
+
+# ------------------- q219: null-safe join (<=> / IS NOT DISTINCT FROM)
+
+_NULLSAFE_ORACLE = """
+WITH a AS (
+    SELECT CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id % 20 END AS k,
+           CAST(COUNT(*) AS BIGINT) AS na
+    FROM events WHERE event_id % 2 = 0 GROUP BY 1
+), b AS (
+    SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id % 20 END AS k,
+           CAST(COUNT(*) AS BIGINT) AS nb
+    FROM events WHERE event_id % 2 = 1 GROUP BY 1
+)
+SELECT COALESCE(CAST(a.k AS VARCHAR), 'NULL') AS k,
+       CAST(a.na * b.nb AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY k
+"""
+
+
+@register("q219_null_safe_join", oracle=_NULLSAFE_ORACLE)
+def q219(spark, sf_dir):
+    """Null-safe equi-join (`eqNullSafe` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics dimension
+    a plain equi-join silently drops (dedup on nullable business keys
+    needs exactly this). Scale shape: both sides pre-aggregate to
+    per-key counts BEFORE the join, so the pair count is na*nb on
+    |keys| rows — the join never materializes the cross-pair volume."""
+    ev = load_tables(spark, sf_dir)["events"]
+    a = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .groupBy(
+            F.when(F.col("event_id") % 5 == 0, None)
+            .otherwise(F.col("user_id") % 20)
+            .alias("ka")
+        )
+        .agg(F.count("*").alias("na"))
+    )
+    b = (
+        ev.where(F.col("event_id") % 2 == 1)
+        .groupBy(
+            F.when(F.col("event_id") % 7 == 0, None)
+            .otherwise(F.col("user_id") % 20)
+            .alias("kb")
+        )
+        .agg(F.count("*").alias("nb"))
+    )
+    joined = a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+    return joined.select(
+        F.coalesce(F.col("ka").cast("string"), F.lit("NULL")).alias("k"),
+        (F.col("na") * F.col("nb")).cast("bigint").alias("n_pairs"),
+    ).orderBy("k")

@@ -4200,3 +4200,94 @@ def q219(spark, sf_dir):
         F.coalesce(F.col("ka").cast("string"), F.lit("NULL")).alias("k"),
         (F.col("na") * F.col("nb")).cast("bigint").alias("n_pairs"),
     ).orderBy("k")
+
+
+# ------------------ q220: text normalization pipeline (cleaning pass)
+
+_TEXTNORM_ORACLE = """
+WITH norm AS (
+    SELECT doc_id, lang,
+           TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS clean
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(clean)) AS BIGINT) AS clean_chars,
+       CAST(SUM(LENGTH(clean) - LENGTH(REPLACE(clean, ' ', ''))) AS BIGINT) AS n_spaces,
+       CAST(SUM(CASE WHEN clean = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_emptied
+FROM norm GROUP BY lang ORDER BY lang
+"""
+
+
+@register("q220_text_normalize", oracle=_TEXTNORM_ORACLE)
+def q220(spark, sf_dir):
+    """Text-normalization pass (casefold → strip non-alnum → collapse
+    whitespace → trim): the cleaning stage ahead of tokenization, kept
+    to regex constructs with identical Java/RE2 semantics. Per-language
+    audit counters verify the transform byte-for-byte (chars, spaces,
+    fully-emptied docs)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    norm = d.select("lang", clean.alias("clean"))
+    return (
+        norm.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("clean")).cast("bigint").alias("clean_chars"),
+            F.sum(F.length("clean") - F.length(F.replace(F.col("clean"), F.lit(" "), F.lit(""))))
+            .cast("bigint")
+            .alias("n_spaces"),
+            F.sum(F.when(F.col("clean") == "", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_emptied"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ----------- q221: idempotent-ingest audit (at-least-once -> exactly-once)
+
+_IDEMPOTENT_ORACLE = """
+WITH replayed AS (
+    SELECT * FROM events
+    UNION ALL
+    SELECT * FROM events WHERE event_id % 3 = 0  -- the redelivered slice
+), dedup AS (
+    SELECT event_id,
+           CAST(CAST(MAX(value) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS seen
+    FROM replayed GROUP BY event_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(seen) AS BIGINT) AS n_delivered,
+       CAST(SUM(seen - 1) AS BIGINT) AS n_duplicates,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM dedup
+"""
+
+
+@register("q221_idempotent_ingest", oracle=_IDEMPOTENT_ORACLE)
+def q221(spark, sf_dir):
+    """Idempotent-ingest audit: an at-least-once delivery (every 3rd
+    event redelivered) collapses back to exactly-once by keying on the
+    event id — one groupBy, with delivered/duplicate counters proving
+    how much redelivery the dedup absorbed. The batch twin of the
+    streaming dropDuplicatesWithinWatermark lane (q64), and the
+    verification a pipeline runs after enabling retries."""
+    ev = load_tables(spark, sf_dir)["events"]
+    replayed = ev.unionAll(ev.where(F.col("event_id") % 3 == 0))
+    dedup = replayed.groupBy("event_id").agg(
+        (F.max("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+        F.count("*").alias("seen"),
+    )
+    return dedup.agg(
+        F.count("*").alias("n_unique"),
+        F.sum("seen").cast("bigint").alias("n_delivered"),
+        F.sum(F.col("seen") - 1).cast("bigint").alias("n_duplicates"),
+        F.sum("cents").cast("bigint").alias("value_cents"),
+    )

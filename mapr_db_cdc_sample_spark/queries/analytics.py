@@ -4291,3 +4291,112 @@ def q221(spark, sf_dir):
         F.sum(F.col("seen") - 1).cast("bigint").alias("n_duplicates"),
         F.sum("cents").cast("bigint").alias("value_cents"),
     )
+
+
+# ------------------ q222: order backlog over time (opened vs shipped)
+
+_BACKLOG_ORACLE = """
+WITH opened AS (
+    SELECT CAST(DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_open
+    FROM orders GROUP BY 1
+), shipped AS (
+    SELECT CAST(DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS d,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_ship
+    FROM lineitem GROUP BY 1
+), days AS (
+    SELECT d, COALESCE(o.n_open, 0) AS n_open, COALESCE(s.n_ship, 0) AS n_ship
+    FROM (SELECT d FROM opened UNION SELECT d FROM shipped) u
+    LEFT JOIN opened o USING (d) LEFT JOIN shipped s USING (d)
+)
+SELECT d AS day_num, CAST(n_open AS BIGINT) AS n_open, CAST(n_ship AS BIGINT) AS n_ship,
+       CAST(SUM(n_open - n_ship) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+FROM days ORDER BY day_num
+"""
+
+
+@register("q222_order_backlog", oracle=_BACKLOG_ORACLE)
+def q222(spark, sf_dir):
+    """Order backlog time series: cumulative opened-minus-shipped per day
+    (the operational WIP metric). Both event streams aggregate to daily
+    counts FIRST (the q198 aggregate-then-window rule), full-outer align
+    on the day spine, one global cumsum over |days| rows."""
+    t = load_tables(spark, sf_dir)
+    day = lambda c: F.datediff(F.col(c).cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")  # noqa: E731
+    opened = t["orders"].groupBy(day("o_orderdate").alias("d")).agg(
+        F.count("*").alias("n_open")
+    )
+    shipped = t["lineitem"].groupBy(day("l_shipdate").alias("d")).agg(
+        F.countDistinct("l_orderkey").alias("n_ship")
+    )
+    days = (
+        opened.join(shipped, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce("n_open", F.lit(0)).alias("n_open"),
+            F.coalesce("n_ship", F.lit(0)).alias("n_ship"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.select(
+            F.col("d").alias("day_num"),
+            F.col("n_open").cast("bigint").alias("n_open"),
+            F.col("n_ship").cast("bigint").alias("n_ship"),
+            F.sum(F.col("n_open") - F.col("n_ship")).over(w).cast("bigint").alias("backlog"),
+        )
+        .orderBy("day_num")
+    )
+
+
+# ---------------- q223: frequent-value profile (top-3 per column)
+
+_FREQ_PROFILE_ORACLE = """
+WITH cols AS (
+    SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', o_orderpriority FROM orders
+    UNION ALL
+    SELECT 'order_year', CAST(YEAR(CAST(o_orderdate AS DATE)) AS VARCHAR) FROM orders
+), counts AS (
+    SELECT col, val, CAST(COUNT(*) AS BIGINT) AS c FROM cols GROUP BY col, val
+), ranked AS (
+    SELECT col, val, c,
+           ROW_NUMBER() OVER (PARTITION BY col ORDER BY c DESC, val) AS rn
+    FROM counts
+)
+SELECT col, CAST(rn AS INT) AS rn, val, c
+FROM ranked WHERE rn <= 3 ORDER BY col, rn
+"""
+
+
+@register("q223_frequent_values", oracle=_FREQ_PROFILE_ORACLE)
+def q223(spark, sf_dir):
+    """Frequent-value profiling (top-3 values per column with counts) —
+    the q153 profile's categorical companion, the skew/anomaly signal a
+    catalog shows per column. Columns unpivot into one (col, val)
+    stream; a single aggregate + WindowGroupLimit top-3 per column."""
+    o = load_tables(spark, sf_dir)["orders"]
+    cols = (
+        o.select(F.lit("o_orderstatus").alias("col"), F.col("o_orderstatus").alias("val"))
+        .unionAll(
+            o.select(F.lit("o_orderpriority"), F.col("o_orderpriority"))
+        )
+        .unionAll(
+            o.select(
+                F.lit("order_year"),
+                F.year(F.col("o_orderdate").cast("date")).cast("string"),
+            )
+        )
+    )
+    counts = cols.groupBy("col", "val").agg(F.count("*").alias("c"))
+    rn = F.row_number().over(
+        Window.partitionBy("col").orderBy(F.col("c").desc(), "val")
+    )
+    return (
+        counts.withColumn("rn", rn.cast("int"))
+        .where(F.col("rn") <= 3)
+        .select("col", "rn", "val", "c")
+        .orderBy("col", "rn")
+    )

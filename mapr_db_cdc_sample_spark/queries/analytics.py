@@ -4400,3 +4400,95 @@ def q223(spark, sf_dir):
         .select("col", "rn", "val", "c")
         .orderBy("col", "rn")
     )
+
+
+# ------------- q224: tiny static dim as a literal map (join-free lookup)
+
+_MAP_LOOKUP_ORACLE = """
+SELECT CASE event_type
+         WHEN 'click' THEN 'engagement'
+         WHEN 'view' THEN 'engagement'
+         WHEN 'purchase' THEN 'revenue'
+         WHEN 'signup' THEN 'acquisition'
+         ELSE 'other' END AS category,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY category
+"""
+
+
+@register("q224_literal_map_lookup", oracle=_MAP_LOOKUP_ORACLE)
+def q224(spark, sf_dir):
+    """Tiny static dimension as a LITERAL MAP expression — the join a
+    100 TB plan should never run: a 4-entry enum lookup compiles into
+    the scan projection (whole-stage codegen, zero exchange for the
+    enrichment) instead of a broadcast join's build/probe machinery.
+    The cutover point vs q05-style broadcast joins is a few thousand
+    entries; below it, expressions win outright."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cat_map = F.create_map(
+        F.lit("click"), F.lit("engagement"),
+        F.lit("view"), F.lit("engagement"),
+        F.lit("purchase"), F.lit("revenue"),
+        F.lit("signup"), F.lit("acquisition"),
+    )
+    return (
+        ev.select(
+            F.coalesce(cat_map[F.col("event_type")], F.lit("other")).alias("category"),
+            "user_id",
+        )
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("category")
+    )
+
+
+# --------- q225: consecutive-repeat compression (distinct-until-changed)
+
+_DEDUP_CONSEC_ORACLE = """
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+), changes AS (
+    SELECT user_id, event_id, event_type
+    FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_changes,
+       CAST(MIN(event_id) AS BIGINT) AS first_change,
+       CAST(MAX(event_id) AS BIGINT) AS last_change
+FROM changes GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("q225_dedup_consecutive", oracle=_DEDUP_CONSEC_ORACLE)
+def q225(spark, sf_dir):
+    """Consecutive-repeat compression (distinct-until-changed): keep only
+    rows where the state CHANGED from the previous row per key — log
+    compaction for state streams (a sensor emitting the same reading
+    10^6 times stores once). One lag window; the survivor count is the
+    true state-transition count."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = seq.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    return (
+        changes.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_changes"),
+            F.min("event_id").alias("first_change"),
+            F.max("event_id").alias("last_change"),
+        )
+        .orderBy("user_id")
+    )

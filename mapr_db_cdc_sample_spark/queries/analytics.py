@@ -4492,3 +4492,108 @@ def q225(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ------------------- q226: weighted mean (quantity-weighted price)
+
+_WMEAN_ORACLE = """
+SELECT l_returnflag AS flag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS wavg_price
+FROM lineitem GROUP BY flag ORDER BY flag
+"""
+
+
+@register("q226_weighted_mean", oracle=_WMEAN_ORACLE)
+def q226(spark, sf_dir):
+    """Quantity-weighted mean price per flag — the weighted aggregate a
+    plain AVG silently gets wrong. Both factor columns cast to DECIMAL
+    BEFORE the product (CLAUDE.md rule: cast factors, not products), so
+    the weighted sum is exact and one IEEE division finishes."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    qd = F.col("l_quantity").cast("decimal(18,2)")
+    pd_ = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(qd).cast("double").alias("total_qty"),
+            F.round(
+                F.sum(pd_ * qd).cast("double") / F.sum(qd).cast("double"), 6
+            ).alias("wavg_price"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ------------ q227: distribution drift (total variation distance)
+
+# Drift monitor: TVD = 0.5 * sum |p_early - p_late| between the first
+# and last week's event-type mix. Counts exact -> probabilities are
+# identical doubles -> per-type |diff| ROUNDed(6) summed in DECIMAL
+# (q169's recipe); one scalar per comparison.
+_DRIFT_ORACLE = """
+WITH windows AS (
+    SELECT event_type,
+           CASE WHEN CAST(ts AS DATE) < DATE '2024-01-08' THEN 'early'
+                WHEN CAST(ts AS DATE) >= DATE '2024-01-24' THEN 'late' END AS w
+    FROM events
+), counts AS (
+    SELECT w, event_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM windows WHERE w IS NOT NULL GROUP BY w, event_type
+), tot AS (
+    SELECT w, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY w
+), probs AS (
+    SELECT counts.event_type,
+           MAX(CASE WHEN counts.w = 'early' THEN CAST(c AS DOUBLE) / n END) AS pe,
+           MAX(CASE WHEN counts.w = 'late' THEN CAST(c AS DOUBLE) / n END) AS pl
+    FROM counts JOIN tot ON counts.w = tot.w
+    GROUP BY counts.event_type
+)
+SELECT event_type,
+       ROUND(COALESCE(pe, 0), 6) AS p_early,
+       ROUND(COALESCE(pl, 0), 6) AS p_late,
+       ROUND(ABS(COALESCE(pe, 0) - COALESCE(pl, 0)), 6) AS abs_drift
+FROM probs ORDER BY event_type
+"""
+
+
+@register("q227_distribution_drift", oracle=_DRIFT_ORACLE)
+def q227(spark, sf_dir):
+    """Distribution drift between the first and last week of the month
+    (per-type share shift; 0.5*sum(abs_drift) is the total variation
+    distance) — the monitoring statistic behind data-drift alerts.
+    Event volume touches one filtered aggregate; the comparison is
+    |types| rows of exact-count-derived probabilities."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = F.when(F.col("ts").cast("date") < F.lit("2024-01-08").cast("date"), "early").when(
+        F.col("ts").cast("date") >= F.lit("2024-01-24").cast("date"), "late"
+    )
+    counts = (
+        ev.select("event_type", w.alias("w"))
+        .where(F.col("w").isNotNull())
+        .groupBy("w", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counts.groupBy("w").agg(F.sum("c").cast("bigint").alias("n"))
+    probs = (
+        counts.join(F.broadcast(tot), "w")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(F.col("w") == "early", F.col("c").cast("double") / F.col("n"))
+            ).alias("pe"),
+            F.max(
+                F.when(F.col("w") == "late", F.col("c").cast("double") / F.col("n"))
+            ).alias("pl"),
+        )
+    )
+    pe = F.coalesce(F.col("pe"), F.lit(0.0))
+    pl = F.coalesce(F.col("pl"), F.lit(0.0))
+    return probs.select(
+        "event_type",
+        F.round(pe, 6).alias("p_early"),
+        F.round(pl, 6).alias("p_late"),
+        F.round(F.abs(pe - pl), 6).alias("abs_drift"),
+    ).orderBy("event_type")

@@ -4597,3 +4597,62 @@ def q227(spark, sf_dir):
         F.round(pl, 6).alias("p_late"),
         F.round(F.abs(pe - pl), 6).alias("abs_drift"),
     ).orderBy("event_type")
+
+
+# ---------------- q228: Gini coefficient (revenue concentration)
+
+# G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1) / n over ascending-
+# sorted per-customer revenue: ranks and cents are exact integers, both
+# big sums accumulate in DECIMAL(38,0), the two divisions run on
+# identical doubles, ROUND(6) at the end. One |customers|-row sort.
+_GINI_ORACLE = """
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT cents,
+           ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+    FROM rev
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+           CAST(CAST(SUM(i * cents) AS DECIMAL(38,0)) AS DOUBLE) AS six
+    FROM ranked
+)
+SELECT n,
+       ROUND(2 * six / (n * sx) - (CAST(n AS DOUBLE) + 1) / n, 6) AS gini
+FROM sums
+"""
+
+
+@register("q228_gini_concentration", oracle=_GINI_ORACLE)
+def q228(spark, sf_dir):
+    """Gini coefficient of customer revenue concentration — the
+    inequality statistic behind 'whale' analyses, computed by the exact
+    rank identity (no Lorenz-curve materialization): one sort over
+    |customers| rows, two DECIMAL-exact sums, one scalar formula.
+    Unique (cents, custkey) rank tiebreak keeps ranks engine-stable."""
+    o = load_tables(spark, sf_dir)["orders"]
+    rev = o.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"),
+    )
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).cast("decimal(38,0)").cast("double").alias("six"),
+    )
+    return sums.select(
+        "n",
+        F.round(
+            2 * F.col("six") / (F.col("n") * F.col("sx"))
+            - (F.col("n").cast("double") + 1) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -2038,10 +2038,13 @@ def q185(spark, sf_dir):
 # The reference routes address changes to a geo topic; this is the geo
 # OPERATOR a consumer of that topic runs: find (customer, supplier)
 # pairs within a radius. Coordinates derive deterministically from keys
-# (the testdata carries no lat/lon). The scale shape: quadratic work is
-# confined to 1-degree grid cells — each left point probes its 3x3
-# neighborhood (explode 9 cells), candidates equi-join on cell, the
-# exact haversine (ROUNDed km) filters. Never all-pairs.
+# (the testdata carries no lat/lon; |lat| <= 60 by construction). The
+# grid bucketing lives in operators/spatial.py: a latitude-aware,
+# antimeridian-wrapped cell halo (the fixed 3x3 neighborhood provably
+# missed in-radius pairs at high latitude — round-4 verdict #2). The
+# ORACLE is the RAW radius predicate over the cross product, with NO
+# grid constraint, so the hash gate verifies the declared "pairs within
+# R km" semantics and would catch any halo under-coverage.
 _GEO_R_KM = 120.0
 
 _SPATIAL_ORACLE = f"""
@@ -2061,9 +2064,7 @@ WITH cust AS (
                POWER(SIN(RADIANS(s.lat - c.lat) / 2), 2) +
                COS(RADIANS(c.lat)) * COS(RADIANS(s.lat)) *
                POWER(SIN(RADIANS(s.lon - c.lon) / 2), 2))), 4) AS km
-    FROM cust c JOIN supp s
-      ON FLOOR(s.lat) BETWEEN FLOOR(c.lat) - 1 AND FLOOR(c.lat) + 1
-     AND FLOOR(s.lon) BETWEEN FLOOR(c.lon) - 1 AND FLOOR(c.lon) + 1
+    FROM cust c CROSS JOIN supp s
 )
 SELECT cust, supp, km FROM dists WHERE km <= {_GEO_R_KM}
 ORDER BY cust, supp
@@ -2072,11 +2073,15 @@ ORDER BY cust, supp
 
 @register("q186_spatial_join", oracle=_SPATIAL_ORACLE)
 def q186(spark, sf_dir):
-    """Spatial radius join (geo lane, see module comment): 1-degree grid
-    cells bound the quadratic work — the left side explodes its 3x3
-    neighbor cells, candidates meet on an equi-join key, and the exact
-    haversine (rounded before the threshold, engine-stable) filters.
-    At 111 km/degree a 120 km radius never escapes the neighborhood."""
+    """Spatial radius join (geo lane): operators/spatial.radius_join
+    bounds the quadratic work to grid cells with a latitude-aware
+    east-west halo on a mod-360 longitude ring (wrap-correct at the
+    antimeridian); the exact haversine (rounded before the threshold,
+    engine-stable) filters. max_abs_lat=60 is the synthetic coordinate
+    domain bound. The oracle is grid-free (raw radius over the cross
+    product) — it verifies semantics, not grid-consistency."""
+    from ..operators.spatial import radius_join
+
     t = load_tables(spark, sf_dir)
     cust = t["customer"].where(F.col("c_custkey") % 5 == 0).select(
         F.col("c_custkey").alias("cust"),
@@ -2088,53 +2093,17 @@ def q186(spark, sf_dir):
         ((F.col("s_suppkey") * 53 % 1200) / 10.0 - 60.0).alias("slat"),
         ((F.col("s_suppkey") * 17 % 3600) / 10.0 - 180.0).alias("slon"),
     )
-    cells = cust.select(
-        "*",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(-1), F.lit(1)),
-                    lambda dx: F.transform(
-                        F.sequence(F.lit(-1), F.lit(1)),
-                        lambda dy: F.concat_ws(
-                            ":",
-                            (F.floor("clat") + dx).cast("string"),
-                            (F.floor("clon") + dy).cast("string"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("cell"),
+    pairs = radius_join(
+        cust,
+        supp,
+        _GEO_R_KM,
+        lat="clat",
+        lon="clon",
+        right_lat="slat",
+        right_lon="slon",
+        max_abs_lat=60.0,
     )
-    scell = supp.withColumn(
-        "cell",
-        F.concat_ws(
-            ":",
-            F.floor("slat").cast("string"),
-            F.floor("slon").cast("string"),
-        ),
-    )
-    cand = cells.join(scell, "cell")
-    rad = F.radians
-    km = F.round(
-        2
-        * 6371.0
-        * F.asin(
-            F.sqrt(
-                F.pow(F.sin(rad(F.col("slat") - F.col("clat")) / 2), 2)
-                + F.cos(rad("clat"))
-                * F.cos(rad("slat"))
-                * F.pow(F.sin(rad(F.col("slon") - F.col("clon")) / 2), 2)
-            )
-        ),
-        4,
-    )
-    return (
-        cand.select("cust", "supp", km.alias("km"))
-        .where(F.col("km") <= _GEO_R_KM)
-        .distinct()
-        .orderBy("cust", "supp")
-    )
+    return pairs.select("cust", "supp", "km").orderBy("cust", "supp")
 
 
 # ----------------- q187: Pareto 80/20 revenue contribution per nation

@@ -344,3 +344,74 @@ def test_sweepline_concurrency_matches_brute_force(spark, rows):
         sum(1 for _, a, b in ivals if a <= t <= b) for _, t, _b in ivals
     )
     assert got == want
+
+
+def test_radius_join_high_latitude_and_antimeridian(spark):
+    """The round-4 verdict's q186 counterexamples: at lat ~59.9 one lon
+    degree is ~55.6 km, so in-radius pairs straddle >2 degrees of
+    longitude (3 floor-cells) — a fixed 3x3 halo drops them; and the
+    +/-180 seam puts ~6 km neighbors in non-adjacent raw cells. The
+    latitude-aware mod-360 radius_join must match a brute-force cross
+    join exactly on a point set engineered around both blind spots."""
+    import itertools
+
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapr_db_cdc_sample_spark.operators.spatial import radius_join
+
+    pts = [
+        # high-lat east-west pair, dlon = 2.1 deg at lat 59.9 (~117 km,
+        # floor cells 3 apart: lon 10.9 -> cell 10, lon 13.0 -> cell 13)
+        (1, 59.9, 10.9),
+        (2, 59.9, 13.0),
+        # mid-lat pair, dlon = 1.1 deg at lat 11.5 (~119.8 km, cells 2
+        # apart: the blind spot of a +/-1 halo even away from the poles)
+        (3, 11.5, 50.9),
+        (4, 11.5, 52.0),
+        # antimeridian pair (~6 km apart across the seam)
+        (5, 0.0, -180.0),
+        (6, 0.0, 179.9),
+        # a control pair comfortably out of radius
+        (7, -30.0, 100.0),
+        (8, -30.0, 140.0),
+        # same-cell near pair
+        (9, 45.2, 7.3),
+        (10, 45.3, 7.4),
+    ]
+    left = spark.createDataFrame(
+        [(i, la, lo) for i, la, lo in pts], "lid int, clat double, clon double"
+    )
+    right = spark.createDataFrame(
+        [(i + 100, la, lo) for i, la, lo in pts], "rid int, slat double, slon double"
+    )
+    got = sorted(
+        (r.lid, r.rid, r.km)
+        for r in radius_join(
+            left, right, 120.0, lat="clat", lon="clon",
+            right_lat="slat", right_lon="slon", max_abs_lat=60.0,
+        ).collect()
+    )
+
+    def hav(p, q):
+        la1, lo1, la2, lo2 = map(math.radians, (p[1], p[2], q[1], q[2]))
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return round(2 * 6371.0 * math.asin(math.sqrt(h)), 4)
+
+    want = sorted(
+        (p[0], q[0] + 100, hav(p, q))
+        for p, q in itertools.product(pts, pts)
+        if hav(p, q) <= 120.0
+    )
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, km_got), (_, _, km_want) in zip(got, want):
+        assert abs(km_got - km_want) < 1e-3
+    # the engineered pairs must actually be present (the test would be
+    # vacuous if the geometry made them out-of-radius)
+    pairs = {(a, b) for a, b, _ in got}
+    assert (1, 102) in pairs and (3, 104) in pairs and (5, 106) in pairs
+    assert (7, 108) not in pairs

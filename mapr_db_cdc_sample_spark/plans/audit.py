@@ -71,3 +71,69 @@ def codegen_stage_count(build_df) -> int:
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     return len(set(re.findall(r"\*\((\d+)\)", buf.getvalue())))
+
+
+def _tree_edges(plan: str) -> dict[int, tuple[str, int | None]]:
+    """Parse the numbered tree section of a formatted plan into
+    {node_id: (operator_name, parent_id)}. Indentation depth defines
+    parenthood; works for chains and bushy (join) trees alike."""
+    nodes: dict[int, tuple[str, int | None]] = {}
+    stack: list[tuple[int, int]] = []  # (indent, node_id)
+    for line in plan.splitlines():
+        m = re.match(r"^([\s:+\-*]*)([A-Za-z][A-Za-z0-9 ]*?)\s*\((\d+)\)\s*$", line)
+        if not m:
+            if nodes and line.strip().startswith("("):
+                break  # details section reached
+            continue
+        indent, name, nid = len(m.group(1)), m.group(2).strip(), int(m.group(3))
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        parent = stack[-1][1] if stack else None
+        nodes[nid] = (name, parent)
+        stack.append((indent, nid))
+    return nodes
+
+
+def single_partition_feeds(plan: str) -> list[str]:
+    """For every Exchange whose detail block says SinglePartition, the
+    operator name of its direct child — i.e. WHAT gets globally sorted.
+    A scale-safe plan feeds single-partition exchanges from aggregates
+    (small frames), never from scans/projections of fact tables."""
+    nodes = _tree_edges(plan)
+    # details section: split into per-node blocks so an Arguments line
+    # can't be attributed to the wrong (earlier) exchange
+    sp_ids = set()
+    for m in re.finditer(r"^\((\d+)\) Exchange\b(.*?)(?=^\(\d+\) |\Z)", plan, re.M | re.S):
+        if "Arguments: SinglePartition" in m.group(2):
+            sp_ids.add(int(m.group(1)))
+    feeds = []
+    for nid, (name, parent) in nodes.items():
+        if parent in sp_ids and nodes[parent][0].startswith("Exchange"):
+            feeds.append(name)
+    return feeds
+
+
+def single_partition_subtrees(plan: str) -> list[list[str]]:
+    """For every SinglePartition exchange, the operator names of its
+    whole subtree (descendants). A scale-safe plan collapses volume with
+    an aggregate somewhere BELOW each single-partition exchange; a
+    subtree that reaches a scan with no intervening aggregate means a
+    fact table is being globally sorted."""
+    nodes = _tree_edges(plan)
+    sp_ids = set()
+    for m in re.finditer(r"^\((\d+)\) Exchange\b(.*?)(?=^\(\d+\) |\Z)", plan, re.M | re.S):
+        if "Arguments: SinglePartition" in m.group(2):
+            sp_ids.add(int(m.group(1)))
+    children: dict[int, list[int]] = {}
+    for nid, (_, parent) in nodes.items():
+        if parent is not None:
+            children.setdefault(parent, []).append(nid)
+    out = []
+    for sp in sorted(sp_ids):
+        seen, stack = [], list(children.get(sp, []))
+        while stack:
+            nid = stack.pop()
+            seen.append(nodes[nid][0])
+            stack.extend(children.get(nid, []))
+        out.append(seen)
+    return out

@@ -2973,7 +2973,11 @@ def q201(spark, sf_dir):
     """RFM segmentation (recency / frequency / monetary quartiles — the
     CRM workhorse): one per-customer aggregate, three ntile windows with
     unique tiebreaks (engine-deterministic), segment rollup. Windows run
-    over |customers|, never orders."""
+    over |customers|, never orders — and Spark plans all three through
+    ONE shared SinglePartition exchange above the customer aggregate
+    (plan-asserted: 2 exchanges total), so only the three in-memory
+    sorts of the collapsed frame remain. At extreme |customers| the
+    q206-style boundary-histogram assignment is the escape hatch."""
     o = load_tables(spark, sf_dir)["orders"]
     per_cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
         F.max(
@@ -3283,10 +3287,17 @@ FROM per_dec, tot ORDER BY decile
 
 @register("q206_lift_table", oracle=_LIFT_ORACLE)
 def q206(spark, sf_dir):
-    """Decile lift table (campaign/model evaluation): rows ranked by
-    score into ntile(10) with a unique tiebreak, per-decile positive
-    rate over the global rate. The ranking window is the only
-    event-volume stage; everything after is 10 rows."""
+    """Decile lift table computed WITHOUT ranking event volume (round-4
+    verdict #4): ntile(10) over (score DESC, event_id) is positional, so
+    the per-decile (n, pos) counts are derivable from (a) the SCORE
+    HISTOGRAM — groupBy(score), map-side combinable — plus (b) a
+    targeted probe of the <=10 tie groups that straddle a decile
+    boundary, where the event_id tiebreak decides which labels fall on
+    each side. The only windows run over |distinct scores| and over the
+    10-row decile frame; the event table is never globally sorted.
+    Exact: every quantity is integer until the final lift division, and
+    the boundary-group probe ranks by the SAME (event_id ASC within
+    equal score) order ntile uses."""
     ev = load_tables(spark, sf_dir)["events"]
     label = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
     score = (
@@ -3295,21 +3306,79 @@ def q206(spark, sf_dir):
         + F.when(F.col("event_type") == "purchase", 2000000000).otherwise(0)
     )
     scored = ev.select("event_id", label.alias("label"), score.alias("score"))
-    ranked = scored.select(
-        "label",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("score").desc(), "event_id"))
-        .cast("int")
-        .alias("decile"),
+
+    hist = scored.groupBy("score").agg(
+        F.count("*").alias("gn"), F.sum("label").cast("bigint").alias("gpos")
     )
-    per_dec = ranked.groupBy("decile").agg(
-        F.count("*").alias("n"), F.sum("label").cast("bigint").alias("pos")
+    wd = Window.orderBy(F.col("score").desc())
+    cums = hist.select(
+        "score",
+        "gn",
+        "gpos",
+        F.sum("gn").over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_end"),
+        F.coalesce(
+            F.sum("gpos").over(wd.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).alias("cum_pos_excl"),
+    ).withColumn("cum_start", F.col("cum_end") - F.col("gn") + 1)
+
+    tot = hist.agg(
+        F.sum("gn").cast("bigint").alias("nt"),
+        F.sum("gpos").cast("bigint").alias("post"),
     )
-    tot = per_dec.agg(
-        F.sum("n").cast("bigint").alias("nt"), F.sum("pos").cast("bigint").alias("post")
+    # cumulative ntile boundaries: first (nt % 10) tiles get one extra row
+    deciles = tot.select(
+        "nt",
+        "post",
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+    ).select(
+        "nt",
+        "post",
+        "decile",
+        (F.expr("nt DIV 10") + F.when(F.col("decile") <= F.col("nt") % 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n"),
+        (F.col("decile") * F.expr("nt DIV 10") + F.least(F.col("decile"), F.col("nt") % 10))
+        .cast("bigint")
+        .alias("b"),
     )
+    # each boundary position b lands in exactly one tie group; k = how
+    # many of that group's events (event_id ASC) fall at or before b
+    locate = F.broadcast(deciles).join(
+        cums,
+        (F.col("b") >= F.col("cum_start")) & (F.col("b") <= F.col("cum_end")),
+    ).select(
+        "decile",
+        "n",
+        "nt",
+        "post",
+        "score",
+        "cum_pos_excl",
+        (F.col("b") - F.col("cum_start") + 1).alias("k"),
+    )
+    probe = scored.join(
+        F.broadcast(locate.select("decile", "score", "k")), "score"
+    )
+    rn = F.row_number().over(Window.partitionBy("decile").orderBy("event_id"))
+    part = (
+        probe.withColumn("rn", rn)
+        .where(F.col("rn") <= F.col("k"))
+        .groupBy("decile")
+        .agg(F.sum("label").cast("bigint").alias("part"))
+    )
+    at_b = locate.join(part, "decile").withColumn(
+        "cum_pos_at", F.col("cum_pos_excl") + F.col("part")
+    )
+    w10 = Window.orderBy("decile")
     return (
-        per_dec.crossJoin(F.broadcast(tot))
+        at_b.select(
+            F.col("decile").cast("int").alias("decile"),
+            "n",
+            (F.col("cum_pos_at") - F.lag("cum_pos_at", 1, 0).over(w10))
+            .cast("bigint")
+            .alias("pos"),
+            "nt",
+            "post",
+        )
         .select(
             "decile",
             "n",
@@ -3355,37 +3424,41 @@ FROM sums
 
 @register("q207_auc_ranksum", oracle=_AUC_ORACLE)
 def q207(spark, sf_dir):
-    """Exact ROC AUC by the Mann-Whitney rank-sum identity — no curve
-    materialization, no threshold loop: one global rank (with average
-    tied ranks, .5-exact) and a scalar formula. The distributed shape is
-    a single sort + two scalar aggregates; the model-eval primitive at
-    any scale."""
+    """Exact ROC AUC by the Mann-Whitney rank-sum identity, computed
+    from the SCORE HISTOGRAM (round-4 verdict #3): a map-side-combinable
+    groupBy(score) collapses event volume to |distinct scores| rows; the
+    running count over that small frame gives every tie group's min/max
+    rank, and 2*rsum = sum(n_pos * (rmin + rmax)) stays exact BIGINT
+    arithmetic. The single-partition window never sees the event table —
+    only the histogram — so the plan has no global sort of event volume.
+    Identical value to the per-event form: average tied ranks are
+    constant within a tie group, so grouping by score loses nothing."""
     ev = load_tables(spark, sf_dir)["events"]
     scored = ev.select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
         (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("score"),
     )
-    wr = Window.orderBy("score")
-    wt = Window.partitionBy("score")
-    ranked = scored.select(
-        "label",
-        F.rank().over(wr).alias("rmin"),
-        (F.rank().over(wr) + F.count("*").over(wt) - 1).alias("rmax"),
+    hist = scored.groupBy("score").agg(
+        F.count("*").alias("n"), F.sum("label").cast("bigint").alias("n_pos")
     )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.select(
+        "n",
+        "n_pos",
+        (F.coalesce(F.sum("n").over(w), F.lit(0)) + 1).alias("rmin"),
+    ).withColumn("rmax", F.col("rmin") + F.col("n") - 1)
     sums = ranked.agg(
-        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).cast("bigint").alias("np"),
-        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).cast("bigint").alias("nn"),
-        F.sum(
-            F.when(F.col("label") == 1, (F.col("rmin") + F.col("rmax")) / 2.0).otherwise(
-                0.0
-            )
-        ).alias("rsum"),
+        F.sum("n_pos").cast("bigint").alias("np"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("bigint").alias("nn"),
+        F.sum(F.col("n_pos") * (F.col("rmin") + F.col("rmax")))
+        .cast("bigint")
+        .alias("rsum2"),
     )
     return sums.select(
         "np",
         "nn",
         F.round(
-            (F.col("rsum") - F.col("np").cast("double") * (F.col("np") + 1) / 2)
+            (F.col("rsum2") / 2.0 - F.col("np").cast("double") * (F.col("np") + 1) / 2)
             / (F.col("np").cast("double") * F.col("nn")),
             6,
         ).alias("auc"),

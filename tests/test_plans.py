@@ -473,3 +473,41 @@ def test_fingerprint_single_scan_no_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q191_table_fingerprint")
     assert not has(plan, "Join"), plan_nodes(plan)
     assert count_nodes(plan, "Exchange") == 1, plan_nodes(plan)
+
+
+def _sp_subtrees_all_collapsed(plan):
+    from mapr_db_cdc_sample_spark.plans.audit import single_partition_subtrees
+
+    subtrees = single_partition_subtrees(plan)
+    assert subtrees, "expected at least one single-partition window"
+    for ops in subtrees:
+        assert any("Aggregate" in op for op in ops), (
+            f"SinglePartition exchange fed by un-aggregated volume: {ops}"
+        )
+
+
+def test_auc_never_sorts_event_volume(spark, sf_dir):
+    """q207 (round-4 verdict #3): the Mann-Whitney rank-sum must come
+    from the score histogram — every single-partition exchange sits
+    above a HashAggregate, so the global sort only ever sees |distinct
+    scores| rows, never the event table."""
+    _sp_subtrees_all_collapsed(_plan(spark, sf_dir, "q207_auc_ranksum"))
+
+
+def test_lift_table_never_sorts_event_volume(spark, sf_dir):
+    """q206 (round-4 verdict #4): decile boundaries come from the
+    cumulative score histogram plus a broadcast probe of the <=10
+    boundary tie groups; no ntile over event volume."""
+    plan = _plan(spark, sf_dir, "q206_lift_table")
+    _sp_subtrees_all_collapsed(plan)
+    assert "ntile" not in plan
+
+
+def test_rfm_single_shared_sort(spark, sf_dir):
+    """q201: the three quartile ntiles run over the per-customer
+    aggregate through ONE single-partition exchange feeding the window
+    stack (round-4 verdict #6) — and that exchange sits above the
+    customer-level HashAggregate, never raw orders."""
+    plan = _plan(spark, sf_dir, "q201_rfm_segments")
+    _sp_subtrees_all_collapsed(plan)
+    assert count_nodes(plan, "Exchange") <= 4, plan_nodes(plan)

@@ -2353,13 +2353,13 @@ def q190(spark, sf_dir):
 # are byte-equal iff (n, fingerprint) match (up to hash collisions).
 _FINGERPRINT_ORACLE = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(CAST(SUM(('0x' || SUBSTR(MD5(
+       CAST(SUM(('0x' || SUBSTR(MD5(
            CAST(event_id AS VARCHAR) || '|' ||
            CAST(EPOCH_US(ts) AS VARCHAR) || '|' ||
            CAST(user_id AS VARCHAR) || '|' ||
            event_type || '|' ||
            CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
-       ), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS DOUBLE) AS fingerprint
+       ), 1, 15))::BIGINT) % 1152921504606846976 AS BIGINT) AS fingerprint
 FROM events
 """
 
@@ -2368,10 +2368,14 @@ FROM events
 def q191(spark, sf_dir):
     """Order-independent table fingerprint: canonicalize every column to
     an integer string (epoch-micros, cents), md5 each row to 60 bits,
-    SUM in DECIMAL(38,0). Any row order, any partitioning, any engine —
-    same (n, fingerprint) — the cheap equality check for replication,
-    backfills and engine migrations (this repo's own oracle gate in
-    miniature). One map pass + one scalar aggregate."""
+    SUM in DECIMAL(38,0), publish the sum mod 2^60 as BIGINT. Any row
+    order, any partitioning, any engine — same (n, fingerprint) — the
+    cheap equality check for replication, backfills and engine
+    migrations (this repo's own oracle gate in miniature). The mod-2^60
+    digest keeps ALL hash bits (a DOUBLE cast would truncate the ~80-bit
+    sum to 53 significant bits — round-4 advice); it is exactly the
+    wrap-around checksum two replicas would exchange. One map pass + one
+    scalar aggregate."""
     ev = load_tables(spark, sf_dir)["events"]
     row_str = F.concat_ws(
         "|",
@@ -2384,7 +2388,9 @@ def q191(spark, sf_dir):
     h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("decimal(38,0)")
     return ev.agg(
         F.count("*").alias("n"),
-        F.sum(h).cast("decimal(38,0)").cast("double").alias("fingerprint"),
+        (F.sum(h) % F.lit(1152921504606846976).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("fingerprint"),
     )
 
 
@@ -3094,11 +3100,11 @@ WITH canon AS (
            ), 1, 15))::BIGINT AS h
     FROM events
 ), a AS (
-    SELECT bucket, CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS DOUBLE) AS fp,
+    SELECT bucket, CAST(SUM(h) AS DECIMAL(38,0)) AS fp,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM canon GROUP BY bucket
 ), b AS (
-    SELECT bucket, CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS DOUBLE) AS fp,
+    SELECT bucket, CAST(SUM(h) AS DECIMAL(38,0)) AS fp,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM replica GROUP BY bucket
 )
@@ -3115,7 +3121,10 @@ def q203(spark, sf_dir):
     reduce to 1024 per-bucket (fingerprint, count) digests — q191's
     order-free checksum, bucketed — and only differing buckets surface
     for re-sync. Corruption is injected deterministically into every
-    1000th row of the 'replica' so the diff is data-defined."""
+    1000th row of the 'replica' so the diff is data-defined. The
+    fingerprint comparison stays on the full DECIMAL(38,0) sums (a
+    DOUBLE cast would truncate the ~70-bit bucket sums to 53 bits and
+    could silently equate differing digests — round-4 advice)."""
     ev = load_tables(spark, sf_dir)["events"]
 
     def digest(corrupt: bool):
@@ -3138,7 +3147,7 @@ def q203(spark, sf_dir):
             10,
         ).cast("decimal(38,0)")
         return ev.groupBy((F.col("event_id") % 1024).alias("bucket")).agg(
-            F.sum(h).cast("decimal(38,0)").cast("double").alias("fp"),
+            F.sum(h).cast("decimal(38,0)").alias("fp"),
             F.count("*").alias("n"),
         )
 
@@ -4089,9 +4098,13 @@ def q216(spark, sf_dir):
 # ------------ q217: time-decay popularity (dyadic half-life weights)
 
 # Exponential time decay with a power-of-two base: weight = 2^-(quarters
-# since anchor), a dyadic rational — so cents * weight and their sums
-# are EXACT doubles in both engines (the q157 trick applied to decay
-# scoring). No rounding anywhere until the final display division.
+# since anchor). The sum is accumulated as the EXACT scaled integer
+# SUM(cents << (30 - age_q)) in DECIMAL(38,0)/HUGEINT — order-free in
+# any engine by construction — and divided by 2^30 exactly once at the
+# end. (Summing cents * 2^-age_q in doubles is only order-independent
+# while the terms span < 53 bits; cents ~24 bits + age_q range up to 30
+# can exceed that, so a different anchor date would silently
+# reintroduce partial-aggregation nondeterminism — round-4 advice.)
 _DECAY_ORACLE = """
 WITH w AS (
     SELECT l_partkey AS part,
@@ -4101,7 +4114,8 @@ WITH w AS (
 )
 SELECT part,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(cents * POWER(2.0, -age_q)) AS DOUBLE) / 100 AS decayed_score
+       CAST(SUM(cents * (CAST(1 AS BIGINT) << CAST(30 - age_q AS INT))) AS DOUBLE)
+           / 1073741824 / 100 AS decayed_score
 FROM w GROUP BY part ORDER BY part
 """
 
@@ -4109,11 +4123,14 @@ FROM w GROUP BY part ORDER BY part
 @register("q217_time_decay_popularity", oracle=_DECAY_ORACLE)
 def q217(spark, sf_dir):
     """Time-decayed popularity score (freshness-weighted revenue per
-    part): half-life decay with a POWER-OF-TWO base per quarter, so
-    every weight is a dyadic rational and cents x weight sums are exact
-    doubles in both engines — order-free without any decimal casting
-    (q157's trick applied to scoring). Age capped at 30 quarters so the
-    smallest weight stays representable."""
+    part): half-life decay with a POWER-OF-TWO base per quarter,
+    accumulated as the exact scaled integer SUM(cents << (30 - age_q))
+    in DECIMAL(38,0) and divided by 2^30 once at the end — order-free
+    in ANY data window, not just while the term spread stays under the
+    53-bit double mantissa (round-4 advice). Each term fits a BIGINT
+    (cents ~2^24 x shift <=2^30 = 2^54); only the running sum needs the
+    decimal widening. Age capped at 30 quarters so the largest shift
+    stays bounded."""
     li = load_tables(spark, sf_dir)["lineitem"].where(F.col("l_partkey") % 50 == 0)
     age_q = F.least(
         F.floor(
@@ -4126,12 +4143,16 @@ def q217(spark, sf_dir):
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
         age_q.alias("age_q"),
     )
+    scaled = F.col("cents") * F.expr("shiftleft(1L, cast(30 - age_q as int))")
     return (
         w.groupBy("part")
         .agg(
             F.count("*").alias("n"),
-            (F.sum(F.col("cents") * F.pow(F.lit(2.0), -F.col("age_q"))).cast("double") / 100)
-            .alias("decayed_score"),
+            (
+                F.sum(scaled.cast("decimal(38,0)")).cast("double")
+                / 1073741824
+                / 100
+            ).alias("decayed_score"),
         )
         .orderBy("part")
     )

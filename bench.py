@@ -178,6 +178,23 @@ HEADLINE = [
     "q209_mad_outliers",
     "q210_activity_streaks",
     "q211_first_touch",
+    "q212_union_by_name",
+    "q213_map_rollup",
+    "q214_winsorize",
+    "q215_srp_lsh_cosine",
+    "q216_bounce_rate",
+    "q217_time_decay_popularity",
+    "q218_topk_other",
+    "q219_null_safe_join",
+    "q220_text_normalize",
+    "q221_idempotent_ingest",
+    "q222_order_backlog",
+    "q223_frequent_values",
+    "q224_literal_map_lookup",
+    "q225_dedup_consecutive",
+    "q226_weighted_mean",
+    "q227_distribution_drift",
+    "q228_gini_concentration",
 ]
 
 

@@ -195,6 +195,12 @@ HEADLINE = [
     "q226_weighted_mean",
     "q227_distribution_drift",
     "q228_gini_concentration",
+    "q229_triangle_count",
+    "q230_ohlc_bars",
+    "q231_trend_slope",
+    "q232_tfidf_keywords",
+    "q233_seasonal_anomaly",
+    "q234_benford_profile",
 ]
 
 

@@ -4719,3 +4719,424 @@ def q228(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+# ============================ round-5 additions (q229+) =================
+# Same determinism contract as above: exact integer/decimal sums, ROUND
+# before ranking on transcendentals, unique tiebreakers under LIMIT.
+
+# --------------------- q229: triangle counting (graph analytics)
+
+# Co-purchase part graph: canonical edges (u < v) between parts sharing
+# an order (filtered to even part keys to bound density). The Spark
+# side counts with DEGREE ORIENTATION — each edge points from its
+# lower-(degree, id) endpoint, so every triangle is counted exactly
+# once from its lowest-degree corner and per-node wedge fan-out is
+# bounded by ~sqrt(2m) instead of max degree: the standard scale-safe
+# shape (no node enumerates a celebrity neighborhood). The oracle is
+# the naive a<b<c three-way self-join — same count, quadratic in max
+# degree, fine at oracle scale.
+_TRIANGLE_ORACLE = """
+WITH li AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+    FROM lineitem WHERE l_partkey % 2 = 0
+), e AS (
+    SELECT DISTINCT a.p AS u, b.p AS v
+    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+@register("q229_triangle_count", oracle=_TRIANGLE_ORACLE)
+def q229(spark, sf_dir):
+    """Triangle count over the co-purchase part graph via degree
+    orientation: orient every canonical edge from its lower-(degree,id)
+    endpoint, join out-neighborhoods pairwise per source, close the
+    wedge with a semi-join against oriented edges. Out-degree is
+    bounded by ~sqrt(2m) under this orientation, so the wedge join
+    never explodes on hubs — the difference between O(m^1.5) and
+    O(m * d_max) at 100 TB. All-integer arithmetic."""
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .where(F.col("l_partkey") % 2 == 0)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # total order by (deg, id) packed into one bigint key (part keys < 1e8)
+    okey = (F.col("deg") * F.lit(100000000) + F.col("node")).alias("okey")
+    keyed = deg.select("node", okey)
+    eo = (
+        e.join(keyed.withColumnRenamed("node", "u").withColumnRenamed("okey", "ku"), "u")
+        .join(keyed.withColumnRenamed("node", "v").withColumnRenamed("okey", "kv"), "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.least("ku", "kv").alias("ksrc"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.greatest("ku", "kv").alias("kdst"),
+        )
+    )
+    x, y = eo.alias("x"), eo.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src")) & (F.col("x.kdst") < F.col("y.kdst")),
+    ).select(
+        F.col("x.dst").alias("w_src"),
+        F.col("x.kdst").alias("w_ksrc"),
+        F.col("y.dst").alias("w_dst"),
+    )
+    closed = wedges.join(
+        eo.select(F.col("src").alias("w_src"), F.col("dst").alias("w_dst")),
+        ["w_src", "w_dst"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return edges.crossJoin(F.broadcast(tri))
+
+
+# ------------------------- q230: OHLC bars (first/last/min/max per day)
+
+# The market-data / metrics-rollup primitive: per-day open (first by
+# (ts, event_id)), high, low, close (last), count. Open/close need an
+# ORDER; both engines express it as ROW_NUMBER inside the day
+# partition — partitioned windows, never a global sort.
+_OHLC_ORACLE = """
+WITH c AS (
+    SELECT CAST(ts AS DATE) AS day, ts, event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events
+), r AS (
+    SELECT day, cents,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY ts, event_id) AS ra,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC) AS rd
+    FROM c
+)
+SELECT day,
+       CAST(MAX(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS open_cents,
+       CAST(MAX(cents) AS BIGINT) AS high_cents,
+       CAST(MIN(cents) AS BIGINT) AS low_cents,
+       CAST(MAX(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM r GROUP BY day ORDER BY day
+"""
+
+
+@register("q230_ohlc_bars", oracle=_OHLC_ORACLE)
+def q230(spark, sf_dir):
+    """Daily OHLC bars over the event stream: open/close from
+    row_number inside the (day) partition with the (ts, event_id)
+    unique tiebreak, high/low/count from plain aggregates. One
+    partitioned sort shuffle; collapses to |days| rows."""
+    ev = load_tables(spark, sf_dir)["events"]
+    c = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    wa = Window.partitionBy("day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("day").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    r = c.select(
+        "day",
+        "cents",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return (
+        r.groupBy("day")
+        .agg(
+            F.max(F.when(F.col("ra") == 1, F.col("cents"))).cast("bigint").alias("open_cents"),
+            F.max("cents").cast("bigint").alias("high_cents"),
+            F.min("cents").cast("bigint").alias("low_cents"),
+            F.max(F.when(F.col("rd") == 1, F.col("cents"))).cast("bigint").alias("close_cents"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------- q231: grouped linear trend (least-squares per nation)
+
+# Closed-form OLS slope per group from EXACT integer moment sums
+# (n, sum x, sum y, sum xy, sum x^2) — the distributed regression
+# shape: one map-side-combinable aggregate, a scalar formula, no
+# iteration. x = epoch day (~10^4), y = order cents (~10^7): sum(x*y)
+# stays ~1e16 per nation at sf0.1, inside BIGINT; the factors are cast
+# to DOUBLE only in the final formula (identical IEEE ops per engine).
+_TREND_ORACLE = """
+WITH f AS (
+    SELECT n.n_name AS nation,
+           CAST(DATEDIFF('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+), s AS (
+    SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM f GROUP BY nation
+)
+SELECT nation, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+           6) AS slope_cents_per_day
+FROM s ORDER BY nation
+"""
+
+
+@register("q231_trend_slope", oracle=_TREND_ORACLE)
+def q231(spark, sf_dir):
+    """Per-nation revenue trend: closed-form least-squares slope from
+    exact integer moment sums (one broadcast-dim join + one hash
+    aggregate — regression without iteration or a driver loop). Factors
+    cast to DOUBLE only in the final per-group formula."""
+    t = load_tables(spark, sf_dir)
+    f = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("x"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("y"),
+        )
+    )
+    s = f.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return s.select(
+        "nation",
+        "n",
+        F.round(
+            (d("n") * d("sxy") - d("sx") * d("sy")) / (d("n") * d("sxx") - d("sx") * d("sx")),
+            6,
+        ).alias("slope_cents_per_day"),
+    ).orderBy("nation")
+
+
+# ----------------------- q232: TF-IDF top keywords per document
+
+# The keyword-extraction primitive for corpus curation: smoothed idf
+# ROUNDed(6) BEFORE scoring, score ROUNDed(6) BEFORE ranking, term as
+# the unique tiebreak (relational.py determinism rules for
+# transcendentals). Two hash aggregates (tf, df) + one join; the only
+# windows are per-document top-k.
+_TFIDF_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks WHERE LENGTH(term) > 0 AND term NOT IN ('the', 'a', 'of', 'and', 'to')
+    GROUP BY doc_id, term
+), df AS (
+    SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+), nd AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+), scored AS (
+    SELECT t.doc_id, t.term,
+           ROUND(CAST(t.tf AS DOUBLE) * ROUND(LN((nd.n + 1.0) / (d.df + 1.0)), 6), 6) AS tfidf
+    FROM tf t JOIN df d ON d.term = t.term, nd
+), ranked AS (
+    SELECT doc_id, term, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+    FROM scored
+)
+SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3 ORDER BY doc_id, term
+"""
+
+
+@register("q232_tfidf_keywords", oracle=_TFIDF_ORACLE)
+def q232(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (corpus curation / retrieval
+    feature): tf and df are two map-side-combinable aggregates over the
+    exploded token stream, idf joins back on term, top-k is a
+    WindowGroupLimit inside the doc_id partition. Smoothed idf and the
+    score are ROUNDed before ranking so the rank order is
+    engine-stable."""
+    from ..functions import text as T
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).where(~F.col("term").isin(*T.STOPWORDS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    nd = d.agg(F.count("*").cast("bigint").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.round(F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", "term")
+    )
+
+
+# ------------- q233: day-of-week seasonal anomaly (baseline + z-score)
+
+# Monitoring with seasonality: each (event_type, day) revenue total is
+# scored against that type's SAME-WEEKDAY baseline, not the global
+# mean — Mondays compare to Mondays. Exact integer/decimal moment sums
+# feed identical IEEE mean/std; z ROUNDed(4) before the |z| >= 2
+# threshold. dow is epoch-day mod 7 (engine-neutral; DAYOFWEEK
+# numbering differs between engines).
+_SEASONAL_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+), base AS (
+    SELECT event_type,
+           DATEDIFF('day', DATE '1970-01-01', day) % 7 AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS s1,
+           CAST(SUM(CAST(cents * cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+    FROM daily GROUP BY 1, 2
+)
+SELECT d.event_type AS event_type, d.day AS day, d.cents AS cents,
+       ROUND((d.cents - CAST(b.s1 AS DOUBLE) / b.n) /
+             SQRT(CAST(b.s2 AS DOUBLE) / b.n
+                  - (CAST(b.s1 AS DOUBLE) / b.n) * (CAST(b.s1 AS DOUBLE) / b.n)), 4) AS z
+FROM daily d
+JOIN base b ON b.event_type = d.event_type
+           AND b.dow = DATEDIFF('day', DATE '1970-01-01', d.day) % 7
+WHERE b.n >= 4
+  AND CAST(b.s2 AS DOUBLE) / b.n
+      - (CAST(b.s1 AS DOUBLE) / b.n) * (CAST(b.s1 AS DOUBLE) / b.n) > 0
+  AND ABS(ROUND((d.cents - CAST(b.s1 AS DOUBLE) / b.n) /
+          SQRT(CAST(b.s2 AS DOUBLE) / b.n
+               - (CAST(b.s1 AS DOUBLE) / b.n) * (CAST(b.s1 AS DOUBLE) / b.n)), 4)) >= 2.0
+ORDER BY event_type, day
+"""
+
+
+@register("q233_seasonal_anomaly", oracle=_SEASONAL_ORACLE)
+def q233(spark, sf_dir):
+    """Seasonal (day-of-week) anomaly detection on daily revenue per
+    event type: two hash aggregates (daily totals, then per-(type, dow)
+    exact moment sums) and one small join back — the baseline frame is
+    |types| x 7 rows, broadcastable at any scale. z is rounded before
+    the threshold so the flag set is engine-stable."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    base = daily.groupBy(
+        "event_type", (epoch_day % 7).alias("dow")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = F.round((F.col("cents") - mean) / F.sqrt(var), 4)
+    return (
+        daily.withColumn("dow", epoch_day % 7)
+        .join(F.broadcast(base), ["event_type", "dow"])
+        .where((F.col("n") >= 4) & (var > 0) & (F.abs(z) >= 2.0))
+        .select("event_type", "day", "cents", z.alias("z"))
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------- q234: Benford first-digit profile (forensics)
+
+# Data-quality forensics: leading-digit distribution of order amounts
+# vs Benford's law. The digit comes from the INTEGER cents string (no
+# float formatting ambiguity); expected frequency log10(1 + 1/d)
+# ROUNDed(6).
+_BENFORD_ORACLE = """
+WITH digits AS (
+    SELECT CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM orders
+), obs AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+), tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs
+)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / t, 6) AS observed,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS expected,
+       ROUND(CAST(n AS DOUBLE) / t - LOG10(1.0 + 1.0 / digit), 6) AS deviation
+FROM obs, tot ORDER BY digit
+"""
+
+
+@register("q234_benford_profile", oracle=_BENFORD_ORACLE)
+def q234(spark, sf_dir):
+    """Benford first-digit profile of order totals (fraud/data-quality
+    forensics): one 9-group aggregate over the integer-cents leading
+    digit, observed vs log10(1+1/d) expected frequency. Collapses to 9
+    rows before any join."""
+    o = load_tables(spark, sf_dir)["orders"]
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    obs = (
+        o.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("observed"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("expected"),
+            F.round(
+                F.col("n").cast("double") / F.col("t")
+                - F.log10(1.0 + 1.0 / F.col("digit")),
+                6,
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )

@@ -3998,11 +3998,13 @@ def q215(spark, sf_dir):
     b_ = bands.select(
         F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nn").alias("nb"), "band"
     )
+    # dedup on the id pair only: qa/qb/na/nb are functions of the ids, and
+    # a full .distinct() would hash the 64-int arrays as grouping keys
     cand = (
         a.join(b_, "band")
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", "qa", "qb", "na", "nb")
-        .distinct()
+        .dropDuplicates(["vec_a", "vec_b"])
     )
     dot_ab = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y),

@@ -201,6 +201,9 @@ HEADLINE = [
     "q232_tfidf_keywords",
     "q233_seasonal_anomaly",
     "q234_benford_profile",
+    "q235_kmv_sketch",
+    "q236_canonical_selection",
+    "q237_p95_of_p95",
 ]
 
 

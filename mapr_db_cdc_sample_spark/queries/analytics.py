@@ -5142,3 +5142,218 @@ def q234(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+# ------------- q235: KMV (k-minimum-values) distinct sketch + merge
+
+# The mergeable distinct-count sketch with EXACT cross-engine
+# determinism: md5 is md5 everywhere, so "the k smallest 60-bit hashes
+# of the distinct users" is a deterministic set, unlike HLL register
+# layouts (q123 is rows-only for that reason). Estimate = (k-1) * 2^60
+# / h_(k); below k distinct values the sketch IS the exact set. The
+# '__all__' row demonstrates mergeability: the union sketch is just
+# the k smallest over all per-type sketches.
+_KMV_K = 64
+
+_KMV_ORACLE = f"""
+WITH h AS (
+    SELECT DISTINCT event_type,
+           ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM events
+), ranked AS (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM h
+), kth AS (
+    SELECT event_type, MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS k
+    FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+), exact AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM h GROUP BY event_type
+), per_type AS (
+    SELECT k.event_type AS event_type, e.exact_distinct,
+           CASE WHEN k.k < {_KMV_K} THEN e.exact_distinct
+                ELSE CAST(ROUND(({_KMV_K} - 1) * 1152921504606846976.0 / k.hk) AS BIGINT)
+           END AS kmv_estimate
+    FROM kth k JOIN exact e ON e.event_type = k.event_type
+), g AS (
+    SELECT DISTINCT h FROM h
+), gtop AS (
+    SELECT MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS k
+    FROM (SELECT h FROM g ORDER BY h LIMIT {_KMV_K})
+), gexact AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM g
+)
+SELECT event_type, exact_distinct, CAST(kmv_estimate AS BIGINT) AS kmv_estimate FROM per_type
+UNION ALL
+SELECT '__all__', ge.exact_distinct,
+       CAST(CASE WHEN gt.k < {_KMV_K} THEN ge.exact_distinct
+            ELSE CAST(ROUND(({_KMV_K} - 1) * 1152921504606846976.0 / gt.hk) AS BIGINT)
+       END AS BIGINT)
+FROM gtop gt, gexact ge
+ORDER BY event_type
+"""
+
+
+@register("q235_kmv_sketch", oracle=_KMV_ORACLE)
+def q235(spark, sf_dir):
+    """KMV distinct-count sketch per event type + merged '__all__' row.
+    Per-type k-smallest comes from a PARTITIONED window over the
+    distinct (type, hash) stream; the global sketch uses sort+LIMIT
+    (TakeOrderedAndProject — never a single-partition window over user
+    volume). ROUND before the BIGINT cast (Spark truncates, DuckDB
+    rounds). Deterministic end to end: md5 hashes, integer ranks, one
+    IEEE division."""
+    ev = load_tables(spark, sf_dir)["events"]
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    kth = (
+        h.withColumn("rn", rn)
+        .where(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("hk"), F.count("*").cast("bigint").alias("k"))
+    )
+    exact = h.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("exact_distinct")
+    )
+
+    def est(k, hk, ex):
+        return (
+            F.when(k < _KMV_K, ex)
+            .otherwise(
+                F.round((_KMV_K - 1) * F.lit(1152921504606846976.0) / hk).cast("bigint")
+            )
+            .cast("bigint")
+        )
+
+    per_type = kth.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        est(F.col("k"), F.col("hk"), F.col("exact_distinct")).alias("kmv_estimate"),
+    )
+    g = h.select("h").distinct()
+    gtop = (
+        g.orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").alias("hk"), F.count("*").cast("bigint").alias("k"))
+    )
+    gexact = g.agg(F.count("*").cast("bigint").alias("exact_distinct"))
+    all_row = gtop.crossJoin(F.broadcast(gexact)).select(
+        F.lit("__all__").alias("event_type"),
+        "exact_distinct",
+        est(F.col("k"), F.col("hk"), F.col("exact_distinct")).alias("kmv_estimate"),
+    )
+    return per_type.unionAll(all_row).orderBy("event_type")
+
+
+# ----------- q236: near-dup canonical selection (keep best per cluster)
+
+# The corpus-prep step AFTER dedup clustering: every LSH-candidate
+# component keeps ONE representative — the longest document, doc_id as
+# the tiebreak. Composition of q152's connected components with a
+# struct-argmax (q114's shape: partial-aggregatable, no per-component
+# window sort). Oracle = q152's recursive-CTE components + a ranked
+# join against documents.
+_CANONICAL_ORACLE = _CC_ORACLE.replace(
+    """SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM cc GROUP BY component ORDER BY component""",
+    """SELECT component,
+       CAST(nc AS BIGINT) AS n_docs,
+       CAST(n_chars AS BIGINT) AS canonical_chars,
+       CAST(doc_id AS BIGINT) AS canonical_doc
+FROM (
+    SELECT c2.component, c2.doc_id, d.n_chars,
+           COUNT(*) OVER (PARTITION BY c2.component) AS nc,
+           ROW_NUMBER() OVER (PARTITION BY c2.component
+                              ORDER BY d.n_chars DESC, c2.doc_id) AS rn
+    FROM cc c2 JOIN documents d ON d.doc_id = c2.doc_id
+)
+WHERE rn = 1 ORDER BY component""",
+)
+
+
+@register("q236_canonical_selection", oracle=_CANONICAL_ORACLE)
+def q236(spark, sf_dir):
+    """Canonical-document selection per near-dup cluster: LSH candidate
+    pairs → pointer-doubling connected components → struct-argmax keeps
+    the longest doc (smallest doc_id on ties) per component. The argmax
+    is max(struct(n_chars, -doc_id)) — a partial-aggregatable hash
+    aggregate, no per-component window sort, the same shape as q114's
+    snapshot compaction."""
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = B.candidate_pairs(_minhash_corpus(d))
+    cc = connected_components(pairs.select("doc_a", "doc_b"))
+    joined = cc.join(d.select("doc_id", "n_chars"), "doc_id")
+    m = F.max(F.struct(F.col("n_chars").alias("a"), (-F.col("doc_id")).alias("b")))
+    return (
+        joined.groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            m.alias("m"),
+        )
+        .select(
+            "component",
+            "n_docs",
+            F.col("m.a").cast("bigint").alias("canonical_chars"),
+            (-F.col("m.b")).cast("bigint").alias("canonical_doc"),
+        )
+        .orderBy("component")
+    )
+
+
+# ------------ q237: two-level percentile (p95-of-per-user-p95 SLA)
+
+# The SLA-report shape: level 1 collapses event volume to one exact
+# per-user p95 (uniform user key, percentile is a sort-based aggregate
+# INSIDE each group); level 2 summarizes the |users| frame. Level-1
+# p95s are FLOORed to integer cents (interpolation midpoints are
+# .25/.5/.75-exact, so floor is engine-stable); level-2 quantiles
+# floor-truncate at 2 decimals (the q80/q180 recipe).
+_P95P95_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(FLOOR(QUANTILE_CONT(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.95)) AS BIGINT) AS p95
+    FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       FLOOR(QUANTILE_CONT(p95, 0.25) * 100) / 100 AS p25,
+       FLOOR(QUANTILE_CONT(p95, 0.50) * 100) / 100 AS p50,
+       FLOOR(QUANTILE_CONT(p95, 0.75) * 100) / 100 AS p75,
+       FLOOR(QUANTILE_CONT(p95, 0.95) * 100) / 100 AS p95_of_p95,
+       CAST(MAX(p95) AS BIGINT) AS max_p95
+FROM per_user
+"""
+
+
+@register("q237_p95_of_p95", oracle=_P95P95_ORACLE)
+def q237(spark, sf_dir):
+    """Two-level percentile SLA report: exact per-user p95 (level 1,
+    event volume collapses on the uniform user key) then the
+    distribution of those p95s over the |users| frame (level 2). The
+    pattern behind 'p95 of per-tenant p95 latency' dashboards; floors
+    per the q80/q180 determinism recipe."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    per_user = (
+        ev.select("user_id", cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(F.floor(F.expr("percentile(cents, 0.95)")).cast("bigint").alias("p95"))
+    )
+
+    def p(frac, name):
+        return (F.floor(F.expr(f"percentile(p95, {frac})") * 100) / 100).alias(name)
+
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        p(0.25, "p25"),
+        p(0.50, "p50"),
+        p(0.75, "p75"),
+        p(0.95, "p95_of_p95"),
+        F.max("p95").cast("bigint").alias("max_p95"),
+    )

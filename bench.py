@@ -204,6 +204,9 @@ HEADLINE = [
     "q235_kmv_sketch",
     "q236_canonical_selection",
     "q237_p95_of_p95",
+    "q238_countmin_heavy_hitters",
+    "q239_path_trigrams",
+    "q240_conversion_survival",
 ]
 
 

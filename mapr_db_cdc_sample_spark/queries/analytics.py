@@ -5357,3 +5357,208 @@ def q237(spark, sf_dir):
         p(0.95, "p95_of_p95"),
         F.max("p95").cast("bigint").alias("max_p95"),
     )
+
+
+# --------- q238: count-min sketch + heavy-hitter probe (sketch family)
+
+# Second deterministic sketch (q235 KMV counts distincts; count-min
+# estimates FREQUENCIES): 4 rows x 1024 buckets of md5-derived
+# counters. Deterministic across engines (md5 buckets, integer
+# counts), so the estimate column is hash-checkable — and the exact
+# count sits beside it, pinning the one-sided error (est >= exact).
+_CM_ROWS = 4
+_CM_W = 1024
+
+_CM_ORACLE = f"""
+WITH rows_ AS (
+    SELECT UNNEST(RANGE(0, {_CM_ROWS})) AS r
+), cells AS (
+    SELECT r.r AS r,
+           ('0x' || SUBSTR(MD5(CAST(r.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % {_CM_W} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events e, rows_ r
+    GROUP BY 1, 2
+), exact AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+    FROM events GROUP BY user_id
+), cand AS (
+    SELECT user_id, exact_n,
+           ROW_NUMBER() OVER (ORDER BY exact_n DESC, user_id) AS rn
+    FROM exact
+), probes AS (
+    SELECT c.user_id, c.exact_n, r.r AS r,
+           ('0x' || SUBSTR(MD5(CAST(r.r AS VARCHAR) || ':' || CAST(c.user_id AS VARCHAR)), 1, 15))::BIGINT % {_CM_W} AS bucket
+    FROM cand c, rows_ r WHERE c.rn <= 10
+)
+SELECT p.user_id AS user_id, p.exact_n AS exact_n,
+       CAST(MIN(s.c) AS BIGINT) AS cm_estimate
+FROM probes p JOIN cells s ON s.r = p.r AND s.bucket = p.bucket
+GROUP BY 1, 2 ORDER BY exact_n DESC, user_id
+"""
+
+
+@register("q238_countmin_heavy_hitters", oracle=_CM_ORACLE)
+def q238(spark, sf_dir):
+    """Count-min sketch build + heavy-hitter probe: the sketch is ONE
+    map-side-combinable aggregate over (row, md5-bucket) — 4096 cells
+    regardless of volume, the mergeable frequency summary a 100 TB
+    pipeline ships between stages. The top-10 exact candidates probe it
+    with a broadcast join; estimate = min over rows (one-sided error,
+    visible next to the exact count)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    r = F.explode(F.sequence(F.lit(0), F.lit(_CM_ROWS - 1))).alias("r")
+
+    def bucket(rcol, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(rcol.cast("string"), F.lit(":"), key.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CM_W
+        )
+
+    cells = (
+        ev.select("user_id", r)
+        .groupBy("r", bucket(F.col("r"), F.col("user_id")).alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("exact_n"))
+    cand = (
+        exact.orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+        .select("user_id", "exact_n", F.explode(F.sequence(F.lit(0), F.lit(_CM_ROWS - 1))).alias("r"))
+        .withColumn("bucket", bucket(F.col("r"), F.col("user_id")))
+    )
+    return (
+        F.broadcast(cand)
+        .join(cells, ["r", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").cast("bigint").alias("cm_estimate"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+    )
+
+
+# ---------------- q239: top click-path trigrams (sequence analytics)
+
+# Top-5 3-step event-type paths inside a (user, day) visit, counted
+# with LEAD windows — no collect_list materialization, no self-joins;
+# the path string only exists for complete trigrams.
+_PATHS_ORACLE = """
+WITH seq AS (
+    SELECT event_type AS a,
+           LEAD(event_type, 1) OVER w AS b,
+           LEAD(event_type, 2) OVER w AS c
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id)
+)
+SELECT a || '>' || b || '>' || c AS path, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE c IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 5
+"""
+
+
+@register("q239_path_trigrams", oracle=_PATHS_ORACLE)
+def q239(spark, sf_dir):
+    """Top-5 three-step event paths per (user, day) visit: two LEAD
+    windows inside the visit partition (uniformly keyed, never global),
+    concat, one hash aggregate, TakeOrderedAndProject top-5 with the
+    path string as the unique tiebreak."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    )
+    return (
+        seq.where(F.col("c").isNotNull())
+        .select(F.concat_ws(">", "a", "b", "c").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(5)
+    )
+
+
+# ------------- q240: time-to-conversion survival curve (click→purchase)
+
+# Kaplan-Meier-lite without censor weighting: per user, first click
+# and first purchase AT-OR-AFTER it; day-bucketed conversion counts
+# and the surviving (not-yet-converted) fraction per bucket. Exact
+# integer day buckets from epoch micros; the cumulative window runs
+# over |buckets| rows.
+_SURVIVAL_ORACLE = """
+WITH clicks AS (
+    SELECT user_id, MIN(EPOCH_US(ts)) AS tc
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+), conv AS (
+    SELECT c.user_id, MIN(EPOCH_US(e.ts)) AS tp, MIN(c.tc) AS tc
+    FROM clicks c
+    JOIN events e ON e.user_id = c.user_id
+               AND e.event_type = 'purchase'
+               AND EPOCH_US(e.ts) >= c.tc
+    GROUP BY c.user_id
+), base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clickers FROM clicks
+), buckets AS (
+    SELECT CAST((tp - tc) // 86400000000 AS BIGINT) AS day_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_converted
+    FROM conv GROUP BY 1
+)
+SELECT day_bucket, n_converted,
+       CAST(SUM(n_converted) OVER (ORDER BY day_bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_converted,
+       ROUND(1.0 - CAST(SUM(n_converted) OVER (ORDER BY day_bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / b.n_clickers, 6) AS surviving_fraction
+FROM buckets, base b ORDER BY day_bucket
+"""
+
+
+@register("q240_conversion_survival", oracle=_SURVIVAL_ORACLE)
+def q240(spark, sf_dir):
+    """Time-to-conversion survival curve: first click per user, first
+    purchase at-or-after it (one shuffle join on the uniform user key),
+    integer day buckets, cumulative conversion over the |buckets| frame
+    with the clicker population broadcast. The retention/latency shape
+    that never sorts event volume globally."""
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("tc"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    conv = (
+        clicks.join(purchases, "user_id")
+        .where(F.col("t") >= F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tp"), F.min("tc").alias("tc"))
+    )
+    base = clicks.agg(F.count("*").cast("bigint").alias("n_clickers"))
+    buckets = conv.groupBy(
+        F.floor((F.col("tp") - F.col("tc")) / 86400000000).cast("bigint").alias("day_bucket")
+    ).agg(F.count("*").cast("bigint").alias("n_converted"))
+    wcum = Window.orderBy("day_bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        buckets.crossJoin(F.broadcast(base))
+        .select(
+            "day_bucket",
+            "n_converted",
+            F.sum("n_converted").over(wcum).cast("bigint").alias("cum_converted"),
+            F.round(
+                1.0
+                - F.sum("n_converted").over(wcum).cast("double") / F.col("n_clickers"),
+                6,
+            ).alias("surviving_fraction"),
+        )
+        .orderBy("day_bucket")
+    )

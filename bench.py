@@ -207,6 +207,8 @@ HEADLINE = [
     "q238_countmin_heavy_hitters",
     "q239_path_trigrams",
     "q240_conversion_survival",
+    "q241_woe_binning",
+    "q242_calibration_curve",
 ]
 
 

@@ -20,6 +20,7 @@ from ..io import load_tables
 from . import register
 from ..operators import banding as B
 from ..operators.dedup_pipeline import connected_components
+from ..operators.quantiles import exact_ntile_counts
 from .llm import _LSH_PAIRS_ORACLE, _minhash_corpus
 
 
@@ -3315,91 +3316,17 @@ def q206(spark, sf_dir):
         + F.when(F.col("event_type") == "purchase", 2000000000).otherwise(0)
     )
     scored = ev.select("event_id", label.alias("label"), score.alias("score"))
-
-    hist = scored.groupBy("score").agg(
-        F.count("*").alias("gn"), F.sum("label").cast("bigint").alias("gpos")
-    )
-    wd = Window.orderBy(F.col("score").desc())
-    cums = hist.select(
-        "score",
-        "gn",
-        "gpos",
-        F.sum("gn").over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_end"),
-        F.coalesce(
-            F.sum("gpos").over(wd.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-        ).alias("cum_pos_excl"),
-    ).withColumn("cum_start", F.col("cum_end") - F.col("gn") + 1)
-
-    tot = hist.agg(
-        F.sum("gn").cast("bigint").alias("nt"),
-        F.sum("gpos").cast("bigint").alias("post"),
-    )
-    # cumulative ntile boundaries: first (nt % 10) tiles get one extra row
-    deciles = tot.select(
-        "nt",
-        "post",
-        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
-    ).select(
-        "nt",
-        "post",
-        "decile",
-        (F.expr("nt DIV 10") + F.when(F.col("decile") <= F.col("nt") % 10, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n"),
-        (F.col("decile") * F.expr("nt DIV 10") + F.least(F.col("decile"), F.col("nt") % 10))
-        .cast("bigint")
-        .alias("b"),
-    )
-    # each boundary position b lands in exactly one tie group; k = how
-    # many of that group's events (event_id ASC) fall at or before b
-    locate = F.broadcast(deciles).join(
-        cums,
-        (F.col("b") >= F.col("cum_start")) & (F.col("b") <= F.col("cum_end")),
-    ).select(
-        "decile",
+    tiles = exact_ntile_counts(scored, 10, descending=True)
+    return tiles.select(
+        F.col("tile").alias("decile"),
         "n",
-        "nt",
-        "post",
-        "score",
-        "cum_pos_excl",
-        (F.col("b") - F.col("cum_start") + 1).alias("k"),
-    )
-    probe = scored.join(
-        F.broadcast(locate.select("decile", "score", "k")), "score"
-    )
-    rn = F.row_number().over(Window.partitionBy("decile").orderBy("event_id"))
-    part = (
-        probe.withColumn("rn", rn)
-        .where(F.col("rn") <= F.col("k"))
-        .groupBy("decile")
-        .agg(F.sum("label").cast("bigint").alias("part"))
-    )
-    at_b = locate.join(part, "decile").withColumn(
-        "cum_pos_at", F.col("cum_pos_excl") + F.col("part")
-    )
-    w10 = Window.orderBy("decile")
-    return (
-        at_b.select(
-            F.col("decile").cast("int").alias("decile"),
-            "n",
-            (F.col("cum_pos_at") - F.lag("cum_pos_at", 1, 0).over(w10))
-            .cast("bigint")
-            .alias("pos"),
-            "nt",
-            "post",
-        )
-        .select(
-            "decile",
-            "n",
-            "pos",
-            F.round(
-                (F.col("pos").cast("double") / F.col("n"))
-                / (F.col("post").cast("double") / F.col("nt")),
-                6,
-            ).alias("lift"),
-        )
-        .orderBy("decile")
-    )
+        "pos",
+        F.round(
+            (F.col("pos").cast("double") / F.col("n"))
+            / (F.col("post").cast("double") / F.col("nt")),
+            6,
+        ).alias("lift"),
+    ).orderBy("decile")
 
 
 # ------------------- q207: exact ROC AUC via rank-sum (Mann-Whitney)
@@ -5562,3 +5489,119 @@ def q240(spark, sf_dir):
         )
         .orderBy("day_bucket")
     )
+
+
+# ----------- q241: weight-of-evidence (WOE) decile binning + IV terms
+
+# The credit-scoring / feature-engineering encoder: equal-frequency
+# value bins (exact positional deciles — operators/quantiles.py, the
+# q206 machinery reused), per-bin WOE = ln(pos_share/neg_share) and
+# the information-value term. ln ROUNDed(6) on identical IEEE inputs
+# (shares are exact-integer ratios); bins that would hit ln(0) are
+# filtered on exact integer predicates.
+_WOE_ORACLE = """
+WITH scored AS (
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score
+    FROM events
+), ranked AS (
+    SELECT label, NTILE(10) OVER (ORDER BY score, event_id) AS bin FROM scored
+), per_bin AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS pos
+    FROM ranked GROUP BY bin
+), tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS post FROM per_bin
+)
+SELECT CAST(bin AS INT) AS bin, n, pos,
+       ROUND(LN((CAST(pos AS DOUBLE) / post) / (CAST(n - pos AS DOUBLE) / (nt - post))), 6) AS woe,
+       ROUND((CAST(pos AS DOUBLE) / post - CAST(n - pos AS DOUBLE) / (nt - post)) *
+             LN((CAST(pos AS DOUBLE) / post) / (CAST(n - pos AS DOUBLE) / (nt - post))), 6) AS iv_term
+FROM per_bin, tot
+WHERE pos > 0 AND n - pos > 0
+ORDER BY bin
+"""
+
+
+@register("q241_woe_binning", oracle=_WOE_ORACLE)
+def q241(spark, sf_dir):
+    """Weight-of-evidence decile encoding of the value column against
+    the purchase label: exact positional bins come from the histogram
+    ntile (operators/quantiles.exact_ntile_counts — no global sort of
+    event volume), WOE/IV from the per-bin exact counts. Second
+    consumer of the q206 machinery."""
+    ev = load_tables(spark, sf_dir)["events"]
+    scored = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("score"),
+    )
+    t = exact_ntile_counts(scored, 10, descending=False)
+    pos_share = F.col("pos").cast("double") / F.col("post")
+    neg_share = (F.col("n") - F.col("pos")).cast("double") / (F.col("nt") - F.col("post"))
+    w = F.log(pos_share / neg_share)
+    return (
+        t.where((F.col("pos") > 0) & (F.col("n") - F.col("pos") > 0))
+        .select(
+            F.col("tile").alias("bin"),
+            "n",
+            "pos",
+            F.round(w, 6).alias("woe"),
+            F.round((pos_share - neg_share) * w, 6).alias("iv_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------- q242: model calibration curve (reliability diagram)
+
+# Third consumer of the exact histogram ntile: per score-decile mean
+# PREDICTED score vs OBSERVED positive rate — the reliability diagram
+# behind "is the model calibrated". score_sum is exact integer (the
+# helper derives split-group partial sums as score*k), so mean_score
+# is one IEEE division.
+_CALIB_ORACLE = """
+WITH scored AS (
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+           ('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               + CASE WHEN event_type = 'purchase' THEN 2000000000 ELSE 0 END AS score
+    FROM events
+), ranked AS (
+    SELECT label, score, NTILE(10) OVER (ORDER BY score DESC, event_id) AS decile
+    FROM scored
+), per_dec AS (
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS pos,
+           CAST(SUM(score) AS BIGINT) AS score_sum
+    FROM ranked GROUP BY decile
+)
+SELECT CAST(decile AS INT) AS decile, n,
+       ROUND(CAST(score_sum AS DOUBLE) / n, 4) AS mean_score,
+       ROUND(CAST(pos AS DOUBLE) / n, 6) AS pos_rate
+FROM per_dec ORDER BY decile
+"""
+
+
+@register("q242_calibration_curve", oracle=_CALIB_ORACLE)
+def q242(spark, sf_dir):
+    """Calibration / reliability curve per score decile (mean predicted
+    score vs observed positive rate) from the exact histogram ntile —
+    event volume is never globally sorted; the per-tile score sums come
+    out of the same boundary probe that resolves the tie split."""
+    ev = load_tables(spark, sf_dir)["events"]
+    scored = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            + F.when(F.col("event_type") == "purchase", 2000000000).otherwise(0)
+        ).alias("score"),
+    )
+    t = exact_ntile_counts(scored, 10, descending=True)
+    return t.select(
+        F.col("tile").alias("decile"),
+        "n",
+        F.round(F.col("score_sum").cast("double") / F.col("n"), 4).alias("mean_score"),
+        F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("pos_rate"),
+    ).orderBy("decile")

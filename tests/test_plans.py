@@ -511,3 +511,13 @@ def test_rfm_single_shared_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q201_rfm_segments")
     _sp_subtrees_all_collapsed(plan)
     assert count_nodes(plan, "Exchange") <= 4, plan_nodes(plan)
+
+
+def test_woe_and_calibration_never_sort_event_volume(spark, sf_dir):
+    """q241/q242 ride the same exact-ntile machinery as q206 — keep the
+    no-global-sort property pinned for every consumer of
+    operators/quantiles.exact_ntile_counts."""
+    for name in ("q241_woe_binning", "q242_calibration_curve"):
+        plan = _plan(spark, sf_dir, name)
+        _sp_subtrees_all_collapsed(plan)
+        assert "ntile" not in plan

@@ -415,3 +415,46 @@ def test_radius_join_high_latitude_and_antimeridian(spark):
     pairs = {(a, b) for a, b, _ in got}
     assert (1, 102) in pairs and (3, 104) in pairs and (5, 106) in pairs
     assert (7, 108) not in pairs
+
+
+def test_exact_ntile_counts_matches_window_ntile(spark):
+    """operators/quantiles.exact_ntile_counts must reproduce
+    ntile().over(Window.orderBy(score, tiebreak)) EXACTLY — including
+    boundary tie groups that straddle tiles and tiles made entirely of
+    one tie group — on an adversarially tie-heavy dataset, both
+    ascending and descending."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapr_db_cdc_sample_spark.operators.quantiles import exact_ntile_counts
+
+    # 97 rows over only 7 distinct scores => every decile boundary
+    # lands inside a tie group; labels vary within groups
+    rows = [
+        (i, (i * 7 + 3) % 97 % 7, 1 if (i * 13 + 5) % 97 % 3 == 0 else 0)
+        for i in range(97)
+    ]
+    df = spark.createDataFrame(rows, "event_id int, score int, label int")
+    for descending in (True, False):
+        order = F.col("score").desc() if descending else F.col("score").asc()
+        ref = (
+            df.withColumn(
+                "tile", F.ntile(10).over(Window.orderBy(order, F.col("event_id")))
+            )
+            .groupBy("tile")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("label").alias("pos"),
+                F.sum("score").alias("score_sum"),
+            )
+            .orderBy("tile")
+            .collect()
+        )
+        got = (
+            exact_ntile_counts(df, 10, descending=descending)
+            .orderBy("tile")
+            .collect()
+        )
+        assert [(r.tile, r.n, r.pos, r.score_sum) for r in got] == [
+            (r.tile, r.n, r.pos, r.score_sum) for r in ref
+        ], f"descending={descending}"

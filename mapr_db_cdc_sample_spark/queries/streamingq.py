@@ -296,3 +296,19 @@ def q173(spark, sf_dir):
         .orderBy("win_start", "rnk")
     )
     return _with_input_count(top, n)
+
+
+@register("q243_stream_ohlc")
+def q243(spark, sf_dir):
+    """Streaming daily OHLC bars: q230's open/high/low/close as a
+    watermarked tumbling-window aggregation in COMPLETE mode. Open and
+    close are min/max over a (ts, event_id, cents) struct — associative
+    and mergeable, so the bar updates incrementally per trigger with
+    one small state struct per window (the batch twin's row_number
+    formulation cannot stream). Equivalence to q230's batch semantics
+    on the same slice is asserted in tests/test_streaming.py."""
+    from ..streaming.windows import tumbling_ohlc
+
+    stream, n = _events_stream(spark, sf_dir)
+    bars = _drain(tumbling_ohlc(stream), "q243", "complete").orderBy("day")
+    return _with_input_count(bars, n)

@@ -164,3 +164,34 @@ def tumbling_type_counts(events: DataFrame) -> DataFrame:
             "n",
         )
     )
+
+
+def tumbling_ohlc(
+    events: DataFrame, width: str = "1 day", watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming OHLC bars (q230's batch semantics as a windowed
+    aggregation): open/close come from min/max over a (ts, event_id,
+    cents) struct — associative, mergeable aggregates that stream
+    incrementally, unlike the batch twin's row_number windows. State is
+    one struct pair per (window), GC'd by the watermark."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    keyed = events.withColumn("cents", cents)
+    return (
+        keyed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"))
+        .agg(
+            F.min(F.struct("ts", "event_id", "cents")).alias("first"),
+            F.max(F.struct("ts", "event_id", "cents")).alias("last"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            F.col("first.cents").cast("bigint").alias("open_cents"),
+            F.col("high_cents").cast("bigint"),
+            F.col("low_cents").cast("bigint"),
+            F.col("last.cents").cast("bigint").alias("close_cents"),
+            F.col("n_events").cast("bigint"),
+        )
+    )

@@ -420,3 +420,49 @@ def test_stream_trending_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_ohlc_matches_batch(spark, sf_dir):
+    # q243: complete-mode streaming OHLC == (a) the same windowed agg run
+    # in batch, and (b) q230's row_number-based batch formulation on the
+    # identical slice — proving the struct-min/max streaming rewrite
+    # preserves the open/close tiebreak semantics.
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+    from mapr_db_cdc_sample_spark.queries.streamingq import _bounded_events
+    from mapr_db_cdc_sample_spark.streaming.windows import tumbling_ohlc
+
+    got = {
+        (r.day, r.open_cents, r.high_cents, r.low_cents, r.close_cents, r.n_events)
+        for r in load_all()["q243_stream_ohlc"].fn(spark, sf_dir).collect()
+    }
+    ev, _ = _bounded_events(spark, sf_dir)
+    want = {
+        (r.day, r.open_cents, r.high_cents, r.low_cents, r.close_cents, r.n_events)
+        for r in tumbling_ohlc(ev).collect()
+    }
+    assert got == want
+
+    # q230-style row_number formulation on the same slice
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    c = ev.select(F.col("ts").cast("date").alias("day"), "ts", "event_id", cents.alias("cents"))
+    wa = W.partitionBy("day").orderBy("ts", "event_id")
+    wd = W.partitionBy("day").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    rn = c.select(
+        "day", "cents",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    want2 = {
+        (r.day, r.open_cents, r.high_cents, r.low_cents, r.close_cents, r.n_events)
+        for r in rn.groupBy("day").agg(
+            F.max(F.when(F.col("ra") == 1, F.col("cents"))).cast("bigint").alias("open_cents"),
+            F.max("cents").cast("bigint").alias("high_cents"),
+            F.min("cents").cast("bigint").alias("low_cents"),
+            F.max(F.when(F.col("rd") == 1, F.col("cents"))).cast("bigint").alias("close_cents"),
+            F.count("*").cast("bigint").alias("n_events"),
+        ).collect()
+    }
+    assert got == want2

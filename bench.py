@@ -209,6 +209,9 @@ HEADLINE = [
     "q240_conversion_survival",
     "q241_woe_binning",
     "q242_calibration_curve",
+    "q244_embedding_dim_profile",
+    "q245_scd1_merge_audit",
+    "q246_late_data_patch",
 ]
 
 

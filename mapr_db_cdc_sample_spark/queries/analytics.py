@@ -5605,3 +5605,200 @@ def q242(spark, sf_dir):
         F.round(F.col("score_sum").cast("double") / F.col("n"), 4).alias("mean_score"),
         F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("pos_rate"),
     ).orderBy("decile")
+
+
+# ----------- q244: embedding dimension profile (vector-column QA)
+
+# Per-dimension mean/variance of the embedding column — the vector
+# pipeline's column-profile (q153's numeric twin): catches dead
+# dimensions, scale drift, and normalization bugs before ANN indexes
+# are built on top. int-quantized values (the q127 recipe) make every
+# sum exact; the /1000 de-quantization happens once, after aggregation.
+# Rounding is done in INTEGER arithmetic: mean = s1/(1000 n) is an
+# exact rational on a grid whose half-steps land EXACTLY on 6-decimal
+# midpoints (n=2000 vectors => resolution 5e-7), and double-ROUND ties
+# systematically diverged between engines at sf0.1 (observed:
+# -0.001585 vs -0.001586). The +2000 shift keeps every quantity
+# positive so floor-div (DuckDB //) and truncate-div (Spark DIV)
+# agree; round-half-up(p/q) = (2p + q) DIV (2q); the variance is
+# shift-invariant and M2 = n*s2 - s1^2 stays exact BIGINT (~4e13 at
+# sf0.1; DECIMAL(38,0) if vectors ever reach ~1e8 rows).
+_DIM_PROFILE_ORACLE = """
+WITH q AS (
+    SELECT LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 2000) AS v
+    FROM embeddings
+), dims AS (
+    SELECT r.i AS dim, q.v[r.i] AS x
+    FROM q, RANGE(1, 65) r(i)
+), moms AS (
+    SELECT CAST(dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS s2
+    FROM dims GROUP BY dim
+)
+SELECT dim, n,
+       CAST((2 * s1 * 1000 + n) // (2 * n) AS DOUBLE) / 1000000 - 2.0 AS mean,
+       CAST((2 * (n * s2 - s1 * s1) + n * n) // (2 * n * n) AS DOUBLE) / 1000000 AS variance
+FROM moms ORDER BY dim
+"""
+
+
+@register("q244_embedding_dim_profile", oracle=_DIM_PROFILE_ORACLE)
+def q244(spark, sf_dir):
+    """Per-dimension embedding profile: posexplode the quantized vector
+    (one pass, 64x fan-out of integers only — the float payload is
+    dropped before the shuffle), exact integer moment sums per
+    dimension, and INTEGER round-half-up for the 6-decimal outputs (see
+    the oracle comment: the exact mean grid lands on double-ROUND tie
+    midpoints, which diverged between engines at sf0.1). 64 output rows
+    at any scale."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("bigint") + 2000
+    )
+    dims = emb.select(F.posexplode(v).alias("pos", "x")).select(
+        (F.col("pos") + 1).cast("int").alias("dim"), "x"
+    )
+    moms = dims.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    mean = (
+        F.expr("(2 * s1 * 1000 + n) DIV (2 * n)").cast("double") / 1000000 - 2.0
+    )
+    var = (
+        F.expr("(2 * (n * s2 - s1 * s1) + n * n) DIV (2 * n * n)").cast("double")
+        / 1000000
+    )
+    return moms.select(
+        "dim", "n", mean.alias("mean"), var.alias("variance")
+    ).orderBy("dim")
+
+
+# ------------------ q245: SCD Type-1 MERGE audit (upsert classification)
+
+# The warehouse MERGE INTO, expressed storage-agnostically: a full
+# outer join of the current dimension against the incoming batch
+# classifies every key as inserted / updated / unchanged, and the
+# audit row per class carries exact counts + a cents checksum of the
+# post-merge values. The incoming batch is synthesized
+# deterministically from the dimension itself (every 10th key changes
+# balance, every 100th key arrives as a brand-new key).
+_SCD1_ORACLE = """
+WITH dim AS (
+    SELECT c_custkey AS k,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM customer
+), batch AS (
+    SELECT k, cents + CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END AS cents
+    FROM dim
+    UNION ALL
+    SELECT k + 1000000, cents + 7 FROM dim WHERE k % 100 = 0
+), merged AS (
+    SELECT COALESCE(b.k, d.k) AS k, b.cents AS new_cents, d.cents AS old_cents,
+           CASE WHEN d.k IS NULL THEN 'inserted'
+                WHEN b.cents <> d.cents THEN 'updated'
+                ELSE 'unchanged' END AS action
+    FROM dim d FULL OUTER JOIN batch b ON b.k = d.k
+)
+SELECT action, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(COALESCE(new_cents, old_cents)) AS BIGINT) AS sum_cents
+FROM merged GROUP BY action ORDER BY action
+"""
+
+
+@register("q245_scd1_merge_audit", oracle=_SCD1_ORACLE)
+def q245(spark, sf_dir):
+    """SCD Type-1 MERGE audit: one full-outer join on the dimension key
+    classifies the incoming batch (inserted / updated / unchanged) and
+    checksums the post-merge values — the exactly-what-changed report a
+    MERGE INTO emits, with no storage engine required. Keys absent from
+    the batch keep their old value (COALESCE), matching MERGE's
+    WHEN-NOT-MATCHED-BY-SOURCE default."""
+    c = load_tables(spark, sf_dir)["customer"]
+    dim = c.select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    batch = dim.select(
+        "k",
+        (F.col("cents") + F.when(F.col("k") % 10 == 0, 100).otherwise(0)).alias("cents"),
+    ).unionAll(
+        dim.where(F.col("k") % 100 == 0).select(
+            (F.col("k") + 1000000).alias("k"), (F.col("cents") + 7).alias("cents")
+        )
+    )
+    d = dim.withColumnRenamed("k", "dk").withColumnRenamed("cents", "old_cents")
+    b = batch.withColumnRenamed("k", "bk").withColumnRenamed("cents", "new_cents")
+    merged = d.join(b, F.col("bk") == F.col("dk"), "full_outer").select(
+        F.when(F.col("dk").isNull(), "inserted")
+        .when(F.col("new_cents") != F.col("old_cents"), "updated")
+        .otherwise("unchanged")
+        .alias("action"),
+        F.coalesce("new_cents", "old_cents").alias("cents"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("action")
+    )
+
+
+# ---------- q246: late-data partition patch (incremental re-rollup)
+
+# Late events (every 50th) arrive after the daily rollup is built; the
+# patch recomputes ONLY the affected days (partition-pruned semi-join)
+# and unions the untouched days — never a full recompute. The oracle
+# IS the full recompute, so the hash match proves the patch is
+# lossless; the `patched` flag marks which days were touched on both
+# sides.
+_LATE_PATCH_ORACLE = """
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS day, event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events
+), affected AS (
+    SELECT DISTINCT day FROM ev WHERE event_id % 50 = 0
+)
+SELECT e.day AS day, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(e.cents) AS BIGINT) AS cents,
+       CAST(MAX(CASE WHEN a.day IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS patched
+FROM ev e LEFT JOIN affected a ON a.day = e.day
+GROUP BY e.day ORDER BY day
+"""
+
+
+@register("q246_late_data_patch", oracle=_LATE_PATCH_ORACLE)
+def q246(spark, sf_dir):
+    """Incremental late-data patching of a daily rollup: the base
+    rollup (on-time events) keeps its untouched days via a broadcast
+    ANTI join against the affected-day list; only affected days are
+    re-aggregated from base+late. At 100 TB this is the difference
+    between reprocessing a handful of partitions and the whole table —
+    and the oracle is the full recompute, so the equivalence is
+    hash-proven."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.col("ts").cast("date").alias("day"),
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    base = ev.where(F.col("event_id") % 50 != 0)
+    late = ev.where(F.col("event_id") % 50 == 0)
+    affected = late.select("day").distinct()
+
+    def rollup(df):
+        return df.groupBy("day").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+
+    untouched = rollup(base).join(F.broadcast(affected), "day", "left_anti").select(
+        "day", "n", "cents", F.lit(0).cast("int").alias("patched")
+    )
+    patched = rollup(
+        ev.join(F.broadcast(affected), "day", "left_semi")
+    ).select("day", "n", "cents", F.lit(1).cast("int").alias("patched"))
+    return untouched.unionAll(patched).orderBy("day")

@@ -4702,42 +4702,9 @@ def q229(spark, sf_dir):
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
     )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    # total order by (deg, id) packed into one bigint key (part keys < 1e8)
-    okey = (F.col("deg") * F.lit(100000000) + F.col("node")).alias("okey")
-    keyed = deg.select("node", okey)
-    eo = (
-        e.join(keyed.withColumnRenamed("node", "u").withColumnRenamed("okey", "ku"), "u")
-        .join(keyed.withColumnRenamed("node", "v").withColumnRenamed("okey", "kv"), "v")
-        .select(
-            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.least("ku", "kv").alias("ksrc"),
-            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.greatest("ku", "kv").alias("kdst"),
-        )
-    )
-    x, y = eo.alias("x"), eo.alias("y")
-    wedges = x.join(
-        y,
-        (F.col("x.src") == F.col("y.src")) & (F.col("x.kdst") < F.col("y.kdst")),
-    ).select(
-        F.col("x.dst").alias("w_src"),
-        F.col("x.kdst").alias("w_ksrc"),
-        F.col("y.dst").alias("w_dst"),
-    )
-    closed = wedges.join(
-        eo.select(F.col("src").alias("w_src"), F.col("dst").alias("w_dst")),
-        ["w_src", "w_dst"],
-        "left_semi",
-    )
-    tri = closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
-    edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
-    return edges.crossJoin(F.broadcast(tri))
+    from ..operators.triangles import triangle_count
+
+    return triangle_count(e)
 
 
 # ------------------------- q230: OHLC bars (first/last/min/max per day)

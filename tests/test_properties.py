@@ -458,3 +458,44 @@ def test_exact_ntile_counts_matches_window_ntile(spark):
         assert [(r.tile, r.n, r.pos, r.score_sum) for r in got] == [
             (r.tile, r.n, r.pos, r.score_sum) for r in ref
         ], f"descending={descending}"
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Degree-oriented triangle counting (operators/triangles.py) must
+    match the naive a<b<c enumeration on random-ish graphs, including a
+    hub star (no triangles), a clique, and disconnected components —
+    the orientation logic is the easiest place for an off-by-one in the
+    total order."""
+    import itertools
+
+    from mapr_db_cdc_sample_spark.operators.triangles import triangle_count
+
+    cases = [
+        # K5 clique: C(5,3) = 10 triangles
+        [(u, v) for u, v in itertools.combinations(range(1, 6), 2)],
+        # star around a hub: 0 triangles
+        [(1, v) for v in range(2, 12)],
+        # two disjoint triangles + a tail
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (6, 7), (7, 8)],
+        # pseudo-random graph on 12 nodes
+        sorted(
+            {
+                (min(a, b), max(a, b))
+                for i in range(60)
+                for a, b in [((i * 7 + 1) % 12 + 1, (i * i * 5 + 3) % 12 + 1)]
+                if a != b
+            }
+        ),
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "u int, v int")
+        row = triangle_count(df).collect()[0]
+        eset = set(edges)
+        nodes = sorted({n for e in edges for n in e})
+        want = sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if (a, b) in eset and (b, c) in eset and (a, c) in eset
+        )
+        assert row.n_edges == len(edges)
+        assert row.n_triangles == want, f"edges={edges}"

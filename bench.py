@@ -212,6 +212,8 @@ HEADLINE = [
     "q244_embedding_dim_profile",
     "q245_scd1_merge_audit",
     "q246_late_data_patch",
+    "q247_double_charge",
+    "q248_business_day_latency",
 ]
 
 

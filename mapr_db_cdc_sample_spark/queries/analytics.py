@@ -5769,3 +5769,146 @@ def q246(spark, sf_dir):
         ev.join(F.broadcast(affected), "day", "left_semi")
     ).select("day", "n", "cents", F.lit(1).cast("int").alias("patched"))
     return untouched.unionAll(patched).orderBy("day")
+
+
+# ----------- q247: duplicate-charge detection (fraud/billing audit)
+
+# Same user, same amount, within 5 minutes: the double-charge audit.
+# Scale shape: the self-join is EQUI on (user, cents) — candidate pairs
+# only exist inside identical-amount groups of one user — and the time
+# bound filters after; never a time-range cross product. event_id a<b
+# canonicalizes the pair.
+_DOUBLE_CHARGE_ORACLE = """
+WITH p AS (
+    SELECT user_id, event_id, EPOCH_US(ts) AS t,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT a.user_id AS user_id, a.event_id AS event_a, b.event_id AS event_b,
+       a.cents AS cents,
+       CAST((b.t - a.t) // 1000 AS BIGINT) AS gap_ms
+FROM p a
+JOIN p b ON b.user_id = a.user_id AND b.cents = a.cents
+        AND a.event_id < b.event_id
+        AND b.t >= a.t - 300000000 AND b.t <= a.t + 300000000
+ORDER BY user_id, event_a, event_b
+"""
+
+
+@register("q247_double_charge", oracle=_DOUBLE_CHARGE_ORACLE)
+def q247(spark, sf_dir):
+    """Duplicate-charge audit: purchases by the same user for the same
+    amount within +/-5 minutes. The join key is (user, cents) — an
+    equi-join whose candidates are confined to identical-amount groups
+    per user — with the time window as a post-filter; the canonical
+    event_id ordering emits each pair once. gap may be negative-ordered
+    in time (a<b is by id), so the bound is two-sided."""
+    ev = load_tables(spark, sf_dir)["events"]
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    a = p.select(
+        "user_id", F.col("event_id").alias("event_a"), F.col("t").alias("ta"), "cents"
+    )
+    b = p.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_id").alias("event_b"),
+        F.col("t").alias("tb"),
+        F.col("cents").alias("cb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ub") == F.col("user_id"))
+            & (F.col("cb") == F.col("cents"))
+            & (F.col("event_a") < F.col("event_b"))
+            & (F.col("tb") >= F.col("ta") - 300000000)
+            & (F.col("tb") <= F.col("ta") + 300000000),
+        )
+        .select(
+            "user_id",
+            "event_a",
+            "event_b",
+            "cents",
+            F.floor((F.col("tb") - F.col("ta")) / 1000).cast("bigint").alias("gap_ms"),
+        )
+        .orderBy("user_id", "event_a", "event_b")
+    )
+
+
+# --------- q248: business-day latency (calendar-aware SLA reporting)
+
+# Order→ship latency in BUSINESS days (weekends excluded), as a pure
+# integer expression — no UDF, no calendar table: e = epoch_day + 3
+# makes e % 7 == 0 on Mondays (epoch day 0 = Thursday), so
+# B(d) = 5*(e//7) + LEAST(e%7, 4) counts Mon–Fri days in [origin, d]
+# and busdays(d0, d1) = B(d1) - B(d0) counts them in (d0, d1]
+# (verified against a per-day brute force over random 1992+ ranges).
+# Only POSITIVE quantities are floor-divided, so the engines' differing
+# negative-division semantics never engage (epoch days 1992+ > 8000).
+# Monthly average from exact integer sums.
+_BUSDAY_ORACLE = """
+WITH li AS (
+    SELECT l_orderkey,
+           DATEDIFF('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS d0,
+           DATEDIFF('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) AS d1,
+           SUBSTR(CAST(o.o_orderdate AS VARCHAR), 1, 7) AS month
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_linenumber = 1
+), b AS (
+    SELECT month,
+           ((d1 + 3) // 7 - (d0 + 3) // 7) * 5
+           + LEAST((d1 + 3) % 7, 4) - LEAST((d0 + 3) % 7, 4) AS busdays
+    FROM li
+)
+SELECT month, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(busdays) AS BIGINT) AS total_busdays,
+       ROUND(CAST(SUM(busdays) AS DOUBLE) / COUNT(*), 6) AS avg_busdays
+FROM b GROUP BY month ORDER BY month
+"""
+
+
+@register("q248_business_day_latency", oracle=_BUSDAY_ORACLE)
+def q248(spark, sf_dir):
+    """Order→first-line-ship latency in business days, averaged per
+    order month: weekday arithmetic on epoch days ((d+4)%7 => 0=Monday;
+    epoch day 0 = Thursday), all integer, no UDF or calendar dimension.
+    One broadcast-free equi-join on the order key + one aggregate."""
+    t = load_tables(spark, sf_dir)
+    li = (
+        t["lineitem"]
+        .where(F.col("l_linenumber") == 1)
+        .select("l_orderkey", F.col("l_shipdate").cast("date").alias("ship"))
+        .join(
+            t["orders"].select(
+                "o_orderkey", F.col("o_orderdate").cast("date").alias("odate")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    d0 = F.datediff(F.col("odate"), epoch)
+    d1 = F.datediff(F.col("ship"), epoch)
+    busdays = (
+        (F.floor((d1 + 3) / 7) - F.floor((d0 + 3) / 7)) * 5
+        + F.least((d1 + 3) % 7, F.lit(4))
+        - F.least((d0 + 3) % 7, F.lit(4))
+    )
+    b = li.select(
+        F.substring(F.col("odate").cast("string"), 1, 7).alias("month"),
+        busdays.alias("busdays"),
+    )
+    return (
+        b.groupBy("month")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("busdays").cast("bigint").alias("total_busdays"),
+            F.round(F.sum("busdays").cast("double") / F.count("*"), 6).alias(
+                "avg_busdays"
+            ),
+        )
+        .orderBy("month")
+    )

@@ -46,8 +46,9 @@ def load_all() -> dict[str, QueryDef]:
     from . import udfs  # noqa: F401
     from . import analytics  # noqa: F401
 
-    # must come last: clones oracled q49-q99 entries under window-sorted
-    # names so the external gate verifies that band (see module docstring)
+    # must come last: clones the current rotation band's oracled entries
+    # under window-sorted names so the external gate verifies that band
+    # (round 5: q135-q186 — see aliases.py's module docstring)
     from . import aliases  # noqa: F401
 
     return REGISTRY

@@ -1,6 +1,8 @@
-"""Round-4 analytics surface (q152+): graph clustering, data profiling,
-anomaly scoring, weighted sampling, BPE-style tokenization, exact-arith
-smoothing, and mergeable-bitmap distinct counts.
+"""Rounds 4-5 analytics surface (q152+): graph clustering/triangles, data
+profiling, anomaly scoring, weighted sampling, BPE-style tokenization,
+exact-arith smoothing, mergeable-bitmap distinct counts, deterministic
+sketches (KMV, count-min), exact histogram-ntile consumers, and
+calendar/forensics/merge-audit ops.
 
 Names deliberately sort AFTER q104_corpus_pipeline so they never evict
 entries from the driver's 50-slot CORRECTNESS window (see queries/aliases.py

@@ -22,7 +22,16 @@ _ID_SPACE = 100000000
 def triangle_count(e: DataFrame) -> DataFrame:
     """Count triangles in an undirected graph given CANONICAL edges
     (columns u, v with u < v, no duplicates). Returns one row
-    (n_edges BIGINT, n_triangles BIGINT). All-integer arithmetic."""
+    (n_edges BIGINT, n_triangles BIGINT). All-integer arithmetic.
+
+    The edge frame is referenced from four places (degree count ×2, the
+    orientation join, the edge count) and the oriented frame from three
+    (both wedge legs + the closing semi-join) — without a checkpoint
+    Spark re-derives the caller's full edge lineage per reference (a
+    measured 8× recompute, 112 aggregates in the q229 plan). Graph
+    algorithms pin their edge list; same rule as
+    operators/dedup_pipeline.py."""
+    e = e.localCheckpoint(eager=False)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -40,6 +49,7 @@ def triangle_count(e: DataFrame) -> DataFrame:
             F.greatest("ku", "kv").alias("kdst"),
         )
     )
+    eo = eo.localCheckpoint(eager=False)
     x, y = eo.alias("x"), eo.alias("y")
     wedges = x.join(
         y,

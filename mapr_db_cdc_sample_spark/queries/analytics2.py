@@ -1,0 +1,323 @@
+"""Round-5 late batch (q249+): feature-store point-in-time joins,
+master-data fuzzy matching, training-data chunking, deterministic
+dimensionality reduction, graph BFS, contrastive mining, passage-level
+dedup, distributed CDFs, and mergeable-state statistics.
+
+Names sort AFTER q104_corpus_pipeline so they never evict entries from
+the driver's 50-slot CORRECTNESS window (see queries/aliases.py).
+
+Determinism rules follow queries/relational.py's module docstring: exact
+integer/decimal arithmetic wherever sums occur, ROUND(6) before any
+double leaves the query, unique ORDER BY tiebreakers under every LIMIT,
+and float embedding columns cast to DOUBLE before ANY arithmetic on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_tables
+from . import register
+
+
+# ---------- q249: point-in-time feature join (feature-store correctness)
+
+# Leakage-free training joins: each order (the "training event") sees the
+# customer feature snapshot built from STRICTLY EARLIER months only — the
+# month-end snapshot of month m becomes effective at m+1, so an order in
+# its customer's first active month gets (0, 0). Expressed as the
+# union-and-carry-forward window (one shuffle on the customer key), NOT a
+# per-event range join: at 100 TB the non-equi (cust, snap_month <
+# event_month) join is a shuffle-range-join per event, while this form is
+# a single partitioned window pass over snapshots+events together.
+_PIT_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT) AS mi,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+), ma AS (
+    SELECT o_custkey, mi, COUNT(*) AS mn, CAST(SUM(cents) AS BIGINT) AS mcents
+    FROM o GROUP BY 1, 2
+), snap AS (
+    SELECT o_custkey, mi + 1 AS k, 0 AS kind,
+           CAST(SUM(mn) OVER (PARTITION BY o_custkey ORDER BY mi
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+           CAST(SUM(mcents) OVER (PARTITION BY o_custkey ORDER BY mi
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+           CAST(NULL AS BIGINT) AS o_orderkey
+    FROM ma
+), ev AS (
+    SELECT o_custkey, mi AS k, 1 AS kind,
+           CAST(NULL AS BIGINT) AS cum_n, CAST(NULL AS BIGINT) AS cum_cents,
+           o_orderkey
+    FROM o
+), u AS (
+    SELECT * FROM snap UNION ALL SELECT * FROM ev
+), f AS (
+    SELECT o_orderkey, kind,
+           LAST_VALUE(cum_n IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY k, kind
+               ROWS UNBOUNDED PRECEDING) AS fn,
+           LAST_VALUE(cum_cents IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY k, kind
+               ROWS UNBOUNDED PRECEDING) AS fc
+    FROM u
+)
+SELECT o_orderkey,
+       CAST(COALESCE(fn, 0) AS BIGINT) AS feat_orders,
+       CAST(COALESCE(fc, 0) AS BIGINT) AS feat_cents
+FROM f WHERE kind = 1 ORDER BY o_orderkey
+"""
+
+
+@register("q249_pit_feature_join", oracle=_PIT_ORACLE)
+def q249(spark, sf_dir):
+    """Point-in-time-correct feature join: per-order customer features
+    (prior order count + prior spend in cents) from month-end snapshots
+    effective the FOLLOWING month, so same-month activity never leaks
+    into the feature. Snapshots and events are unioned and carried
+    forward with last(ignorenulls) over one customer-partitioned window
+    — no range join, one shuffle key end to end."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("mi"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    ma = o.groupBy("o_custkey", "mi").agg(
+        F.count("*").alias("mn"), F.sum("cents").alias("mcents")
+    )
+    wc = (
+        Window.partitionBy("o_custkey")
+        .orderBy("mi")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    snap = ma.select(
+        "o_custkey",
+        (F.col("mi") + 1).alias("k"),
+        F.lit(0).alias("kind"),
+        F.sum("mn").over(wc).cast("bigint").alias("cum_n"),
+        F.sum("mcents").over(wc).cast("bigint").alias("cum_cents"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+    )
+    ev = o.select(
+        "o_custkey",
+        F.col("mi").alias("k"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("cum_n"),
+        F.lit(None).cast("bigint").alias("cum_cents"),
+        "o_orderkey",
+    )
+    wf = (
+        Window.partitionBy("o_custkey")
+        .orderBy("k", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = snap.unionByName(ev).select(
+        "o_orderkey",
+        "kind",
+        F.last("cum_n", ignorenulls=True).over(wf).alias("fn"),
+        F.last("cum_cents", ignorenulls=True).over(wf).alias("fc"),
+    )
+    return (
+        f.where(F.col("kind") == 1)
+        .select(
+            "o_orderkey",
+            F.coalesce("fn", F.lit(0)).cast("bigint").alias("feat_orders"),
+            F.coalesce("fc", F.lit(0)).cast("bigint").alias("feat_cents"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------- q250: fuzzy master-data matching (edit-distance candidates)
+
+# Dimension standardization: for every distinct part name, its nearest
+# OTHER name by Levenshtein distance (tie -> lexicographically smallest
+# candidate). Runs on the DISTINCT name dimension — at 100 TB the fact
+# table never enters the pairwise stage; the |names|^2 work is
+# dimension-sized and both sides broadcast.
+_FUZZY_ORACLE = """
+WITH d AS (SELECT DISTINCT p_name FROM part),
+p AS (
+    SELECT a.p_name AS name, b.p_name AS cand,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM d a JOIN d b ON a.p_name <> b.p_name
+), r AS (
+    SELECT name, cand, dist,
+           ROW_NUMBER() OVER (PARTITION BY name ORDER BY dist, cand) AS rn
+    FROM p
+)
+SELECT name, cand AS best_match, CAST(dist AS INT) AS dist
+FROM r WHERE rn = 1 ORDER BY name
+"""
+
+
+@register("q250_fuzzy_name_match", oracle=_FUZZY_ORACLE)
+def q250(spark, sf_dir):
+    """Fuzzy dimension matching: nearest-neighbor part name by exact
+    Levenshtein distance over the distinct-name dimension. Integer
+    distances rank exactly (no FP); the unique (dist, cand) tiebreaker
+    makes the argmin engine-independent."""
+    d = load_tables(spark, sf_dir)["part"].select("p_name").distinct()
+    a = d.select(F.col("p_name").alias("name"))
+    b = d.select(F.col("p_name").alias("cand"))
+    pairs = a.join(
+        F.broadcast(b), F.col("name") != F.col("cand")
+    ).select("name", "cand", F.levenshtein("name", "cand").alias("dist"))
+    w = Window.partitionBy("name").orderBy("dist", "cand")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("name", F.col("cand").alias("best_match"), F.col("dist").cast("int"))
+        .orderBy("name")
+    )
+
+
+# ---------- q251: document chunking with overlap (training-data prep)
+
+# Fixed-size character chunks (200 chars, stride 150 -> 50-char overlap)
+# for context-window packing. Pure projection + generator: one scan, no
+# shuffle at all until the final presentation sort; at 100 TB this is
+# embarrassingly parallel and the md5 chunk hash feeds straight into the
+# exact-dedup family (q37) at passage granularity.
+_CHUNK_ORACLE = """
+WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+s AS (
+    SELECT doc_id, text,
+           UNNEST(range(0, GREATEST(n, 1), 150)) AS start
+    FROM d
+)
+SELECT doc_id,
+       CAST(start // 150 AS INT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start,
+       CAST(LENGTH(SUBSTR(text, CAST(start AS INT) + 1, 200)) AS INT) AS chunk_len,
+       MD5(SUBSTR(text, CAST(start AS INT) + 1, 200)) AS chunk_hash
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
+@register("q251_doc_chunking", oracle=_CHUNK_ORACLE)
+def q251(spark, sf_dir):
+    """Overlapping fixed-size chunking of the document corpus:
+    sequence+posexplode generates chunk starts JVM-side (no Python), the
+    chunk hash is the cross-engine md5 anchor. Stride 150 / size 200
+    gives a 50-char overlap so no boundary content is lost to a split."""
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    s = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.greatest(F.lit(0), F.col("n") - 1), F.lit(150)
+            )
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.substring(F.col("text"), F.col("start") + 1, F.lit(200))
+    return s.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        F.col("start").cast("bigint"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------- q252: deterministic random projection (dim reduction)
+
+# Signed random projection of the 64-d embeddings down to 8 dims with a
+# +/-1 matrix derived from md5 (the cross-engine random anchor). Exact
+# arithmetic: embedding -> DOUBLE -> DECIMAL(18,9) FACTORS, multiplied by
+# an integer sign, summed as decimals — associative, so partial
+# aggregation order can't split the engines. The sign matrix is dim x 8
+# rows, built once and broadcast; the fact side is one posexplode +
+# groupBy(vec_id) — no all-pairs, no Python.
+_RP_ORACLE = """
+WITH dims AS (
+    SELECT DISTINCT UNNEST(range(0, len(embedding))) AS i FROM embeddings
+), signs AS (
+    SELECT d.i, j.j,
+           1 - 2 * (ASCII(SUBSTR(MD5(d.i || '_' || j.j), 1, 1)) % 2) AS s
+    FROM dims d, (SELECT UNNEST(range(0, 8)) AS j) j
+), e AS (
+    SELECT m.vec_id, d.i,
+           CAST(CAST(m.embedding[CAST(d.i AS INT) + 1] AS DOUBLE)
+                AS DECIMAL(18,9)) AS v
+    FROM embeddings m, dims d
+), p AS (
+    SELECT e.vec_id, s.j, SUM(e.v * s.s) AS pr
+    FROM e JOIN signs s ON s.i = e.i
+    GROUP BY 1, 2
+)
+SELECT vec_id,
+       ROUND(CAST(SUM(CASE WHEN j = 0 THEN pr END) AS DOUBLE), 6) AS p0,
+       ROUND(CAST(SUM(CASE WHEN j = 1 THEN pr END) AS DOUBLE), 6) AS p1,
+       ROUND(CAST(SUM(CASE WHEN j = 2 THEN pr END) AS DOUBLE), 6) AS p2,
+       ROUND(CAST(SUM(CASE WHEN j = 3 THEN pr END) AS DOUBLE), 6) AS p3,
+       ROUND(CAST(SUM(CASE WHEN j = 4 THEN pr END) AS DOUBLE), 6) AS p4,
+       ROUND(CAST(SUM(CASE WHEN j = 5 THEN pr END) AS DOUBLE), 6) AS p5,
+       ROUND(CAST(SUM(CASE WHEN j = 6 THEN pr END) AS DOUBLE), 6) AS p6,
+       ROUND(CAST(SUM(CASE WHEN j = 7 THEN pr END) AS DOUBLE), 6) AS p7
+FROM p GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+@register("q252_random_projection", oracle=_RP_ORACLE)
+def q252(spark, sf_dir):
+    """8-d signed random projection of the embedding corpus. The +/-1
+    coefficients come from md5 parity so both engines derive the SAME
+    matrix; products keep decimal factors x integer signs, so the sum is
+    exact and order-free. Output is one row per vector (pivot on the
+    projection index)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i", "vf")
+    ).select(
+        "vec_id",
+        F.col("i").cast("bigint").alias("i"),
+        F.col("vf").cast("double").cast("decimal(18,9)").alias("v"),
+    )
+    js = spark.range(8).select(F.col("id").cast("bigint").alias("j"))
+    signs = (
+        e.select("i")
+        .distinct()
+        .crossJoin(js)
+        .select(
+            "i",
+            "j",
+            (
+                1
+                - 2
+                * (
+                    F.ascii(
+                        F.substring(
+                            F.md5(F.concat_ws("_", F.col("i"), F.col("j"))), 1, 1
+                        )
+                    )
+                    % 2
+                )
+            ).alias("s"),
+        )
+    )
+    p = (
+        e.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("v") * F.col("s")).alias("pr"))
+    )
+    wide = p.groupBy("vec_id").pivot("j", list(range(8))).agg(F.first("pr"))
+    return wide.select(
+        "vec_id",
+        *[
+            F.round(F.col(str(j)).cast("double"), 6).alias(f"p{j}")
+            for j in range(8)
+        ],
+    ).orderBy("vec_id")

@@ -18,8 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions import vectors as V
 from ..io import load_tables
+from ..operators import banding as B
+from ..operators.dedup_pipeline import connected_components
 from . import register
+from .analytics import _CC_ORACLE
+from .llm import _minhash_corpus
 
 
 # ---------- q249: point-in-time feature join (feature-store correctness)
@@ -321,3 +326,274 @@ def q252(spark, sf_dir):
             for j in range(8)
         ],
     ).orderBy("vec_id")
+
+
+# ---------- q253: BFS hop distances (iterative frontier expansion)
+
+# The third distributed-graph primitive next to pointer-doubling CC
+# (q152) and rank push (q160): level-synchronous BFS from each dup
+# cluster's root (its min doc_id). Per level: one equi-join of the
+# CURRENT FRONTIER (not the full distance table) against the edge list +
+# one anti-join dedup — so per-iteration shuffle volume is frontier-
+# sized, and the loop runs diameter times, capped at 20 on BOTH engines
+# (nodes deeper than the cap drop out of both results identically).
+_BFS_ORACLE = _CC_ORACLE.replace(
+    """SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM cc GROUP BY component ORDER BY component""",
+    """, roots AS (
+    SELECT DISTINCT component AS node FROM cc
+), bfs(node, dist) AS (
+    SELECT node, 0 FROM roots
+    UNION
+    SELECT u.dst, b.dist + 1 FROM bfs b JOIN und u ON u.src = b.node
+    WHERE b.dist < 20
+), d AS (
+    SELECT node, MIN(dist) AS hops FROM bfs GROUP BY node
+)
+SELECT CAST(hops AS INT) AS hops,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(node) AS BIGINT) AS max_doc
+FROM d GROUP BY hops ORDER BY hops""",
+)
+
+
+def _bfs_hops(edges, max_depth: int = 20):
+    """(node, hops) = BFS level from each component's min-label root over
+    the undirected edge list. Frontier-sized joins, localCheckpoint per
+    level to cut lineage (same discipline as operators/dedup_pipeline)."""
+    und = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = (
+        connected_components(edges)
+        .select(F.col("component").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("hops"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).alias("hops"))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:  # scalar driver action, bounded by diameter
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist
+
+
+@register("q253_bfs_hops", oracle=_BFS_ORACLE)
+def q253(spark, sf_dir):
+    """Hop-distance histogram from dup-cluster roots over the MinHash-LSH
+    candidate graph: component roots come from connected_components
+    (pointer doubling), levels from frontier BFS. The capped recursive-
+    walk oracle enumerates (node, dist<=20) states and takes the min —
+    exact for every reached node."""
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = (
+        B.candidate_pairs(_minhash_corpus(d))
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    dist = _bfs_hops(pairs)
+    return (
+        dist.groupBy(F.col("hops").cast("int").alias("hops"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("node").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("hops")
+    )
+
+
+# ---------- q254: hard-negative mining (contrastive training pairs)
+
+# For each query vector (every 1000th id), the 3 most cosine-similar
+# vectors carrying a DIFFERENT label — the hard negatives a contrastive
+# trainer wants. The query side is a broadcast (bounded by the sampling
+# rate); ranking is on the ROUNDED similarity with the neighbor id as
+# the unique tiebreaker. At 100 TB candidate generation goes through
+# IVF/LSH (q52/q135) first; this exact linear form is the recall oracle
+# for that path, same contract as q38.
+_HARDNEG_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qe
+    FROM embeddings WHERE vec_id % 1000 = 0
+), s AS (
+    SELECT q.qid, e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4) AS sim
+    FROM embeddings e JOIN q ON e.label <> q.qlabel
+), r AS (
+    SELECT qid, vec_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+    FROM s
+)
+SELECT qid, CAST(rnk AS INT) AS rnk, vec_id AS neighbor_id, sim
+FROM r WHERE rnk <= 3 ORDER BY qid, rnk
+"""
+
+
+@register("q254_hard_negatives", oracle=_HARDNEG_ORACLE)
+def q254(spark, sf_dir):
+    """Label-constrained exact top-k cosine: hard-negative mining for
+    contrastive training. Broadcast query side carries precomputed norms
+    (V.cosine_pre); the per-query top-3 ranks on the rounded sim."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.where(F.col("vec_id") % 1000 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        V.norm(F.col("embedding")).alias("qn"),
+    )
+    s = e.join(F.broadcast(q), F.col("label") != F.col("qlabel")).select(
+        "qid",
+        "vec_id",
+        V.cosine_pre(F.col("embedding"), F.col("qe"), F.col("qn")).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "qid",
+            F.col("rnk").cast("int"),
+            F.col("vec_id").alias("neighbor_id"),
+            "sim",
+        )
+        .orderBy("qid", "rnk")
+    )
+
+
+# ---------- q255: passage-block dedup (sub-document exact dedup)
+
+# Exact dedup at 20-word passage granularity: documents are cut into
+# aligned word blocks JVM-side (sequence -> slice -> array_join, order
+# preserved by construction — never collect_list), block hashes dedup
+# corpus-wide with first-occurrence-wins. Exact duplicate docs (unioned
+# mutated corpus, q37's convention) surface as fully-duplicated block
+# sets. One scan + one hash-partitioned window on the block hash.
+_PASSAGE_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+), w AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM corpus
+), b AS (
+    SELECT doc_id, words,
+           UNNEST(range(0, (LEN(words) + 19) // 20)) AS bi
+    FROM w
+), blk AS (
+    SELECT doc_id, bi,
+           MD5(ARRAY_TO_STRING(
+               LIST_SLICE(words, CAST(bi * 20 + 1 AS INT), CAST(bi * 20 + 20 AS INT)),
+               ' ')) AS h
+    FROM b
+), r AS (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, bi) AS rn
+    FROM blk
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_blocks
+FROM r GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("q255_passage_dedup", oracle=_PASSAGE_ORACLE)
+def q255(spark, sf_dir):
+    """Per-document passage-level dup profile: 20-word aligned blocks,
+    md5 block hashes, first occurrence (by doc_id, block idx) keeps the
+    block, every later identical block counts as duplicated."""
+    d = load_tables(spark, sf_dir)["documents"]
+    corpus = d.select("doc_id", "text").unionAll(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    words = F.split(F.col("text"), " ")
+    nblocks = F.floor((F.size(words) + 19) / 20).cast("int")
+    blk = corpus.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblocks - 1),
+                lambda b: F.md5(
+                    F.array_join(F.slice(words, b * 20 + 1, F.lit(20)), " ")
+                ),
+            )
+        ).alias("bi", "h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "bi")
+    r = blk.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_blocks"),
+            F.sum((F.col("rn") > 1).cast("bigint")).cast("bigint").alias("dup_blocks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------- q256: cumulative distinct users (first-seen decomposition)
+
+# Growth reporting without a running COUNT(DISTINCT): each user collapses
+# to their FIRST day (one hash aggregate), daily new-user counts roll up
+# over the tiny day dimension. The global window runs over |days| rows —
+# aggregate-first, so the single-partition sort is calendar-sized, never
+# event-sized (the q206/q207 rule).
+_CUMU_ORACLE = """
+WITH fs AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+), nu AS (
+    SELECT first_day AS day, COUNT(*) AS new_users FROM fs GROUP BY 1
+), days AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+           ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM days d LEFT JOIN nu n ON n.day = d.day
+ORDER BY day
+"""
+
+
+@register("q256_cumulative_distinct", oracle=_CUMU_ORACLE)
+def q256(spark, sf_dir):
+    """Cumulative distinct users per day via first-seen decomposition —
+    the scale-safe form of a running COUNT(DISTINCT)."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    fs = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    nu = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    days = ev.select("day").distinct()
+    joined = days.join(nu, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        joined.select(
+            F.col("day").cast("string").alias("day"),
+            F.col("new_users").cast("bigint"),
+            F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+        )
+        .orderBy("day")
+    )

@@ -24,7 +24,7 @@ from ..operators import banding as B
 from ..operators.dedup_pipeline import connected_components
 from . import register
 from .analytics import _CC_ORACLE
-from .llm import _minhash_corpus
+from .llm import _BANDS_CTE, _MINHASH_CTE, _minhash_corpus
 
 
 # ---------- q249: point-in-time feature join (feature-store correctness)
@@ -597,3 +597,330 @@ def q256(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# ---------- q257: two-sample KS statistic (distributed CDF)
+
+# Kolmogorov-Smirnov distance between the BUILDING and MACHINERY order-
+# value distributions. The CDF prefix sum is decomposed two-level so NO
+# event-volume single-partition sort exists (the q206/q207 rule): value
+# counts roll into ~100 coarse buckets, the bucket offsets come from a
+# window over the tiny bucket frame, and the within-bucket running sums
+# are hash-partitioned by bucket. The max |F1-F2| comparison runs on
+# EXACT integers (cum1*n2 - cum2*n1) and the final statistic is
+# round-half-up in integer arithmetic (micro-units) — no FP ties.
+_KS_ORACLE = """
+WITH s AS (
+    SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS g
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+), v AS (
+    SELECT cents,
+           CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+    FROM s GROUP BY 1
+), cum AS (
+    SELECT CAST(SUM(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+           CAST(SUM(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+    FROM v
+), t AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM v
+)
+SELECT t.n1, t.n2,
+       CAST(MAX(ABS(cum1 * t.n2 - cum2 * t.n1)) AS BIGINT) AS d_num,
+       CAST((2 * MAX(ABS(cum1 * t.n2 - cum2 * t.n1)) * 1000000 + t.n1 * t.n2)
+            // (2 * t.n1 * t.n2) AS BIGINT) AS ks_micro
+FROM cum, t GROUP BY t.n1, t.n2
+"""
+
+
+@register("q257_ks_statistic", oracle=_KS_ORACLE)
+def q257(spark, sf_dir):
+    """Two-sample KS distance via a distributed CDF: bucketed prefix-sum
+    decomposition keeps every sort partition bucket-local; the sup is
+    exact integer arithmetic, reported in micro-units (round-half-up)."""
+    t = load_tables(spark, sf_dir)
+    seg = t["customer"].select("c_custkey", "c_mktsegment")
+    s = (
+        t["orders"]
+        .join(F.broadcast(seg), F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(2).alias("g"),
+        )
+    )
+    v = s.groupBy("cents").agg(
+        F.sum((F.col("g") == 1).cast("long")).alias("c1"),
+        F.sum((F.col("g") == 2).cast("long")).alias("c2"),
+    ).withColumn("bucket", F.floor(F.col("cents") / 500000))
+    bt = v.groupBy("bucket").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    off = bt.select(
+        "bucket",
+        F.coalesce(F.sum("b1").over(wb), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("b2").over(wb), F.lit(0)).alias("o2"),
+    )
+    wi = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = v.join(F.broadcast(off), "bucket").select(
+        (F.col("o1") + F.sum("c1").over(wi)).alias("cum1"),
+        (F.col("o2") + F.sum("c2").over(wi)).alias("cum2"),
+    )
+    tot = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
+        .alias("d_num"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+    )
+    return d.select(
+        F.col("n1").cast("bigint"),
+        F.col("n2").cast("bigint"),
+        F.col("d_num").cast("bigint"),
+        F.expr(
+            "CAST((2 * d_num * 1000000 + n1 * n2) DIV (2 * n1 * n2) AS BIGINT)"
+        ).alias("ks_micro"),
+    )
+
+
+# ---------- q258: one-way ANOVA F (exact sufficient statistics)
+
+# Between/within variance decomposition of order value across the 5
+# customer regions. The sufficient statistics (n, sum, sum-of-squares)
+# are EXACT (bigint cents, decimal(38,0) squares), so partial
+# aggregation order cannot split the engines; the one genuinely
+# order-sensitive double sum — the 5 between-group terms s_g^2/n_g — is
+# accumulated through an ORDERED window over the 5-row group frame so
+# both engines add in region-key order. Everything fact-sized is a
+# single hash aggregate; windows touch 5 rows.
+_ANOVA_ORACLE = """
+WITH s AS (
+    SELECT n.n_regionkey AS rk,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+), g AS (
+    SELECT rk, CAST(COUNT(*) AS BIGINT) AS ng, CAST(SUM(cents) AS BIGINT) AS sg,
+           CAST(SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS qg
+    FROM s GROUP BY rk
+), t AS (
+    SELECT rk, ng, sg, qg,
+           SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)
+               OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cum_t
+    FROM g
+), a AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+           CAST(SUM(sg) AS BIGINT) AS s, CAST(SUM(qg) AS DECIMAL(38,0)) AS q,
+           MAX(cum_t) AS t
+    FROM t
+), b AS (
+    SELECT k, n,
+           (t - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS ssb,
+           (CAST(q AS DOUBLE) - t) AS ssw
+    FROM a
+)
+SELECT k, n,
+       ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
+       ROUND(ssb / (ssw + ssb), 6) AS eta_sq
+FROM b
+"""
+
+
+@register("q258_anova_f", oracle=_ANOVA_ORACLE)
+def q258(spark, sf_dir):
+    """One-way ANOVA across customer regions from exact sufficient
+    statistics; the only FP-order-sensitive reduction runs through an
+    ordered 5-row window so the engines agree to the last ulp."""
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_regionkey")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select(
+            F.col("n_regionkey").alias("rk"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    cd = F.col("cents").cast("decimal(19,0)")
+    g = s.groupBy("rk").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("cents").cast("bigint").alias("sg"),
+        F.sum(cd * cd).cast("decimal(38,0)").alias("qg"),
+    )
+    wt = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    sgd = F.col("sg").cast("double")
+    tg = g.withColumn("cum_t", F.sum(sgd * sgd / F.col("ng")).over(wt))
+    a = tg.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").cast("bigint").alias("s"),
+        F.sum("qg").cast("decimal(38,0)").alias("q"),
+        F.max("cum_t").alias("t"),
+    )
+    sd = F.col("s").cast("double")
+    b = a.select(
+        "k",
+        "n",
+        (F.col("t") - sd * sd / F.col("n")).alias("ssb"),
+        (F.col("q").cast("double") - F.col("t")).alias("ssw"),
+    )
+    return b.select(
+        "k",
+        "n",
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssw") + F.col("ssb")), 6).alias("eta_sq"),
+    )
+
+
+# ---------- q260: mergeable moment statistics (two-level aggregation)
+
+# Per-type mean/variance computed from MERGEABLE exact partials: each
+# (type, day) partition contributes (n, sum, sum-of-squares) in integer
+# micro-units, a second aggregate merges partials into the global
+# moments. Because the partials are exact integers/decimals, the merged
+# result is bit-identical to a direct single-pass computation — which is
+# precisely what the single-level DuckDB oracle proves. This is the
+# incremental-stats pattern: daily partials persist, the merge is cheap.
+_MOMENTS_ORACLE = """
+WITH e AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micros
+    FROM events
+), m AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(micros) AS BIGINT) AS s,
+           CAST(SUM(CAST(micros AS DECIMAL(19,0)) * CAST(micros AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS q
+    FROM e GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS mean_value,
+       ROUND((CAST(q AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000000000.0,
+             6) AS var_value
+FROM m ORDER BY event_type
+"""
+
+
+@register("q260_mergeable_moments", oracle=_MOMENTS_ORACLE)
+def q260(spark, sf_dir):
+    """Mean/variance per event type through per-day mergeable partials
+    (n, sum, sumsq in exact micro-units) merged by a second aggregate —
+    hash-identical to the oracle's direct single pass, proving the merge
+    is lossless."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("bigint")
+        .alias("micros"),
+    )
+    md = F.col("micros").cast("decimal(19,0)")
+    part = ev.groupBy("event_type", "day").agg(
+        F.count("*").alias("pn"),
+        F.sum("micros").alias("ps"),
+        F.sum(md * md).alias("pq"),
+    )
+    m = part.groupBy("event_type").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.sum("ps").cast("bigint").alias("s"),
+        F.sum("pq").cast("decimal(38,0)").alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        F.round(sd / F.col("n") / 1000000.0, 6).alias("mean_value"),
+        F.round((qd * nd - sd * sd) / (nd * nd) / 1000000000000.0, 6).alias(
+            "var_value"
+        ),
+    ).orderBy("event_type")
+
+
+# ---------- q259: containment join (asymmetric near-subset detection)
+
+# Directed containment |A∩B| / |A| over 3-gram shingle sets — the
+# asymmetric companion to q46's Jaccard: a doc pasted inside a larger
+# one scores containment ~1 while its Jaccard can be arbitrarily low.
+# Candidate-driven like q46 (signature -> band -> capped bucket feeds
+# the verifier; never all-pairs). Scores are round-half-up in INTEGER
+# 1e-4 units: shingle-set sizes are often powers of two, putting the
+# raw ratio exactly on dyadic ROUND tie midpoints where the engines'
+# half-up vs half-even disagree (the q244 lesson).
+_CONTAIN_ORACLE = _MINHASH_CTE + _BANDS_CTE + """
+, cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands_capped a JOIN bands_capped b ON a.band = b.band AND a.doc_id < b.doc_id
+), grams AS (
+    SELECT doc_id, LIST_DISTINCT(hs) AS gs FROM hv
+)
+SELECT doc_a, doc_b,
+       CAST((2 * LEN(LIST_INTERSECT(ga.gs, gb.gs)) * 10000 + LEN(ga.gs))
+            // (2 * LEN(ga.gs)) AS BIGINT) AS cont_a,
+       CAST((2 * LEN(LIST_INTERSECT(ga.gs, gb.gs)) * 10000 + LEN(gb.gs))
+            // (2 * LEN(gb.gs)) AS BIGINT) AS cont_b
+FROM cand
+JOIN grams ga ON ga.doc_id = cand.doc_a
+JOIN grams gb ON gb.doc_id = cand.doc_b
+WHERE LEN(ga.gs) > 0 AND LEN(gb.gs) > 0
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("q259_containment_join", oracle=_CONTAIN_ORACLE)
+def q259(spark, sf_dir):
+    """Directed shingle containment on the LSH candidate feed: one
+    persisted tokenize+shingle pass serves signatures and verification
+    (q46's sharing pattern); scores are exact integers in 1e-4 units."""
+    d = load_tables(spark, sf_dir)["documents"]
+    grams = B.gram_sets(_minhash_corpus(d))
+    grams.persist()
+    sig = B.signatures_from_grams(grams)
+    cands = B.bucket_pairs(B.band_buckets(B.minhash_bands(sig)))
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"))
+    out = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("k", F.size(F.array_intersect(F.col("ga"), F.col("gb"))))
+        .withColumn("na", F.size("ga"))
+        .withColumn("nb", F.size("gb"))
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST((2 * k * 10000 + na) DIV (2 * na) AS BIGINT)").alias(
+                "cont_a"
+            ),
+            F.expr("CAST((2 * k * 10000 + nb) DIV (2 * nb) AS BIGINT)").alias(
+                "cont_b"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    return out

@@ -186,13 +186,15 @@ def q250(spark, sf_dir):
     )
 
 
-# ---------- q251: document chunking with overlap (training-data prep)
+# ---------- q251: character-window chunking (byte-budget sharding)
 
-# Fixed-size character chunks (200 chars, stride 150 -> 50-char overlap)
-# for context-window packing. Pure projection + generator: one scan, no
-# shuffle at all until the final presentation sort; at 100 TB this is
-# embarrassingly parallel and the md5 chunk hash feeds straight into the
-# exact-dedup family (q37) at passage granularity.
+# Fixed-size CHARACTER chunks (200 chars, stride 150 -> 50-char overlap)
+# — the raw-text companion to q115's token-window chunking: no tokenizer
+# in the loop, so this is the op used when the budget is bytes/chars
+# (shard splitting, embedding-context packing), not tokens. Pure
+# projection + generator: one scan, no shuffle until the presentation
+# sort; the md5 chunk hash feeds the exact-dedup family (q37) at chunk
+# granularity.
 _CHUNK_ORACLE = """
 WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
 s AS (
@@ -209,10 +211,10 @@ FROM s ORDER BY doc_id, chunk_idx
 """
 
 
-@register("q251_doc_chunking", oracle=_CHUNK_ORACLE)
+@register("q251_char_chunking", oracle=_CHUNK_ORACLE)
 def q251(spark, sf_dir):
-    """Overlapping fixed-size chunking of the document corpus:
-    sequence+posexplode generates chunk starts JVM-side (no Python), the
+    """Overlapping fixed-size character chunking (vs q115's token
+    windows): sequence+posexplode generates chunk starts JVM-side, the
     chunk hash is the cross-engine md5 anchor. Stride 150 / size 200
     gives a 50-char overlap so no boundary content is lost to a split."""
     d = load_tables(spark, sf_dir)["documents"].select(

@@ -521,3 +521,50 @@ def test_woe_and_calibration_never_sort_event_volume(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         _sp_subtrees_all_collapsed(plan)
         assert "ntile" not in plan
+
+
+def test_pit_join_no_range_join(spark, sf_dir):
+    """q249: point-in-time features come from the union-and-carry-forward
+    window — the plan must contain NO non-equi join (the naive per-event
+    range join plans as BroadcastNestedLoopJoin/CartesianProduct)."""
+    plan = _plan(spark, sf_dir, "q249_pit_feature_join")
+    assert not has(plan, "BroadcastNestedLoopJoin"), plan_nodes(plan)
+    assert not has(plan, "CartesianProduct"), plan_nodes(plan)
+
+
+def test_ks_cdf_never_sorts_value_volume(spark, sf_dir):
+    """q257: the CDF prefix sum is bucket-decomposed — every
+    single-partition exchange sits above an aggregate (bucket frame or
+    final scalar), so no global sort ever sees the per-value frame."""
+    _sp_subtrees_all_collapsed(_plan(spark, sf_dir, "q257_ks_statistic"))
+
+
+def test_anova_window_is_aggregate_sized(spark, sf_dir):
+    """q258: the ordered between-group accumulation runs over the 5-row
+    region aggregate, never the order volume."""
+    _sp_subtrees_all_collapsed(_plan(spark, sf_dir, "q258_anova_f"))
+
+
+def test_cumulative_distinct_aggregates_first(spark, sf_dir):
+    """q256: the running-total window sees the |days| frame (post
+    first-seen aggregation), not events."""
+    _sp_subtrees_all_collapsed(_plan(spark, sf_dir, "q256_cumulative_distinct"))
+
+
+def test_char_chunking_is_generate_only(spark, sf_dir):
+    """q251: scan -> generate -> project; the only exchange is the
+    presentation sort's range partitioning."""
+    plan = _plan(spark, sf_dir, "q251_char_chunking")
+    assert has(plan, "Generate")
+    assert count_nodes(plan, "HashAggregate") == 0, plan_nodes(plan)
+    assert count_nodes(plan, "SortMergeJoin") == 0, plan_nodes(plan)
+
+
+def test_hard_negatives_broadcast_queries(spark, sf_dir):
+    """q254: the query side is a broadcast (non-equi label constraint ->
+    BroadcastNestedLoopJoin with the TINY query frame broadcast); the
+    corpus is never shuffled for the join."""
+    plan = _plan(spark, sf_dir, "q254_hard_negatives")
+    assert has(plan, "BroadcastNestedLoopJoin"), plan_nodes(plan)
+    assert not has(plan, "CartesianProduct"), plan_nodes(plan)
+    assert not has(plan, "SortMergeJoin"), plan_nodes(plan)

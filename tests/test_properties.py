@@ -499,3 +499,174 @@ def test_triangle_count_matches_brute_force(spark):
         )
         assert row.n_edges == len(edges)
         assert row.n_triangles == want, f"edges={edges}"
+
+
+def test_bfs_hops_matches_brute_force(spark):
+    """q253's frontier BFS on a planted graph (chain + star + triangle
+    cycle + isolated pair) vs a Python BFS from each component's min
+    node."""
+    from collections import deque
+
+    from mapr_db_cdc_sample_spark.queries.analytics2 import _bfs_hops
+
+    edges = [
+        (0, 1), (1, 2), (2, 3), (3, 4),          # chain: hops 0..4
+        (10, 11), (10, 12), (10, 13),            # star: root 10
+        (20, 21), (21, 22), (22, 20),            # cycle
+        (30, 31),                                # pair
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["hops"] for r in _bfs_hops(df).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # components -> min node -> BFS
+    want: dict[int, int] = {}
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp = set()
+        dq = deque([start])
+        while dq:
+            u = dq.popleft()
+            if u in comp:
+                continue
+            comp.add(u)
+            dq.extend(adj[u] - comp)
+        seen |= comp
+        root = min(comp)
+        d = {root: 0}
+        dq = deque([root])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in d:
+                    d[v] = d[u] + 1
+                    dq.append(v)
+        want.update(d)
+    assert got == want
+
+
+def test_pit_features_match_correlated_subquery(spark, duck):
+    """q249's union-and-carry-forward form vs the DEFINITIONAL oracle: a
+    correlated count/sum over strictly-earlier months per order. The
+    registered oracle shares q249's window formulation, so this is the
+    independent check that the formulation itself is right."""
+    from tests.conftest import SF_SMALL
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+
+    got = {
+        r["o_orderkey"]: (r["feat_orders"], r["feat_cents"])
+        for r in load_all()["q249_pit_feature_join"].fn(spark, SF_SMALL).collect()
+    }
+    want = {
+        k: (n, c)
+        for k, n, c in duck.sql(
+            """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey,
+                       YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS mi,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                FROM orders
+            )
+            SELECT a.o_orderkey,
+                   (SELECT COUNT(*) FROM o b
+                    WHERE b.o_custkey = a.o_custkey AND b.mi < a.mi) AS fn,
+                   COALESCE((SELECT SUM(b.cents) FROM o b
+                    WHERE b.o_custkey = a.o_custkey AND b.mi < a.mi), 0) AS fc
+            FROM o a
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_ks_statistic_matches_python(spark, duck):
+    """q257's bucketed two-level CDF vs a direct Python sup over the
+    pooled sorted sample."""
+    from fractions import Fraction
+
+    from tests.conftest import SF_SMALL
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+
+    row = load_all()["q257_ks_statistic"].fn(spark, SF_SMALL).collect()[0]
+    samples = duck.sql(
+        """
+        SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+               c.c_mktsegment
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        """
+    ).fetchall()
+    s1 = sorted(v for v, seg in samples if seg == "BUILDING")
+    s2 = sorted(v for v, seg in samples if seg == "MACHINERY")
+    n1, n2 = len(s1), len(s2)
+    import bisect
+
+    cuts = sorted(set(s1) | set(s2))
+    d_num = max(
+        abs(bisect.bisect_right(s1, x) * n2 - bisect.bisect_right(s2, x) * n1)
+        for x in cuts
+    )
+    assert (row["n1"], row["n2"], row["d_num"]) == (n1, n2, d_num)
+    # round-half-up of d_num / (n1*n2) in micro-units
+    want_micro = (2 * d_num * 1_000_000 + n1 * n2) // (2 * n1 * n2)
+    assert row["ks_micro"] == want_micro
+    assert Fraction(d_num, n1 * n2) <= 1
+
+
+def test_anova_f_matches_python(spark, duck):
+    """q258's windowed-sufficient-statistics ANOVA vs a direct Python
+    computation (float, order fixed by sorting groups)."""
+    from tests.conftest import SF_SMALL
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+
+    row = load_all()["q258_anova_f"].fn(spark, SF_SMALL).collect()[0]
+    samples = duck.sql(
+        """
+        SELECT n.n_regionkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        """
+    ).fetchall()
+    groups: dict[int, list[int]] = {}
+    for rk, cents in samples:
+        groups.setdefault(rk, []).append(cents)
+    k, n = len(groups), sum(len(g) for g in groups.values())
+    grand = sum(sum(g) for g in groups.values()) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for _, g in sorted(groups.items()))
+    ssw = sum((v - sum(g) / len(g)) ** 2 for _, g in sorted(groups.items()) for v in g)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (row["k"], row["n"]) == (k, n)
+    assert abs(row["f_stat"] - f) < max(1e-6, abs(f) * 1e-9)
+    assert abs(row["eta_sq"] - ssb / (ssb + ssw)) < 1e-6
+
+
+def test_containment_planted_superset(spark):
+    """q259: the mutated corpus copy (doc+1000000 = doc || ' zz') is a
+    strict SUPERSET in shingle space, so containment of the original in
+    the copy is exactly 1.0 (10000 micro-units) while the reverse is
+    below it."""
+    from tests.conftest import SF_SMALL
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+
+    out = load_all()["q259_containment_join"].fn(spark, SF_SMALL)
+    planted = {
+        r["doc_a"]: (r["cont_a"], r["cont_b"])
+        for r in out.where(
+            (F.col("doc_b") == F.col("doc_a") + 1000000)
+        ).collect()
+    }
+    assert planted, "no planted (doc, doc+1000000) candidate pairs found"
+    for doc_a, (cont_a, cont_b) in planted.items():
+        assert cont_a == 10000, (doc_a, cont_a)
+        assert cont_b < 10000, (doc_a, cont_b)

@@ -214,6 +214,18 @@ HEADLINE = [
     "q246_late_data_patch",
     "q247_double_charge",
     "q248_business_day_latency",
+    "q249_pit_feature_join",
+    "q250_fuzzy_name_match",
+    "q251_char_chunking",
+    "q252_random_projection",
+    "q253_bfs_hops",
+    "q254_hard_negatives",
+    "q255_passage_dedup",
+    "q256_cumulative_distinct",
+    "q257_ks_statistic",
+    "q258_anova_f",
+    "q259_containment_join",
+    "q260_mergeable_moments",
 ]
 
 

@@ -266,14 +266,22 @@ WITH dims AS (
     GROUP BY 1, 2
 )
 SELECT vec_id,
-       ROUND(CAST(SUM(CASE WHEN j = 0 THEN pr END) AS DOUBLE), 6) AS p0,
-       ROUND(CAST(SUM(CASE WHEN j = 1 THEN pr END) AS DOUBLE), 6) AS p1,
-       ROUND(CAST(SUM(CASE WHEN j = 2 THEN pr END) AS DOUBLE), 6) AS p2,
-       ROUND(CAST(SUM(CASE WHEN j = 3 THEN pr END) AS DOUBLE), 6) AS p3,
-       ROUND(CAST(SUM(CASE WHEN j = 4 THEN pr END) AS DOUBLE), 6) AS p4,
-       ROUND(CAST(SUM(CASE WHEN j = 5 THEN pr END) AS DOUBLE), 6) AS p5,
-       ROUND(CAST(SUM(CASE WHEN j = 6 THEN pr END) AS DOUBLE), 6) AS p6,
-       ROUND(CAST(SUM(CASE WHEN j = 7 THEN pr END) AS DOUBLE), 6) AS p7
+       ((CAST(SUM(CASE WHEN j = 0 THEN pr END) * 1000000000 AS BIGINT)
+         + 1000000000000500) // 1000 - 1000000000000) / CAST(1000000 AS DOUBLE) AS p0,
+       ((CAST(SUM(CASE WHEN j = 1 THEN pr END) * 1000000000 AS BIGINT)
+         + 1000000000000500) // 1000 - 1000000000000) / CAST(1000000 AS DOUBLE) AS p1,
+       ((CAST(SUM(CASE WHEN j = 2 THEN pr END) * 1000000000 AS BIGINT)
+         + 1000000000000500) // 1000 - 1000000000000) / CAST(1000000 AS DOUBLE) AS p2,
+       ((CAST(SUM(CASE WHEN j = 3 THEN pr END) * 1000000000 AS BIGINT)
+         + 1000000000000500) // 1000 - 1000000000000) / CAST(1000000 AS DOUBLE) AS p3,
+       ((CAST(SUM(CASE WHEN j = 4 THEN pr END) * 1000000000 AS BIGINT)
+         + 1000000000000500) // 1000 - 1000000000000) / CAST(1000000 AS DOUBLE) AS p4,
+       ((CAST(SUM(CASE WHEN j = 5 THEN pr END) * 1000000000 AS BIGINT)
+         + 1000000000000500) // 1000 - 1000000000000) / CAST(1000000 AS DOUBLE) AS p5,
+       ((CAST(SUM(CASE WHEN j = 6 THEN pr END) * 1000000000 AS BIGINT)
+         + 1000000000000500) // 1000 - 1000000000000) / CAST(1000000 AS DOUBLE) AS p6,
+       ((CAST(SUM(CASE WHEN j = 7 THEN pr END) * 1000000000 AS BIGINT)
+         + 1000000000000500) // 1000 - 1000000000000) / CAST(1000000 AS DOUBLE) AS p7
 FROM p GROUP BY vec_id ORDER BY vec_id
 """
 
@@ -321,10 +329,18 @@ def q252(spark, sf_dir):
         .agg(F.sum(F.col("v") * F.col("s")).alias("pr"))
     )
     wide = p.groupBy("vec_id").pivot("j", list(range(8))).agg(F.first("pr"))
+    # Exact decimal sums sit on a 1e-9 grid, so ROUND(.,6) ties at the
+    # .5e-6 midpoints split the engines (half-up vs half-even — the q244
+    # lesson). Round in INTEGER arithmetic instead: shift positive, drop
+    # 3 digits half-up, unshift; the final /1e6 is one exact-input IEEE
+    # division on both engines.
     return wide.select(
         "vec_id",
         *[
-            F.round(F.col(str(j)).cast("double"), 6).alias(f"p{j}")
+            F.expr(
+                f"((CAST(`{j}` * 1000000000 AS BIGINT) + 1000000000000500)"
+                f" DIV 1000 - 1000000000000) / CAST(1000000 AS DOUBLE)"
+            ).alias(f"p{j}")
             for j in range(8)
         ],
     ).orderBy("vec_id")

@@ -380,7 +380,22 @@ FROM d GROUP BY hops ORDER BY hops""",
 def _bfs_hops(edges, max_depth: int = 20):
     """(node, hops) = BFS level from each component's min-label root over
     the undirected edge list. Frontier-sized joins, localCheckpoint per
-    level to cut lineage (same discipline as operators/dedup_pipeline)."""
+    level to cut lineage, and iteration shuffles sized to the label
+    volume, not the global default (same discipline — and same env knob
+    — as operators/dedup_pipeline.connected_components)."""
+    import os
+
+    spark = edges.sparkSession
+    parts = os.environ.get("SPARK_GRAFT_CC_PARTITIONS", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        return _bfs_loop(edges, max_depth)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _bfs_loop(edges, max_depth: int):
     und = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -408,7 +423,9 @@ def _bfs_hops(edges, max_depth: int = 20):
         )
         if nxt.count() == 0:  # scalar driver action, bounded by diameter
             break
-        dist = dist.unionByName(nxt).localCheckpoint()
+        # dist is a union of already-checkpointed level frames — its
+        # lineage is one union node per level, so no re-checkpoint needed
+        dist = dist.unionByName(nxt)
         frontier = nxt
     return dist
 

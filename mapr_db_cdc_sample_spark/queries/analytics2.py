@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions import text as T
 from ..functions import vectors as V
 from ..io import load_tables
 from ..operators import banding as B
@@ -959,3 +960,245 @@ def q259(spark, sf_dir):
         .orderBy("doc_a", "doc_b")
     )
     return out
+
+
+# ---------- q261: abandonment windows (bounded-time absence detection)
+
+# Clicks with NO purchase by the same user within the following 7 days.
+# The scale-safe form is join-free: one user-partitioned window sorted
+# by time DESCENDING carries the next-purchase timestamp backward, so
+# per-user cost is linear even for users with thousands of clicks (the
+# naive clicks x purchases equi-join is per-user quadratic). The oracle
+# is the DEFINITIONAL correlated EXISTS — an independent formulation, so
+# the hash checks semantics, not the window trick. Equal-microsecond
+# purchase/click collisions sort with the purchase AFTER the click
+# (kind tiebreak), matching the oracle's strict p.t > c.t on both sides.
+_ABANDON_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id, EPOCH_US(ts) AS t, event_type
+    FROM events WHERE event_type IN ('click', 'purchase')
+), c AS (
+    SELECT user_id, t FROM e WHERE event_type = 'click'
+), a AS (
+    SELECT c.user_id,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM e p
+               WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                 AND p.t > c.t AND p.t <= c.t + 604800000000
+           ) THEN 0 ELSE 1 END AS ab
+    FROM c
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(SUM(ab) AS BIGINT) AS n_abandoned,
+       CAST((2 * SUM(ab) * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS rate_micro
+FROM a GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("q261_abandoned_clicks", oracle=_ABANDON_ORACLE)
+def q261(spark, sf_dir):
+    """7-day abandonment per user, join-free: next-purchase carry-back
+    through one descending user window; rate round-half-up in integer
+    micro-units."""
+    e = (
+        load_tables(spark, sf_dir)["events"]
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("kind"),
+        )
+        .withColumn(
+            "pts", F.when(F.col("kind") == 1, F.col("t")).cast("bigint")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("t"), F.asc("kind"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = (
+        e.withColumn("next_pt", F.min("pts").over(w))
+        .where(F.col("kind") == 0)
+        .select(
+            "user_id",
+            (
+                F.col("next_pt").isNull()
+                | (F.col("next_pt") > F.col("t") + F.lit(604800000000))
+            )
+            .cast("long")
+            .alias("ab"),
+        )
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clicks"),
+            F.sum("ab").cast("bigint").alias("n_abandoned"),
+        )
+        .select(
+            "user_id",
+            "n_clicks",
+            "n_abandoned",
+            F.expr(
+                "CAST((2 * n_abandoned * 1000000 + n_clicks)"
+                " DIV (2 * n_clicks) AS BIGINT)"
+            ).alias("rate_micro"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------- q262: deterministic negative sampling (contrastive/recsys)
+
+# k=3 negative items per user for implicit-feedback training: 8 md5-
+# derived candidate slots per user, observed (user, item) interactions
+# anti-joined away, first 3 survivors kept in slot order. Everything is
+# hash-derived so both engines draw the SAME "random" candidates; at
+# 100 TB the candidate frame is |users| x 8 and the anti-join shuffles
+# on (user, item) — no per-item fan-out, no rejection loop.
+_NEGSAMPLE_ORACLE = """
+WITH inter AS (
+    SELECT DISTINCT user_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS item
+    FROM events WHERE event_type = 'purchase'
+), users AS (
+    SELECT DISTINCT user_id FROM inter
+), cand AS (
+    SELECT u.user_id, s.slot,
+           ('0x' || SUBSTR(MD5(u.user_id || '_' || s.slot), 1, 15))::BIGINT % 100
+               AS item
+    FROM users u, (SELECT UNNEST(range(0, 8)) AS slot) s
+), dedup AS (
+    SELECT user_id, item, MIN(slot) AS slot FROM cand GROUP BY 1, 2
+), neg AS (
+    SELECT d.user_id, d.item, d.slot
+    FROM dedup d ANTI JOIN inter i
+      ON i.user_id = d.user_id AND i.item = d.item
+), r AS (
+    SELECT user_id, item, slot,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slot, item) AS rnk
+    FROM neg
+)
+SELECT user_id, CAST(rnk AS INT) AS rnk, item
+FROM r WHERE rnk <= 3 ORDER BY user_id, rnk
+"""
+
+
+@register("q262_negative_sampling", oracle=_NEGSAMPLE_ORACLE)
+def q262(spark, sf_dir):
+    """Hash-deterministic negative sampling: md5 slots -> candidate
+    items, observed interactions removed by anti-join, top-3 in slot
+    order."""
+    ev = load_tables(spark, sf_dir)["events"]
+    inter = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .distinct()
+    )
+    users = inter.select("user_id").distinct()
+    slots = spark.range(8).select(F.col("id").cast("bigint").alias("slot"))
+    cand = users.crossJoin(F.broadcast(slots)).select(
+        "user_id",
+        "slot",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.col("user_id"), F.col("slot"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+        ).alias("item"),
+    )
+    dedup = cand.groupBy("user_id", "item").agg(F.min("slot").alias("slot"))
+    neg = dedup.join(inter, ["user_id", "item"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy("slot", "item")
+    return (
+        neg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("user_id", F.col("rnk").cast("int"), "item")
+        .orderBy("user_id", "rnk")
+    )
+
+
+# ---------- q263: per-source MinHash sketch overlap (mergeable sketch)
+
+# Cross-source corpus overlap from MERGED MinHash sketches: the merged
+# signature of a source is the elementwise min over its docs — but min
+# of mins is just min, so the whole source sketches in ONE pass over
+# shingle hashes (groupBy(source), 8 XOR-min aggregates, map-side
+# combinable) without ever materializing per-doc signatures. The
+# pairwise stage compares |sources|^2/2 signature rows — dimension-
+# sized, both sides broadcast. Output is the exact integer match count
+# (0..8) per source pair: the Jaccard estimate without a division.
+_SRC_SKETCH_ORACLE = """
+WITH toks AS (
+    SELECT source,
+           LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0) AS tk
+    FROM documents
+), sh AS (
+    SELECT source,
+           LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sg
+    FROM toks
+), x AS (
+    SELECT source, ('0x' || SUBSTR(MD5(UNNEST(sg)), 1, 15))::BIGINT AS h FROM sh
+), sig AS (
+    SELECT source,
+           {mins}
+    FROM x GROUP BY source
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST({cmps} AS INT) AS n_match
+FROM sig a JOIN sig b ON a.source < b.source
+ORDER BY src_a, src_b
+""".format(
+    mins=",\n           ".join(
+        f"MIN(XOR(h, {seed})) AS mh{j}" for j, seed in enumerate(T.MINHASH_SEEDS)
+    ),
+    cmps=" + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(len(T.MINHASH_SEEDS))
+    ),
+)
+
+
+@register("q263_source_sketch_overlap", oracle=_SRC_SKETCH_ORACLE)
+def q263(spark, sf_dir):
+    """Pairwise source-overlap estimates from one-pass merged MinHash
+    sketches (min-of-mins), compared as exact integer match counts."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = d.select(
+        "source", F.explode_outer(T.shingles(T.tokens(F.col("text")), 3)).alias("s")
+    ).select("source", T.shingle_hash60(F.col("s")).alias("h"))
+    sig = sh.groupBy("source").agg(
+        *[
+            F.min(F.col("h").bitwiseXOR(F.lit(seed))).alias(f"mh{j}")
+            for j, seed in enumerate(T.MINHASH_SEEDS)
+        ]
+    )
+    a = sig.select(
+        F.col("source").alias("src_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(len(T.MINHASH_SEEDS))],
+    )
+    b = sig.select(
+        F.col("source").alias("src_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(len(T.MINHASH_SEEDS))],
+    )
+    match = None
+    for j in range(len(T.MINHASH_SEEDS)):
+        t = (F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
+        match = t if match is None else match + t
+    return (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .select("src_a", "src_b", match.cast("int").alias("n_match"))
+        .orderBy("src_a", "src_b")
+    )

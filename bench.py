@@ -226,6 +226,9 @@ HEADLINE = [
     "q258_anova_f",
     "q259_containment_join",
     "q260_mergeable_moments",
+    "q261_abandoned_clicks",
+    "q262_negative_sampling",
+    "q263_source_sketch_overlap",
 ]
 
 

@@ -568,3 +568,24 @@ def test_hard_negatives_broadcast_queries(spark, sf_dir):
     assert has(plan, "BroadcastNestedLoopJoin"), plan_nodes(plan)
     assert not has(plan, "CartesianProduct"), plan_nodes(plan)
     assert not has(plan, "SortMergeJoin"), plan_nodes(plan)
+
+
+def test_abandonment_is_join_free(spark, sf_dir):
+    """q261: the 7-day absence check is one descending window — the plan
+    must contain no join at all (the naive form is a per-user quadratic
+    clicks x purchases self-join)."""
+    plan = _plan(spark, sf_dir, "q261_abandoned_clicks")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                 "CartesianProduct", "ShuffledHashJoin"):
+        assert not has(plan, node), plan_nodes(plan)
+
+
+def test_source_sketch_single_shingle_pass(spark, sf_dir):
+    """q263: source sketches come from ONE shingle scan (no per-doc
+    signature materialization) and the pairwise stage broadcasts."""
+    plan = _plan(spark, sf_dir, "q263_source_sketch_overlap")
+    n_scans = sum(1 for n in plan_nodes(plan) if n.startswith("Scan"))
+    assert n_scans <= 2, plan_nodes(plan)  # sig side + broadcast side
+    assert has(plan, "BroadcastNestedLoopJoin") or has(plan, "BroadcastHashJoin"), (
+        plan_nodes(plan)
+    )

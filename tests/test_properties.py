@@ -670,3 +670,43 @@ def test_containment_planted_superset(spark):
     for doc_a, (cont_a, cont_b) in planted.items():
         assert cont_a == 10000, (doc_a, cont_a)
         assert cont_b < 10000, (doc_a, cont_b)
+
+
+def test_source_sketch_is_min_of_doc_signatures(spark):
+    """q263's one-pass min-of-mins source sketch must equal the
+    elementwise min over per-doc MinHash signatures (the mergeable-
+    sketch law the op relies on)."""
+    from tests.conftest import SF_SMALL
+
+    from mapr_db_cdc_sample_spark.functions.text import MINHASH_SEEDS
+    from mapr_db_cdc_sample_spark.io import load_tables
+    from mapr_db_cdc_sample_spark.operators import banding as B
+
+    d = load_tables(spark, SF_SMALL)["documents"]
+    per_doc = B.minhash_signatures(d.select("doc_id", "text")).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    merged_from_docs = {
+        r["source"]: tuple(r[f"mh{j}"] for j in range(len(MINHASH_SEEDS)))
+        for r in per_doc.groupBy("source")
+        .agg(*[F.min(f"mh{j}").alias(f"mh{j}") for j in range(len(MINHASH_SEEDS))])
+        .collect()
+    }
+
+    from mapr_db_cdc_sample_spark.functions import text as T
+
+    sh = d.select(
+        "source", F.explode_outer(T.shingles(T.tokens(F.col("text")), 3)).alias("s")
+    ).select("source", T.shingle_hash60(F.col("s")).alias("h"))
+    one_pass = {
+        r["source"]: tuple(r[f"mh{j}"] for j in range(len(MINHASH_SEEDS)))
+        for r in sh.groupBy("source")
+        .agg(
+            *[
+                F.min(F.col("h").bitwiseXOR(F.lit(seed))).alias(f"mh{j}")
+                for j, seed in enumerate(MINHASH_SEEDS)
+            ]
+        )
+        .collect()
+    }
+    assert one_pass == merged_from_docs

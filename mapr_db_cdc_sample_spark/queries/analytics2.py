@@ -1202,3 +1202,120 @@ def q263(spark, sf_dir):
         .select("src_a", "src_b", match.cast("int").alias("n_match"))
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------- q264: custom Python Data Source (Spark 4 extension point)
+
+# The round-trip proves the source, not just the API call: a slice of
+# events is serialized to a line-oriented format Spark has no reader
+# for, read back through sources/pyds.LineRecDataSource (one split per
+# file, parsed inside executor Python workers), and aggregated — the
+# oracle computes the same aggregate from the parquet directly, so a
+# lost line, bad split, or parse drift hash-mismatches.
+_PYDS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM events WHERE event_id % 20 = 0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("q264_python_datasource", oracle=_PYDS_ORACLE)
+def q264(spark, sf_dir):
+    """Custom format round-trip through the Spark 4 Python Data Source
+    API: write `event_id|user_id|event_type|cents` lines, scan them back
+    with per-file splits executing in Python workers, aggregate."""
+    from ..scratch import scratch_dir
+    from ..sources import pyds
+
+    ev = load_tables(spark, sf_dir)["events"]
+    sl = ev.where(F.col("event_id") % 20 == 0).select(
+        F.concat_ws(
+            "|",
+            "event_id",
+            "user_id",
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+        ).alias("value")
+    )
+    d = scratch_dir()
+    sl.write.mode("overwrite").text(d)
+    pyds.register(spark)
+    rec = spark.read.format("linerec").option("path", d).load()
+    return (
+        rec.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------- q265: correlated LATERAL subquery (top-k per dim row)
+
+# The SQL-surface twin of q25's window top-k: per-nation top-2 customer
+# balances through a correlated LATERAL derived table with ORDER BY +
+# LIMIT. Catalyst decorrelates this into the same per-group limit
+# machinery, so the declarative SQL and the window formulation meet in
+# one plan family — both engines run the IDENTICAL SQL text.
+_LATERAL_SQL = """
+SELECT n.n_name, l.c_name, l.bal2
+FROM nation n, LATERAL (
+    SELECT c_name,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal2
+    FROM customer WHERE c_nationkey = n.n_nationkey
+    ORDER BY bal2 DESC, c_name LIMIT 2
+) l
+ORDER BY n.n_name, l.bal2 DESC, l.c_name
+"""
+
+
+@register("q265_lateral_topk", oracle=_LATERAL_SQL)
+def q265(spark, sf_dir):
+    """Correlated LATERAL (ORDER BY + LIMIT) top-2 balances per nation —
+    same SQL text runs on both engines; unique (bal2, name) tiebreak."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------- q266: SQL pipe syntax + parameterized SQL (Spark 4)
+
+# Q93's pricing summary restated in Spark 4 pipe syntax (FROM |> WHERE
+# |> AGGREGATE ... GROUP BY |> ORDER BY) with the cutoff supplied as a
+# NAMED PARAMETER (spark.sql(..., args=...)) — no string interpolation
+# in the query text. Same logical plan as the ANSI form, which is
+# exactly what the plain-SQL oracle proves.
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q266_pipe_sql", oracle=_PIPE_ORACLE)
+def q266(spark, sf_dir):
+    """Pipe-syntax aggregation with a named parameter for the shipdate
+    cutoff — Spark 4 SQL surface; decimal-cast factor sums as always."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= :cutoff
+        |> AGGREGATE
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+             COUNT(*) AS n
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty, sum_base, CAST(n AS BIGINT) AS n
+        |> ORDER BY l_returnflag, l_linestatus
+        """,
+        args={"cutoff": "1998-09-02 00:00:00"},
+    )

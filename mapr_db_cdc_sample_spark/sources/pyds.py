@@ -1,0 +1,66 @@
+"""Python Data Source API (Spark 4): a custom line-oriented source.
+
+Demonstrates the PySpark `DataSource` extension point — the public way
+to plug a format Spark has no built-in reader for (proprietary record
+logs, instrument dumps) while keeping partition planning and pushdown
+inside the engine: `partitions()` returns one split per file, and each
+split is read INSIDE an executor Python worker (batched over Arrow), so
+a 100 TB directory fans out across the cluster like any other scan —
+the driver only lists files.
+
+Format: `event_id|user_id|event_type|cents` text lines, one record per
+line (written by q264 with `df.write.text`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+LINEREC_SCHEMA = "event_id bigint, user_id bigint, event_type string, cents bigint"
+
+
+class LineRecDataSource(DataSource):
+    """`spark.read.format("linerec").option("path", dir)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "linerec"
+
+    def schema(self) -> str:
+        return LINEREC_SCHEMA
+
+    def reader(self, schema):
+        return LineRecReader(self.options)
+
+
+class LineRecReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def partitions(self):
+        # one split per data file — the planning step that makes the
+        # source parallel; sorted for deterministic split numbering
+        files = sorted(
+            f for f in os.listdir(self.path)
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+        return [InputPartition(os.path.join(self.path, f)) for f in files]
+
+    def read(self, partition):
+        with open(partition.value, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                eid, uid, etype, cents = line.split("|")
+                yield int(eid), int(uid), etype, int(cents)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the linerec format."""
+    try:
+        spark.dataSource.register(LineRecDataSource)
+    except Exception:
+        pass  # already registered in this session

@@ -229,6 +229,9 @@ HEADLINE = [
     "q261_abandoned_clicks",
     "q262_negative_sampling",
     "q263_source_sketch_overlap",
+    "q264_python_datasource",
+    "q265_lateral_topk",
+    "q266_pipe_sql",
 ]
 
 

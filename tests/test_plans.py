@@ -589,3 +589,14 @@ def test_source_sketch_single_shingle_pass(spark, sf_dir):
     assert has(plan, "BroadcastNestedLoopJoin") or has(plan, "BroadcastHashJoin"), (
         plan_nodes(plan)
     )
+
+
+def test_lateral_topk_decorrelates(spark, sf_dir):
+    """q265: the correlated LATERAL (ORDER BY+LIMIT) must decorrelate
+    into per-group-limit machinery — WindowGroupLimit + a broadcast
+    equi-join, never a nested-loop per dim row."""
+    plan = _plan(spark, sf_dir, "q265_lateral_topk")
+    assert has(plan, "WindowGroupLimit"), plan_nodes(plan)
+    assert has(plan, "BroadcastHashJoin"), plan_nodes(plan)
+    assert not has(plan, "BroadcastNestedLoopJoin"), plan_nodes(plan)
+    assert not has(plan, "CartesianProduct"), plan_nodes(plan)

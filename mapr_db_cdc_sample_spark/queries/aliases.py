@@ -22,6 +22,7 @@ Rotation history (union = externally verified coverage):
   round 4: q049-q099 aliases  -> q01-q134 all driver-green (retired)
   round 5: q0135-q0186 aliases (this file)
   round 6 (planned): q0187-q0228 aliases
+  round 7 (planned): q0229-q0266 aliases (the round-5 additions)
 """
 
 from __future__ import annotations

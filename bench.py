@@ -232,6 +232,8 @@ HEADLINE = [
     "q264_python_datasource",
     "q265_lateral_topk",
     "q266_pipe_sql",
+    "q267_collated_groupby",
+    "q268_try_arithmetic",
 ]
 
 

@@ -1319,3 +1319,113 @@ def q266(spark, sf_dir):
         """,
         args={"cutoff": "1998-09-02 00:00:00"},
     )
+
+
+# ---------- q267: collation-aware grouping (Spark 4 COLLATE)
+
+# Case-insensitive entity resolution WITHOUT normalizing the stored
+# values: the group key carries UTF8_LCASE collation, so 'BLUE BOLT' and
+# 'blue bolt' land in one group while the original variants stay
+# countable. The emitted key is LOWER() of whichever representative the
+# engine picked — deterministic even though the representative is not.
+# The oracle proves UTF8_LCASE equivalence == LOWER() equality on this
+# (ASCII) domain.
+_COLLATE_ORACLE = """
+WITH src AS (
+    SELECT CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_name) ELSE p_name END AS name
+    FROM part
+)
+SELECT LOWER(name) AS lkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT name) AS BIGINT) AS n_variants
+FROM src GROUP BY 1 ORDER BY lkey
+"""
+
+
+@register("q267_collated_groupby", oracle=_COLLATE_ORACLE)
+def q267(spark, sf_dir):
+    """GROUP BY under UTF8_LCASE collation (Spark 4 surface): binary-
+    distinct case variants counted inside each case-insensitive group."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH src AS (
+            SELECT CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_name)
+                        ELSE p_name END AS name
+            FROM part
+        )
+        SELECT LOWER(CAST(key AS STRING)) AS lkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT name) AS BIGINT) AS n_variants
+        FROM (SELECT name, COLLATE(name, 'UTF8_LCASE') AS key FROM src)
+        GROUP BY key ORDER BY lkey
+        """
+    )
+
+
+# ---------- q268: ANSI-safe arithmetic (try_divide — no crash, no 8)
+
+# Spark 4 runs ANSI mode by default: a plain division by zero THROWS.
+# The migration-safe form is try_divide, which yields NULL for the
+# zero-denominator rows instead of failing the job — here per-user
+# conversion (purchases/clicks: NULL for users who never clicked) and
+# basket size (cents/purchases: NULL for never-purchasers). Ratios are
+# emitted as RAW IEEE doubles — both engines divide the same exact
+# integers once, so the bits match without ROUND (and ROUND would
+# reintroduce dyadic ties: 1/128 = 0.0078125 sits exactly on a
+# 7th-digit midpoint).
+_TRYDIV_ORACLE = """
+WITH u AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clicks,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS cents
+    FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, n_purchases, n_clicks, cents,
+       CAST(n_purchases AS DOUBLE) / NULLIF(n_clicks, 0) AS conv,
+       CAST(cents AS DOUBLE) / NULLIF(n_purchases, 0) AS avg_purchase
+FROM u ORDER BY user_id
+"""
+
+
+@register("q268_try_arithmetic", oracle=_TRYDIV_ORACLE)
+def q268(spark, sf_dir):
+    """try_divide under ANSI mode: NULL instead of a thrown job on
+    zero denominators; raw bit-identical IEEE ratios of exact integers."""
+    ev = load_tables(spark, sf_dir)["events"]
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("bigint")
+        .alias("n_clicks"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "n_clicks",
+        "cents",
+        F.try_divide(F.col("n_purchases").cast("double"), F.col("n_clicks")).alias(
+            "conv"
+        ),
+        F.try_divide(F.col("cents").cast("double"), F.col("n_purchases")).alias(
+            "avg_purchase"
+        ),
+    ).orderBy("user_id")

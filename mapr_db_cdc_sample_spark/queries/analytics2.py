@@ -303,10 +303,17 @@ def q252(spark, sf_dir):
         F.col("vf").cast("double").cast("decimal(18,9)").alias("v"),
     )
     js = spark.range(8).select(F.col("id").cast("bigint").alias("j"))
+    # dim indices from a LIMIT-1 pruned probe of the vector width — the
+    # distinct-over-explode alternative re-scans the whole corpus just to
+    # learn "64"
+    dims = (
+        emb.select(F.size("embedding").alias("d"))
+        .limit(1)
+        .select(F.explode(F.sequence(F.lit(0), F.col("d") - 1)).alias("i"))
+        .select(F.col("i").cast("bigint").alias("i"))
+    )
     signs = (
-        e.select("i")
-        .distinct()
-        .crossJoin(js)
+        dims.crossJoin(js)
         .select(
             "i",
             "j",

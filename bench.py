@@ -234,6 +234,7 @@ HEADLINE = [
     "q266_pipe_sql",
     "q267_collated_groupby",
     "q268_try_arithmetic",
+    "q269_ndcg_at_k",
 ]
 
 

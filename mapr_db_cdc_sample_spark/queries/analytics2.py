@@ -1436,3 +1436,103 @@ def q268(spark, sf_dir):
             "avg_purchase"
         ),
     ).orderBy("user_id")
+
+
+# ---------- q269: NDCG@10 retrieval-quality metric (exact integers)
+
+# The ranking-metric member of the eval family (q207 AUC, q242
+# calibration, q206 lift): per query vector, rank the corpus by rounded
+# cosine, score label-match relevance with DISCRETIZED log weights —
+# w(r) = round(1e6/log2(r+1)) precomputed as integer LITERALS in both
+# query texts — so no transcendental is evaluated at runtime and
+# DCG/IDCG/NDCG are exact integer arithmetic end to end (engine log2
+# implementations can differ in the last ulp; baked-in weights cannot).
+# IDCG uses min(n_relevant, 10) ideal slots via the prefix-sum literals.
+_DCG_W = [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065]
+_DCG_P = [1000000, 1630930, 2130930, 2561607, 2948460, 3304667, 3638000, 3953465, 4254495, 4543560]
+
+_W_CASE = "CASE rnk " + " ".join(
+    f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_DCG_W)
+) + " END"
+_P_CASE = "CASE LEAST(n_rel, 10) " + " ".join(
+    f"WHEN {i + 1} THEN {p}" for i, p in enumerate(_DCG_P)
+) + " END"
+
+_NDCG_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qe
+    FROM embeddings WHERE vec_id % 1000 = 0
+), s AS (
+    SELECT q.qid, q.qlabel, e.vec_id, e.label,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4) AS sim
+    FROM embeddings e JOIN q ON e.vec_id <> q.qid
+), r AS (
+    SELECT qid, qlabel, label, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+    FROM s
+), dcg AS (
+    SELECT qid,
+           CAST(SUM(CASE WHEN label = qlabel THEN {_W_CASE} ELSE 0 END)
+                AS BIGINT) AS dcg_micro
+    FROM r WHERE rnk <= 10 GROUP BY qid
+), nr AS (
+    SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+    FROM q JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> q.qid
+    GROUP BY q.qid
+)
+SELECT d.qid, nr.n_rel, d.dcg_micro,
+       CAST((2 * d.dcg_micro * 1000000 + {_P_CASE})
+            // (2 * ({_P_CASE})) AS BIGINT) AS ndcg_micro
+FROM dcg d JOIN nr ON nr.qid = d.qid
+WHERE nr.n_rel > 0
+ORDER BY d.qid
+"""
+
+
+@register("q269_ndcg_at_k", oracle=_NDCG_ORACLE)
+def q269(spark, sf_dir):
+    """NDCG@10 over label-relevance retrieval: broadcast query side,
+    rounded-cosine ranking, integer-literal log weights — the metric is
+    exact integer arithmetic, reported round-half-up in micro-units."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.where(F.col("vec_id") % 1000 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        V.norm(F.col("embedding")).alias("qn"),
+    )
+    s = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        "label",
+        V.cosine_pre(F.col("embedding"), F.col("qe"), F.col("qn")).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    ranked = s.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 10)
+    dcg = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(F.col("label") == F.col("qlabel"), F.expr(_W_CASE)).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dcg_micro")
+    )
+    lc = e.groupBy("label").agg(F.count("*").alias("cnt"))
+    nr = (
+        q.join(F.broadcast(lc), F.col("label") == F.col("qlabel"))
+        .select("qid", (F.col("cnt") - 1).cast("bigint").alias("n_rel"))
+    )
+    return (
+        dcg.join(nr, "qid")
+        .where(F.col("n_rel") > 0)
+        .select(
+            "qid",
+            "n_rel",
+            "dcg_micro",
+            F.expr(
+                f"CAST((2 * dcg_micro * 1000000 + {_P_CASE})"
+                f" DIV (2 * ({_P_CASE})) AS BIGINT)"
+            ).alias("ndcg_micro"),
+        )
+        .orderBy("qid")
+    )

@@ -710,3 +710,41 @@ def test_source_sketch_is_min_of_doc_signatures(spark):
         .collect()
     }
     assert one_pass == merged_from_docs
+
+
+def test_ndcg_matches_python_brute_force(spark, duck):
+    """q269's integer-weight NDCG vs a direct Python computation over
+    the collected embeddings (cosine, rank, discretized weights)."""
+    import math
+
+    from tests.conftest import SF_SMALL
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+    from mapr_db_cdc_sample_spark.queries.analytics2 import _DCG_P, _DCG_W
+
+    got = {
+        r["qid"]: (r["n_rel"], r["dcg_micro"], r["ndcg_micro"])
+        for r in load_all()["q269_ndcg_at_k"].fn(spark, SF_SMALL).collect()
+    }
+    rows = duck.sql("SELECT vec_id, embedding, label FROM embeddings").fetchall()
+    vecs = {vid: ([float(x) for x in emb], lab) for vid, emb, lab in rows}
+    for qid in [v for v in vecs if v % 1000 == 0]:
+        qe, qlabel = vecs[qid]
+        qn = math.sqrt(sum(x * x for x in qe))
+        scored = []
+        for vid, (ve, lab) in vecs.items():
+            if vid == qid:
+                continue
+            dot = sum(a * b for a, b in zip(qe, ve))
+            vn = math.sqrt(sum(x * x for x in ve))
+            scored.append((round(dot / (qn * vn), 4), vid, lab))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        dcg = sum(
+            _DCG_W[r]
+            for r, (_, _, lab) in enumerate(scored[:10])
+            if lab == qlabel
+        )
+        n_rel = sum(1 for v, (_, lab) in vecs.items() if lab == qlabel and v != qid)
+        idcg = _DCG_P[min(n_rel, 10) - 1]
+        ndcg = (2 * dcg * 1_000_000 + idcg) // (2 * idcg)
+        assert got[qid] == (n_rel, dcg, ndcg), (qid, got[qid], (n_rel, dcg, ndcg))

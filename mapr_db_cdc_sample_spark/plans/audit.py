@@ -94,23 +94,15 @@ def _tree_edges(plan: str) -> dict[int, tuple[str, int | None]]:
     return nodes
 
 
-def single_partition_feeds(plan: str) -> list[str]:
-    """For every Exchange whose detail block says SinglePartition, the
-    operator name of its direct child — i.e. WHAT gets globally sorted.
-    A scale-safe plan feeds single-partition exchanges from aggregates
-    (small frames), never from scans/projections of fact tables."""
-    nodes = _tree_edges(plan)
-    # details section: split into per-node blocks so an Arguments line
-    # can't be attributed to the wrong (earlier) exchange
+def _single_partition_ids(plan: str) -> set[int]:
+    """Node ids of Exchanges whose detail block says SinglePartition.
+    The details section is split into per-node blocks so an Arguments
+    line can't be attributed to the wrong (earlier) exchange."""
     sp_ids = set()
     for m in re.finditer(r"^\((\d+)\) Exchange\b(.*?)(?=^\(\d+\) |\Z)", plan, re.M | re.S):
         if "Arguments: SinglePartition" in m.group(2):
             sp_ids.add(int(m.group(1)))
-    feeds = []
-    for nid, (name, parent) in nodes.items():
-        if parent in sp_ids and nodes[parent][0].startswith("Exchange"):
-            feeds.append(name)
-    return feeds
+    return sp_ids
 
 
 def single_partition_subtrees(plan: str) -> list[list[str]]:
@@ -120,10 +112,7 @@ def single_partition_subtrees(plan: str) -> list[list[str]]:
     subtree that reaches a scan with no intervening aggregate means a
     fact table is being globally sorted."""
     nodes = _tree_edges(plan)
-    sp_ids = set()
-    for m in re.finditer(r"^\((\d+)\) Exchange\b(.*?)(?=^\(\d+\) |\Z)", plan, re.M | re.S):
-        if "Arguments: SinglePartition" in m.group(2):
-            sp_ids.add(int(m.group(1)))
+    sp_ids = _single_partition_ids(plan)
     children: dict[int, list[int]] = {}
     for nid, (_, parent) in nodes.items():
         if parent is not None:

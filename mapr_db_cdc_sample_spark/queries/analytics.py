@@ -5788,7 +5788,7 @@ WITH p AS (
 )
 SELECT a.user_id AS user_id, a.event_id AS event_a, b.event_id AS event_b,
        a.cents AS cents,
-       CAST((b.t - a.t) // 1000 AS BIGINT) AS gap_ms
+       CAST((b.t - a.t + 300000000) // 1000 - 300000 AS BIGINT) AS gap_ms
 FROM p a
 JOIN p b ON b.user_id = a.user_id AND b.cents = a.cents
         AND a.event_id < b.event_id
@@ -5835,7 +5835,12 @@ def q247(spark, sf_dir):
             "event_a",
             "event_b",
             "cents",
-            F.floor((F.col("tb") - F.col("ta")) / 1000).cast("bigint").alias("gap_ms"),
+            # shifted positive before the divide: DuckDB // truncates
+            # toward zero while floor floors, so negative gaps (tb<ta,
+            # allowed by the two-sided bound) would diverge unshifted
+            (F.floor((F.col("tb") - F.col("ta") + 300000000) / 1000) - 300000)
+            .cast("bigint")
+            .alias("gap_ms"),
         )
         .orderBy("user_id", "event_a", "event_b")
     )
@@ -5876,7 +5881,7 @@ FROM b GROUP BY month ORDER BY month
 @register("q248_business_day_latency", oracle=_BUSDAY_ORACLE)
 def q248(spark, sf_dir):
     """Order→first-line-ship latency in business days, averaged per
-    order month: weekday arithmetic on epoch days ((d+4)%7 => 0=Monday;
+    order month: weekday arithmetic on epoch days ((d+3)%7 => 0=Monday;
     epoch day 0 = Thursday), all integer, no UDF or calendar dimension.
     One broadcast-free equi-join on the order key + one aggregate."""
     t = load_tables(spark, sf_dir)

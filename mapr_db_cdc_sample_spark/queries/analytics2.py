@@ -1183,8 +1183,10 @@ def q263(spark, sf_dir):
     """Pairwise source-overlap estimates from one-pass merged MinHash
     sketches (min-of-mins), compared as exact integer match counts."""
     d = load_tables(spark, sf_dir)["documents"]
+    # plain explode (not _outer): a source whose docs all shingle to
+    # empty must vanish on BOTH engines (the oracle's UNNEST drops it)
     sh = d.select(
-        "source", F.explode_outer(T.shingles(T.tokens(F.col("text")), 3)).alias("s")
+        "source", F.explode(T.shingles(T.tokens(F.col("text")), 3)).alias("s")
     ).select("source", T.shingle_hash60(F.col("s")).alias("h"))
     sig = sh.groupBy("source").agg(
         *[
@@ -1247,7 +1249,7 @@ def q264(spark, sf_dir):
             (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
         ).alias("value")
     )
-    d = scratch_dir()
+    d = scratch_dir("q264_linerec")  # keyed: bench/sweep reps overwrite in place
     sl.write.mode("overwrite").text(d)
     pyds.register(spark)
     rec = spark.read.format("linerec").option("path", d).load()

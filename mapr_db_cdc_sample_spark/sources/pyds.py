@@ -62,5 +62,6 @@ def register(spark) -> None:
     """Idempotent registration of the linerec format."""
     try:
         spark.dataSource.register(LineRecDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as e:  # re-register in the same session is the only OK failure
+        if "already" not in str(e).lower():
+            raise

@@ -1,4 +1,4 @@
-"""Driver-window rotation aliases (round 5: q135-q186 band).
+"""Driver-window rotation aliases (round 6: q187-q236 band).
 
 The external correctness gate hash-checks only the first 50 registry
 names in SORTED order. The round-4 additions (q135-q228, 92 oracled
@@ -8,11 +8,12 @@ self-administered). The round-4 verdict ranked rotating external
 verification onto that band as the top item, splitting it across
 rounds 5 and 6.
 
-Each ``q0NNN_*`` name below is an ALIAS — same callable, same oracle
-string — for an oracled q135-q186 entry. Zero-padding makes it sort
-inside the window (``q0135_...`` < ``q01_...`` because ``'1' < '_'``),
-so this round the driver hash-checks the q135-q186 oracled band
-(exactly 50 entries — the whole window). Rows-only entries are not
+Each ``q00NNN_*`` name below is an ALIAS — same callable, same oracle
+string — for an oracled q187-q236 entry. Double-zero padding makes it
+sort inside the window (``q00236_...`` < ``q01_...`` because
+``'0' < '1'`` at the third character), so this round the driver
+hash-checks the q187-q236 oracled band (exactly 50 entries — the
+whole window). Rows-only entries are not
 aliased (the hash gate adds nothing for them), and aliases carry a
 ``rotation-alias`` tag so tooling can tell them apart; bench uses an
 explicit name list and is unaffected. The canonical names stay
@@ -20,9 +21,10 @@ registered — nothing else in the repo changes.
 
 Rotation history (union = externally verified coverage):
   round 4: q049-q099 aliases  -> q01-q134 all driver-green (retired)
-  round 5: q0135-q0186 aliases (this file)
-  round 6 (planned): q0187-q0228 aliases
-  round 7 (planned): q0229-q0266 aliases (the round-5 additions)
+  round 5: q0135-q0186 aliases -> driver-green 50/50 (retired)
+  round 6: q0187-q0236 aliases (this file — 42 oracled in q187-q228
+           plus q229-q236 to fill all 50 window slots)
+  round 7 (planned): q0237-q0269 aliases (rest of the round-5 additions)
 """
 
 from __future__ import annotations
@@ -31,8 +33,8 @@ import re
 
 from . import REGISTRY, QueryDef
 
-ROTATION_LO = 135
-ROTATION_HI = 186
+ROTATION_LO = 187
+ROTATION_HI = 236
 
 
 def _rotate() -> None:
@@ -43,7 +45,10 @@ def _rotate() -> None:
         q = REGISTRY[name]
         if not q.oracle:
             continue
-        alias = f"q0{m.group(1)}_{m.group(2)}"
+        # double-zero pad: 'q00NNN_' sorts before EVERY canonical name
+        # (including 'q01_...', which 'q0NNN_' would not beat for NNN>=200),
+        # so the 50-slot sorted window is owned entirely by the band
+        alias = f"q00{m.group(1)}_{m.group(2)}"
         REGISTRY.setdefault(
             alias, QueryDef(fn=q.fn, oracle=q.oracle, tags=(*q.tags, "rotation-alias"))
         )

@@ -41,9 +41,11 @@ def test_rotation_aliases_bound_to_canonical():
     verify a stale copy (round-4 verdict, Next round #8)."""
     aliases = {n: q for n, q in REGISTRY.items() if "rotation-alias" in q.tags}
     assert aliases, "rotation mechanism is expected to register aliases"
+    import re
+
     for name, q in aliases.items():
         assert name.startswith("q0"), name
-        canon = "q" + name[2:]
+        canon = re.sub(r"^q0+", "q", name)
         assert canon in REGISTRY, f"{name}: canonical {canon} missing"
         assert q.fn is REGISTRY[canon].fn, f"{name}: fn decoupled from {canon}"
         assert q.oracle is REGISTRY[canon].oracle, f"{name}: oracle decoupled"

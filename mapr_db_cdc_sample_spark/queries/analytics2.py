@@ -147,9 +147,11 @@ def q249(spark, sf_dir):
 
 # Dimension standardization: for every distinct part name, its nearest
 # OTHER name by Levenshtein distance (tie -> lexicographically smallest
-# candidate). Runs on the DISTINCT name dimension — at 100 TB the fact
-# table never enters the pairwise stage; the |names|^2 work is
-# dimension-sized and both sides broadcast.
+# candidate). The Spark side runs the lossless length-banded plan
+# (operators/editdist.py): constant-probe upper bound, then candidates
+# only within |len-cand_len| <= ub — pair count bounded by the band,
+# not |names|^2 (round-5 verdict #2). The oracle stays the naive
+# all-pairs definition, which is exactly what the banding must equal.
 _FUZZY_ORACLE = """
 WITH d AS (SELECT DISTINCT p_name FROM part),
 p AS (
@@ -169,22 +171,18 @@ FROM r WHERE rn = 1 ORDER BY name
 @register("q250_fuzzy_name_match", oracle=_FUZZY_ORACLE)
 def q250(spark, sf_dir):
     """Fuzzy dimension matching: nearest-neighbor part name by exact
-    Levenshtein distance over the distinct-name dimension. Integer
+    Levenshtein distance over the distinct-name dimension, via the
+    length-banded bounded-pair plan (operators/editdist.py — the
+    levenshtein >= |len difference| lower bound makes the band lossless,
+    so the result is identical to the all-pairs oracle). Integer
     distances rank exactly (no FP); the unique (dist, cand) tiebreaker
     makes the argmin engine-independent."""
-    d = load_tables(spark, sf_dir)["part"].select("p_name").distinct()
-    a = d.select(F.col("p_name").alias("name"))
-    b = d.select(F.col("p_name").alias("cand"))
-    pairs = a.join(
-        F.broadcast(b), F.col("name") != F.col("cand")
-    ).select("name", "cand", F.levenshtein("name", "cand").alias("dist"))
-    w = Window.partitionBy("name").orderBy("dist", "cand")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("name", F.col("cand").alias("best_match"), F.col("dist").cast("int"))
-        .orderBy("name")
+    from ..operators.editdist import nearest_name_match
+
+    d = load_tables(spark, sf_dir)["part"].select(
+        F.col("p_name").alias("name")
     )
+    return nearest_name_match(d).orderBy("name")
 
 
 # ---------- q251: character-window chunking (byte-budget sharding)

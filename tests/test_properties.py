@@ -748,3 +748,60 @@ def test_ndcg_matches_python_brute_force(spark, duck):
         idcg = _DCG_P[min(n_rel, 10) - 1]
         ndcg = (2 * dcg * 1_000_000 + idcg) // (2 * idcg)
         assert got[qid] == (n_rel, dcg, ndcg), (qid, got[qid], (n_rel, dcg, ndcg))
+
+
+def test_banded_nearest_name_matches_brute_force(spark):
+    """editdist.nearest_name_match (the q250 plan): the length-banded
+    pair set must reproduce the naive all-pairs argmin EXACTLY —
+    including ties resolved by smallest candidate — and must enumerate
+    strictly fewer pairs than |names|^2 on data with near neighbors.
+
+    The planted corpus is adversarial for the band: clusters of close
+    names at a common length (band must keep them), a singleton-length
+    outlier (falls back to the span), and an empty-ish short name."""
+    import itertools
+
+    names = (
+        [f"alpha{i}" for i in range(10)]  # len 6 cluster, dist 1 apart
+        + [f"betaval{i:02d}" for i in range(8)]  # len 9 cluster
+        + ["z" * 30]  # singleton length -> span fallback
+        + ["q", "qx"]  # very short names
+        + ["gamma" + "x" * i for i in range(5)]  # staircase lengths
+    )
+    assert len(set(names)) == len(names)
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {}
+    for n in names:
+        best = min(
+            ((lev(n, c), c) for c in names if c != n), key=lambda t: (t[0], t[1])
+        )
+        want[n] = (best[1], best[0])
+
+    from mapr_db_cdc_sample_spark.operators.editdist import (
+        banded_pairs,
+        nearest_name_match,
+    )
+
+    d = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        r["name"]: (r["best_match"], r["dist"])
+        for r in nearest_name_match(d).collect()
+    }
+    assert got == want
+
+    n_pairs = banded_pairs(d).count()
+    n_full = len(names) * (len(names) - 1)
+    assert n_pairs < n_full, (n_pairs, n_full)
+    # the clustered majority has ub ~1-2, so the band should prune hard,
+    # not shave a few pairs off n^2
+    assert n_pairs < 0.6 * n_full, (n_pairs, n_full)

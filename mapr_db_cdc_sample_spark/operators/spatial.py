@@ -29,9 +29,11 @@ R km:
 
 ``max_abs_lat`` is the caller's DOMAIN BOUND on |latitude| (both
 sides); it caps the worst-case cosine. Near the poles the halo
-degenerates toward the full ring — the guard clamps it at 179 cells
-(full wrap minus one, so halo cells stay distinct and the join never
-duplicates a candidate pair).
+degenerates toward the full ring — degenerate rows explode the FULL
+ring [-180, 179] (360 distinct mod-360 cells, still duplicate-free),
+so the 'all pairs within R km' contract holds at every latitude; a
+clamp short of 180 would drop pairs whose floor-cells sit exactly 180
+apart (advisor repro: lat 89.9, lon 0 vs 180).
 """
 
 from __future__ import annotations
@@ -94,15 +96,30 @@ def radius_join(
     cos_min = F.cos(
         F.radians(F.least(F.abs(llat) + F.lit(dphi_deg), F.lit(float(max_abs_lat))))
     )
-    lon_halo = F.when(cos_min <= F.lit(s), F.lit(179)).otherwise(
-        F.least(F.floor(F.degrees(2 * F.asin(F.lit(s) / cos_min))) + 1, F.lit(179))
-    ).cast("int")
+    # When the halo degenerates (cos_min <= s, or the dlam bound reaches
+    # 180 degrees) a clamp at 179 would silently drop in-radius pairs
+    # whose floor-cells sit exactly 180 apart (advisor repro: lat 89.9,
+    # lon 0 vs 180 — 22.2 km). Degenerate rows explode the FULL ring
+    # [-180, 179] instead: 360 distinct mod-360 cells, still
+    # duplicate-free.
+    # asin arg capped at 1.0: cos_min <= s (or cos_min -> 0) then maps
+    # to asin(1) -> 181 >= 180, i.e. degenerate, without NaN reaching
+    # the ANSI int cast
+    halo_raw = (
+        F.floor(
+            F.degrees(2 * F.asin(F.least(F.lit(s) / cos_min, F.lit(1.0))))
+        ).cast("int")
+        + F.lit(1)
+    )
+    degenerate = halo_raw >= F.lit(180)
+    lon_lo = F.when(degenerate, F.lit(-180)).otherwise(-halo_raw)
+    lon_hi = F.when(degenerate, F.lit(179)).otherwise(halo_raw)
 
     cells = (
         left.withColumn("_lat_cell", F.floor(llat).cast("int"))
         .withColumn("_lon_ring", F.pmod(F.floor(llon).cast("int") + 180, F.lit(360)))
         .withColumn("_dlat", F.explode(F.sequence(F.lit(-lat_halo), F.lit(lat_halo))))
-        .withColumn("_dlon", F.explode(F.sequence(-lon_halo, lon_halo)))
+        .withColumn("_dlon", F.explode(F.sequence(lon_lo, lon_hi)))
         .select(
             *left.columns,
             (F.col("_lat_cell") + F.col("_dlat")).alias("_cell_lat"),

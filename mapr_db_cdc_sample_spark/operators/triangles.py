@@ -38,8 +38,26 @@ def triangle_count(e: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
-    # total order by (deg, id) packed into one bigint key
-    keyed = deg.select("node", (F.col("deg") * _ID_SPACE + F.col("node")).alias("okey"))
+    # total order by (deg, id) packed into one bigint key. The packing
+    # is injective only for ids in [0, _ID_SPACE); out-of-range ids
+    # (partkeys reach 1e8 around sf500) would silently corrupt the
+    # order, so the bound is enforced in the dataflow itself:
+    # assert_true returns NULL on success (coalesced to +0) and fails
+    # the query otherwise, and living inside the okey expression it
+    # cannot be pruned away.
+    guard = F.coalesce(
+        F.assert_true(
+            (F.col("node") >= 0) & (F.col("node") < F.lit(_ID_SPACE)),
+            F.lit(
+                f"triangle_count: node id outside [0, {_ID_SPACE}) breaks "
+                "the (deg, id) packing — remap ids densely first"
+            ),
+        ).cast("bigint"),
+        F.lit(0),
+    )
+    keyed = deg.select(
+        "node", (F.col("deg") * _ID_SPACE + F.col("node") + guard).alias("okey")
+    )
     eo = (
         e.join(keyed.withColumnRenamed("node", "u").withColumnRenamed("okey", "ku"), "u")
         .join(keyed.withColumnRenamed("node", "v").withColumnRenamed("okey", "kv"), "v")

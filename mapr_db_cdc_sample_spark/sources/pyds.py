@@ -38,6 +38,10 @@ class LineRecDataSource(DataSource):
 class LineRecReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "linerec source requires .option('path', <directory>)"
+            )
 
     def partitions(self):
         # one split per data file — the planning step that makes the
@@ -50,11 +54,18 @@ class LineRecReader(DataSourceReader):
 
     def read(self, partition):
         with open(partition.value, encoding="utf-8") as fh:
-            for line in fh:
+            for lineno, line in enumerate(fh, 1):
                 line = line.rstrip("\n")
                 if not line:
                     continue
-                eid, uid, etype, cents = line.split("|")
+                fields = line.split("|")
+                if len(fields) != 4:
+                    raise ValueError(
+                        f"linerec: malformed record at "
+                        f"{partition.value}:{lineno} — expected 4 "
+                        f"'|'-separated fields, got {len(fields)}: {line!r}"
+                    )
+                eid, uid, etype, cents = fields
                 yield int(eid), int(uid), etype, int(cents)
 
 

@@ -173,7 +173,11 @@ def tumbling_ohlc(
     aggregation): open/close come from min/max over a (ts, event_id,
     cents) struct — associative, mergeable aggregates that stream
     incrementally, unlike the batch twin's row_number windows. State is
-    one struct pair per (window), GC'd by the watermark."""
+    one struct pair per window; the watermark evicts it only in
+    append/update output modes — q243 drains in COMPLETE mode, where
+    watermarks never evict and state grows with the number of windows
+    (fine for its bounded test horizon; long-running deployments should
+    drain in update mode for incremental emission with GC)."""
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
     keyed = events.withColumn("cents", cents)
     return (

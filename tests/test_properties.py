@@ -805,3 +805,52 @@ def test_banded_nearest_name_matches_brute_force(spark):
     # the clustered majority has ub ~1-2, so the band should prune hard,
     # not shave a few pairs off n^2
     assert n_pairs < 0.6 * n_full, (n_pairs, n_full)
+
+
+def test_radius_join_polar_full_ring(spark):
+    """Advisor repro (round-5 ADVICE, medium): at lat 89.9 the points
+    (lon 0) and (lon 180) are ~22.2 km apart but their floor-longitude
+    cells are exactly 180 apart — a halo clamped at 179 cells can never
+    pair them. With the degenerate-row full-ring explode, radius_join
+    at the default max_abs_lat=90 must match brute force at the pole
+    and must not duplicate any pair."""
+    import itertools
+    import math
+
+    from mapr_db_cdc_sample_spark.operators.spatial import radius_join
+
+    pts = [
+        (1, 89.9, 0.0),
+        (2, 89.9, 180.0),  # ~22.2 km from point 1, cells 180 apart
+        (3, 89.5, -90.0),
+        (4, 88.0, 45.0),  # ~212 km from the pole cluster: out of radius
+        (5, 0.0, 10.0),  # equator control: non-degenerate rows intact
+        (6, 0.0, 10.5),
+    ]
+    left = spark.createDataFrame(pts, "lid int, clat double, clon double")
+    right = spark.createDataFrame(
+        [(i + 100, la, lo) for i, la, lo in pts], "rid int, slat double, slon double"
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in radius_join(
+            left, right, 120.0, lat="clat", lon="clon",
+            right_lat="slat", right_lon="slon",
+        ).collect()
+    )
+
+    def hav(p, q):
+        la1, lo1, la2, lo2 = map(math.radians, (p[1], p[2], q[1], q[2]))
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return round(2 * 6371.0 * math.asin(math.sqrt(h)), 4)
+
+    want = sorted(
+        (p[0], q[0] + 100)
+        for p, q in itertools.product(pts, pts)
+        if hav(p, q) <= 120.0
+    )
+    assert got == want  # equality also proves no duplicated candidates
+    assert (1, 102) in set(got)  # the 180-apart polar pair is found

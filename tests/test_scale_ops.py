@@ -187,3 +187,43 @@ def test_observe_metrics_single_pass(spark, sf_dir):
     bad = ev.where(F.col("value") <= 0).count()
     assert got["rows_seen"] == total
     assert got["nonpositive"] == bad
+
+
+def test_linerec_source_validation(spark, tmp_path):
+    """Round-5 ADVICE: the linerec Python DataSource must fail fast with
+    a CLEAR message on a missing 'path' option, and name the offending
+    file:line for a malformed record instead of an opaque executor
+    unpack error."""
+    import pytest
+
+    from mapr_db_cdc_sample_spark.sources.pyds import LINEREC_SCHEMA, register
+
+    register(spark)
+    with pytest.raises(Exception, match="option\\('path'"):
+        spark.read.format("linerec").schema(LINEREC_SCHEMA).load().collect()
+
+    bad = tmp_path / "badrec"
+    bad.mkdir()
+    (bad / "part-00000").write_text("1|2|click|300\nnot-enough-fields\n")
+    with pytest.raises(Exception, match="malformed record"):
+        (
+            spark.read.format("linerec")
+            .schema(LINEREC_SCHEMA)
+            .option("path", str(bad))
+            .load()
+            .collect()
+        )
+
+    good = tmp_path / "goodrec"
+    good.mkdir()
+    (good / "part-00000").write_text("1|2|click|300\n\n7|8|view|-50\n")
+    rows = sorted(
+        (
+            spark.read.format("linerec")
+            .schema(LINEREC_SCHEMA)
+            .option("path", str(good))
+            .load()
+            .collect()
+        )
+    )
+    assert [tuple(r) for r in rows] == [(1, 2, "click", 300), (7, 8, "view", -50)]

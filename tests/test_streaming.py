@@ -466,3 +466,28 @@ def test_stream_ohlc_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want2
+
+
+def test_cdc_latency_budget(spark, tmp_path):
+    """BASELINE.md's one reference-derived latency target (round-5
+    verdict, Next round #3): under the reference's 500 ms cadence
+    (trigger processingTime='500 milliseconds' mirroring
+    consumer.poll(500), J:59) the steady-state triggerExecution of the
+    real dual-sink CDC pipeline must stay within the ~800 ms implied
+    end-to-end budget (J:41+J:59). Measured from StreamingQueryProgress
+    over a 24-batch sf0.001 replay; steady state is the trailing 8
+    batches (JIT/codegen settled). The run also refreshes LATENCY.json
+    so the committed artifact is always an asserted measurement."""
+    import json as _json
+    import os
+
+    from tools.latency import BUDGET_MS, REPO, measure
+
+    out = measure(spark, str(tmp_path))
+    assert out["n_data_batches"] >= 16, out["n_data_batches"]
+    steady = out["steady"]
+    assert steady["median_ms"] <= BUDGET_MS, steady
+    # the budget must hold as the typical case, not a lucky best batch
+    assert steady["within_budget"] >= steady["n"] - 2, steady
+    with open(os.path.join(REPO, "LATENCY.json"), "w") as fh:
+        _json.dump(out, fh, indent=1)

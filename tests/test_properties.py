@@ -854,3 +854,38 @@ def test_radius_join_polar_full_ring(spark):
     )
     assert got == want  # equality also proves no duplicated candidates
     assert (1, 102) in set(got)  # the 180-apart polar pair is found
+
+
+def test_containment_values_match_python_exact(spark, duck):
+    """q259 twin (round-5 verdict, Next round #5): every reported
+    candidate pair's directed containment must equal an independent
+    pure-Python computation over raw 3-gram shingle STRING sets (the
+    engine works in 60-bit hashed shingle space; equality also certifies
+    no hash collision perturbed a score on this corpus). Scores use the
+    same round-half-up integer formula in 1e-4 units."""
+    from tests.conftest import SF_SMALL
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+
+    rows = load_all()["q259_containment_join"].fn(spark, SF_SMALL).collect()
+    assert rows, "no candidate pairs at sf0.001"
+
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents").fetchall())
+    # the corpus q259 runs on: documents + mutated copy of every 11th doc
+    for did in [d for d in docs if d % 11 == 0]:
+        docs[did + 1000000] = docs[did] + " zz"
+
+    def sset(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    grams = {did: sset(t) for did, t in docs.items()}
+    for r in rows:
+        ga, gb = grams[r["doc_a"]], grams[r["doc_b"]]
+        assert ga and gb, (r["doc_a"], r["doc_b"])
+        k = len(ga & gb)
+        want_a = (2 * k * 10000 + len(ga)) // (2 * len(ga))
+        want_b = (2 * k * 10000 + len(gb)) // (2 * len(gb))
+        assert (r["cont_a"], r["cont_b"]) == (want_a, want_b), (
+            r["doc_a"], r["doc_b"], (r["cont_a"], r["cont_b"]), (want_a, want_b),
+        )

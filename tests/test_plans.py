@@ -600,3 +600,33 @@ def test_lateral_topk_decorrelates(spark, sf_dir):
     assert has(plan, "BroadcastHashJoin"), plan_nodes(plan)
     assert not has(plan, "BroadcastNestedLoopJoin"), plan_nodes(plan)
     assert not has(plan, "CartesianProduct"), plan_nodes(plan)
+
+
+def test_quantile_normalize_no_global_sort(spark, sf_dir):
+    """q274: CDF windows are PARTITIONED by source over pre-aggregated
+    (source, len) groups and the presentation sort is range-partitioned
+    — the plan contains NO single-partition exchange at all."""
+    from mapr_db_cdc_sample_spark.plans.audit import single_partition_subtrees
+
+    plan = _plan(spark, sf_dir, "q274_quantile_normalize")
+    assert single_partition_subtrees(plan) == [], plan[:2000]
+
+
+def test_gram_matrix_partial_agg_above_arrow(spark, sf_dir):
+    """q275: the mapInPandas stage emits 2080-row partials per batch and
+    the merging sum must be a partial (map-side combinable) aggregate —
+    the shuffle carries |partitions|x2080 rows, not |vectors|x4096."""
+    plan = _plan(spark, sf_dir, "q275_gram_matrix")
+    assert has(plan, "MapInPandas"), plan[:1500]
+    assert "partial_sum" in plan or "Partial" in plan, plan[:2000]
+
+
+def test_acf_windows_sit_above_daily_aggregate(spark, sf_dir):
+    """q270: the one ordered LAG window runs over the |days| aggregate,
+    never order volume."""
+    _sp_subtrees_all_collapsed(_plan(spark, sf_dir, "q270_autocorrelation"))
+
+
+def test_bollinger_window_sits_above_daily_aggregate(spark, sf_dir):
+    """q271: same rule for the rolling-band window."""
+    _sp_subtrees_all_collapsed(_plan(spark, sf_dir, "q271_bollinger_breakout"))

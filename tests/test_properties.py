@@ -889,3 +889,31 @@ def test_containment_values_match_python_exact(spark, duck):
         assert (r["cont_a"], r["cont_b"]) == (want_a, want_b), (
             r["doc_a"], r["doc_b"], (r["cont_a"], r["cont_b"]), (want_a, want_b),
         )
+
+
+def test_pca_explained_matches_numpy_direct(spark, duck):
+    """q276 twin: the distributed Gram + driver eigensolve must match a
+    direct numpy covariance eigendecomposition of the collected
+    (quantized) vectors — proving the mapInPandas partial merge and the
+    mean-clearing algebra, which no SQL oracle can check (eigensolve)."""
+    import numpy as np
+
+    from tests.conftest import SF_SMALL
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+
+    got = {
+        r["component"]: (r["eigenvalue"], r["explained_ratio"])
+        for r in load_all()["q276_pca_explained"].fn(spark, SF_SMALL).collect()
+    }
+    rows = duck.sql("SELECT embedding FROM embeddings ORDER BY vec_id").fetchall()
+    m = np.asarray(
+        [[round(float(x) * 1000) for x in emb] for (emb,) in rows], dtype=np.float64
+    )
+    cov = np.cov(m, rowvar=False, bias=True)  # population, 1e-6 units
+    ev = np.sort(np.linalg.eigvalsh(cov))[::-1] / 1e6
+    total = float(ev.sum())
+    for k in range(8):
+        want_val, want_ratio = round(float(ev[k]), 6), round(float(ev[k] / total), 6)
+        assert abs(got[k + 1][0] - want_val) <= 1e-6, (k, got[k + 1], want_val)
+        assert abs(got[k + 1][1] - want_ratio) <= 1e-6, (k, got[k + 1], want_ratio)

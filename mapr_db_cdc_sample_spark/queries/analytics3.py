@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..io import load_tables
+from ..operators.dedup_pipeline import connected_components
 from . import register
 
 # Shared CTE: exact daily revenue in integer cents. DuckDB SUM(BIGINT)
@@ -567,4 +568,350 @@ def q278(spark, sf_dir):
         .where(F.col("rn") <= 5)
         .select("source", "bucket", F.col("c").cast("bigint").alias("n_tokens"))
         .orderBy("source", F.col("n_tokens").desc(), "bucket")
+    )
+
+
+# ---------- q279: Kneser-Ney bigram LM (exact quarter-count arithmetic)
+
+# Interpolated Kneser-Ney with absolute discount D = 0.75 — the n-gram
+# LM that data-quality perplexity filters (q110) and contamination
+# probes are built on. D = 3/4 makes every term an EXACT rational in
+# quarter counts:
+#   P(w2|w1) = max(4c12−3, 0)/(4·c1) + 3·N1+(w1•)/(4·c1) · N1+(•w2)/T
+#            = [max(4c12−3, 0)·T + 3·N1fwd(w1)·N1bwd(w2)] / (4·c1·T)
+# (T = distinct bigram types). Context stats come from windows
+# PARTITIONED by w1 / by w2 over the collapsed bigram-type frame (never
+# token volume); T broadcasts as a 1-row aggregate. Output: the 30 most
+# frequent bigrams (unique (c DESC, w1, w2) tiebreak) with p in
+# round-half-up micro units — numerators ~4e17 at sf0.1, carried as
+# HUGEINT/DECIMAL(38) for headroom.
+_KN_ORACLE = """
+WITH toks AS (
+    SELECT LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS l
+    FROM documents
+), bg AS (
+    SELECT l[CAST(i AS INT)] AS w1, l[CAST(i AS INT) + 1] AS w2, COUNT(*) AS c
+    FROM toks, UNNEST(range(1, GREATEST(LEN(l), 1))) r(i)
+    GROUP BY 1, 2
+), ctx AS (
+    SELECT w1, w2, c,
+           SUM(c)    OVER (PARTITION BY w1) AS c1,
+           COUNT(*)  OVER (PARTITION BY w1) AS n1fwd,
+           COUNT(*)  OVER (PARTITION BY w2) AS n1bwd
+    FROM bg
+), t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS types FROM bg)
+SELECT w1, w2, CAST(c AS BIGINT) AS n,
+       CAST((2 * (GREATEST(4 * CAST(c AS HUGEINT) - 3, 0) * types
+                  + 3 * CAST(n1fwd AS HUGEINT) * CAST(n1bwd AS HUGEINT)) * 1000000
+             + 4 * CAST(c1 AS HUGEINT) * types)
+            // (2 * 4 * CAST(c1 AS HUGEINT) * types) AS BIGINT) AS p_kn_micro
+FROM ctx, t
+ORDER BY n DESC, w1, w2 LIMIT 30
+"""
+
+
+@register("q279_kn_bigram_lm", oracle=_KN_ORACLE)
+def q279(spark, sf_dir):
+    """Kneser-Ney bigram probabilities (oracle comment has the exact
+    quarter-count identity). One token pass builds bigram types; all
+    context statistics are windows over the TYPE frame."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(T.tokens(F.col("text")).alias("l"))
+    bg = (
+        toks.select(F.explode(T.shingles(F.col("l"), 2)).alias("s"))
+        .select(
+            F.split(F.col("s"), " ").getItem(0).alias("w1"),
+            F.split(F.col("s"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    d38 = "decimal(38,0)"
+    ctx = bg.select(
+        "w1",
+        "w2",
+        "c",
+        F.sum("c").over(Window.partitionBy("w1")).cast(d38).alias("c1"),
+        F.count("*").over(Window.partitionBy("w1")).cast(d38).alias("n1fwd"),
+        F.count("*").over(Window.partitionBy("w2")).cast(d38).alias("n1bwd"),
+    )
+    t = bg.agg(F.count("*").cast(d38).alias("types"))
+    return (
+        ctx.crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("n"),
+            F.expr(
+                "CAST((2 * (GREATEST(4 * CAST(c AS DECIMAL(38,0)) - 3, CAST(0 AS DECIMAL(38,0)))"
+                " * types + 3 * n1fwd * n1bwd) * 1000000"
+                " + 4 * c1 * types)"
+                " DIV (2 * 4 * c1 * types) AS BIGINT)"
+            ).alias("p_kn_micro"),
+        )
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(30)
+    )
+
+
+# ---------- q280: SemDeDup (embedding-cluster semantic dedup)
+
+# The SemDeDup recipe (Abbas et al. 2023): bucket vectors with a coarse
+# quantizer, find high-cosine pairs WITHIN buckets only, connect them
+# into duplicate groups, keep one representative per group. Reuses
+# q51's within-label pair stage (precomputed norms, rounded sims) and
+# the pointer-doubling CC operator; representative = min vec_id, so
+# labels are engine-independent. Quadratic work is confined to buckets
+# — the same scale posture as IVF — and the CC loop shuffles only edge
+# endpoints. Oracle: identical pair SQL + a recursive-CTE min-label
+# walk (the q152 pattern).
+_SEMDEDUP_ORACLE = """
+WITH RECURSIVE sims AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) > 0.3
+), und AS (
+    SELECT vec_a AS src, vec_b AS dst FROM sims
+    UNION SELECT vec_b, vec_a FROM sims
+), walk(node, label) AS (
+    SELECT DISTINCT src, src FROM und
+    UNION
+    SELECT u.dst, w.label FROM walk w JOIN und u ON u.src = w.node
+), cc AS (
+    SELECT node AS vec_id, MIN(label) AS rep FROM walk GROUP BY node
+)
+SELECT e.vec_id,
+       CAST(COALESCE(cc.rep, e.vec_id) AS BIGINT) AS rep,
+       CAST(CASE WHEN cc.rep IS NULL OR cc.rep = e.vec_id THEN 1 ELSE 0 END AS INT) AS keep
+FROM embeddings e LEFT JOIN cc ON cc.vec_id = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
+@register("q280_semantic_dedup", oracle=_SEMDEDUP_ORACLE)
+def q280(spark, sf_dir):
+    """SemDeDup keep/drop decisions (oracle comment). Pairs from q51's
+    bucketed stage; groups from pointer-doubling CC; singletons keep
+    themselves via the left join."""
+    from .llm import q51
+
+    pairs = q51(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    cc = connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("component").alias("rep0")
+    )
+    e = load_tables(spark, sf_dir)["embeddings"].select("vec_id")
+    return (
+        e.join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("rep0", F.col("vec_id")).cast("bigint").alias("rep"),
+            F.when(
+                F.col("rep0").isNull() | (F.col("rep0") == F.col("vec_id")), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------- q281: preference-pair mining (DPO/RLHF data prep)
+
+# Build (chosen, rejected) training pairs per source: rank documents by
+# an integer quality proxy (stopword ratio in round-half-up micro
+# units — fluent English has a high function-word share) and pair the
+# i-th best with the i-th worst, i = 1..3. Both rankings use the
+# unique (score, doc_id) tiebreak, so the pairing is deterministic;
+# windows are PARTITIONED by source; margins stay integer.
+_PREF_ORACLE = """
+WITH q AS (
+    SELECT source, doc_id,
+           CAST((2 * CAST(LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '),
+                        t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+                   AS HUGEINT) * 1000000
+                 + LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)))
+                // (2 * LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)))
+                AS BIGINT) AS score
+    FROM documents
+    WHERE LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) > 0
+), r AS (
+    SELECT source, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rb,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY score ASC, doc_id) AS rw
+    FROM q
+)
+SELECT b.source, CAST(b.rb AS INT) AS pair_rank,
+       b.doc_id AS chosen_doc, w.doc_id AS rejected_doc,
+       CAST(b.score - w.score AS BIGINT) AS margin_micro
+FROM r b JOIN r w ON w.source = b.source AND w.rw = b.rb
+WHERE b.rb <= 3
+ORDER BY b.source, pair_rank
+"""
+
+
+@register("q281_preference_pairs", oracle=_PREF_ORACLE)
+def q281(spark, sf_dir):
+    """Top-vs-bottom preference pairs per source (oracle comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tk = T.tokens(F.col("text"))
+    q = d.select("source", "doc_id", tk.alias("tk")).where(F.size("tk") > 0)
+    q = q.select(
+        "source",
+        "doc_id",
+        F.expr(
+            "CAST((2 * CAST(size(filter(tk, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))"
+            " AS DECIMAL(38,0)) * 1000000 + size(tk))"
+            " DIV (2 * size(tk)) AS BIGINT)"
+        ).alias("score"),
+    )
+    rb = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("score").desc(), "doc_id")
+    )
+    rw = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("score").asc(), "doc_id")
+    )
+    r = q.select("source", "doc_id", "score", rb.alias("rb"), rw.alias("rw"))
+    b = r.where(F.col("rb") <= 3).select(
+        "source",
+        F.col("rb").cast("int").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score").alias("bs"),
+    )
+    w = r.select(
+        F.col("source").alias("wsource"),
+        F.col("rw").alias("wr"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score").alias("ws"),
+    )
+    return (
+        b.join(
+            w,
+            (F.col("wsource") == F.col("source")) & (F.col("wr") == F.col("pair_rank")),
+        )
+        .select(
+            "source",
+            "pair_rank",
+            "chosen_doc",
+            "rejected_doc",
+            (F.col("bs") - F.col("ws")).cast("bigint").alias("margin_micro"),
+        )
+        .orderBy("source", "pair_rank")
+    )
+
+
+# ---------- q283: stratified train/test split (per-stratum ratio audit)
+
+# Deterministic 80/20 split WITHIN every (source, lang) stratum —
+# fold-hash on doc_id (q273's anchor) so re-runs and engines agree —
+# plus the ratio audit that catches strata too small to split. Pure
+# projection + one map-side-combinable aggregate.
+_STRAT_ORACLE = """
+WITH s AS (
+    SELECT source, lang,
+           CASE WHEN ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 = 0
+                THEN 1 ELSE 0 END AS is_test
+    FROM documents
+)
+SELECT source, lang,
+       CAST(SUM(1 - is_test) AS BIGINT) AS n_train,
+       CAST(SUM(is_test) AS BIGINT) AS n_test,
+       CAST((2 * CAST(SUM(is_test) AS HUGEINT) * 1000000 + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS test_share_micro
+FROM s GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+@register("q283_stratified_split", oracle=_STRAT_ORACLE)
+def q283(spark, sf_dir):
+    """Stratified deterministic split audit (oracle comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    is_test = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(5),
+        )
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        d.select("source", "lang", is_test.alias("is_test"))
+        .groupBy("source", "lang")
+        .agg(
+            F.sum(1 - F.col("is_test")).cast("bigint").alias("n_train"),
+            F.sum("is_test").cast("bigint").alias("n_test"),
+            F.expr(
+                "CAST((2 * CAST(SUM(is_test) AS DECIMAL(38,0)) * 1000000 + COUNT(*))"
+                " DIV (2 * COUNT(*)) AS BIGINT)"
+            ).alias("test_share_micro"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+# ---------- q282: MMR diversified re-ranking (retrieval stack)
+
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedily
+# pick k=5 of the top-20 candidates maximizing
+#   mmr(c) = 0.5·sim(c, query) − 0.5·max_{s∈Selected} sim(c, s),
+# the diversification pass that sits after q105/q106/q107 in a
+# retrieval stack. The DISTRIBUTED work is candidate generation (full
+# scan → rounded-cosine top-20 with the unique (sim DESC, vec_id)
+# tiebreak — at 100 TB this is the IVF/LSH path of q52/q135); the
+# greedy loop then runs on the DRIVER over the 20×20 rounded-sim
+# matrix — bounded math, the kmeans-centroid rule, never an iterative
+# shuffle. Rounded(4) sims + id tiebreaks make every greedy choice
+# engine-deterministic. No SQL oracle (greedy argmax is iterative);
+# the property twin replays the same greedy over DuckDB-computed sims.
+@register("q282_mmr_rerank", tags=("approx",))
+def q282(spark, sf_dir):
+    from ..functions import vectors as V
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    qv = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "embedding", V.cosine(F.col("embedding"), F.col("qe")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(20)
+    )
+    cands = scored.select("vec_id", "embedding", "rel")
+    a = cands.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = cands.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    simmat = {
+        (r["ia"], r["ib"]): r["s"]
+        for r in a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .select("ia", "ib", V.cosine(F.col("ea"), F.col("eb")).alias("s"))
+        .collect()  # 190 rows — bounded driver traffic
+    }
+    rel = {r["vec_id"]: r["rel"] for r in cands.select("vec_id", "rel").collect()}
+
+    def pair(i, j):
+        return simmat[(i, j) if i < j else (j, i)]
+
+    selected: list[int] = []
+    rows = []
+    for rank in range(1, 6):
+        best = None
+        for c in sorted(rel):
+            if c in [s for s in selected]:
+                continue
+            div = max((pair(c, s) for s in selected), default=0.0)
+            score = round(0.5 * rel[c] - 0.5 * div, 4)
+            # unique (score DESC, vec_id ASC) argmax
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        selected.append(best[1])
+        rows.append((rank, best[1], rel[best[1]], best[2]))
+    return spark.createDataFrame(
+        rows, "rank int, vec_id bigint, rel_sim double, mmr_score double"
     )

@@ -917,3 +917,64 @@ def test_pca_explained_matches_numpy_direct(spark, duck):
         want_val, want_ratio = round(float(ev[k]), 6), round(float(ev[k] / total), 6)
         assert abs(got[k + 1][0] - want_val) <= 1e-6, (k, got[k + 1], want_val)
         assert abs(got[k + 1][1] - want_ratio) <= 1e-6, (k, got[k + 1], want_ratio)
+
+
+def test_mmr_rerank_matches_duckdb_greedy(spark, duck):
+    """q282 twin: replay the same greedy MMR (lambda=0.5, k=5, rounded(4)
+    sims, (score DESC, id ASC) argmax) over DuckDB-computed cosines —
+    the iterative greedy no SQL oracle can express."""
+    from tests.conftest import SF_SMALL
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+
+    got = [
+        (r["rank"], r["vec_id"], r["rel_sim"], r["mmr_score"])
+        for r in load_all()["q282_mmr_rerank"].fn(spark, SF_SMALL).collect()
+    ]
+
+    qid = duck.sql("SELECT MIN(vec_id) FROM embeddings").fetchone()[0]
+    rel = dict(
+        duck.sql(
+            f"""
+            SELECT b.vec_id,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id = {qid} AND b.vec_id <> {qid}
+            ORDER BY 2 DESC, b.vec_id LIMIT 20
+            """
+        ).fetchall()
+    )
+    ids = sorted(rel)
+    simmat = {
+        (x, y): s
+        for x, y, s in duck.sql(
+            f"""
+            SELECT a.vec_id, b.vec_id,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id IN ({','.join(map(str, ids))})
+              AND b.vec_id IN ({','.join(map(str, ids))})
+            """
+        ).fetchall()
+    }
+
+    def pair(i, j):
+        return simmat[(i, j) if i < j else (j, i)]
+
+    selected, want = [], []
+    for rank in range(1, 6):
+        best = None
+        for c in ids:
+            if c in selected:
+                continue
+            div = max((pair(c, s) for s in selected), default=0.0)
+            score = round(0.5 * rel[c] - 0.5 * div, 4)
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        selected.append(best[1])
+        want.append((rank, best[1], rel[best[1]], best[2]))
+
+    assert [(r, v) for r, v, _, _ in got] == [(r, v) for r, v, _, _ in want]
+    for (_, _, gr, gm), (_, _, wr, wm) in zip(got, want):
+        assert abs(gr - wr) <= 1e-9 and abs(gm - wm) <= 1e-9, (got, want)

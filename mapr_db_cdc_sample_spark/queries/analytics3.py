@@ -915,3 +915,127 @@ def q282(spark, sf_dir):
     return spark.createDataFrame(
         rows, "rank int, vec_id bigint, rel_sim double, mmr_score double"
     )
+
+
+# ---------- q286: k-NN graph construction (bucketed, k=5)
+
+# The directed k-nearest-neighbor graph over embeddings — the input
+# structure for graph-based ANN indexes (HNSW layers), label
+# propagation, and q253-style BFS analytics. Candidates are confined to
+# the coarse-quantizer bucket (label), like q51/q280: quadratic only
+# within buckets, top-k per vector via one rank window over the
+# within-bucket pair frame (WindowGroupLimit pushes k=5 down). Rounded
+# (4) sims + vec_b tiebreak make ranks engine-deterministic.
+_KNN_ORACLE = """
+WITH p AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id <> b.vec_id
+), r AS (
+    SELECT vec_a, vec_b, sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) AS rank
+    FROM p
+)
+SELECT vec_a, CAST(rank AS INT) AS rank, vec_b, sim
+FROM r WHERE rank <= 5 ORDER BY vec_a, rank
+"""
+
+
+@register("q286_knn_graph", oracle=_KNN_ORACLE)
+def q286(spark, sf_dir):
+    """Bucketed k-NN graph, k=5 (oracle comment). Norms precomputed per
+    vector so the pair stage folds only the dot product."""
+    from ..functions import vectors as V
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    withn = e.select(
+        "label", "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    a = withn.select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        "label",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = F.round(V.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
+    pairs = (
+        a.join(b, ["label"])
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.col("sim").desc(), "vec_b")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("vec_a", F.col("rank").cast("int"), "vec_b", "sim")
+        .orderBy("vec_a", "rank")
+    )
+
+
+# ---------- q287: day-of-week seasonal index (multiplicative profile)
+
+# index(dow) = mean revenue on that weekday / overall mean — the
+# multiplicative seasonal profile that q233's anomaly detector and
+# q270's ACF peaks both presuppose. Exact rational:
+# (sum_d · n) / (n_d · sum) in round-half-up micro units (all operands
+# positive BIGINT/HUGEINT). DAYOFWEEK differs across engines (Spark:
+# Sunday=1; DuckDB dayofweek: Sunday=0) — both sides use the
+# engine-neutral epoch-day mod 7 (1970-01-01 was a THURSDAY; 0=Thu).
+_SEASONAL_IDX_ORACLE = _DAILY_CTE + """
+, d AS (
+    SELECT CAST(EPOCH_MS(CAST(day AS TIMESTAMP)) // 86400000 % 7 AS INT) AS dow7,
+           cents
+    FROM daily
+), t AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(cents) AS HUGEINT) AS s FROM d
+)
+SELECT dow7,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST((2 * CAST(SUM(cents) AS HUGEINT) * n * 1000000 + COUNT(*) * s)
+            // (2 * COUNT(*) * s) AS BIGINT) AS index_micro
+FROM d, t
+GROUP BY dow7, n, s ORDER BY dow7
+"""
+
+
+@register("q287_seasonal_index", oracle=_SEASONAL_IDX_ORACLE)
+def q287(spark, sf_dir):
+    """Weekday seasonal index in exact integer arithmetic (oracle
+    comment; epoch-day mod 7 sidesteps the engines' DAYOFWEEK origin
+    mismatch)."""
+    daily = _daily_cents(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    d = daily.select(
+        F.pmod(F.unix_date(F.col("day").cast("date")), F.lit(7)).cast("int").alias("dow7"),
+        "cents",
+    )
+    t = d.agg(
+        F.count("*").cast(d38).alias("n"), F.sum("cents").cast(d38).alias("s")
+    )
+    return (
+        d.groupBy("dow7")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "dow7",
+            "n_days",
+            "sum_cents",
+            F.expr(
+                "CAST((2 * CAST(sum_cents AS DECIMAL(38,0)) * n * 1000000"
+                " + CAST(n_days AS DECIMAL(38,0)) * s)"
+                " DIV (2 * CAST(n_days AS DECIMAL(38,0)) * s) AS BIGINT)"
+            ).alias("index_micro"),
+        )
+        .orderBy("dow7")
+    )

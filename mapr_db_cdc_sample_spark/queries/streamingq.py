@@ -312,3 +312,4 @@ def q243(spark, sf_dir):
     stream, n = _events_stream(spark, sf_dir)
     bars = _drain(tumbling_ohlc(stream), "q243", "complete").orderBy("day")
     return _with_input_count(bars, n)
+

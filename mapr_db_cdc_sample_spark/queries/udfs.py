@@ -216,3 +216,46 @@ from .corpus import _CHUNK_ORACLE as _Q126_ORACLE  # noqa: E402
 from . import REGISTRY as _REG  # noqa: E402
 
 _REG["q126_python_udtf"].oracle = _Q126_ORACLE
+
+
+_UDTF_ANALYZE_ORACLE = """
+SELECT doc_id,
+       CAST(LEN(LOWER(text)) - LEN(REPLACE(LOWER(text), 'a', '')) AS BIGINT) AS n_a,
+       CAST(LEN(LOWER(text)) - LEN(REPLACE(LOWER(text), 'e', '')) AS BIGINT) AS n_e,
+       CAST(LEN(LOWER(text)) - LEN(REPLACE(LOWER(text), 'z', '')) AS BIGINT) AS n_z
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("q285_udtf_analyze", oracle=_UDTF_ANALYZE_ORACLE)
+def q285(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (Spark 4 `analyze()`): the output schema
+    is computed at plan time from the literal letter-list argument —
+    one column per requested letter — the dynamic-schema rung above
+    q126's static UDTF. The letter list rides a constant, so Catalyst
+    sees a fixed schema downstream; per-row work is a plain generator
+    in executor Python workers."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class LetterCounts:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, letters: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for ch in letters.value.split(","):
+                schema = schema.add(f"n_{ch}", LongType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, letters):
+            ls = letters.split(",")
+            t = (text or "").lower()
+            yield tuple(t.count(ch) for ch in ls)
+
+    load_tables(spark, sf_dir)
+    spark.udtf.register("letter_counts", LetterCounts)
+    return spark.sql(
+        "SELECT d.doc_id, c.* FROM documents d, "
+        "LATERAL letter_counts(d.text, 'a,e,z') c ORDER BY d.doc_id"
+    )

@@ -21,6 +21,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -100,4 +101,66 @@ def materialize(cdc_stream: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------- transformWithState: running per-user spend totals
+
+RUNNING_SCHEMA = "user_id long, n_events long, spend_cents long"
+
+
+def running_totals(events_stream: DataFrame) -> DataFrame:
+    """Per-user running (event count, spend) via transformWithStateInPandas
+    — Spark 4's arbitrary-state API (the successor to
+    applyInPandasWithState used by `materialize` above): explicit named
+    state handles (getValueState), timers, and TTL support. State here is
+    one (n, cents) ValueState per user; every micro-batch emits the
+    user's post-batch totals, so the LAST emission per user equals the
+    batch aggregate (the stream==batch law tests assert).
+
+    Scale: state is O(1) per key; the RocksDB state store provider holds
+    100 TB keyspaces; emission is update-mode (only touched keys).
+
+    ENV GATE: the transformWithState Python worker protocol serializes
+    state over protobuf, which this container does not ship (no pip
+    install) — the guard below raises a clear error instead of an
+    opaque executor ImportError; tests skip when protobuf is absent and
+    the applyInPandasWithState lane (`materialize`) carries the
+    always-on stateful-streaming coverage."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise EnvironmentError(
+            "transformWithStateInPandas requires the protobuf package in "
+            "the Python workers; not available in this environment"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, cents long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += int(len(pdf))
+                cents += int(pdf["cents"].sum())
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "spend_cents": cents}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    keyed = events_stream.select("user_id", cents.alias("cents"))
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

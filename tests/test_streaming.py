@@ -491,3 +491,56 @@ def test_cdc_latency_budget(spark, tmp_path):
     assert steady["within_budget"] >= steady["n"] - 2, steady
     with open(os.path.join(REPO, "LATENCY.json"), "w") as fh:
         _json.dump(out, fh, indent=1)
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas rung (Spark 4 arbitrary-state API):
+    per-user running totals; the final emission per user must equal the
+    batch aggregate. Skips when the container lacks protobuf (the
+    worker-side state protocol needs it — documented env gate in
+    streaming/stateful.py); the guard path is asserted either way."""
+    from mapr_db_cdc_sample_spark.sources.replay import read_replay, write_replay
+    from mapr_db_cdc_sample_spark.streaming.stateful import running_totals
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        have_pb = True
+    except ImportError:
+        have_pb = False
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"].orderBy(
+        "event_id"
+    ).limit(500)
+    path = write_replay(ev, n_chunks=2, base_dir=str(tmp_path / "replay"), order_by="ts")
+    stream = read_replay(spark, path, ev.schema, files_per_trigger=1)
+
+    if not have_pb:
+        with pytest.raises(EnvironmentError, match="protobuf"):
+            running_totals(stream)
+        return
+
+    from mapr_db_cdc_sample_spark.sources.replay import run_to_memory
+
+    name = _mem("q284")
+    run_to_memory(running_totals(stream), name, output_mode="update")
+    out = spark.table(name)
+    w = F.row_number().over(
+        __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+            "user_id"
+        ).orderBy(F.col("n_events").desc())
+    )
+    final = {
+        (r["user_id"]): (r["n_events"], r["spend_cents"])
+        for r in out.withColumn("rn", w).where(F.col("rn") == 1).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert final == want

@@ -1039,3 +1039,151 @@ def q287(spark, sf_dir):
         )
         .orderBy("dow7")
     )
+
+
+# ---------- q288: CUSUM changepoint detection (exact integer)
+
+# Where did the daily-revenue level shift? The CUSUM statistic
+# C_t = Σ_{i<=t}(x_i − x̄) peaks at the changepoint; multiplying by n
+# clears the mean exactly: n·C_t = n·prefix_t − t·S (all integers, no
+# FP). Output = the top-3 |n·C_t| days (unique (|nC| DESC, day)
+# tiebreak) plus the signed statistic — prefix sums via ONE ordered
+# window over the |days| aggregate. |n·C_t| ~ n·Σ ~ 1e4·1e13 = 1e17 at
+# sf0.1 — BIGINT-safe, DECIMAL(38)/HUGEINT for headroom.
+_CUSUM_ORACLE = _DAILY_CTE + """
+, p AS (
+    SELECT day,
+           CAST(SUM(cents) OVER (ORDER BY day) AS HUGEINT) AS pre,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT) AS t
+    FROM daily
+), tot AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(cents) AS HUGEINT) AS s FROM daily
+), c AS (
+    SELECT day, CAST(n * pre - t * s AS HUGEINT) AS nc FROM p, tot
+)
+SELECT day,
+       CAST(nc AS BIGINT) AS ncusum,
+       CAST(ABS(nc) AS BIGINT) AS abs_ncusum
+FROM c ORDER BY abs_ncusum DESC, day LIMIT 3
+"""
+
+
+@register("q288_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def q288(spark, sf_dir):
+    """Top-3 CUSUM changepoint candidates (oracle comment): exact
+    integer n-scaled CUSUM, one ordered window above the daily
+    aggregate, unique (|nC| DESC, day) tiebreak under the LIMIT."""
+    daily = _daily_cents(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    w = Window.orderBy("day")
+    p = daily.select(
+        "day",
+        F.sum("cents").over(w).cast(d38).alias("pre"),
+        F.row_number().over(w).cast(d38).alias("t"),
+    )
+    tot = daily.agg(
+        F.count("*").cast(d38).alias("n"), F.sum("cents").cast(d38).alias("s")
+    )
+    c = p.crossJoin(F.broadcast(tot)).select(
+        "day", (F.col("n") * F.col("pre") - F.col("t") * F.col("s")).alias("nc")
+    )
+    return (
+        c.select(
+            "day",
+            F.col("nc").cast("bigint").alias("ncusum"),
+            F.abs("nc").cast("bigint").alias("abs_ncusum"),
+        )
+        .orderBy(F.col("abs_ncusum").desc(), "day")
+        .limit(3)
+    )
+
+
+# ---------- q289: greedy max-coverage source selection (data valuation)
+
+# "Which k corpus sources buy the most distinct content?" — the greedy
+# set-cover heuristic behind data-mixing and budget-constrained corpus
+# selection (each step picks the source adding the most NOT-yet-covered
+# 3-gram shingles; the classic (1−1/e) approximation). Iterative by
+# nature (no SQL oracle): k=3 rounds, each ONE distributed anti-join of
+# the (source, shingle) frame against the covered-shingle set plus an
+# 8-row argmax on the driver (sources are a dimension); the covered set
+# is localCheckpoint'ed per round like BFS frontiers. The property twin
+# replays the greedy from raw Python shingle sets.
+@register("q289_greedy_source_cover", tags=("approx",))
+def q289(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = (
+        d.select(
+            "source",
+            F.explode_outer(T.shingles(T.tokens(F.col("text")), 3)).alias("s"),
+        )
+        .where(F.col("s").isNotNull())
+        .select("source", T.shingle_hash60(F.col("s")).alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    covered = None
+    rows, picked = [], []
+    for step in range(1, 4):
+        remaining = sh.where(~F.col("source").isin(picked)) if picked else sh
+        gain = (
+            remaining.join(covered, "h", "left_anti") if covered is not None else remaining
+        )
+        counts = {
+            r["source"]: r["g"]
+            for r in gain.groupBy("source").agg(F.count("*").alias("g")).collect()
+        }  # |sources| rows — bounded driver traffic
+        if not counts:
+            break
+        best = min(counts, key=lambda s: (-counts[s], s))
+        picked.append(best)
+        newly = sh.where(F.col("source") == best).select("h")
+        covered = (
+            newly if covered is None else covered.unionByName(newly).distinct()
+        ).localCheckpoint()
+        rows.append((step, best, int(counts[best]), covered.count()))
+    return spark.createDataFrame(
+        rows, "step int, source string, new_shingles bigint, covered_total bigint"
+    )
+
+
+# ---------- q290: lag-feature matrix (forecasting feature prep)
+
+# The standard supervised-forecasting frame: per day, the target plus
+# lag-1/7/28 values and the trailing-7 mean — one ordered window pass
+# over the |days| aggregate, NULL where history is short (the model's
+# mask column), integer round-half-up for the mean.
+_LAGFEAT_ORACLE = _DAILY_CTE + """
+SELECT day, cents,
+       LAG(cents, 1)  OVER w AS lag1,
+       LAG(cents, 7)  OVER w AS lag7,
+       LAG(cents, 28) OVER w AS lag28,
+       CASE WHEN COUNT(*) OVER f = 7
+            THEN CAST((2 * CAST(SUM(cents) OVER f AS HUGEINT) + 7) // 14 AS BIGINT)
+       END AS ma7_cents
+FROM daily
+WINDOW w AS (ORDER BY day),
+       f AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
+@register("q290_lag_features", oracle=_LAGFEAT_ORACLE)
+def q290(spark, sf_dir):
+    """Lag/rolling feature frame for forecasting (oracle comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("day")
+    f = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "cents",
+        F.lag("cents", 1).over(w).alias("lag1"),
+        F.lag("cents", 7).over(w).alias("lag7"),
+        F.lag("cents", 28).over(w).alias("lag28"),
+        F.when(
+            F.count("*").over(f) == 7,
+            F.expr("(2 * CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) + 7) DIV 14"),
+        )
+        .cast("bigint")
+        .alias("ma7_cents"),
+    ).orderBy("day")

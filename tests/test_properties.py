@@ -978,3 +978,36 @@ def test_mmr_rerank_matches_duckdb_greedy(spark, duck):
     assert [(r, v) for r, v, _, _ in got] == [(r, v) for r, v, _, _ in want]
     for (_, _, gr, gm), (_, _, wr, wm) in zip(got, want):
         assert abs(gr - wr) <= 1e-9 and abs(gm - wm) <= 1e-9, (got, want)
+
+
+def test_greedy_source_cover_matches_python(spark, duck):
+    """q289 twin: replay the greedy max-coverage selection from raw
+    Python 3-gram shingle sets (ties -> lexicographically smallest
+    source) — the iterative greedy no SQL oracle can express."""
+    from tests.conftest import SF_SMALL
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+
+    got = [
+        (r["step"], r["source"], r["new_shingles"], r["covered_total"])
+        for r in load_all()["q289_greedy_source_cover"].fn(spark, SF_SMALL).collect()
+    ]
+
+    rows = duck.sql("SELECT source, text FROM documents").fetchall()
+    sets: dict[str, set] = {}
+    for src, text in rows:
+        toks = [t for t in text.lower().split(" ") if t]
+        sets.setdefault(src, set()).update(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+    covered: set = set()
+    want = []
+    for step in range(1, 4):
+        remaining = [s for s in sets if s not in [w[1] for w in want]]
+        if not remaining:
+            break
+        best = min(remaining, key=lambda s: (-len(sets[s] - covered), s))
+        gain = len(sets[best] - covered)
+        covered |= sets[best]
+        want.append((step, best, gain, len(covered)))
+    assert got == want

@@ -50,7 +50,8 @@ def load_all() -> dict[str, QueryDef]:
 
     # must come last: clones the current rotation band's oracled entries
     # under window-sorted names so the external gate verifies that band
-    # (round 5: q135-q186 — see aliases.py's module docstring)
+    # (round 6: q187-q236 — see aliases.py's module docstring for the
+    # rotation history and the q237+ backlog)
     from . import aliases  # noqa: F401
 
     return REGISTRY

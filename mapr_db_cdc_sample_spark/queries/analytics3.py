@@ -384,16 +384,11 @@ ORDER BY dim_i, dim_j
 def _gram_partials(spark, sf_dir):
     """(dim_i, dim_j, gram_q) partial Gram rows, one upper triangle per
     Arrow batch — shared by q275 (exact sum) and q276 (PCA)."""
-    import numpy as np
-    import pandas as pd
-
     emb = load_tables(spark, sf_dir)["embeddings"].select(
         F.transform(
             "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
         ).alias("v")
     )
-
-    iu = None  # built lazily inside workers
 
     def gram(batches):
         import numpy as np
@@ -902,7 +897,7 @@ def q282(spark, sf_dir):
     for rank in range(1, 6):
         best = None
         for c in sorted(rel):
-            if c in [s for s in selected]:
+            if c in selected:
                 continue
             div = max((pair(c, s) for s in selected), default=0.0)
             score = round(0.5 * rel[c] - 0.5 * div, 4)
@@ -910,6 +905,8 @@ def q282(spark, sf_dir):
             key = (-score, c)
             if best is None or key < best[0]:
                 best = (key, c, score)
+        if best is None:  # fewer candidates than k: return the shorter ranking
+            break
         selected.append(best[1])
         rows.append((rank, best[1], rel[best[1]], best[2]))
     return spark.createDataFrame(

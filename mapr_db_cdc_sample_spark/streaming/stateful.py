@@ -164,3 +164,40 @@ def running_totals(events_stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def running_totals_compat(events_stream: DataFrame) -> DataFrame:
+    """Same running-totals semantics on the always-available
+    applyInPandasWithState rung — the fallback lane that keeps q284 a
+    first-class registry entry in containers without protobuf (see
+    running_totals' env gate). Identical emission contract: every
+    micro-batch yields each touched user's post-batch totals."""
+
+    def fold(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            cents += int(pdf["cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "spend_cents": cents}]
+        )
+
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    keyed = events_stream.select("user_id", cents.alias("cents"))
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_totals_auto(events_stream: DataFrame) -> DataFrame:
+    """Prefer the transformWithStateInPandas lane, fall back to the
+    applyInPandasWithState twin when the container lacks protobuf."""
+    try:
+        return running_totals(events_stream)
+    except EnvironmentError:
+        return running_totals_compat(events_stream)

@@ -1008,6 +1008,8 @@ def test_greedy_source_cover_matches_python(spark, duck):
             break
         best = min(remaining, key=lambda s: (-len(sets[s] - covered), s))
         gain = len(sets[best] - covered)
+        if gain == 0:  # q289's stop rule: never pick a zero-gain source
+            break
         covered |= sets[best]
         want.append((step, best, gain, len(covered)))
     assert got == want

@@ -18,6 +18,7 @@ round-5 verdict, Next round #3)."""
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import sys
@@ -80,8 +81,9 @@ def measure(spark, base_dir: str, timeout_s: float = 120.0) -> dict:
         "steady": {
             "n": len(steady),
             "median_ms": statistics.median(steady) if steady else None,
+            # nearest-rank percentile: ceil(0.9 n)-th order statistic
             "p90_ms": (
-                sorted(steady)[max(0, int(len(steady) * 0.9) - 1)] if steady else None
+                sorted(steady)[math.ceil(0.9 * len(steady)) - 1] if steady else None
             ),
             "max_ms": max(steady) if steady else None,
             "within_budget": sum(1 for d in steady if d <= BUDGET_MS),

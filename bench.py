@@ -305,8 +305,21 @@ def main() -> None:
     # min-of-N per query: JIT/GC noise on a shared box dwarfs plan-level
     # differences; steady-state is what scales.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Session recycling: one long-lived JVM accumulates codegen-cache,
+    # metaspace and shuffle-dir state across hundreds of distinct plans,
+    # and late-positioned queries absorb it (measured r6: q135 timed
+    # 7.1 s at position ~130 of 277 vs 1.95 s in a fresh session; r5's
+    # 207-query run showed the same drift milder). Restart the session
+    # every RECYCLE queries so a query's number reflects its plan, not
+    # its position; each segment re-warms with Q01 first.
+    recycle = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "64"))
     timings: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
+        if i and i % recycle == 0:
+            spark.stop()
+            spark = get_spark("bench")
+            spark.sparkContext.setLogLevel("ERROR")
+            run_to_completion(registry["q01_scan_count"].fn(spark, sf_dir))
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()

@@ -23,6 +23,7 @@ from ..functions import text as T
 from ..io import load_tables
 from ..operators.dedup_pipeline import connected_components
 from . import register
+from .llm import _BANDS_CTE, _MINHASH_CTE
 
 # Shared CTE: exact daily revenue in integer cents. DuckDB SUM(BIGINT)
 # is HUGEINT -> cast back; Spark sums BIGINT natively (overflow would
@@ -1184,3 +1185,354 @@ def q290(spark, sf_dir):
         .cast("bigint")
         .alias("ma7_cents"),
     ).orderBy("day")
+
+
+# ---------- q291: weighted median (per-brand, quantity-weighted)
+
+# The lower weighted median of extended price per brand, weighted by
+# quantity — the robust "typical shipped price" (an unweighted median
+# over line items would over-count small orders). Lower-median rule:
+# the smallest value v with 2·cumweight(v) >= W — a pure integer
+# comparison, no interpolation, so it is engine-exact with no FLOOR
+# convention needed. Plan: collapse to (brand, cents) groups first
+# (map-side combinable), then brand-PARTITIONED cumulative windows —
+# parallel across the 25-brand dimension, never a global value sort.
+_WMEDIAN_ORACLE = """
+WITH g AS (
+    SELECT p.p_brand AS brand,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS w
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2
+), r AS (
+    SELECT brand, cents, w,
+           CAST(SUM(w) OVER (PARTITION BY brand ORDER BY cents) AS BIGINT) AS cumw,
+           CAST(SUM(w) OVER (PARTITION BY brand) AS BIGINT) AS tot
+    FROM g
+)
+SELECT brand,
+       CAST(MAX(tot) AS BIGINT) AS w_total,
+       CAST(MIN(CASE WHEN 2 * cumw >= tot THEN cents END) AS BIGINT) AS wmedian_cents
+FROM r GROUP BY brand ORDER BY brand
+"""
+
+
+@register("q291_weighted_median", oracle=_WMEDIAN_ORACLE)
+def q291(spark, sf_dir):
+    """Quantity-weighted lower median per brand (oracle comment)."""
+    t = load_tables(spark, sf_dir)
+    g = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            "l_quantity",
+        )
+        .groupBy("brand", "cents")
+        .agg(F.sum("l_quantity").cast("bigint").alias("w"))
+    )
+    r = g.select(
+        "brand",
+        "cents",
+        F.sum("w").over(Window.partitionBy("brand").orderBy("cents")).cast("bigint").alias("cumw"),
+        F.sum("w").over(Window.partitionBy("brand")).cast("bigint").alias("tot"),
+    )
+    return (
+        r.groupBy("brand")
+        .agg(
+            F.max("tot").cast("bigint").alias("w_total"),
+            F.min(F.when(2 * F.col("cumw") >= F.col("tot"), F.col("cents")))
+            .cast("bigint")
+            .alias("wmedian_cents"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------- q292: Theil-Sen robust trend slope (daily revenue)
+
+# Median of all pairwise slopes — the robust alternative to q231's OLS
+# (a few anomalous days cannot move it). The pairwise stage is
+# quadratic in the TIME DIMENSION only (|days|² ≈ 1.4M at sf0.1; days
+# grow ~linearly in wall-clock time, never with fact volume — the same
+# dimension-quadratic posture as q250's name dimension, stated
+# honestly). Per-pair slope is integer round-half-up micro (slopes can
+# be negative -> +SHIFT·di keeps operands positive; di >= 1); the
+# median of those integers uses the q80/q209 floor-truncate recipe.
+_THEILSEN_ORACLE = _DAILY_CTE + """
+, idx AS (
+    SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily
+), p AS (
+    SELECT CAST(b.cents - a.cents AS HUGEINT) AS dc,
+           CAST(b.i - a.i AS HUGEINT) AS di
+    FROM idx a JOIN idx b ON b.i > a.i
+), s AS (
+    SELECT CAST((2 * (dc + 10000000000 * di) * 1000000 + di) // (2 * di)
+                - 10000000000 * 1000000 AS BIGINT) AS slope_micro
+    FROM p
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(FLOOR(QUANTILE_CONT(slope_micro, 0.5)) AS BIGINT) AS ts_slope_micro
+FROM s
+"""
+
+
+@register("q292_theil_sen", oracle=_THEILSEN_ORACLE)
+def q292(spark, sf_dir):
+    """Theil-Sen slope of daily revenue (oracle comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    idx = daily.select(
+        "cents", F.row_number().over(Window.orderBy("day")).alias("i")
+    )
+    a = idx.select(F.col("cents").alias("ca"), F.col("i").alias("ia"))
+    b = idx.select(F.col("cents").alias("cb"), F.col("i").alias("ib"))
+    d38 = "decimal(38,0)"
+    p = a.join(b, F.col("ib") > F.col("ia")).select(
+        (F.col("cb").cast(d38) - F.col("ca").cast(d38)).alias("dc"),
+        (F.col("ib").cast(d38) - F.col("ia").cast(d38)).alias("di"),
+    )
+    s = p.select(
+        F.expr(
+            "CAST((2 * (dc + 10000000000 * di) * 1000000 + di) DIV (2 * di)"
+            " - 10000000000 * 1000000 AS BIGINT)"
+        ).alias("slope_micro")
+    )
+    return s.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.floor(F.expr("percentile(slope_micro, 0.5)")).cast("bigint").alias(
+            "ts_slope_micro"
+        ),
+    )
+
+
+# ---------- q293: distinctive terms per source (corpus keyness)
+
+# Which terms are over-represented in each source vs the whole corpus?
+# lift(term, src) = rate_in_source / rate_overall as the exact rational
+# (c_st·N) / (n_s·c_t) in round-half-up micro units — the keyness scan
+# behind corpus cards and contamination triage. Counts collapse to the
+# (source, term) TYPE frame before any window; min support 20 kills the
+# long-tail noise; top-5 per source by (lift DESC, term) rank window
+# over the pre-aggregated frame.
+_KEYNESS_ORACLE = """
+WITH tok AS (
+    SELECT source,
+           UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
+    FROM documents
+), st AS (
+    SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY source, term
+), s AS (
+    SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source
+), t AS (
+    SELECT term, SUM(c_st) AS c_t FROM st GROUP BY term
+), n AS (SELECT SUM(c_st) AS big_n FROM st
+), lifted AS (
+    SELECT st.source, st.term, st.c_st,
+           CAST((2 * CAST(st.c_st AS HUGEINT) * big_n * 1000000
+                 + CAST(n_s AS HUGEINT) * c_t)
+                // (2 * CAST(n_s AS HUGEINT) * c_t) AS BIGINT) AS lift_micro
+    FROM st JOIN s USING (source) JOIN t USING (term), n
+    WHERE st.c_st >= 20
+), r AS (
+    SELECT source, term, c_st, lift_micro,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY lift_micro DESC, term) AS rn
+    FROM lifted
+)
+SELECT source, term, CAST(c_st AS BIGINT) AS n, lift_micro
+FROM r WHERE rn <= 5 ORDER BY source, lift_micro DESC, term
+"""
+
+
+@register("q293_distinctive_terms", oracle=_KEYNESS_ORACLE)
+def q293(spark, sf_dir):
+    """Top-5 keyness terms per source by exact-rational lift (oracle
+    comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("c_st"))
+    d38 = "decimal(38,0)"
+    s = st.groupBy("source").agg(F.sum("c_st").cast(d38).alias("n_s"))
+    t = st.groupBy("term").agg(F.sum("c_st").cast(d38).alias("c_t"))
+    n = st.agg(F.sum("c_st").cast(d38).alias("big_n"))
+    lifted = (
+        st.where(F.col("c_st") >= 20)
+        .join(s, "source")
+        .join(t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "c_st",
+            F.expr(
+                "CAST((2 * CAST(c_st AS DECIMAL(38,0)) * big_n * 1000000"
+                " + n_s * c_t) DIV (2 * n_s * c_t) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("lift_micro").desc(), "term")
+    return (
+        lifted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("source", "term", F.col("c_st").cast("bigint").alias("n"), "lift_micro")
+        .orderBy("source", F.col("lift_micro").desc(), "term")
+    )
+
+
+# ---------- q294: degree assortativity of the candidate graph (sqrt-free)
+
+# Do high-degree documents pair with other high-degree documents in the
+# LSH candidate graph? Degree assortativity is the Pearson correlation
+# over edge-endpoint degree pairs — reported here WITHOUT its square
+# root: sign(cov) and r² = cov²/(var_x·var_y) are EXACT RATIONALS of
+# integer moments (each edge contributes both orientations, so
+# var_x = var_y and the moments are symmetric), while r itself needs a
+# sqrt that re-opens FP divergence. All sums live on the EDGE dimension
+# (candidate pairs, a few percent of the corpus). Integer identity:
+#   cov·m²  = m·Σxy − Sx·Sy,  var·m² = m·Σx² − Sx²   (m = 2·|edges|)
+# r² in round-half-up micro units; magnitudes ~1e20 at sf0.1 →
+# DECIMAL(38)/HUGEINT.
+_ASSORT_ORACLE = _MINHASH_CTE + _BANDS_CTE + """
+, pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands_capped a JOIN bands_capped b ON a.band = b.band AND a.doc_id < b.doc_id
+), und AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+), deg AS (
+    SELECT u AS node, CAST(COUNT(*) AS HUGEINT) AS d FROM und GROUP BY u
+), ed AS (
+    SELECT du.d AS x, dv.d AS y
+    FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v
+), mom AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+           CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+           CAST(SUM(x*y) AS HUGEINT) AS sxy,
+           CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy
+    FROM ed
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       CAST(CASE WHEN m*sxy > sx*sy THEN 1 WHEN m*sxy < sx*sy THEN -1 ELSE 0 END AS INT)
+           AS r_sign,
+       CAST((2 * (m*sxy - sx*sy) * (m*sxy - sx*sy) * 1000000
+             + (m*sxx - sx*sx) * (m*syy - sy*sy))
+            // (2 * (m*sxx - sx*sx) * (m*syy - sy*sy)) AS BIGINT) AS r2_micro
+FROM mom
+"""
+
+
+@register("q294_degree_assortativity", oracle=_ASSORT_ORACLE)
+def q294(spark, sf_dir):
+    """Sqrt-free degree assortativity of the LSH candidate graph
+    (oracle comment). Cites the same capped banding pipeline as
+    q44/q152 (operators/banding.py)."""
+    from ..operators import banding as B
+    from .llm import _minhash_corpus
+
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = B.candidate_pairs(_minhash_corpus(d)).select("doc_a", "doc_b")
+    und = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).localCheckpoint()
+    d38 = "decimal(38,0)"
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count("*").cast(d38).alias("d"))
+    ed = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "x"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "y"), "v")
+        .select("x", "y")
+    )
+    mom = ed.agg(
+        F.count("*").cast(d38).alias("m"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(d38).alias("syy"),
+    )
+    return mom.select(
+        F.expr("CAST(m DIV 2 AS BIGINT)").alias("n_edges"),
+        F.when(F.expr("m*sxy > sx*sy"), F.lit(1))
+        .when(F.expr("m*sxy < sx*sy"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("r_sign"),
+        F.expr(
+            "CAST((2 * (m*sxy - sx*sy) * (m*sxy - sx*sy) * 1000000"
+            " + (m*sxx - sx*sx) * (m*syy - sy*sy))"
+            " DIV (2 * (m*sxx - sx*sx) * (m*syy - sy*sy)) AS BIGINT)"
+        ).alias("r2_micro"),
+    )
+
+
+# ---------- q295: SQL-defined scalar UDF (CREATE FUNCTION ... RETURN)
+
+# Spark 4 SQL UDFs: logic shared as a CATALOG OBJECT instead of a
+# client-side closure — the same function text can back dashboards,
+# pipelines and ad-hoc SQL, and Catalyst INLINES the body (no Python
+# worker, full codegen — the opposite end of the UDF ladder from
+# q57's row-at-a-time Python). The oracle inlines the identical
+# expression, proving the function is pure sugar in the plan.
+_SQLUDF_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                * (100 - CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS BIGINT)))
+            AS BIGINT) AS disc_cents_x100
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("q295_sql_udf", oracle=_SQLUDF_ORACLE)
+def q295(spark, sf_dir):
+    """Catalog-resident SQL UDF inlined by Catalyst (oracle comment).
+    Integer pct discount (exact ROUND before the int cast — Spark
+    truncates, DuckDB rounds) keeps the product exact BIGINT."""
+    load_tables(spark, sf_dir)
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS disc_cents")
+    spark.sql(
+        "CREATE TEMPORARY FUNCTION disc_cents(price DECIMAL(18,2), disc DOUBLE)"
+        " RETURNS BIGINT"
+        " RETURN CAST(price * 100 AS BIGINT)"
+        "   * (100 - CAST(ROUND(disc * 100) AS BIGINT))"
+    )
+    return spark.sql(
+        "SELECT l_returnflag,"
+        "       CAST(SUM(disc_cents(CAST(l_extendedprice AS DECIMAL(18,2)),"
+        "                           CAST(l_discount AS DOUBLE))) AS BIGINT)"
+        "           AS disc_cents_x100"
+        " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+
+
+# ---------- q296: IDENTIFIER() + named parameters (injection-safe SQL)
+
+# Spark 4's IDENTIFIER(:param) clause: table/column names arrive as
+# BOUND PARAMETERS, not string-spliced SQL — the injection-safe form of
+# dynamic-table queries (multi-tenant routing, metadata-driven
+# pipelines). The oracle is the static query, proving the dynamic form
+# resolves to the identical plan.
+_IDENT_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("q296_identifier_param", oracle=_IDENT_ORACLE)
+def q296(spark, sf_dir):
+    """Dynamic table/column reference via IDENTIFIER(:p) with named
+    parameter binding (oracle comment)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        "SELECT IDENTIFIER(:grp), CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM IDENTIFIER(:tbl) WHERE IDENTIFIER(:st) = :val"
+        " GROUP BY IDENTIFIER(:grp) ORDER BY IDENTIFIER(:grp)",
+        args={
+            "tbl": "orders",
+            "grp": "o_orderpriority",
+            "st": "o_orderstatus",
+            "val": "F",
+        },
+    )

@@ -20,8 +20,10 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions import vectors as V
 from ..io import load_tables
 from ..operators.dedup_pipeline import connected_components
+from ..operators.kcore import k_core
 from . import register
 from .llm import _BANDS_CTE, _MINHASH_CTE
 
@@ -1535,4 +1537,558 @@ def q296(spark, sf_dir):
             "st": "o_orderstatus",
             "val": "F",
         },
+    )
+
+
+# ---------- q297: multinomial naive Bayes language ID (train + score)
+
+# Train a Laplace-smoothed multinomial NB on the doc_id%5!=0 split and
+# classify the held-out 20% — the classic from-counts text classifier,
+# fully relational: token counts collapse to the (lang, term) TYPE
+# frame (map-side combinable), the per-(lang, term) log-likelihoods are
+# DISCRETIZED to micro units (ROUND(LN(p)*1e6) — a transcendental of
+# identical double inputs, rounded per the repo rule, generically never
+# on the .5 grid because LN(rational) is irrational), and every score
+# after that is exact integer arithmetic: score = prior_micro +
+# Σ tf·lp_micro. The model table is |vocab|×|langs| — broadcast-sized
+# at any corpus scale that has a bounded vocabulary; the only wide
+# shuffles are the token-count groupBys. Argmax by (score DESC, lang)
+# row_number, so ties (measure-zero) break identically on both engines.
+_NB_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, lang,
+           UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
+    FROM documents
+), train AS (
+    SELECT * FROM tok WHERE doc_id % 5 <> 0
+), ct AS (
+    SELECT lang, term, COUNT(*) AS c FROM train GROUP BY lang, term
+), tot AS (
+    SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM ct GROUP BY lang
+), voc AS (
+    SELECT COUNT(DISTINCT term) AS v FROM train
+), priors AS (
+    SELECT lang, COUNT(*) AS n_docs FROM documents
+    WHERE doc_id % 5 <> 0 GROUP BY lang
+), ntr AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS n_train FROM priors
+), lp AS (
+    SELECT ct.lang, ct.term,
+           CAST(ROUND(LN(CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE))
+                      * 1000000) AS BIGINT) AS lp_micro
+    FROM ct JOIN tot USING (lang), voc
+), lc AS (
+    SELECT p.lang,
+           CAST(ROUND(LN(CAST(1 AS DOUBLE) / CAST(tot + v AS DOUBLE))
+                      * 1000000) AS BIGINT) AS lp0_micro,
+           CAST(ROUND(LN(CAST(n_docs AS DOUBLE) / CAST(n_train AS DOUBLE))
+                      * 1000000) AS BIGINT) AS prior_micro
+    FROM priors p JOIN tot USING (lang), voc, ntr
+), tf AS (
+    SELECT doc_id, lang AS true_lang, term, COUNT(*) AS tf
+    FROM tok WHERE doc_id % 5 = 0 GROUP BY doc_id, lang, term
+), sc AS (
+    SELECT tf.doc_id, tf.true_lang, lc.lang,
+           CAST(lc.prior_micro
+                + SUM(tf.tf * COALESCE(lp.lp_micro, lc.lp0_micro))
+                AS BIGINT) AS score_micro
+    FROM tf CROSS JOIN lc
+    LEFT JOIN lp ON lp.term = tf.term AND lp.lang = lc.lang
+    GROUP BY tf.doc_id, tf.true_lang, lc.lang, lc.prior_micro
+), p AS (
+    SELECT doc_id, true_lang, lang AS pred_lang, score_micro,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score_micro DESC, lang) AS rn
+    FROM sc
+)
+SELECT doc_id, true_lang, pred_lang, score_micro,
+       CAST(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END AS INT) AS correct
+FROM p WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+@register("q297_naive_bayes_langid", oracle=_NB_ORACLE)
+def q297(spark, sf_dir):
+    """Laplace-smoothed multinomial NB trained on the 80% split,
+    scoring the held-out 20% (oracle comment for the determinism
+    scheme). Model table broadcast; scores are integer micro-logprobs."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("term"))
+    train = tok.where(F.col("doc_id") % 5 != 0)
+    ct = train.groupBy("lang", "term").agg(F.count("*").alias("c"))
+    tot = ct.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tot"))
+    voc = train.agg(F.countDistinct("term").alias("v"))
+    priors = (
+        d.where(F.col("doc_id") % 5 != 0).groupBy("lang").agg(F.count("*").alias("n_docs"))
+    )
+    ntr = priors.agg(F.sum("n_docs").cast("bigint").alias("n_train"))
+    micro = lambda x: F.round(F.log(x) * 1000000).cast("bigint")  # noqa: E731
+    lp = (
+        ct.join(tot, "lang")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "lang",
+            "term",
+            micro(
+                (F.col("c") + 1).cast("double") / (F.col("tot") + F.col("v")).cast("double")
+            ).alias("lp_micro"),
+        )
+    )
+    lc = (
+        priors.join(tot, "lang")
+        .crossJoin(F.broadcast(voc))
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            "lang",
+            micro(
+                F.lit(1).cast("double") / (F.col("tot") + F.col("v")).cast("double")
+            ).alias("lp0_micro"),
+            micro(
+                F.col("n_docs").cast("double") / F.col("n_train").cast("double")
+            ).alias("prior_micro"),
+        )
+    )
+    tf = (
+        tok.where(F.col("doc_id") % 5 == 0)
+        .withColumnRenamed("lang", "true_lang")
+        .groupBy("doc_id", "true_lang", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    sc = (
+        tf.crossJoin(F.broadcast(lc))
+        .join(F.broadcast(lp), ["term", "lang"], "left")
+        .groupBy("doc_id", "true_lang", "lang", "prior_micro")
+        .agg(
+            F.sum(F.col("tf") * F.coalesce(F.col("lp_micro"), F.col("lp0_micro"))).alias(
+                "s"
+            )
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            (F.col("prior_micro") + F.col("s")).cast("bigint").alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), "lang")
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("lang").alias("pred_lang"),
+            "score_micro",
+            F.when(F.col("lang") == F.col("true_lang"), 1).otherwise(0).cast("int").alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------- q298: resource-allocation link prediction (co-purchase)
+
+# Predict missing part-part edges from the co-purchase graph: for a
+# candidate pair (a,b) NOT already linked, RA(a,b) = Σ_{z∈N(a)∩N(b)}
+# 1/deg(z). The reciprocal is the round-half-up integer micro unit
+# (2e6+d) DIV (2d) — the metric is DEFINED on the integer grid so both
+# engines agree exactly, no decimal-sum rule needed. Wedge enumeration
+# is the q229 triangle shape: intermediaries z are capped at deg ≤ 64
+# (part of the metric — super-hubs carry no signal and their |N(z)|²
+# wedge blowup is the scale killer), so per-z work is ≤ C(64,2) and the
+# whole stage is linear in |nodes|. Existing edges are removed by a
+# left-anti join; top-30 under a unique (score DESC, a, b) order.
+_RA_ORACLE = """
+WITH pr AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+    SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+    FROM pr x JOIN pr y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+), adj AS (
+    SELECT a AS node, b AS nbr FROM e
+    UNION ALL
+    SELECT b AS node, a AS nbr FROM e
+), deg AS (
+    SELECT node, COUNT(*) AS d FROM adj GROUP BY node
+), z AS (
+    SELECT adj.node AS mid, adj.nbr, deg.d
+    FROM adj JOIN deg ON deg.node = adj.node WHERE deg.d <= 64
+), w AS (
+    SELECT p.nbr AS a, q.nbr AS b, p.d AS d
+    FROM z p JOIN z q ON p.mid = q.mid AND p.nbr < q.nbr
+), s AS (
+    SELECT a, b,
+           CAST(SUM((2 * 1000000 + d) // (2 * d)) AS BIGINT) AS ra_micro,
+           CAST(COUNT(*) AS BIGINT) AS common_n
+    FROM w GROUP BY a, b
+)
+SELECT s.a, s.b, s.common_n, s.ra_micro
+FROM s LEFT JOIN e ON e.a = s.a AND e.b = s.b
+WHERE e.a IS NULL
+ORDER BY s.ra_micro DESC, s.a, s.b LIMIT 30
+"""
+
+
+@register("q298_link_prediction", oracle=_RA_ORACLE)
+def q298(spark, sf_dir):
+    """Top-30 predicted co-purchase links by resource-allocation index
+    (oracle comment). Hub-capped wedge join keeps the candidate stage
+    linear in nodes; never all-pairs."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pr = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        pr.alias("x")
+        .join(
+            pr.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    z = adj.join(deg, "node").where(F.col("d") <= 64).select(
+        F.col("node").alias("mid"), "nbr", "d"
+    )
+    w = (
+        z.alias("p")
+        .join(
+            z.alias("q"),
+            (F.col("p.mid") == F.col("q.mid")) & (F.col("p.nbr") < F.col("q.nbr")),
+        )
+        .select(F.col("p.nbr").alias("a"), F.col("q.nbr").alias("b"), F.col("p.d").alias("d"))
+    )
+    s = w.groupBy("a", "b").agg(
+        F.sum(F.expr("(2 * 1000000 + d) DIV (2 * d)")).cast("bigint").alias("ra_micro"),
+        F.count("*").cast("bigint").alias("common_n"),
+    )
+    return (
+        s.join(e, ["a", "b"], "left_anti")
+        .select("a", "b", "common_n", "ra_micro")
+        .orderBy(F.col("ra_micro").desc(), "a", "b")
+        .limit(30)
+    )
+
+
+# ---------- q299: k-core decomposition (iterative peeling, k=3)
+
+# The 3-core of the co-purchase graph: repeatedly delete nodes of
+# degree < 3 until a fixpoint — the standard dense-subgraph primitive
+# (community seeding, spam-ring detection). A fixpoint with per-round
+# aggregation is not expressible in one SQL query (recursive CTEs
+# forbid aggregates over the recursive term), so this is a rows-only
+# entry whose peel loop lives in operators/kcore.py and is
+# property-twinned against a brute-force Python peel on synthetic
+# graphs with a known core (tests/test_properties.py — the organic
+# co-purchase graph is dense enough that nothing peels, so the twin
+# uses crafted path+clique graphs). Driver loop: one scalar count per
+# round (bounded by peel depth), edges localCheckpoint'ed per round so
+# lineage stays flat; each round's shuffle is survivor-sized.
+@register("q299_k_core", tags=("iterative",))
+def q299(spark, sf_dir):
+    """Nodes of the 3-core with their final in-core degree, by
+    iterative peeling (see comment above for why rows-only)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pr = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        pr.alias("x")
+        .join(
+            pr.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    return k_core(e, k=3).orderBy("node")
+
+
+# ---------- q300: ordered LISTAGG (Spark 4 WITHIN GROUP surface)
+
+# Spark 4.0's LISTAGG ... WITHIN GROUP (ORDER BY ...) — the ordered
+# string-concat aggregate (DuckDB: string_agg(x, ',' ORDER BY x)).
+# Deterministic because the aggregated values are DISTINCT ship months
+# (unique sort key). Also exercises GROUP BY ALL / ORDER BY ALL, which
+# both engines support. Output is |flag × status| rows; the distinct
+# collapses map-side.
+_LISTAGG_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       string_agg(m, ',' ORDER BY m) AS months,
+       CAST(COUNT(*) AS BIGINT) AS n_months
+FROM (
+    SELECT DISTINCT l_returnflag, l_linestatus,
+           strftime(l_shipdate, '%Y-%m') AS m
+    FROM lineitem
+)
+GROUP BY ALL ORDER BY ALL
+"""
+
+
+@register("q300_ordered_listagg", oracle=_LISTAGG_ORACLE)
+def q300(spark, sf_dir):
+    """Ordered LISTAGG of distinct ship months per (flag, status)
+    via WITHIN GROUP (oracle comment)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus,"
+        "       listagg(m, ',') WITHIN GROUP (ORDER BY m) AS months,"
+        "       CAST(COUNT(*) AS BIGINT) AS n_months"
+        " FROM (SELECT DISTINCT l_returnflag, l_linestatus,"
+        "              date_format(l_shipdate, 'yyyy-MM') AS m FROM lineitem)"
+        " GROUP BY ALL ORDER BY ALL"
+    )
+
+
+# ---------- q301: decision stump (best Gini split, bucketed scan)
+
+# The CART building block: the best single threshold on order value
+# predicting finished status ('F'), evaluated at 63 equi-width bucket
+# boundaries. The scalable shape: ONE aggregate collapses the fact
+# table to ≤64 (bucket, cnt, pos) rows; the cumulative scan and the
+# Gini gain run on that tiny frame. Gain is the exact rational
+#   [P·N·n_l·n_r − n·(p_l·q_l·n_r + p_r·q_r·n_l)] / (n·n_l·n_r)
+# (≥ 0 by concavity of Gini), carried in DECIMAL(38,0)/HUGEINT
+# (numerator ~n⁴·1e6 — fits to sf≈50; beyond that divide counts by a
+# common factor first) and reported as positive round-half-up micro
+# units, so both engines agree bit-for-bit with no double division.
+_STUMP_ORACLE = """
+WITH o AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+    FROM orders
+), mm AS (
+    SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM o
+), b AS (
+    SELECT LEAST(((cents - lo) * 64) // (hi - lo + 1), 63) AS bucket, pos
+    FROM o, mm
+), g AS (
+    SELECT bucket, COUNT(*) AS cnt, SUM(pos) AS p FROM b GROUP BY bucket
+), t AS (
+    SELECT CAST(SUM(cnt) AS HUGEINT) AS n, CAST(SUM(p) AS HUGEINT) AS bigp FROM g
+), grid AS (
+    SELECT UNNEST(range(0, 63)) AS bucket
+), cum AS (
+    SELECT grid.bucket,
+           CAST(SUM(CASE WHEN g.bucket <= grid.bucket THEN g.cnt ELSE 0 END) AS HUGEINT) AS n_l,
+           CAST(SUM(CASE WHEN g.bucket <= grid.bucket THEN g.p ELSE 0 END) AS HUGEINT) AS p_l
+    FROM grid, g GROUP BY grid.bucket
+)
+SELECT CAST(c.bucket AS INT) AS bucket,
+       CAST(lo + ((c.bucket + 1) * (hi - lo + 1)) // 64 AS BIGINT) AS thr_cents,
+       CAST(n_l AS BIGINT) AS n_l,
+       CAST(p_l AS BIGINT) AS pos_l,
+       CAST((2 * (bigp * (n - bigp) * n_l * (n - n_l)
+                  - n * (p_l * (n_l - p_l) * (n - n_l)
+                         + (bigp - p_l) * ((n - n_l) - (bigp - p_l)) * n_l))
+             * 1000000
+             + n * n_l * (n - n_l))
+            // (2 * n * n_l * (n - n_l)) AS BIGINT) AS gain_micro
+FROM cum c, t, mm
+WHERE n_l > 0 AND n_l < n
+ORDER BY bucket
+"""
+
+
+@register("q301_decision_stump", oracle=_STUMP_ORACLE)
+def q301(spark, sf_dir):
+    """Gini gain at 63 equi-width thresholds of order value vs
+    finished status, exact integer arithmetic (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    mm = o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    b = o.crossJoin(F.broadcast(mm)).select(
+        F.least(F.expr("((cents - lo) * 64) DIV (hi - lo + 1)"), F.lit(63)).alias(
+            "bucket"
+        ),
+        "pos",
+    )
+    g = b.groupBy("bucket").agg(F.count("*").alias("cnt"), F.sum("pos").alias("p"))
+    t = g.agg(
+        F.sum("cnt").cast("decimal(38,0)").alias("n"),
+        F.sum("p").cast("decimal(38,0)").alias("bigp"),
+    )
+    grid = spark.range(0, 63).select(F.col("id").alias("gbucket"))
+    cum = (
+        grid.crossJoin(F.broadcast(g))
+        .groupBy("gbucket")
+        .agg(
+            F.sum(F.when(F.col("bucket") <= F.col("gbucket"), F.col("cnt")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("n_l"),
+            F.sum(F.when(F.col("bucket") <= F.col("gbucket"), F.col("p")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("p_l"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(mm))
+        .where((F.col("n_l") > 0) & (F.col("n_l") < F.col("n")))
+        .select(
+            F.col("gbucket").cast("int").alias("bucket"),
+            F.expr("lo + ((gbucket + 1) * (hi - lo + 1)) DIV 64")
+            .cast("bigint")
+            .alias("thr_cents"),
+            F.col("n_l").cast("bigint").alias("n_l"),
+            F.col("p_l").cast("bigint").alias("pos_l"),
+            F.expr(
+                "(2 * (bigp * (n - bigp) * n_l * (n - n_l)"
+                "      - n * (p_l * (n_l - p_l) * (n - n_l)"
+                "             + (bigp - p_l) * ((n - n_l) - (bigp - p_l)) * n_l))"
+                " * 1000000"
+                " + n * n_l * (n - n_l))"
+                " DIV (2 * n * n_l * (n - n_l))"
+            )
+            .cast("bigint")
+            .alias("gain_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------- q302: XML round-trip (Spark 4 from_xml surface)
+
+# Spark 4's native XML lane: serialize each event to an XML fragment,
+# parse it back with from_xml, and aggregate the PARSED fields. The
+# oracle computes the same aggregate from the raw columns — equality
+# proves the round trip is lossless. Cents via explicit ROUND before
+# the int cast (Spark truncates, DuckDB rounds). All XML work is
+# per-row JVM codegen; the aggregate collapses to |event_type| rows.
+_XML_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("q302_xml_roundtrip", oracle=_XML_ORACLE)
+def q302(spark, sf_dir):
+    """Serialize events to XML, parse back with from_xml, aggregate
+    parsed fields (oracle comment proves losslessness)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    xml = ev.select(
+        F.format_string(
+            "<e><u>%d</u><t>%s</t><c>%d</c></e>",
+            F.col("user_id"),
+            F.col("event_type"),
+            F.round(F.col("value").cast("double") * 100).cast("bigint"),
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml("x", "STRUCT<u: BIGINT, t: STRING, c: BIGINT>").alias("p")
+    ).select("p.*")
+    return (
+        parsed.groupBy(F.col("t").alias("event_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("c").cast("bigint").alias("sum_cents"),
+            F.countDistinct("u").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------- q303: reciprocal rank of first relevant hit (MRR family)
+
+# The rank-metric sibling of q269 NDCG: per query vector, the rank of
+# the FIRST label-matching neighbor in the rounded-cosine top-10, and
+# its reciprocal as integer LITERALS (round-half-up of 1e6/r baked
+# into both query texts — no runtime division at all). Queries with
+# no relevant doc in the corpus are excluded (n_rel = 0); a miss
+# within the top-10 scores rr = 0 with first_rank = 0.
+_RR_W = [1000000, 500000, 333333, 250000, 200000, 166667, 142857, 125000, 111111, 100000]
+_RR_CASE = (
+    "CASE first_rank "
+    + " ".join(f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_RR_W))
+    + " ELSE 0 END"
+)
+
+_MRR_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qe
+    FROM embeddings WHERE vec_id % 500 = 0
+), s AS (
+    SELECT q.qid, q.qlabel, e.vec_id, e.label,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4) AS sim
+    FROM embeddings e JOIN q ON e.vec_id <> q.qid
+), r AS (
+    SELECT qid, qlabel, label,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+    FROM s
+), fr AS (
+    SELECT qid,
+           CAST(COALESCE(MIN(CASE WHEN label = qlabel AND rnk <= 10
+                                  THEN rnk END), 0) AS INT) AS first_rank
+    FROM r GROUP BY qid
+), nr AS (
+    SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+    FROM q JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> q.qid
+    GROUP BY q.qid
+)
+SELECT fr.qid, nr.n_rel, fr.first_rank,
+       CAST({_RR_CASE} AS BIGINT) AS rr_micro
+FROM fr JOIN nr ON nr.qid = fr.qid
+WHERE nr.n_rel > 0
+ORDER BY fr.qid
+"""
+
+
+@register("q303_reciprocal_rank", oracle=_MRR_ORACLE)
+def q303(spark, sf_dir):
+    """First-relevant rank + integer-literal reciprocal per query
+    (oracle comment). Broadcast query side, rounded-cosine ranking."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.where(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        V.norm(F.col("embedding")).alias("qn"),
+    )
+    s = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        "label",
+        V.cosine_pre(F.col("embedding"), F.col("qe"), F.col("qn")).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    fr = (
+        s.withColumn("rnk", F.row_number().over(w))
+        .groupBy("qid")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        (F.col("label") == F.col("qlabel")) & (F.col("rnk") <= 10),
+                        F.col("rnk"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("int")
+            .alias("first_rank")
+        )
+    )
+    lc = e.groupBy("label").agg(F.count("*").alias("cnt"))
+    nr = (
+        e.where(F.col("vec_id") % 500 == 0)
+        .join(F.broadcast(lc), "label")
+        .select(
+            F.col("vec_id").alias("qid"), (F.col("cnt") - 1).cast("bigint").alias("n_rel")
+        )
+    )
+    return (
+        fr.join(nr, "qid")
+        .where(F.col("n_rel") > 0)
+        .select("qid", "n_rel", "first_rank", F.expr(_RR_CASE).cast("bigint").alias("rr_micro"))
+        .orderBy("qid")
     )

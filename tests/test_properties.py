@@ -1013,3 +1013,57 @@ def test_greedy_source_cover_matches_python(spark, duck):
         covered |= sets[best]
         want.append((step, best, gain, len(covered)))
     assert got == want
+
+
+# ---------- q299: k-core peeling vs brute-force Python peel
+
+def _py_kcore(edges, k):
+    """Reference peel: repeatedly drop nodes with degree < k."""
+    edges = set(edges)
+    while True:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in edges if a in keep and b in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return {n: d for n, d in deg.items() if d >= k}
+
+
+def test_kcore_matches_python_peel(spark):
+    """The distributed peel (operators/kcore.py) must equal the
+    sequential reference on graphs where peeling CASCADES: a tail
+    hanging off a clique peels node by node, which the organic
+    co-purchase graph (everything in the 3-core) never exercises."""
+    from mapr_db_cdc_sample_spark.operators.kcore import k_core
+
+    # 5-clique (nodes 0-4) + path 4-10-11-12 + triangle 20-21-22
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    path = [(4, 10), (10, 11), (11, 12)]
+    tri = [(20, 21), (20, 22), (21, 22)]
+    edges = clique + path + tri
+    for k in (2, 3, 4):
+        expect = _py_kcore(edges, k)
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r["node"]: r["core_degree"] for r in k_core(df, k).collect()}
+        assert got == expect, f"k={k}: {got} != {expect}"
+    # k=3 drops the path AND the triangle (degree 2 each); only the
+    # clique survives. k=2 keeps the triangle but still sheds the path.
+    assert set(_py_kcore(edges, 3)) == set(range(5))
+    assert set(_py_kcore(edges, 2)) == set(range(5)) | {20, 21, 22}
+
+
+def test_kcore_empty_result(spark):
+    """A pure path has an empty 3-core — the loop must terminate on an
+    empty survivor set, not spin."""
+    from mapr_db_cdc_sample_spark.operators.kcore import k_core
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    assert k_core(df, 3).count() == 0

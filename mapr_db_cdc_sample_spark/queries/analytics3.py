@@ -2092,3 +2092,342 @@ def q303(spark, sf_dir):
         .select("qid", "n_rel", "first_rank", F.expr(_RR_CASE).cast("bigint").alias("rr_micro"))
         .orderBy("qid")
     )
+
+
+# ---------- q304: contingency table via df.stat.crosstab
+
+# The DataFrame stat-function surface: stat.crosstab pivots two
+# categorical columns into a contingency table whose column NAMES are
+# the data values (TPC-H priorities, a closed set). The oracle is the
+# explicit filtered-count pivot with identically quoted aliases; the
+# driver's comparator sorts columns by name, so the value-derived
+# headers must match byte-for-byte. |statuses| x |priorities| output.
+_XTAB_ORACLE = """
+SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+       CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
+       CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS "2-HIGH",
+       CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS "3-MEDIUM",
+       CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS "4-NOT SPECIFIED",
+       CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register("q304_crosstab", oracle=_XTAB_ORACLE)
+def q304(spark, sf_dir):
+    """status x priority contingency table via stat.crosstab (oracle
+    comment). Crosstab is a pivoted count aggregate — one shuffle on
+    the pair frame, |statuses| rows out."""
+    o = load_tables(spark, sf_dir)["orders"]
+    xt = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    return xt.orderBy("o_orderstatus_o_orderpriority")
+
+
+# ---------- q305: inverted index posting lists (retrieval infra)
+
+# term -> (document frequency, first-20 posting list) — the index-build
+# step under BM25 (q106). The posting STRING is the first 20 doc_ids
+# in ascending order: the rank filter runs BEFORE the collect (Spark 4
+# WindowGroupLimit pushes the top-20 into the shuffle), so no
+# unbounded collect_list ever materializes a full posting list; df
+# counts come from the same distinct (term, doc) frame. Min support 10
+# trims the hapax tail. At 100 TB the (term, doc) frame shuffles once
+# on term — the same profile as the TF-IDF/BM25 queries.
+_INVIDX_ORACLE = """
+WITH td AS (
+    SELECT DISTINCT term, doc_id FROM (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
+        FROM documents
+    )
+), dfr AS (
+    SELECT term, COUNT(*) AS doc_freq FROM td GROUP BY term
+), r AS (
+    SELECT term, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+    FROM td
+), post AS (
+    SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM r WHERE rn <= 20 GROUP BY term
+)
+SELECT dfr.term, CAST(doc_freq AS BIGINT) AS doc_freq, post.postings
+FROM dfr JOIN post USING (term)
+WHERE doc_freq >= 10
+ORDER BY term
+"""
+
+
+@register("q305_inverted_index", oracle=_INVIDX_ORACLE)
+def q305(spark, sf_dir):
+    """Posting-list construction with rank-bounded lists (oracle
+    comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    td = d.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).distinct()
+    dfr = td.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    post = (
+        td.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id"))),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return (
+        dfr.join(post, "term")
+        .where(F.col("doc_freq") >= 10)
+        .select("term", F.col("doc_freq").cast("bigint").alias("doc_freq"), "postings")
+        .orderBy("term")
+    )
+
+
+# ---------- q306: deterministic bootstrap CI (md5-seeded resampling)
+
+# A 95% percentile-bootstrap interval for mean daily revenue, with the
+# RNG replaced by the repo's md5 recipe (q155): replicate b draws its
+# i-th sample as daily row number md5(b:i) mod n — identical hex, mod
+# and join on both engines, so the WHOLE bootstrap is exact integer
+# arithmetic: replicate sums in cents, round-half-up means, and the
+# 2.5%/97.5% bounds as nearest-rank order statistics (ranks 5/196 of
+# B=200) under a unique (mean, b) order. The resample frame is B x n
+# rows over the |days|-sized DAILY aggregate — bounded by the date
+# dimension, never the fact table, at any scale factor.
+_BOOT_ORACLE = _DAILY_CTE + """
+, idx AS (
+    SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) - 1 AS rn FROM daily
+), nn AS (
+    SELECT COUNT(*) AS n FROM daily
+), draw AS (
+    SELECT rb.b, ('0x' || SUBSTR(MD5(CAST(rb.b AS VARCHAR) || ':' || CAST(i.rn AS VARCHAR)), 1, 15))::BIGINT % n AS pick
+    FROM range(0, 200) rb(b), idx i, nn
+), rep AS (
+    SELECT b, CAST((2 * SUM(cents) + n) // (2 * n) AS BIGINT) AS mean_cents
+    FROM draw JOIN idx ON idx.rn = draw.pick, nn
+    GROUP BY b, n
+), ranked AS (
+    SELECT mean_cents, ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS r FROM rep
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_days,
+       CAST(200 AS BIGINT) AS n_reps,
+       (SELECT mean_cents FROM ranked WHERE r = 5) AS lo_cents,
+       (SELECT mean_cents FROM ranked WHERE r = 196) AS hi_cents
+"""
+
+
+@register("q306_bootstrap_ci", oracle=_BOOT_ORACLE)
+def q306(spark, sf_dir):
+    """Percentile bootstrap on mean daily revenue with md5-derived
+    resampling (oracle comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    idx = daily.select(
+        "cents", (F.row_number().over(Window.orderBy("day")) - 1).alias("rn")
+    )
+    nn = idx.agg(F.count("*").alias("n"))
+    draw = (
+        spark.range(0, 200)
+        .select(F.col("id").alias("b"))
+        .crossJoin(idx.select(F.col("rn").alias("i")))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "b",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("b").cast("string"),
+                                F.lit(":"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n")
+            ).alias("pick"),
+        )
+    )
+    rep = (
+        draw.join(idx, idx["rn"] == draw["pick"])
+        .crossJoin(F.broadcast(nn))
+        .groupBy("b", "n")
+        .agg(F.sum("cents").alias("s"))
+        .select("b", F.expr("(2 * s + n) DIV (2 * n)").cast("bigint").alias("mean_cents"))
+    )
+    ranked = rep.select(
+        "mean_cents", F.row_number().over(Window.orderBy("mean_cents", "b")).alias("r")
+    )
+    lo = ranked.where(F.col("r") == 5).select(F.col("mean_cents").alias("lo_cents"))
+    hi = ranked.where(F.col("r") == 196).select(F.col("mean_cents").alias("hi_cents"))
+    return (
+        nn.select(F.col("n").cast("bigint").alias("n_days"))
+        .crossJoin(lo)
+        .crossJoin(hi)
+        .select("n_days", F.lit(200).cast("bigint").alias("n_reps"), "lo_cents", "hi_cents")
+    )
+
+
+# ---------- q307: centroid silhouette (cluster-quality QA)
+
+# Simplified (centroid-based) silhouette per label over the embedding
+# column: a2 = squared distance to the OWN label centroid, b2 = min
+# squared distance to any OTHER centroid, s = (b2 - a2)/max(a2, b2).
+# The whole metric is exact integer arithmetic via the q244 recipe:
+# components int-quantized to milli units (+2000 shift keeps them
+# non-negative; distances are shift-invariant), centroids are
+# round-half-up integer milli vectors, so every squared distance is
+# exact BIGINT and identical on both engines; s and the per-label mean
+# are positive-shift round-half-up micro units. The scalable shape:
+# centroids come from ONE map-side-combinable (label, dim) aggregate;
+# scoring is a broadcast of k=|labels| centroid arrays against the
+# corpus — n x k rows, never n x n.
+_SILH_ORACLE = """
+WITH q AS (
+    SELECT vec_id, label,
+           LIST_TRANSFORM(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 2000) AS v
+    FROM embeddings
+), dims AS (
+    SELECT label, r.i AS dim, q.v[r.i] AS x FROM q, RANGE(1, 65) r(i)
+), cent AS (
+    SELECT label, dim,
+           (2 * CAST(SUM(x) AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS c
+    FROM dims GROUP BY label, dim
+), carr AS (
+    SELECT label AS clabel, LIST(c ORDER BY dim) AS cv FROM cent GROUP BY label
+), d2 AS (
+    SELECT q.vec_id, q.label, carr.clabel,
+           LIST_SUM(LIST_TRANSFORM(range(1, 65),
+                                   i -> (q.v[i] - carr.cv[i]) * (q.v[i] - carr.cv[i]))) AS d2
+    FROM q, carr
+), ab AS (
+    SELECT vec_id, label,
+           MAX(CASE WHEN clabel = label THEN d2 END) AS a2,
+           MIN(CASE WHEN clabel <> label THEN d2 END) AS b2
+    FROM d2 GROUP BY vec_id, label
+), s AS (
+    SELECT vec_id, label,
+           CASE WHEN GREATEST(a2, b2) = 0 THEN 0
+                ELSE (2 * (b2 - a2 + GREATEST(a2, b2)) * 1000000 + GREATEST(a2, b2))
+                     // (2 * GREATEST(a2, b2)) - 1000000
+           END AS s_micro
+    FROM ab
+)
+SELECT CAST(label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST((2 * (SUM(s_micro) + COUNT(*) * 1000000) + COUNT(*))
+            // (2 * COUNT(*)) - 1000000 AS BIGINT) AS mean_sil_micro
+FROM s GROUP BY label ORDER BY label
+"""
+
+
+@register("q307_centroid_silhouette", oracle=_SILH_ORACLE)
+def q307(spark, sf_dir):
+    """Integer-exact centroid silhouette per label (oracle comment)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000).cast("bigint") + 2000,
+        ).alias("v"),
+    )
+    dims = q.select(
+        "label", F.posexplode("v").alias("dim0", "x")
+    )
+    cent = dims.groupBy("label", (F.col("dim0") + 1).alias("dim")).agg(
+        F.expr("(2 * CAST(SUM(x) AS BIGINT) + COUNT(*)) DIV (2 * COUNT(*))").alias("c")
+    )
+    carr = cent.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    d2 = q.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias("b2"),
+    )
+    s = ab.select(
+        "label",
+        F.expr(
+            "CASE WHEN GREATEST(a2, b2) = 0 THEN 0"
+            " ELSE (2 * (b2 - a2 + GREATEST(a2, b2)) * 1000000 + GREATEST(a2, b2))"
+            "      DIV (2 * GREATEST(a2, b2)) - 1000000 END"
+        ).alias("s_micro"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.expr(
+                "CAST((2 * (SUM(s_micro) + COUNT(*) * 1000000) + COUNT(*))"
+                " DIV (2 * COUNT(*)) - 1000000 AS BIGINT)"
+            ).alias("mean_sil_micro"),
+        )
+        .select(F.col("label").cast("int").alias("label"), "n_points", "mean_sil_micro")
+        .orderBy("label")
+    )
+
+
+# ---------- q309: DataFrame.transpose (Spark 4 reshape surface)
+
+# Spark 4.0's df.transpose(): rows become columns keyed by the first
+# column's values (here the three return flags), metric names land in
+# a 'key' column. All metrics share BIGINT so the transpose is
+# loss-free; the oracle writes the two transposed rows explicitly with
+# identical value-derived column aliases. Input to the transpose is the
+# 3-row aggregate — reshape happens on a dimension-sized frame.
+_TRANSPOSE_ORACLE = """
+WITH g AS (
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT 'n_items' AS key,
+       (SELECT n_items FROM g WHERE flag = 'A') AS "A",
+       (SELECT n_items FROM g WHERE flag = 'N') AS "N",
+       (SELECT n_items FROM g WHERE flag = 'R') AS "R"
+UNION ALL
+SELECT 'sum_cents' AS key,
+       (SELECT sum_cents FROM g WHERE flag = 'A') AS "A",
+       (SELECT sum_cents FROM g WHERE flag = 'N') AS "N",
+       (SELECT sum_cents FROM g WHERE flag = 'R') AS "R"
+ORDER BY key
+"""
+
+
+@register("q309_transpose", oracle=_TRANSPOSE_ORACLE)
+def q309(spark, sf_dir):
+    """Per-flag metrics reshaped via DataFrame.transpose (oracle
+    comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    g = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    return g.orderBy("flag").transpose().orderBy("key")

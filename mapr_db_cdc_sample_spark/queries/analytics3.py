@@ -2431,3 +2431,169 @@ def q309(spark, sf_dir):
         .alias("sum_cents"),
     )
     return g.orderBy("flag").transpose().orderBy("key")
+
+
+# ---------- q308: Holt linear smoothing (recursive state, exact)
+
+# Double exponential smoothing over daily revenue, alpha = beta = 1/5:
+#   l_t = (x_t*1e6 + 4(l+b))/5,  b_t = (l_t - l_{t-1} + 4 b_{t-1})/5,
+# one-step forecast f_t = l_{t-1} + b_{t-1}. State is held in integer
+# MICRO-CENTS and every /5 is positive-shift round-half-up (shift 5e15
+# keeps the trend term positive even when b < 0), so the recursion is
+# exact integer arithmetic with identical trajectories on both engines.
+# A sequential recurrence cannot parallelize across time: Spark folds
+# ONE sort_array'd |days| array with F.aggregate (SinglePartition
+# ABOVE the daily aggregate — the date dimension is bounded at any
+# scale factor); the oracle is a DuckDB recursive CTE stepping rn+1.
+# Init: l_1 = x_1, b_1 = x_2 - x_1 (textbook), emitted from t = 2.
+_HOLT_ORACLE = _DAILY_CTE + """
+, idx AS (
+    SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+), rec AS (
+    WITH RECURSIVE r(rn, l, b) AS (
+        SELECT 1,
+               (SELECT cents FROM idx WHERE rn = 1) * 1000000,
+               ((SELECT cents FROM idx WHERE rn = 2)
+                - (SELECT cents FROM idx WHERE rn = 1)) * 1000000
+        UNION ALL
+        SELECT s.rn + 1, s.lnew,
+               ((2 * ((s.lnew - s.l + 4 * s.b) + 5000000000000000) + 5) // 10)
+                   - 1000000000000000
+        FROM (
+            SELECT r.rn, r.l, r.b,
+                   ((2 * ((i.cents * 1000000 + 4 * (r.l + r.b)) + 5000000000000000) + 5)
+                    // 10) - 1000000000000000 AS lnew
+            FROM r JOIN idx i ON i.rn = r.rn + 1
+        ) s
+    )
+    SELECT * FROM r
+)
+SELECT i.day, i.cents,
+       CAST(((2 * ((p.l + p.b) + 1000000000000000) + 1000000)
+             // (2 * 1000000)) - 1000000000 AS BIGINT) AS forecast_cents
+FROM idx i JOIN rec p ON p.rn = i.rn - 1
+ORDER BY i.day
+"""
+
+
+@register("q308_holt_linear", oracle=_HOLT_ORACLE)
+def q308(spark, sf_dir):
+    """Holt linear trend smoothing in exact integer micro-cents
+    (oracle comment): fold over the sorted day array, then re-explode
+    the per-day forecasts."""
+    daily = _daily_cents(spark, sf_dir)
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("a")
+    )
+    # fold: acc = (l, b, out[]); out rows carry (day, cents, f_micro)
+    folded = arr.select(
+        F.expr(
+            """
+            CASE WHEN size(a) < 2
+            THEN transform(slice(a, 1, 0),
+                           e -> named_struct('day', e.day, 'cents', e.cents,
+                                             'f', 0L))
+            ELSE aggregate(
+              slice(a, 2, size(a) - 1),
+              named_struct(
+                'l', a[0].cents * 1000000L,
+                'b', (a[1].cents - a[0].cents) * 1000000L,
+                'out', transform(slice(a, 1, 0),
+                                 e -> named_struct('day', e.day,
+                                                   'cents', e.cents,
+                                                   'f', 0L))
+              ),
+              (acc, e) -> named_struct(
+                'l', ((2 * ((e.cents * 1000000L + 4 * (acc.l + acc.b))
+                            + 5000000000000000L) + 5) DIV 10) - 1000000000000000L,
+                'b', ((2 * ((((2 * ((e.cents * 1000000L + 4 * (acc.l + acc.b))
+                                   + 5000000000000000L) + 5) DIV 10)
+                             - 1000000000000000L - acc.l + 4 * acc.b)
+                            + 5000000000000000L) + 5) DIV 10) - 1000000000000000L,
+                'out', concat(acc.out, array(named_struct(
+                  'day', e.day, 'cents', e.cents,
+                  'f', acc.l + acc.b)))
+              ),
+              acc -> acc.out
+            ) END
+            """
+        ).alias("out")
+    )
+    ex = folded.select(F.explode("out").alias("r")).select("r.*")
+    return ex.select(
+        "day",
+        "cents",
+        F.expr(
+            "CAST(((2 * (f + 1000000000000000L) + 1000000) DIV (2 * 1000000))"
+            " - 1000000000L AS BIGINT)"
+        ).alias("forecast_cents"),
+    ).orderBy("day")
+
+
+# ---------- q310: higher-order-function suite (array + map lambdas)
+
+# The lambda-function surface q34/q79 leave uncovered: exists / forall
+# over arrays, and transform_keys / transform_values / map_zip_with
+# over maps. Per doc: word stats from array HOFs, then a word->count
+# map (built from the first 50 tokens with a quadratic-in-50 count
+# lambda — bounded per row by the slice, never by doc length) piped
+# through the three map HOFs down to integer scalars the oracle can
+# reproduce from the token list directly. All lambdas run inside
+# whole-stage codegen — no Python.
+_HOF_ORACLE = """
+WITH w AS (
+    SELECT doc_id,
+           LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS w
+    FROM documents
+), s AS (
+    SELECT doc_id, w, w[1:50] AS w50 FROM w
+)
+SELECT doc_id,
+       CAST(LEN(w) AS INT) AS n_words,
+       CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(w, t -> LEN(t))), 0) AS BIGINT)
+           AS total_chars,
+       CAST(CASE WHEN LEN(LIST_FILTER(w, t -> LEN(t) > 8)) > 0 THEN 1 ELSE 0 END
+            AS INT) AS any_long,
+       CAST(CASE WHEN LEN(LIST_FILTER(w, t -> NOT regexp_matches(t, '^[a-z]+$'))) = 0
+                 THEN 1 ELSE 0 END AS INT) AS all_alpha,
+       CAST(LEN(LIST_DISTINCT(w50)) AS INT) AS n_distinct50,
+       CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(
+                LIST_DISTINCT(w50),
+                x -> LEN(LIST_FILTER(w50, y -> y = x)) * (1 + LEN(x)))), 0)
+            AS BIGINT) AS score50
+FROM s ORDER BY doc_id
+"""
+
+
+@register("q310_hof_suite", oracle=_HOF_ORACLE)
+def q310(spark, sf_dir):
+    """exists/forall + transform_keys/transform_values/map_zip_with
+    exercised down to oracle-checkable integer scalars (oracle
+    comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    s = d.select(
+        "doc_id",
+        T.tokens(F.col("text")).alias("w"),
+    ).withColumn("w50", F.slice("w", 1, 50))
+    dw = F.array_distinct(F.col("w50"))
+    counts = F.transform(
+        dw, lambda x: F.size(F.filter(F.col("w50"), lambda y: y == x))
+    )
+    m = F.map_from_arrays(dw, counts)
+    m2 = F.transform_values(m, lambda k, v: v * F.length(k))
+    mz = F.map_zip_with(m, m2, lambda k, a, b: a + b)
+    return s.select(
+        "doc_id",
+        F.size("w").cast("int").alias("n_words"),
+        F.aggregate(
+            F.col("w"), F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+        F.exists(F.col("w"), lambda t: F.length(t) > 8).cast("int").alias("any_long"),
+        F.forall(F.col("w"), lambda t: t.rlike("^[a-z]+$")).cast("int").alias("all_alpha"),
+        F.size(F.transform_keys(m, lambda k, v: F.upper(k))).cast("int").alias(
+            "n_distinct50"
+        ),
+        F.aggregate(
+            F.map_values(mz), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("score50"),
+    ).orderBy("doc_id")

@@ -2597,3 +2597,382 @@ def q310(spark, sf_dir):
             F.map_values(mz), F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("score50"),
     ).orderBy("doc_id")
+
+
+# ---------- q311: batch session_window (gap-merged sessions, one API call)
+
+# F.session_window on a BATCH frame — the declarative form of q81's
+# manual lag/gap sessionization (and the batch twin of the q63
+# streaming session window). Spark merges events whose [ts, ts+gap)
+# windows overlap; the oracle reproduces that with the classic
+# lag -> gap-flag -> running-sum session id and start/min end/max+gap.
+# Both engines compare at full microsecond precision; the 4-hour gap
+# splits a typical user-day into several sessions. Shuffle profile:
+# one exchange on user_id, sessions assembled inside each partition.
+_SESSW_ORACLE = """
+WITH g AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 4 HOUR
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+), s AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM g
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 4 HOUR AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register("q311_session_window_batch", oracle=_SESSW_ORACLE)
+def q311(spark, sf_dir):
+    """Gap-based sessions via the batch session_window API (oracle
+    comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.session_window("ts", "4 hours").alias("w"), "user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------- q312: Spearman rank correlation (TYPE-frame, no global sort)
+
+# Spearman rho between quantity and discount, exact to the last
+# integer: with BOUNDED-cardinality columns the average tie rank never
+# needs a global sort — doubled centered ranks come off each VALUE
+# histogram (c(v) = 2*cum_less(v) + cnt_eq(v) - n, an integer whose
+# mean is exactly 0), and every cross moment is a sum over the
+# |qty| x |disc| pair-count TYPE frame: Sxy = sum cnt(v,w) c_x(v) c_y(w).
+# rho = Sxy / (sqrt(Sxx) * sqrt(Syy)) on exact identical BIGINTs —
+# IEEE sqrt is correctly rounded, so both engines produce the same
+# double; ROUND(,6) is belt-and-braces. The fact table is touched by
+# ONE map-side-combinable pair count; everything after is O(values²).
+_SPEARMAN_ORACLE = """
+WITH pairs AS (
+    SELECT CAST(l_quantity AS BIGINT) AS q,
+           CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS BIGINT) AS d,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY 1, 2
+), n AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM pairs
+), qh AS (
+    SELECT q, SUM(cnt) AS c FROM pairs GROUP BY q
+), qrank AS (
+    SELECT q,
+           2 * (SUM(c) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) - c) + c - n AS cq
+    FROM qh, n
+), dh AS (
+    SELECT d, SUM(cnt) AS c FROM pairs GROUP BY d
+), drank AS (
+    SELECT d,
+           2 * (SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) - c) + c - n AS cd
+    FROM dh, n
+), moms AS (
+    SELECT CAST(SUM(CAST(cnt AS HUGEINT) * cq * cd) AS HUGEINT) AS sxy,
+           CAST(SUM(CAST(cnt AS HUGEINT) * cq * cq) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(cnt AS HUGEINT) * cd * cd) AS HUGEINT) AS syy
+    FROM pairs JOIN qrank USING (q) JOIN drank USING (d)
+)
+SELECT (SELECT n FROM n) AS n,
+       ROUND(CAST(sxy AS DOUBLE)
+             / (SQRT(CAST(sxx AS DOUBLE)) * SQRT(CAST(syy AS DOUBLE))), 6) AS rho
+FROM moms
+"""
+
+
+@register("q312_spearman_rank", oracle=_SPEARMAN_ORACLE)
+def q312(spark, sf_dir):
+    """Tie-aware Spearman rho from value histograms (oracle comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pairs = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount").cast("double") * 100).cast("bigint").alias("d"),
+    ).agg(F.count("*").alias("cnt"))
+    n = pairs.agg(F.sum("cnt").cast("bigint").alias("n"))
+
+    def ranks(col):
+        h = pairs.groupBy(col).agg(F.sum("cnt").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return h.crossJoin(F.broadcast(n)).select(
+            col,
+            (
+                2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") - F.col("n")
+            ).alias(f"c{col}"),
+        )
+
+    d38 = "decimal(38,0)"
+    moms = (
+        pairs.join(ranks("q"), "q")
+        .join(ranks("d"), "d")
+        .agg(
+            F.sum(F.col("cnt").cast(d38) * F.col("cq") * F.col("cd")).cast(d38).alias("sxy"),
+            F.sum(F.col("cnt").cast(d38) * F.col("cq") * F.col("cq")).cast(d38).alias("sxx"),
+            F.sum(F.col("cnt").cast(d38) * F.col("cd") * F.col("cd")).cast(d38).alias("syy"),
+        )
+    )
+    return moms.crossJoin(F.broadcast(n)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("sxy").cast("double")
+            / (F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))),
+            6,
+        ).alias("rho"),
+    )
+
+
+# ---------- q314: largest-remainder token apportionment (mixture infra)
+
+# Allocate an exact 1,000,000-token budget across sources proportional
+# to their token counts, Hamilton/largest-remainder method: floor
+# shares via integer division, then the B - sum(floors) leftover units
+# go to the largest remainders (B*cnt mod total), ties broken by
+# source name. Every step is integer arithmetic on the |sources| TYPE
+# frame; allocations sum to the budget EXACTLY — the property naive
+# rounding of proportional shares does not have. This is the
+# deterministic version of the mixture-weight sampling step (q100).
+_APPORTION_ORACLE = """
+WITH tc AS (
+    SELECT source,
+           CAST(SUM(LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)))
+                AS BIGINT) AS tokens
+    FROM documents GROUP BY source
+), t AS (
+    SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM tc
+), base AS (
+    SELECT source, tokens,
+           (1000000 * tokens) // total AS fl,
+           (1000000 * tokens) % total AS rem
+    FROM tc, t
+), extra AS (
+    SELECT CAST(1000000 - SUM(fl) AS BIGINT) AS r FROM base
+), ranked AS (
+    SELECT source, tokens, fl,
+           ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+    FROM base
+)
+SELECT source, tokens,
+       CAST(fl + CASE WHEN rk <= (SELECT r FROM extra) THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked ORDER BY source
+"""
+
+
+@register("q314_token_apportionment", oracle=_APPORTION_ORACLE)
+def q314(spark, sf_dir):
+    """Hamilton apportionment of a 1M-token budget across sources
+    (oracle comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tc = d.groupBy("source").agg(
+        F.sum(F.size(T.tokens(F.col("text")))).cast("bigint").alias("tokens")
+    )
+    t = tc.agg(F.sum("tokens").cast("bigint").alias("total"))
+    base = tc.crossJoin(F.broadcast(t)).select(
+        "source",
+        "tokens",
+        F.expr("(1000000 * tokens) DIV total").alias("fl"),
+        F.expr("(1000000 * tokens) % total").alias("rem"),
+    )
+    extra = base.agg((F.lit(1000000) - F.sum("fl")).cast("bigint").alias("r"))
+    ranked = base.select(
+        "source",
+        "tokens",
+        "fl",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), "source")).alias("rk"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(extra))
+        .select(
+            "source",
+            "tokens",
+            (F.col("fl") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------- q313: mapInArrow int8 quantization (RecordBatch lane)
+
+# The third rung of the Python-execution ladder (q57 scalar UDF, q55
+# pandas UDF, q171 Arrow-optimized UDF): mapInArrow hands the worker
+# raw pyarrow RecordBatches — no pandas conversion at all — which is
+# the lane for columnar codecs like this int8 embedding quantizer.
+# Per vector: q8sum = sum over dims of clip(trunc(x_f64 * 127), ±127)
+# and q8l1 = sum |.|. Determinism: float32 -> float64 FIRST (the q166
+# promotion rule), then trunc-toward-zero (np.trunc == DuckDB TRUNC;
+# NOT np.round, whose half-even ties differ from SQL ROUND), so every
+# output is an exact integer both engines agree on. Batches stream
+# through the worker — memory is bounded by Arrow batch size, and the
+# operation is embarrassingly parallel at any scale.
+_Q8_ORACLE = """
+SELECT vec_id,
+       CAST(LIST_SUM(LIST_TRANSFORM(embedding,
+            x -> GREATEST(LEAST(TRUNC(CAST(x AS DOUBLE) * 127), 127), -127)))
+            AS BIGINT) AS q8sum,
+       CAST(LIST_SUM(LIST_TRANSFORM(embedding,
+            x -> ABS(GREATEST(LEAST(TRUNC(CAST(x AS DOUBLE) * 127), 127), -127))))
+            AS BIGINT) AS q8l1
+FROM embeddings ORDER BY vec_id
+"""
+
+
+@register("q313_map_in_arrow", oracle=_Q8_ORACLE)
+def q313(spark, sf_dir):
+    """int8 quantization stats computed on raw Arrow RecordBatches
+    (oracle comment)."""
+    import numpy as np
+    import pyarrow as pa
+
+    e = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+
+    def quantize(batches):
+        for batch in batches:
+            vec_id = batch.column("vec_id")
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):  # pragma: no cover
+                emb = emb.combine_chunks()
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            q = np.clip(np.trunc(flat * 127.0), -127, 127).astype(np.int64)
+            n = len(batch)
+            if n == 0:
+                continue
+            assert q.size % n == 0, "ragged embedding lists"
+            m = q.reshape(n, -1)
+            yield pa.RecordBatch.from_arrays(
+                [vec_id, pa.array(m.sum(axis=1)), pa.array(np.abs(m).sum(axis=1))],
+                names=["vec_id", "q8sum", "q8l1"],
+            )
+
+    return e.mapInArrow(
+        quantize, "vec_id bigint, q8sum bigint, q8l1 bigint"
+    ).orderBy("vec_id")
+
+
+# ---------- q315: Python Data Source WRITER (sink extension point)
+
+# q264's missing half: the Spark 4 DataSourceWriter API. A slice of
+# events goes OUT through the custom linerec sink (each task writes
+# its own part file inside an executor Python worker — two-phase
+# commit protocol, overwrite handled at plan time), comes BACK through
+# the linerec reader, and is aggregated; the oracle computes the same
+# aggregate from parquet, so a dropped partition, lost row, or
+# serialization drift hash-mismatches. Slice is event_id % 20 = 1 —
+# disjoint from q264's, so the two round-trips never share a scratch
+# dir state by accident.
+_PYDSW_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM events WHERE event_id % 20 = 1
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("q315_pyds_writer", oracle=_PYDSW_ORACLE)
+def q315(spark, sf_dir):
+    """Custom-sink round trip through the Python DataSourceWriter
+    (oracle comment)."""
+    from ..scratch import scratch_dir
+    from ..sources import pyds
+
+    ev = load_tables(spark, sf_dir)["events"]
+    sl = ev.where(F.col("event_id") % 20 == 1).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    pyds.register(spark)
+    d = scratch_dir("q315_linerec_sink")
+    sl.write.format("linerec").option("path", d).mode("overwrite").save()
+    rec = spark.read.format("linerec").option("path", d).load()
+    return (
+        rec.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------- q316: applyInArrow grouped map (per-label scatter audit)
+
+# The grouped-map rung of the Arrow lane (q59 is its pandas twin): per
+# label, the worker receives the WHOLE group as a pyarrow Table and
+# emits one row of integer scatter evidence — trace_num = sum over
+# dims of (n*S2_d - S1_d^2) on milli-quantized components (n^2 * Var
+# summed across dims, kept as the exact integer NUMERATOR so no
+# division or rounding exists anywhere). float32 -> float64 -> trunc
+# mirrors q313; integer sums are order-independent, so the
+# shuffle-dependent row order inside the group cannot change the
+# answer. Guard: magnitudes stay < 2^63 up to ~1e8 rows/label.
+_SCATTER_ORACLE = """
+WITH q AS (
+    SELECT label,
+           LIST_TRANSFORM(embedding, x -> CAST(TRUNC(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+), dims AS (
+    SELECT label, r.i AS dim, q.v[r.i] AS x FROM q, RANGE(1, 65) r(i)
+), m AS (
+    SELECT label, dim, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+           CAST(SUM(x * x) AS BIGINT) AS s2
+    FROM dims GROUP BY label, dim
+)
+SELECT CAST(label AS INT) AS label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+       CAST(SUM(n * s2 - s1 * s1) AS BIGINT) AS trace_num
+FROM m GROUP BY label ORDER BY label
+"""
+
+
+@register("q316_apply_in_arrow", oracle=_SCATTER_ORACLE)
+def q316(spark, sf_dir):
+    """Per-label integer scatter via applyInArrow grouped map (oracle
+    comment)."""
+    import numpy as np
+    import pyarrow as pa
+
+    e = load_tables(spark, sf_dir)["embeddings"].select("label", "embedding")
+
+    def scatter(table: "pa.Table") -> "pa.Table":
+        label = table.column("label")[0].as_py()
+        emb = table.column("embedding").combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = np.trunc(flat * 1000.0).astype(np.int64)
+        n = table.num_rows
+        m = m.reshape(n, -1)
+        if n * (2000**2) * n >= 2**63:  # n^2 * max(x^2) headroom
+            raise OverflowError("q316: per-label moment exceeds int64")
+        s1 = m.sum(axis=0, dtype=np.int64)
+        s2 = (m * m).sum(axis=0, dtype=np.int64)
+        trace = int((n * s2 - s1 * s1).sum())
+        return pa.Table.from_arrays(
+            [
+                pa.array([label], pa.int32()),
+                pa.array([n], pa.int64()),
+                pa.array([trace], pa.int64()),
+            ],
+            names=["label", "n_vecs", "trace_num"],
+        )
+
+    return (
+        e.groupBy("label")
+        .applyInArrow(scatter, "label int, n_vecs bigint, trace_num bigint")
+        .orderBy("label")
+    )

@@ -16,13 +16,21 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 LINEREC_SCHEMA = "event_id bigint, user_id bigint, event_type string, cents bigint"
 
 
 class LineRecDataSource(DataSource):
-    """`spark.read.format("linerec").option("path", dir)`."""
+    """`spark.read.format("linerec").option("path", dir)` — and the
+    write side: `df.write.format("linerec").option("path", dir)`
+    (see LineRecWriter)."""
 
     @classmethod
     def name(cls) -> str:
@@ -33,6 +41,9 @@ class LineRecDataSource(DataSource):
 
     def reader(self, schema):
         return LineRecReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return LineRecWriter(self.options, schema, overwrite)
 
 
 class LineRecReader(DataSourceReader):
@@ -67,6 +78,52 @@ class LineRecReader(DataSourceReader):
                     )
                 eid, uid, etype, cents = fields
                 yield int(eid), int(uid), etype, int(cents)
+
+
+class LineRecWriter(DataSourceWriter):
+    """Write side of the linerec format (Spark 4 Python Data Source
+    writer API): each task serializes ITS partition to one
+    `part-<partitionId>` file inside executor Python workers — the
+    driver never sees row data, so the sink scales out like any file
+    sink. `overwrite` clears prior part files at plan time (driver);
+    commit() receives one message per task, mirroring the two-phase
+    file-sink protocol (a failed task's file is re-written by its
+    retry under the same deterministic name, so commits are
+    idempotent)."""
+
+    def __init__(self, options, schema, overwrite):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("linerec sink requires .option('path', <directory>)")
+        self.fields = [f.name for f in schema.fields]
+        if len(self.fields) != 4:
+            raise ValueError(
+                f"linerec sink writes exactly 4 '|'-separated fields, "
+                f"got schema with {len(self.fields)}: {self.fields}"
+            )
+        os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(self.path, f))
+
+    def write(self, iterator) -> WriterCommitMessage:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(self.path, f"part-{pid:05d}")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write("|".join(str(row[f]) for f in self.fields) + "\n")
+                n += 1
+        return WriterCommitMessage()
+
+    def commit(self, messages) -> None:
+        pass
+
+    def abort(self, messages) -> None:
+        pass
 
 
 def register(spark) -> None:

@@ -24,6 +24,7 @@ from ..functions import vectors as V
 from ..io import load_tables
 from ..operators.dedup_pipeline import connected_components
 from ..operators.kcore import k_core
+from ..operators.lpa import label_propagation
 from . import register
 from .llm import _BANDS_CTE, _MINHASH_CTE
 
@@ -2976,3 +2977,309 @@ def q316(spark, sf_dir):
         .applyInArrow(scatter, "label int, n_vecs bigint, trace_num bigint")
         .orderBy("label")
     )
+
+
+# ---------- q317: Zipf rank-frequency slope (corpus-shape QA)
+
+# OLS slope of ln(freq) on ln(rank) over the top-1000 terms — the
+# standard "is this corpus natural language?" probe (healthy text sits
+# near slope -1; scraped boilerplate and template spam bend the tail).
+# Scale posture: the top-1000 cut is TakeOrderedAndProject (per-
+# partition top-k, k rows to the driver-side merge — no global sort,
+# no SinglePartition window over the vocabulary). Determinism: both
+# lns are ROUND(LN(int),6) micro integers (identical integer inputs;
+# irrational outputs never sit on the rounding grid), and the OLS
+# slope/intercept are exact rationals of those integers, reported as
+# positive-shift round-half-up micro units (slope is negative).
+_ZIPF_ORACLE = """
+WITH tf AS (
+    SELECT term, COUNT(*) AS freq FROM (
+        SELECT UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
+        FROM documents
+    ) GROUP BY term
+), top AS (
+    SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk
+    FROM tf ORDER BY freq DESC, term LIMIT 1000
+), pts AS (
+    SELECT CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+           CAST(ROUND(LN(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+    FROM top
+), m AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(lx) AS HUGEINT) AS sx, CAST(SUM(ly) AS HUGEINT) AS sy,
+           CAST(SUM(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CAST((2 * ((n * sxy - sx * sy) + 10 * (n * sxx - sx * sx)) * 1000000
+             + (n * sxx - sx * sx)) // (2 * (n * sxx - sx * sx))
+            - 10000000 AS BIGINT) AS slope_micro,
+       CAST((2 * ((sy * sxx - sx * sxy) + 100 * (n * sxx - sx * sx)) * 1000000
+             + (n * sxx - sx * sx)) // (2 * (n * sxx - sx * sx))
+            - 100000000 AS BIGINT) AS intercept_micro
+FROM m
+"""
+
+
+@register("q317_zipf_slope", oracle=_ZIPF_ORACLE)
+def q317(spark, sf_dir):
+    """Zipf slope/intercept over the top-1000 term frequencies (oracle
+    comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tf = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = (
+        tf.orderBy(F.col("freq").desc(), "term")
+        .limit(1000)
+        .select(
+            "freq",
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), "term"))
+            .alias("rnk"),
+        )
+    )
+    micro = lambda c: F.round(F.log(c.cast("double")) * 1000000).cast("bigint")  # noqa: E731
+    pts = top.select(micro(F.col("rnk")).alias("lx"), micro(F.col("freq")).alias("ly"))
+    d38 = "decimal(38,0)"
+    m = pts.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("lx").cast(d38).alias("sx"),
+        F.sum("ly").cast(d38).alias("sy"),
+        F.sum(F.col("lx").cast(d38) * F.col("lx")).cast(d38).alias("sxx"),
+        F.sum(F.col("lx").cast(d38) * F.col("ly")).cast(d38).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.expr(
+            "CAST((2 * ((n * sxy - sx * sy) + 10 * (n * sxx - sx * sx)) * 1000000"
+            " + (n * sxx - sx * sx)) DIV (2 * (n * sxx - sx * sx))"
+            " - 10000000 AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CAST((2 * ((sy * sxx - sx * sxy) + 100 * (n * sxx - sx * sx)) * 1000000"
+            " + (n * sxx - sx * sx)) DIV (2 * (n * sxx - sx * sx))"
+            " - 100000000 AS BIGINT)"
+        ).alias("intercept_micro"),
+    )
+
+
+# ---------- q318: term burstiness (variance-to-mean over documents)
+
+# Which terms CLUMP? The dispersion index VMR = Var/Mean over per-doc
+# counts (zeros included) separates bursty topical terms (VMR >> 1)
+# from evenly spread function words (VMR ~ 1) — a corpus-linguistics
+# staple for stopword discovery and boilerplate detection. With
+# n = |docs|, s1 = sum of counts, s2 = sum of squared counts (zero
+# docs contribute nothing to either), VMR = (n*s2 - s1^2)/(n*s1) is an
+# exact non-negative rational (Cauchy-Schwarz) reported round-half-up
+# in micro units. Counts collapse to the (term, doc) TYPE frame; the
+# final rank is top-20 by (vmr DESC, term) under min-support 50.
+_BURST_ORACLE = """
+WITH td AS (
+    SELECT term, doc_id, COUNT(*) AS c FROM (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
+        FROM documents
+    ) GROUP BY term, doc_id
+), nn AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM documents
+), m AS (
+    SELECT term, CAST(SUM(c) AS HUGEINT) AS s1,
+           CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+    FROM td GROUP BY term
+), v AS (
+    SELECT term, s1,
+           CAST((2 * (n * s2 - s1 * s1) * 1000000 + n * s1)
+                // (2 * n * s1) AS BIGINT) AS vmr_micro
+    FROM m, nn WHERE s1 >= 50
+)
+SELECT term, CAST(s1 AS BIGINT) AS n_occurrences, vmr_micro
+FROM v ORDER BY vmr_micro DESC, term LIMIT 20
+"""
+
+
+@register("q318_term_burstiness", oracle=_BURST_ORACLE)
+def q318(spark, sf_dir):
+    """Top-20 overdispersed terms by exact-rational VMR (oracle
+    comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    td = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    nn = d.agg(F.count("*").cast("decimal(38,0)").alias("n"))
+    d38 = "decimal(38,0)"
+    m = td.groupBy("term").agg(
+        F.sum("c").cast(d38).alias("s1"),
+        F.sum(F.col("c").cast(d38) * F.col("c")).cast(d38).alias("s2"),
+    )
+    v = (
+        m.where(F.col("s1") >= 50)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "term",
+            F.col("s1").cast("bigint").alias("n_occurrences"),
+            F.expr(
+                "CAST((2 * (n * s2 - s1 * s1) * 1000000 + n * s1)"
+                " DIV (2 * n * s1) AS BIGINT)"
+            ).alias("vmr_micro"),
+        )
+    )
+    return v.orderBy(F.col("vmr_micro").desc(), "term").limit(20)
+
+
+# ---------- q319: bitemporal as-of lookup (valid time x transaction time)
+
+# Two-axis temporal query: "what did we BELIEVE on T0 the price
+# effective at V0 was?" — records carry valid_time (shipdate) and a
+# transaction_time (shipdate + an md5-derived 0-29 day recording lag);
+# the as-of pick is the max valid_time <= V0 among records with
+# tx_time <= T0, with a unique (valid, tx, orderkey, linenumber)
+# composite settling ties. One filtered struct-ARGMAX per part — a
+# map-side-combinable aggregate, no window, no sort; the bitemporal
+# pair (q113 SCD2 + q249 PIT cover each single axis) completes the
+# temporal family.
+_BITEMP_ORACLE = """
+WITH obs AS (
+    SELECT l_partkey AS partkey,
+           l_shipdate AS valid_ts,
+           l_shipdate
+             + (('0x' || SUBSTR(MD5(CAST(l_orderkey AS VARCHAR) || ':'
+                                 || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+                % 30) * INTERVAL '1 day' AS tx_ts,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           l_orderkey, l_linenumber
+    FROM lineitem WHERE l_partkey % 50 = 0
+), elig AS (
+    SELECT * FROM obs
+    WHERE valid_ts <= TIMESTAMP '1997-06-30 00:00:00'
+      AND tx_ts   <= TIMESTAMP '1997-07-10 00:00:00'
+), pick AS (
+    SELECT partkey, valid_ts, tx_ts, cents,
+           ROW_NUMBER() OVER (PARTITION BY partkey
+                              ORDER BY valid_ts DESC, tx_ts DESC,
+                                       l_orderkey DESC, l_linenumber DESC) AS rn
+    FROM elig
+)
+SELECT partkey, valid_ts, tx_ts, cents
+FROM pick WHERE rn = 1 ORDER BY partkey
+"""
+
+
+@register("q319_bitemporal_asof", oracle=_BITEMP_ORACLE)
+def q319(spark, sf_dir):
+    """Bitemporal as-of via filtered struct-argmax (oracle comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    obs = li.where(F.col("l_partkey") % 50 == 0).select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_shipdate").alias("valid_ts"),
+        F.expr("l_shipdate").alias("_base"),
+        (h % 30).cast("int").alias("_lag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    obs = obs.withColumn(
+        "tx_ts", F.expr("_base + make_interval(0, 0, 0, _lag, 0, 0, 0)")
+    ).drop("_base", "_lag")
+    elig = obs.where(
+        (F.col("valid_ts") <= F.lit("1997-06-30 00:00:00").cast("timestamp_ntz"))
+        & (F.col("tx_ts") <= F.lit("1997-07-10 00:00:00").cast("timestamp_ntz"))
+    )
+    pick = elig.groupBy("partkey").agg(
+        F.max(
+            F.struct("valid_ts", "tx_ts", "l_orderkey", "l_linenumber", "cents")
+        ).alias("s")
+    )
+    return pick.select(
+        "partkey",
+        F.col("s.valid_ts").alias("valid_ts"),
+        F.col("s.tx_ts").alias("tx_ts"),
+        F.col("s.cents").alias("cents"),
+    ).orderBy("partkey")
+
+
+# ---------- q320: semi-supervised label propagation (10% seeds)
+
+# Spread the 10% seed labels (vec_id % 10 = 0) over a sign-bucket
+# similarity graph with 5 synchronous LPA rounds (operators/lpa.py —
+# fixed round count, majority vote, min-label ties, clamped seeds).
+# The graph is label-blind: vectors bucket by the sign pattern of
+# their first 6 components (an SRP hash — 64 buckets), and each node
+# keeps its top-3 rounded-cosine neighbors WITHIN its bucket
+# (WindowGroupLimit pushes the k=3 cut into the shuffle), so the pair
+# stage is quadratic only inside buckets — the q51/q280 posture. A
+# fixpoint with per-round aggregation is not SQL-expressible, so this
+# is rows-only; the propagation semantics have a Python property twin
+# and the graph stage reuses machinery oracled via q215/q286.
+@register("q320_label_propagation", tags=("iterative",))
+def q320(spark, sf_dir):
+    """5-round LPA over an SRP-bucketed top-3 neighbor graph (see
+    comment)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    withb = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        V.norm(F.col("embedding")).alias("nrm"),
+        F.concat(
+            *[
+                (F.element_at("embedding", i + 1) >= 0).cast("int").cast("string")
+                for i in range(6)
+            ]
+        ).alias("bkt"),
+    )
+    a = withb.select(
+        "bkt",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = withb.select(
+        "bkt",
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = F.round(V.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
+    pairs = (
+        a.join(b, ["bkt"])
+        .where(F.col("va") != F.col("vb"))
+        .select("va", "vb", sim.alias("sim"))
+    )
+    w = Window.partitionBy("va").orderBy(F.col("sim").desc(), "vb")
+    knn = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    edges = knn.select(
+        F.least("va", "vb").alias("a"), F.greatest("va", "vb").alias("b")
+    ).distinct()
+    seeds = withb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("node"), F.col("label").cast("int").alias("label")
+    )
+    out = label_propagation(edges, seeds, rounds=5)
+    return out.select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("propagated_label"),
+        "is_seed",
+    ).orderBy("vec_id")

@@ -1067,3 +1067,61 @@ def test_kcore_empty_result(spark):
 
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
     assert k_core(df, 3).count() == 0
+
+
+# ---------- q320: label propagation vs hand-rolled sync updates
+
+def _py_lpa(edges, seeds, rounds):
+    """Reference synchronous LPA: majority over labeled neighbors,
+    min-label ties, clamped seeds."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = dict(seeds)
+    for _ in range(rounds):
+        nxt = dict(seeds)
+        for node in adj:
+            if node in seeds:
+                continue
+            votes = {}
+            for nb in adj[node]:
+                if nb in labels:
+                    lab = labels[nb]
+                    votes[lab] = votes.get(lab, 0) + 1
+            if votes:
+                best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+                nxt[node] = best[0]
+        labels = nxt
+    return labels
+
+
+def test_lpa_matches_python_sync(spark):
+    """Two triangles bridged by a path: each side adopts its seed; the
+    middle path node sees one neighbor of each label -> tie -> min
+    label. Also checks the frontier ADVANCES one hop per round (node 12
+    is unlabeled after 1 round, labeled after 2)."""
+    from mapr_db_cdc_sample_spark.operators.lpa import label_propagation
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 10), (10, 11), (11, 12),
+             (12, 3), (3, 4), (3, 5), (4, 5)]
+    seeds = {0: 7, 4: 3}
+    for rounds in (1, 2, 5):
+        expect = _py_lpa(edges, seeds, rounds)
+        edf = spark.createDataFrame(edges, "a long, b long")
+        sdf = spark.createDataFrame(list(seeds.items()), "node long, label int")
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(edf, sdf, rounds=rounds).collect()
+        }
+        assert got == expect, f"rounds={rounds}: {got} != {expect}"
+
+
+def test_lpa_tie_breaks_to_min_label(spark):
+    """A node with equal votes from labels 9 and 2 must take 2."""
+    from mapr_db_cdc_sample_spark.operators.lpa import label_propagation
+
+    edf = spark.createDataFrame([(1, 3), (2, 3)], "a long, b long")
+    sdf = spark.createDataFrame([(1, 9), (2, 2)], "node long, label int")
+    got = {r["node"]: r["label"] for r in label_propagation(edf, sdf, 1).collect()}
+    assert got[3] == 2

@@ -3283,3 +3283,309 @@ def q320(spark, sf_dir):
         F.col("label").alias("propagated_label"),
         "is_seed",
     ).orderBy("vec_id")
+
+
+# ---------- q321: corpus card (one-row dataset profile)
+
+# The dataset-card header block as ONE query: doc/token/vocab counts,
+# type-token ratio, mean doc length, English share — every ratio an
+# exact rational reported round-half-up in micro units. Two
+# map-side-combinable aggregates (doc frame + token frame) and a
+# count-distinct for vocabulary; no windows, no joins wider than a
+# 1-row broadcast.
+_CARD_ORACLE = """
+WITH tok AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
+    FROM documents
+), t AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS vocab_size
+    FROM tok
+), d AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS n_en
+    FROM documents
+)
+SELECT n_docs, n_tokens, vocab_size,
+       CAST((2 * vocab_size * 1000000 + n_tokens) // (2 * n_tokens) AS BIGINT)
+           AS ttr_micro,
+       CAST((2 * n_tokens * 1000000 + n_docs) // (2 * n_docs) AS BIGINT)
+           AS mean_len_micro,
+       CAST((2 * n_en * 1000000 + n_docs) // (2 * n_docs) AS BIGINT)
+           AS en_share_micro
+FROM d, t
+"""
+
+
+@register("q321_corpus_card", oracle=_CARD_ORACLE)
+def q321(spark, sf_dir):
+    """One-row corpus profile in exact micro-unit rationals (oracle
+    comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    t = tok.agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.countDistinct("term").cast("bigint").alias("vocab_size"),
+    )
+    dd = d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("n_en"),
+    )
+    return dd.crossJoin(F.broadcast(t)).selectExpr(
+        "n_docs",
+        "n_tokens",
+        "vocab_size",
+        "CAST((2 * vocab_size * 1000000 + n_tokens) DIV (2 * n_tokens) AS BIGINT)"
+        " AS ttr_micro",
+        "CAST((2 * n_tokens * 1000000 + n_docs) DIV (2 * n_docs) AS BIGINT)"
+        " AS mean_len_micro",
+        "CAST((2 * n_en * 1000000 + n_docs) DIV (2 * n_docs) AS BIGINT)"
+        " AS en_share_micro",
+    )
+
+
+# ---------- q322: per-source KL divergence from the corpus unigram LM
+
+# KL(P_source || P_corpus) = sum_t p_st * ln(p_st / p_t) — the
+# information-theoretic version of q293's keyness lift: how far each
+# source's unigram distribution drifts from the pooled corpus (domain
+# skew triage for mixture design, q100/q314). The log lift for each
+# (source, term) — ln((c_st*N)/(n_s*c_t)), an exact-integer-ratio
+# input — is DISCRETIZED once to micro units (q297 recipe), after
+# which KL_micro = rhu(sum c_st*L_t / n_s) is integer arithmetic; the
+# positive shift absorbs the slightly-negative sums quantization can
+# produce near KL = 0. Counts live on the (source, term) TYPE frame.
+_KL_ORACLE = """
+WITH tok AS (
+    SELECT source,
+           UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
+    FROM documents
+), st AS (
+    SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY source, term
+), s AS (
+    SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY source
+), t AS (
+    SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY term
+), n AS (
+    SELECT CAST(SUM(c_st) AS BIGINT) AS big_n FROM st
+), contrib AS (
+    SELECT st.source, st.c_st,
+           CAST(ROUND(LN((CAST(c_st AS DOUBLE) * big_n)
+                         / (CAST(n_s AS DOUBLE) * c_t)) * 1000000) AS BIGINT) AS l_micro
+    FROM st JOIN s USING (source) JOIN t USING (term), n
+)
+SELECT c.source,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST((2 * (SUM(CAST(c_st AS HUGEINT) * l_micro) + CAST(s.n_s AS HUGEINT) * 1000000)
+             + s.n_s) // (2 * CAST(s.n_s AS HUGEINT)) - 1000000 AS BIGINT) AS kl_micro
+FROM contrib c JOIN s ON s.source = c.source
+GROUP BY c.source, s.n_s ORDER BY c.source
+"""
+
+
+@register("q322_kl_divergence", oracle=_KL_ORACLE)
+def q322(spark, sf_dir):
+    """Source-vs-corpus unigram KL in discretized micro-nats (oracle
+    comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("c_st"))
+    s = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    t = st.groupBy("term").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    n = st.agg(F.sum("c_st").cast("bigint").alias("big_n"))
+    contrib = (
+        st.join(s, "source")
+        .join(t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "c_st",
+            "n_s",
+            F.round(
+                F.log(
+                    (F.col("c_st").cast("double") * F.col("big_n"))
+                    / (F.col("n_s").cast("double") * F.col("c_t"))
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("l_micro"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    return (
+        contrib.groupBy("source", "n_s")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum(F.col("c_st").cast(d38) * F.col("l_micro")).cast(d38).alias("sl"),
+        )
+        .selectExpr(
+            "source",
+            "n_terms",
+            "CAST((2 * (sl + CAST(n_s AS DECIMAL(38,0)) * 1000000) + n_s)"
+            " DIV (2 * CAST(n_s AS DECIMAL(38,0))) - 1000000 AS BIGINT) AS kl_micro",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------- q323: split-conformal forecast interval + coverage audit
+
+# Distribution-free prediction intervals for the lag-7 naive forecast
+# of daily revenue: residuals on the first-70% calibration window give
+# q_hat as the nearest-rank ceil(0.9*(m+1)) order statistic; the audit
+# reports empirical coverage of actual within +/- q_hat on the
+# held-out 30%. Every quantity is integer cents / counts — ranks via
+# one window over the |days| aggregate, coverage as a round-half-up
+# micro share. This is the eval-side guarantee layer over the
+# forecasting family (q94, q157, q290, q308).
+_CONF_ORACLE = _DAILY_CTE + """
+, idx AS (
+    SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+), nn AS (
+    SELECT COUNT(*) AS n FROM daily
+), pred AS (
+    SELECT a.rn, a.day, a.cents, b.cents AS yhat,
+           ABS(a.cents - b.cents) AS resid
+    FROM idx a JOIN idx b ON b.rn = a.rn - 7
+), split AS (
+    SELECT p.*, 7 + ((n - 7) * 7) // 10 AS cut FROM pred p, nn
+), calib AS (
+    SELECT resid, ROW_NUMBER() OVER (ORDER BY resid, rn) AS rr,
+           COUNT(*) OVER () AS m
+    FROM split WHERE rn <= cut
+), qhat AS (
+    SELECT resid AS q FROM calib
+    WHERE rr = LEAST(CAST(CEIL(0.9 * (m + 1)) AS BIGINT), m)
+)
+SELECT CAST((SELECT MAX(m) FROM calib) AS BIGINT) AS n_calib,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       (SELECT CAST(q AS BIGINT) FROM qhat) AS qhat_cents,
+       CAST((2 * COUNT(*) FILTER (resid <= (SELECT q FROM qhat)) * 1000000
+             + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS coverage_micro
+FROM split WHERE rn > cut
+"""
+
+
+@register("q323_conformal_coverage", oracle=_CONF_ORACLE)
+def q323(spark, sf_dir):
+    """Split-conformal interval for the lag-7 forecast with held-out
+    coverage (oracle comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    idx = daily.select(
+        "day", "cents", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    nn = idx.agg(F.count("*").alias("n"))
+    pred = (
+        idx.alias("a")
+        .join(idx.alias("b"), F.col("b.rn") == F.col("a.rn") - 7)
+        .select(
+            F.col("a.rn").alias("rn"),
+            F.abs(F.col("a.cents") - F.col("b.cents")).alias("resid"),
+        )
+    )
+    split = pred.crossJoin(F.broadcast(nn)).withColumn(
+        "cut", F.expr("7 + ((n - 7) * 7) DIV 10")
+    )
+    wcal = Window.orderBy("resid", "rn")
+    calib = (
+        split.where(F.col("rn") <= F.col("cut"))
+        .select("resid", F.row_number().over(wcal).alias("rr"))
+        .withColumn("m", F.count("*").over(Window.partitionBy()))
+    )
+    qhat = calib.where(
+        F.col("rr")
+        == F.least(F.ceil(0.9 * (F.col("m") + 1)).cast("bigint"), F.col("m"))
+    ).select(F.col("resid").alias("q"), F.col("m").alias("n_calib"))
+    test = split.where(F.col("rn") > F.col("cut"))
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.max("n_calib").cast("bigint").alias("n_calib"),
+            F.count("*").cast("bigint").alias("n_test"),
+            F.max("q").cast("bigint").alias("qhat_cents"),
+            F.expr(
+                "CAST((2 * COUNT(CASE WHEN resid <= q THEN 1 END) * 1000000"
+                " + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+            ).alias("coverage_micro"),
+        )
+    )
+
+
+# ---------- q324: Fellegi-Sunter multi-field linkage score
+
+# Probabilistic record linkage over parts: candidate pairs from a
+# (type, size DIV 5) block (q122's attribute-blocking posture —
+# stated: candidate GENERATION is a recall/cost choice), scored by
+# summing per-field agreement/disagreement log-odds ln(m/u) that are
+# INTEGER LITERALS in both query texts (micro-nats, trained offline —
+# the q269 discretization move), so the score is exact integer
+# arithmetic: brand equality, size within 2, name levenshtein <= 2,
+# price within 5% (all-integer cents test). Top-50 by (score DESC,
+# a, b); threshold 0 drops clear non-matches early.
+_FS_ORACLE = """
+WITH p AS (
+    SELECT p_partkey AS pk, p_name AS name, p_brand AS brand, p_type AS typ,
+           p_size AS sz,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM part
+), cand AS (
+    SELECT a.pk AS a, b.pk AS b,
+           (CASE WHEN a.brand = b.brand THEN 1386294 ELSE -693147 END
+            + CASE WHEN ABS(a.sz - b.sz) <= 2 THEN 1098612 ELSE -510826 END
+            + CASE WHEN levenshtein(a.name, b.name) <= 2 THEN 2079442 ELSE -223144 END
+            + CASE WHEN ABS(a.cents - b.cents) * 20 <= LEAST(a.cents, b.cents)
+                   THEN 916291 ELSE -356675 END) AS score_micro
+    FROM p a JOIN p b
+      ON a.typ = b.typ AND a.sz // 5 = b.sz // 5 AND a.pk < b.pk
+)
+SELECT a, b, CAST(score_micro AS BIGINT) AS score_micro
+FROM cand WHERE score_micro > 0
+ORDER BY score_micro DESC, a, b LIMIT 50
+"""
+
+
+@register("q324_fs_linkage", oracle=_FS_ORACLE)
+def q324(spark, sf_dir):
+    """Fellegi-Sunter linkage with integer-literal log-odds (oracle
+    comment)."""
+    part = load_tables(spark, sf_dir)["part"]
+    p = part.select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("typ"),
+        F.col("p_size").alias("sz"),
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    score = (
+        F.when(F.col("a.brand") == F.col("b.brand"), 1386294).otherwise(-693147)
+        + F.when(F.abs(F.col("a.sz") - F.col("b.sz")) <= 2, 1098612).otherwise(-510826)
+        + F.when(
+            F.levenshtein(F.col("a.name"), F.col("b.name")) <= 2, 2079442
+        ).otherwise(-223144)
+        + F.when(
+            F.abs(F.col("a.cents") - F.col("b.cents")) * 20
+            <= F.least(F.col("a.cents"), F.col("b.cents")),
+            916291,
+        ).otherwise(-356675)
+    )
+    cand = a.join(
+        b,
+        (F.col("a.typ") == F.col("b.typ"))
+        & (F.expr("a.sz DIV 5") == F.expr("b.sz DIV 5"))
+        & (F.col("a.pk") < F.col("b.pk")),
+    ).select(
+        F.col("a.pk").alias("a"),
+        F.col("b.pk").alias("b"),
+        score.cast("bigint").alias("score_micro"),
+    )
+    return (
+        cand.where(F.col("score_micro") > 0)
+        .orderBy(F.col("score_micro").desc(), "a", "b")
+        .limit(50)
+    )

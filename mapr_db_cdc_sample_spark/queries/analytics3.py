@@ -3589,3 +3589,273 @@ def q324(spark, sf_dir):
         .orderBy(F.col("score_micro").desc(), "a", "b")
         .limit(50)
     )
+
+
+# ---------- q325: incremental maintenance of a JOIN view (delta rule)
+
+# q117 maintains an AGGREGATE incrementally; this is the join-view
+# delta rule dV = dA |X| B — the refresh path a materialized
+# orders-x-lineitem revenue view takes when one day of orders arrives.
+# The returned frame IS the incrementally maintained view:
+# V(base) + agg(delta |X| lineitem), combined by a unionByName +
+# re-aggregate (exact integer cents, so merging partials is lossless);
+# the oracle recomputes the view from scratch over base+delta —
+# equality proves the delta rule. Scale: the delta join touches only
+# delta-order lineitems (join on the delta's orderkeys), never the
+# full fact-x-fact product.
+_IVM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS rev_cents
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("q325_join_ivm", oracle=_IVM_ORACLE)
+def q325(spark, sf_dir):
+    """Join-view maintained by the delta rule; returned view must equal
+    the from-scratch recompute (oracle comment)."""
+    t = load_tables(spark, sf_dir)
+    o, li = t["orders"], t["lineitem"]
+    cut_lo = F.lit("1998-05-01 00:00:00").cast("timestamp_ntz")
+    cut_hi = F.lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+
+    def view(orders_slice):
+        return (
+            orders_slice.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(cents).alias("rev_cents"),
+            )
+        )
+
+    base_view = view(o.where(F.col("o_orderdate") < cut_lo))
+    delta_view = view(
+        o.where((F.col("o_orderdate") >= cut_lo) & (F.col("o_orderdate") < cut_hi))
+    )
+    return (
+        base_view.unionByName(delta_view)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_items").cast("bigint").alias("n_items"),
+            F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------- q326: exact weighted Jaccard between source vocabularies
+
+# W-Jaccard(A,B) = sum_t min(c_At, c_Bt) / sum_t max(c_At, c_Bt) — the
+# count-aware overlap that plain Jaccard (q109) and the MinHash
+# estimate (q263) both flatten to sets. Only the SHARED-term join is
+# materialized: sum max = n_A + n_B - sum min, so exclusive terms
+# never join (absent count -> min 0). Exact integers end-to-end,
+# round-half-up micro units, |sources|^2 output — the TYPE-frame
+# posture throughout.
+_WJACC_ORACLE = """
+WITH st AS (
+    SELECT source, term, COUNT(*) AS c FROM (
+        SELECT source,
+               UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
+        FROM documents
+    ) GROUP BY source, term
+), tot AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY source
+), shared AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS sum_min
+    FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT s.src_a, s.src_b, s.sum_min,
+       CAST(ta.n + tb.n - s.sum_min AS BIGINT) AS sum_max,
+       CAST((2 * s.sum_min * 1000000 + (ta.n + tb.n - s.sum_min))
+            // (2 * (ta.n + tb.n - s.sum_min)) AS BIGINT) AS wjacc_micro
+FROM shared s
+JOIN tot ta ON ta.source = s.src_a
+JOIN tot tb ON tb.source = s.src_b
+ORDER BY s.src_a, s.src_b
+"""
+
+
+@register("q326_weighted_jaccard", oracle=_WJACC_ORACLE)
+def q326(spark, sf_dir):
+    """Exact count-weighted Jaccard per source pair (oracle comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    st = (
+        d.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    shared = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.sum(F.least(F.col("a.c"), F.col("b.c"))).cast("bigint").alias("sum_min"))
+    )
+    return (
+        shared.join(F.broadcast(tot.withColumnRenamed("source", "src_a").withColumnRenamed("n", "na")), "src_a")
+        .join(F.broadcast(tot.withColumnRenamed("source", "src_b").withColumnRenamed("n", "nb")), "src_b")
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "sum_min",
+            "CAST(na + nb - sum_min AS BIGINT) AS sum_max",
+            "CAST((2 * sum_min * 1000000 + (na + nb - sum_min))"
+            " DIV (2 * (na + nb - sum_min)) AS BIGINT) AS wjacc_micro",
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ---------- q327: SPRT sequential conversion monitor (daily LLR walk)
+
+# Wald's sequential probability ratio test on the purchase share:
+# H0 p=0.25 vs H1 p=0.30, alpha = beta = 0.05. Per-event LLR
+# increments are INTEGER LITERALS in micro-nats (q269 discretization:
+# conv -> ln(.30/.25), other -> ln(.70/.75)), so the cumulative walk
+# over DAILY aggregates (conv_d * 182322 - other_d * 68993) is exact
+# integer arithmetic; boundaries +/- ln(19) = +/- 2944439 micro-nats.
+# One ordered window over the |days| frame above a map-side-combinable
+# daily aggregate; output is the first boundary crossing (or the final
+# state if the test never concludes).
+_SPRT_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) FILTER (event_type = 'purchase') AS conv,
+           COUNT(*) FILTER (event_type <> 'purchase') AS other
+    FROM events GROUP BY 1
+), walk AS (
+    SELECT day,
+           SUM(conv * 182322 - other * 68993)
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS llr
+    FROM daily
+), crossed AS (
+    SELECT day, llr,
+           CASE WHEN llr >= 2944439 THEN 'accept_h1'
+                WHEN llr <= -2944439 THEN 'accept_h0' END AS decision,
+           ROW_NUMBER() OVER (ORDER BY day) AS rn
+    FROM walk WHERE llr >= 2944439 OR llr <= -2944439
+), final AS (
+    SELECT day, llr, 'continue' AS decision,
+           ROW_NUMBER() OVER (ORDER BY day DESC) AS rn
+    FROM walk
+)
+SELECT day, CAST(llr AS BIGINT) AS llr_micro, decision
+FROM crossed WHERE rn = 1
+UNION ALL
+SELECT day, CAST(llr AS BIGINT) AS llr_micro, decision
+FROM final
+WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM crossed)
+"""
+
+
+@register("q327_sprt_monitor", oracle=_SPRT_ORACLE)
+def q327(spark, sf_dir):
+    """First SPRT boundary crossing of the daily conversion LLR walk
+    (oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("conv"),
+        F.count(F.when(F.col("event_type") != "purchase", 1)).alias("other"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    walk = daily.select(
+        "day",
+        F.sum(F.col("conv") * 182322 - F.col("other") * 68993).over(w).alias("llr"),
+    )
+    crossed = (
+        walk.where((F.col("llr") >= 2944439) | (F.col("llr") <= -2944439))
+        .withColumn(
+            "decision",
+            F.when(F.col("llr") >= 2944439, "accept_h1").otherwise("accept_h0"),
+        )
+        .withColumn("rn", F.row_number().over(Window.orderBy("day")))
+        .where(F.col("rn") == 1)
+        .select("day", F.col("llr").cast("bigint").alias("llr_micro"), "decision")
+    )
+    final = (
+        walk.withColumn("rn", F.row_number().over(Window.orderBy(F.col("day").desc())))
+        .where(F.col("rn") == 1)
+        .select(
+            "day",
+            F.col("llr").cast("bigint").alias("llr_micro"),
+            F.lit("continue").alias("decision"),
+        )
+    )
+    return crossed.unionAll(
+        final.crossJoin(
+            F.broadcast(crossed.groupBy().agg(F.count("*").alias("nc")))
+        )
+        .where(F.col("nc") == 0)
+        .select("day", "llr_micro", "decision")
+    )
+
+
+# ---------- q328: dynamic partition overwrite (partitioned-table ops)
+
+# The warehouse-maintenance primitive: a month-partitioned revenue
+# table gets ONE month recomputed and overwritten in place with
+# spark.sql.sources.partitionOverwriteMode=dynamic — only partitions
+# present in the incoming frame are replaced; every other month's
+# files are untouched (verified by reading the table back and
+# aggregating ALL months). The oracle computes the same per-month
+# totals straight from orders, so a clobbered or stale partition
+# hash-mismatches. Scratch layout is the q264 keyed-dir pattern;
+# dynamic mode is set ONLY for this writer via .option(), not session-
+# wide.
+_DPO_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS rev_cents
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+
+@register("q328_dynamic_partition_overwrite", oracle=_DPO_ORACLE)
+def q328(spark, sf_dir):
+    """Month-partitioned write, dynamic single-partition overwrite,
+    full read-back audit (oracle comment)."""
+    from ..scratch import scratch_dir
+
+    o = load_tables(spark, sf_dir)["orders"]
+    monthly = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    d = scratch_dir("q328_monthly")
+    # full load, static overwrite
+    monthly.write.mode("overwrite").partitionBy("month").parquet(d)
+    # recompute ONE month and dynamically overwrite just that partition
+    target = monthly.where(F.col("month") == "1997-06")
+    (
+        target.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("month")
+        .parquet(d)
+    )
+    back = spark.read.parquet(d)
+    return (
+        back.groupBy("month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+        )
+        .orderBy("month")
+    )

@@ -3859,3 +3859,153 @@ def q328(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+# ---------- q329: expanding-window time-series cross-validation
+
+# Leakage-safe CV for forecasting (the temporal counterpart of q273's
+# random folds): five folds whose validation blocks tile the
+# post-warmup day range, each scored with history strictly before it
+# (the lag-7 naive forecast only ever looks 7 days back, so fold
+# boundaries guarantee no future leakage). Boundaries are integer
+# DIV grid points of the |days| count; MAE per fold is a
+# round-half-up integer over exact cent residuals. All work sits
+# above the daily aggregate.
+_TSCV_ORACLE = _DAILY_CTE + """
+, idx AS (
+    SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+), nn AS (
+    SELECT COUNT(*) AS n FROM daily
+), pred AS (
+    SELECT a.rn, ABS(a.cents - b.cents) AS resid
+    FROM idx a JOIN idx b ON b.rn = a.rn - 7
+), folds AS (
+    SELECT f.f,
+           7 + ((n - 7) * (f.f - 1)) // 5 AS lo,
+           7 + ((n - 7) * f.f) // 5 AS hi
+    FROM range(1, 6) f(f), nn
+)
+SELECT CAST(f.f AS INT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST((2 * SUM(resid) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mae_cents
+FROM folds f JOIN pred p ON p.rn > f.lo AND p.rn <= f.hi
+GROUP BY f.f ORDER BY fold
+"""
+
+
+@register("q329_time_series_cv", oracle=_TSCV_ORACLE)
+def q329(spark, sf_dir):
+    """Five expanding-window folds scoring the lag-7 forecast (oracle
+    comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    idx = daily.select(
+        "cents", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    nn = idx.agg(F.count("*").alias("n"))
+    pred = (
+        idx.alias("a")
+        .join(idx.alias("b"), F.col("b.rn") == F.col("a.rn") - 7)
+        .select(
+            F.col("a.rn").alias("rn"),
+            F.abs(F.col("a.cents") - F.col("b.cents")).alias("resid"),
+        )
+    )
+    folds = (
+        spark.range(1, 6)
+        .select(F.col("id").alias("f"))
+        .crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "f",
+            "7 + ((n - 7) * (f - 1)) DIV 5 AS lo",
+            "7 + ((n - 7) * f) DIV 5 AS hi",
+        )
+    )
+    return (
+        F.broadcast(folds)
+        .join(pred, (F.col("rn") > F.col("lo")) & (F.col("rn") <= F.col("hi")))
+        .groupBy("f")
+        .agg(
+            F.count("*").cast("bigint").alias("n_valid"),
+            F.expr("CAST((2 * SUM(resid) + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)").alias(
+                "mae_cents"
+            ),
+        )
+        .select(F.col("f").cast("int").alias("fold"), "n_valid", "mae_cents")
+        .orderBy("fold")
+    )
+
+
+# ---------- q330: leave-last-out popularity hit rate@10 (recsys eval)
+
+# The recommender-eval baseline every personalized model must beat:
+# hold out each user's LAST event (by ts, event_id), rank items (the
+# props.k field, 100 ids) by TRAIN popularity — holdouts excluded from
+# the counts, the classic leave-one-out protocol — and score the share
+# of users whose held-out item sits in the global top-10 (count DESC,
+# k tiebreak). Joins the eval family (AUC q207, NDCG q269, MRR q303)
+# on the interaction side. Integer end-to-end; the only wide ops are
+# one user-window for the holdout and one item-count aggregate.
+_HITRATE_ORACLE = """
+WITH ev AS (
+    SELECT event_id, user_id, ts,
+           CAST(json_extract(props, '$.k') AS INT) AS item
+    FROM events
+), ho AS (
+    SELECT event_id, user_id, item,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev
+), holdout AS (
+    SELECT event_id, user_id, item FROM ho WHERE rn = 1
+), train AS (
+    SELECT item FROM ev
+    WHERE event_id NOT IN (SELECT event_id FROM holdout)
+), pop AS (
+    SELECT item, COUNT(*) AS cnt FROM train GROUP BY item
+    ORDER BY cnt DESC, item LIMIT 10
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(*) FILTER (item IN (SELECT item FROM pop)) AS BIGINT) AS hits,
+       CAST((2 * COUNT(*) FILTER (item IN (SELECT item FROM pop)) * 1000000
+             + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS hitrate_micro
+FROM holdout
+"""
+
+
+@register("q330_hitrate_popularity", oracle=_HITRATE_ORACLE)
+def q330(spark, sf_dir):
+    """Leave-last-out hit rate@10 of the popularity baseline (oracle
+    comment)."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    holdout = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "item")
+    )
+    train = ev.join(holdout.select("event_id"), "event_id", "left_anti")
+    pop = (
+        train.groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "item")
+        .limit(10)
+        .select("item")
+    )
+    scored = holdout.join(
+        F.broadcast(pop.withColumn("hit", F.lit(1))), "item", "left"
+    )
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("hits"),
+        F.expr(
+            "CAST((2 * SUM(COALESCE(hit, 0)) * 1000000 + COUNT(*))"
+            " DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("hitrate_micro"),
+    )

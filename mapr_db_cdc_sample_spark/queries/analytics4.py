@@ -212,3 +212,289 @@ def q333(spark, sf_dir):
         " PARTITION BY user_id ORDER BY (ts, event_id))"
         " ORDER BY user_id"
     )
+
+
+# ---------- q334: pass@k estimator (exact combinatorial rational)
+
+# The unbiased pass@k estimator, 1 - C(n-c, k)/C(n-c ... k)/C(n, k),
+# applied per "task" (user): n = first-10 attempt count, c =
+# successes (purchases) among them, k = 5. The binomial ratio
+# telescopes to prod_{i<5} (n-c-i)/(n-i) — with n <= 10 every factor
+# is a tiny exact integer, so pass@5 is an exact rational in micro
+# units (product = 0 when n-c < 5, i.e. pass = 1). Users with n < 5
+# are excluded (estimator undefined). Output is the (n, c) TYPE frame
+# with user counts — the fact table collapses through one ranked
+# window and one aggregate.
+_PASSK_ORACLE = """
+WITH firstn AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), peruser AS (
+    SELECT user_id, COUNT(*) AS n,
+           COUNT(*) FILTER (event_type = 'purchase') AS c
+    FROM firstn WHERE rn <= 10 GROUP BY user_id
+), grp AS (
+    SELECT n, c, COUNT(*) AS n_users FROM peruser WHERE n >= 5 GROUP BY n, c
+)
+SELECT CAST(n AS INT) AS n, CAST(c AS INT) AS c,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(CASE WHEN n - c < 5 THEN 1000000
+                 ELSE (2 * ((n*(n-1)*(n-2)*(n-3)*(n-4))
+                            - ((n-c)*(n-c-1)*(n-c-2)*(n-c-3)*(n-c-4))) * 1000000
+                       + (n*(n-1)*(n-2)*(n-3)*(n-4)))
+                      // (2 * (n*(n-1)*(n-2)*(n-3)*(n-4)))
+            END AS BIGINT) AS pass5_micro
+FROM grp ORDER BY n, c
+"""
+
+
+@register("q334_pass_at_k", oracle=_PASSK_ORACLE)
+def q334(spark, sf_dir):
+    """pass@5 per (attempts, successes) cell, exact rationals (oracle
+    comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    peruser = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c"),
+        )
+    )
+    grp = (
+        peruser.where(F.col("n") >= 5)
+        .groupBy("n", "c")
+        .agg(F.count("*").alias("n_users"))
+    )
+    return grp.selectExpr(
+        "CAST(n AS INT) AS n",
+        "CAST(c AS INT) AS c",
+        "CAST(n_users AS BIGINT) AS n_users",
+        """CAST(CASE WHEN n - c < 5 THEN 1000000
+                ELSE (2 * ((n*(n-1)*(n-2)*(n-3)*(n-4))
+                           - ((n-c)*(n-c-1)*(n-c-2)*(n-c-3)*(n-c-4))) * 1000000
+                      + (n*(n-1)*(n-2)*(n-3)*(n-4)))
+                     DIV (2 * (n*(n-1)*(n-2)*(n-3)*(n-4)))
+           END AS BIGINT) AS pass5_micro""",
+    ).orderBy("n", "c")
+
+
+# ---------- q335: md5 permutation test (exact rational comparisons)
+
+# Is the odd/even-user revenue split bigger than chance? The
+# permutation test with the RNG replaced by the q155 md5 recipe:
+# 100 pseudo-assignments (parity of md5(user:k)) rebuild the
+# difference-in-means null distribution, and the p-value is the rank
+# of the observed split among them. NO division ever happens: the
+# comparison |S_A n_B - S_B n_A| / (n_A n_B) >= observed is
+# cross-multiplied into exact DECIMAL(38) integer arithmetic, so the
+# test is bit-deterministic on both engines. The fact table collapses
+# to the user frame first; the K=100 expansion happens on that
+# dimension-sized frame.
+_PERM_ORACLE = """
+WITH peruser AS (
+    SELECT user_id,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events GROUP BY user_id
+), obs AS (
+    SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN cents ELSE 0 END) AS HUGEINT) AS sa,
+           CAST(SUM(CASE WHEN user_id % 2 = 1 THEN cents ELSE 0 END) AS HUGEINT) AS sb,
+           CAST(COUNT(*) FILTER (user_id % 2 = 0) AS HUGEINT) AS na,
+           CAST(COUNT(*) FILTER (user_id % 2 = 1) AS HUGEINT) AS nb
+    FROM peruser
+), perm AS (
+    SELECT k.k,
+           CAST(SUM(CASE WHEN g = 0 THEN cents ELSE 0 END) AS HUGEINT) AS sa,
+           CAST(SUM(CASE WHEN g = 1 THEN cents ELSE 0 END) AS HUGEINT) AS sb,
+           CAST(COUNT(*) FILTER (g = 0) AS HUGEINT) AS na,
+           CAST(COUNT(*) FILTER (g = 1) AS HUGEINT) AS nb
+    FROM (
+        SELECT p.user_id, p.cents, k.k,
+               ('0x' || SUBSTR(MD5(CAST(p.user_id AS VARCHAR) || ':'
+                               || CAST(k.k AS VARCHAR)), 1, 8))::BIGINT % 2 AS g
+        FROM peruser p, range(0, 100) k(k)
+    ) x JOIN range(0, 100) k(k) ON k.k = x.k
+    GROUP BY k.k
+), cmp AS (
+    SELECT COUNT(*) FILTER (
+        ABS(p.sa * p.nb - p.sb * p.na) * (o.na * o.nb)
+        >= ABS(o.sa * o.nb - o.sb * o.na) * (p.na * p.nb)
+    ) AS n_extreme
+    FROM perm p, obs o
+    WHERE p.na > 0 AND p.nb > 0
+)
+SELECT CAST((SELECT COUNT(*) FROM peruser) AS BIGINT) AS n_users,
+       CAST(n_extreme AS BIGINT) AS n_extreme,
+       CAST((2 * (n_extreme + 1) * 1000000 + 101) // (2 * 101) AS BIGINT)
+           AS p_micro
+FROM cmp
+"""
+
+
+@register("q335_permutation_test", oracle=_PERM_ORACLE)
+def q335(spark, sf_dir):
+    """Deterministic permutation test of the parity revenue split
+    (oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    peruser = ev.groupBy("user_id").agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    d38 = "decimal(38,0)"
+
+    def split(df, gcol):
+        return df.agg(
+            F.sum(F.when(gcol == 0, F.col("cents")).otherwise(0)).cast(d38).alias("sa"),
+            F.sum(F.when(gcol == 1, F.col("cents")).otherwise(0)).cast(d38).alias("sb"),
+            F.count(F.when(gcol == 0, 1)).cast(d38).alias("na"),
+            F.count(F.when(gcol == 1, 1)).cast(d38).alias("nb"),
+        )
+
+    obs = split(peruser, F.col("user_id") % 2)
+    expanded = peruser.crossJoin(
+        F.broadcast(spark.range(0, 100).select(F.col("id").alias("k")))
+    ).select(
+        "cents",
+        "k",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit(":"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("g"),
+    )
+    perm = expanded.groupBy("k").agg(
+        F.sum(F.when(F.col("g") == 0, F.col("cents")).otherwise(0)).cast(d38).alias("sa"),
+        F.sum(F.when(F.col("g") == 1, F.col("cents")).otherwise(0)).cast(d38).alias("sb"),
+        F.count(F.when(F.col("g") == 0, 1)).cast(d38).alias("na"),
+        F.count(F.when(F.col("g") == 1, 1)).cast(d38).alias("nb"),
+    )
+    cmp = (
+        perm.where((F.col("na") > 0) & (F.col("nb") > 0))
+        .crossJoin(
+            F.broadcast(
+                obs.select(
+                    F.col("sa").alias("osa"),
+                    F.col("sb").alias("osb"),
+                    F.col("na").alias("ona"),
+                    F.col("nb").alias("onb"),
+                )
+            )
+        )
+        .agg(
+            F.count(
+                F.when(
+                    F.expr(
+                        "ABS(sa * nb - sb * na) * (ona * onb)"
+                        " >= ABS(osa * onb - osb * ona) * (na * nb)"
+                    ),
+                    1,
+                )
+            ).alias("n_extreme")
+        )
+    )
+    nn = peruser.agg(F.count("*").cast("bigint").alias("n_users"))
+    return (
+        nn.crossJoin(cmp)
+        .selectExpr(
+            "n_users",
+            "CAST(n_extreme AS BIGINT) AS n_extreme",
+            "CAST((2 * (n_extreme + 1) * 1000000 + 101) DIV (2 * 101) AS BIGINT)"
+            " AS p_micro",
+        )
+    )
+
+
+# ---------- q336: PERMISSIVE JSON with corrupt-record capture
+
+# The schema-on-read resilience lane q134 (clean JSON source) leaves
+# untested: one in three serialized lines is deliberately truncated,
+# and the read-back uses PERMISSIVE mode with
+# columnNameOfCorruptRecord so malformed lines land in a _bad column
+# instead of failing the scan (the production posture for scraped /
+# third-party JSON). The aggregate proves BOTH lanes: valid rows per
+# event type AND the corrupt count, against an oracle computed from
+# the construction rule (event_id % 3 = 0 -> corrupt). Read path: the
+# sinked lines scan in parallel like any text source.
+_CORRUPT_ORACLE = """
+SELECT COALESCE(event_type, '_corrupt') AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)), 0)
+            AS BIGINT) AS sum_cents
+FROM (
+    SELECT CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END AS event_type,
+           CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value
+    FROM events WHERE event_id % 20 = 2
+)
+GROUP BY 1 ORDER BY event_type
+"""
+
+
+@register("q336_corrupt_records", oracle=_CORRUPT_ORACLE)
+def q336(spark, sf_dir):
+    """PERMISSIVE JSON read with corrupt-record capture (oracle
+    comment)."""
+    from ..scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir)["events"]
+    sl = ev.where(F.col("event_id") % 20 == 2).select(
+        F.when(
+            F.col("event_id") % 3 == 0,
+            # truncated JSON: drop the closing brace and value tail
+            F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string"), F.lit(', "event_ty')),
+        )
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    "event_id",
+                    "event_type",
+                    (F.col("value").cast("decimal(18,2)") * 100)
+                    .cast("bigint")
+                    .alias("cents"),
+                )
+            )
+        )
+        .alias("value")
+    )
+    d = scratch_dir("q336_json_corrupt")
+    sl.write.mode("overwrite").text(d)
+    back = (
+        spark.read.schema("event_id BIGINT, event_type STRING, cents BIGINT, _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(d)
+    )
+    return (
+        back.select(
+            F.when(F.col("_bad").isNotNull(), "_corrupt")
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("_bad").isNotNull(), None)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -498,3 +498,269 @@ def q336(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------- q337: FIFO cost-of-goods allocation (cumulative-range join)
+
+# FIFO lot matching WITHOUT sequential state: per part, receipts (even
+# line numbers) and sales (odd) each get cumulative-quantity intervals
+# [cum_prev, cum) in arrival order; a sale consumes exactly the lot
+# quantity its interval OVERLAPS — overlap = max(0, min(hi) - max(lo))
+# — so COGS is an interval-intersection JOIN, quadratic only within a
+# part's own lots (TPC-H parts have bounded lines), never sequential.
+# Everything is integer: quantities, unit cents, overlap products.
+# Unmatched sale quantity (demand beyond supply) is reported per part.
+_FIFO_ORACLE = """
+WITH flows AS (
+    SELECT l_partkey AS part,
+           l_linenumber % 2 = 0 AS is_receipt,
+           CAST(l_quantity AS BIGINT) AS qty,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           l_shipdate, l_orderkey, l_linenumber
+    FROM lineitem WHERE l_partkey % 25 = 0
+), seq AS (
+    SELECT part, is_receipt, qty, cents,
+           SUM(qty) OVER (PARTITION BY part, is_receipt
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS hi
+    FROM flows
+), iv AS (
+    SELECT part, is_receipt, qty, cents, hi, hi - qty AS lo FROM seq
+), matched AS (
+    SELECT r.part,
+           SUM(GREATEST(0, LEAST(r.hi, s.hi) - GREATEST(r.lo, s.lo))
+               * (r.cents // r.qty)) AS cogs_cents,
+           SUM(GREATEST(0, LEAST(r.hi, s.hi) - GREATEST(r.lo, s.lo))) AS matched_qty
+    FROM iv r JOIN iv s
+      ON r.part = s.part AND r.is_receipt AND NOT s.is_receipt
+     AND r.lo < s.hi AND s.lo < r.hi
+    GROUP BY r.part
+), totals AS (
+    SELECT part,
+           CAST(SUM(CASE WHEN NOT is_receipt THEN qty ELSE 0 END) AS BIGINT) AS sold_qty
+    FROM iv GROUP BY part
+)
+SELECT t.part AS partkey, t.sold_qty,
+       CAST(COALESCE(m.matched_qty, 0) AS BIGINT) AS matched_qty,
+       CAST(COALESCE(m.cogs_cents, 0) AS BIGINT) AS cogs_cents
+FROM totals t LEFT JOIN matched m ON m.part = t.part
+ORDER BY partkey
+"""
+
+
+@register("q337_fifo_cogs", oracle=_FIFO_ORACLE)
+def q337(spark, sf_dir):
+    """FIFO lot matching as a cumulative-interval intersection join
+    (oracle comment). Unit cost = integer cents DIV qty (exact same
+    truncation on both engines)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    flows = li.where(F.col("l_partkey") % 25 == 0).select(
+        F.col("l_partkey").alias("part"),
+        (F.col("l_linenumber") % 2 == 0).alias("is_receipt"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = (
+        Window.partitionBy("part", "is_receipt")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    iv = flows.select(
+        "part",
+        "is_receipt",
+        "qty",
+        "cents",
+        F.sum("qty").over(w).alias("hi"),
+    ).withColumn("lo", F.col("hi") - F.col("qty"))
+    r = iv.where(F.col("is_receipt")).alias("r")
+    s = iv.where(~F.col("is_receipt")).alias("s")
+    overlap = F.greatest(
+        F.lit(0),
+        F.least(F.col("r.hi"), F.col("s.hi")) - F.greatest(F.col("r.lo"), F.col("s.lo")),
+    )
+    matched = (
+        r.join(
+            s,
+            (F.col("r.part") == F.col("s.part"))
+            & (F.col("r.lo") < F.col("s.hi"))
+            & (F.col("s.lo") < F.col("r.hi")),
+        )
+        .groupBy(F.col("r.part").alias("part"))
+        .agg(
+            F.sum(overlap * F.expr("r.cents DIV r.qty")).alias("cogs_cents"),
+            F.sum(overlap).alias("matched_qty"),
+        )
+    )
+    totals = iv.groupBy("part").agg(
+        F.sum(F.when(~F.col("is_receipt"), F.col("qty")).otherwise(0))
+        .cast("bigint")
+        .alias("sold_qty")
+    )
+    return (
+        totals.join(matched, "part", "left")
+        .select(
+            F.col("part").alias("partkey"),
+            "sold_qty",
+            F.coalesce("matched_qty", F.lit(0)).cast("bigint").alias("matched_qty"),
+            F.coalesce("cogs_cents", F.lit(0)).cast("bigint").alias("cogs_cents"),
+        )
+        .orderBy("partkey")
+    )
+
+
+# ---------- q338: linear interpolation of gaps on the hourly spine
+
+# q111 fills gaps by carrying the last value forward; this is the
+# other standard resample: LINEAR interpolation between the bracketing
+# observations, v = prev + (next - prev) * (t - t_prev)/(t_next -
+# t_prev), an exact rational in integer epoch-hours and cents reported
+# round-half-up in micro-cents (positive shift — slopes go both
+# ways). The spine is sequence()-generated per user; prev/next come
+# from IGNORE NULLS window walks in each direction, so one
+# user-ordered window pass each way. Edges (before first / after last
+# observation) stay NULL-free by emitting only interior hours.
+_INTERP_ORACLE = """
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id
+), spine AS (
+    SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+    FROM bounds
+), joined AS (
+    SELECT s.user_id, s.h, o.cents,
+           CAST(epoch(s.h) AS BIGINT) // 3600 AS eh
+    FROM spine s LEFT JOIN hourly o USING (user_id, h)
+), walked AS (
+    SELECT user_id, h, eh, cents,
+           LAST_VALUE(cents IGNORE NULLS) OVER w_fwd AS pv,
+           LAST_VALUE(obs_eh IGNORE NULLS) OVER w_fwd_obs AS pt,
+           FIRST_VALUE(cents IGNORE NULLS) OVER w_bwd AS nv,
+           FIRST_VALUE(obs_eh IGNORE NULLS) OVER w_bwd_obs AS nt
+    FROM (SELECT user_id, h, eh, cents,
+                 CASE WHEN cents IS NOT NULL THEN eh END AS obs_eh
+          FROM joined)
+    WINDOW w_fwd AS (PARTITION BY user_id ORDER BY eh
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_fwd_obs AS (PARTITION BY user_id ORDER BY eh
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_bwd AS (PARTITION BY user_id ORDER BY eh
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+           w_bwd_obs AS (PARTITION BY user_id ORDER BY eh
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, CAST(eh AS BIGINT) AS epoch_hour,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents * 1000000
+                 ELSE ((2 * ((pv * (nt - eh) + nv * (eh - pt)) * 1000000
+                             + (nt - pt) * 1000000000000)
+                        + (nt - pt)) // (2 * (nt - pt))) - 1000000000000
+            END AS BIGINT) AS cents_micro
+FROM walked
+WHERE pv IS NOT NULL AND nv IS NOT NULL
+ORDER BY user_id, epoch_hour
+"""
+
+
+@register("q338_linear_interpolation", oracle=_INTERP_ORACLE)
+def q338(spark, sf_dir):
+    """Linear interpolation between bracketing hourly observations
+    (oracle comment). NOTE the oracle walks prev/next time from a
+    masked column so only OBSERVED hours anchor the interpolation."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        (F.unix_timestamp(F.col("h").cast("timestamp")) / 3600)
+        .cast("bigint")
+        .alias("eh"),
+        "cents",
+    )
+    masked = joined.withColumn(
+        "obs_eh", F.when(F.col("cents").isNotNull(), F.col("eh"))
+    )
+    wf = Window.partitionBy("user_id").orderBy("eh").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wb = Window.partitionBy("user_id").orderBy("eh").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    walked = masked.select(
+        "user_id",
+        "eh",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wf).alias("pv"),
+        F.last("obs_eh", ignorenulls=True).over(wf).alias("pt"),
+        F.first("cents", ignorenulls=True).over(wb).alias("nv"),
+        F.first("obs_eh", ignorenulls=True).over(wb).alias("nt"),
+    )
+    return (
+        walked.where(F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        .selectExpr(
+            "user_id",
+            "CAST(eh AS BIGINT) AS epoch_hour",
+            """CAST(CASE WHEN cents IS NOT NULL THEN cents * 1000000
+                    ELSE ((2 * ((pv * (nt - eh) + nv * (eh - pt)) * 1000000
+                                + (nt - pt) * 1000000000000)
+                           + (nt - pt)) DIV (2 * (nt - pt))) - 1000000000000
+               END AS BIGINT) AS cents_micro""",
+        )
+        .orderBy("user_id", "epoch_hour")
+    )
+
+
+# ---------- q339: timezone conversion (convert_timezone surface)
+
+# Spark 4's convert_timezone on TIMESTAMP_NTZ: events are stored as
+# naive UTC instants; business reporting wants the New-York local-hour
+# activity profile. Both engines resolve the IANA zone (DuckDB via
+# AT TIME ZONE); the January 2024 window sits entirely inside EST —
+# no DST boundary — so the conversion is a stable -5h and the
+# histogram is engine-deterministic. |hours| = 24 output rows off one
+# map-side-combinable aggregate.
+_TZ_ORACLE = """
+SELECT CAST(EXTRACT(hour FROM (h AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York')
+            AS INT) AS ny_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (SELECT ts AS h FROM events)
+GROUP BY 1 ORDER BY ny_hour
+"""
+
+
+@register("q339_timezone_profile", oracle=_TZ_ORACLE)
+def q339(spark, sf_dir):
+    """New-York local-hour activity histogram via convert_timezone
+    (oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.select(
+            F.hour(
+                F.expr("convert_timezone('UTC', 'America/New_York', ts)")
+            ).alias("ny_hour")
+        )
+        .groupBy("ny_hour")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .orderBy("ny_hour")
+    )

@@ -764,3 +764,229 @@ def q339(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_events"))
         .orderBy("ny_hour")
     )
+
+
+# ---------- q340: temperature-scaled sampling weights (alpha = 0.7)
+
+# The multilingual-corpus mixing standard (mT5 recipe): source weights
+# proportional to n^alpha flatten the head and boost the tail.
+# n^0.7 = EXP(0.7 * LN(n)) is transcendental, so each source's scaled
+# mass is DISCRETIZED once — ROUND(POW(n, 0.7), 6) of an identical
+# integer input (the q297 rule: engine pow can differ in the last ulp
+# but a 6-dec boundary hit on an irrational value is measure-zero) —
+# into integer micro units; the normalized weights and the final
+# 1M-token allocation then reuse q314's exact largest-remainder
+# integer arithmetic, so the budget sums EXACTLY.
+_TEMP_ORACLE = """
+WITH tc AS (
+    SELECT source,
+           CAST(SUM(LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)))
+                AS BIGINT) AS tokens
+    FROM documents GROUP BY source
+), sc AS (
+    SELECT source, tokens,
+           CAST(ROUND(POW(CAST(tokens AS DOUBLE), 0.7) * 1000000) AS BIGINT) AS w_micro
+    FROM tc
+), t AS (
+    SELECT CAST(SUM(w_micro) AS HUGEINT) AS total FROM sc
+), base AS (
+    SELECT source, tokens, w_micro,
+           CAST((1000000 * CAST(w_micro AS HUGEINT)) // total AS BIGINT) AS fl,
+           CAST((1000000 * CAST(w_micro AS HUGEINT)) % total AS HUGEINT) AS rem
+    FROM sc, t
+), extra AS (
+    SELECT CAST(1000000 - SUM(fl) AS BIGINT) AS r FROM base
+), ranked AS (
+    SELECT source, tokens, w_micro, fl,
+           ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+    FROM base
+)
+SELECT source, tokens, w_micro,
+       CAST(fl + CASE WHEN rk <= (SELECT r FROM extra) THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked ORDER BY source
+"""
+
+
+@register("q340_temperature_sampling", oracle=_TEMP_ORACLE)
+def q340(spark, sf_dir):
+    """n^0.7 temperature mixing weights + exact Hamilton allocation
+    (oracle comment)."""
+    from ..functions import text as T
+
+    d = load_tables(spark, sf_dir)["documents"]
+    tc = d.groupBy("source").agg(
+        F.sum(F.size(T.tokens(F.col("text")))).cast("bigint").alias("tokens")
+    )
+    sc = tc.select(
+        "source",
+        "tokens",
+        F.round(F.pow(F.col("tokens").cast("double"), 0.7) * 1000000)
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    d38 = "decimal(38,0)"
+    t = sc.agg(F.sum("w_micro").cast(d38).alias("total"))
+    base = sc.crossJoin(F.broadcast(t)).selectExpr(
+        "source",
+        "tokens",
+        "w_micro",
+        "CAST((1000000 * CAST(w_micro AS DECIMAL(38,0))) DIV total AS BIGINT) AS fl",
+        "CAST((1000000 * CAST(w_micro AS DECIMAL(38,0))) % total AS DECIMAL(38,0)) AS rem",
+    )
+    extra = base.agg((F.lit(1000000) - F.sum("fl")).cast("bigint").alias("r"))
+    ranked = base.select(
+        "source",
+        "tokens",
+        "w_micro",
+        "fl",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), "source")).alias("rk"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(extra))
+        .select(
+            "source",
+            "tokens",
+            "w_micro",
+            (F.col("fl") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------- q341: month-over-month churn triad (new/retained/churned)
+
+# The growth-accounting identity every product dashboard leads with:
+# per month, active users split into NEW (absent last month), RETAINED
+# (present both), and CHURNED (last month's actives who vanished).
+# Distinct (user, month) pairs collapse the fact table once; the triad
+# is a full-outer self-join of adjacent months on the |users x months|
+# frame. Integer counts; the first month reports churn vs an empty
+# predecessor.
+_CHURN_ORACLE = """
+WITH um AS (
+    SELECT DISTINCT user_id, strftime(ts, '%Y-%m') AS m FROM events
+), months AS (
+    SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS mi FROM (SELECT DISTINCT m FROM um)
+), labeled AS (
+    SELECT um.user_id, mo.mi FROM um JOIN months mo USING (m)
+), pairs AS (
+    SELECT COALESCE(c.mi, p.mi + 1) AS mi,
+           COUNT(*) FILTER (c.user_id IS NOT NULL AND p.user_id IS NULL) AS new_users,
+           COUNT(*) FILTER (c.user_id IS NOT NULL AND p.user_id IS NOT NULL) AS retained,
+           COUNT(*) FILTER (c.user_id IS NULL AND p.user_id IS NOT NULL) AS churned
+    FROM labeled c FULL OUTER JOIN labeled p
+      ON p.user_id = c.user_id AND p.mi = c.mi - 1
+    GROUP BY 1
+)
+SELECT mo.m AS month,
+       CAST(COALESCE(new_users, 0) AS BIGINT) AS new_users,
+       CAST(COALESCE(retained, 0) AS BIGINT) AS retained,
+       CAST(COALESCE(churned, 0) AS BIGINT) AS churned
+FROM pairs JOIN months mo USING (mi)
+ORDER BY month
+"""
+
+
+@register("q341_user_churn_summary", oracle=_CHURN_ORACLE)
+def q341(spark, sf_dir):
+    """Growth-accounting triad per month (oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    um = ev.select(
+        "user_id", F.date_format("ts", "yyyy-MM").alias("m")
+    ).distinct()
+    months = (
+        um.select("m")
+        .distinct()
+        .select("m", F.row_number().over(Window.orderBy("m")).alias("mi"))
+    )
+    labeled = um.join(F.broadcast(months), "m").select("user_id", "mi")
+    c, p = labeled.alias("c"), labeled.alias("p")
+    pairs = (
+        c.join(
+            p,
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("p.mi") == F.col("c.mi") - 1),
+            "full_outer",
+        )
+        .groupBy(F.coalesce(F.col("c.mi"), F.col("p.mi") + 1).alias("mi"))
+        .agg(
+            F.count(
+                F.when(F.col("c.user_id").isNotNull() & F.col("p.user_id").isNull(), 1)
+            ).alias("new_users"),
+            F.count(
+                F.when(
+                    F.col("c.user_id").isNotNull() & F.col("p.user_id").isNotNull(), 1
+                )
+            ).alias("retained"),
+            F.count(
+                F.when(F.col("c.user_id").isNull() & F.col("p.user_id").isNotNull(), 1)
+            ).alias("churned"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(months), "mi")
+        .select(
+            F.col("m").alias("month"),
+            F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+            F.coalesce("retained", F.lit(0)).cast("bigint").alias("retained"),
+            F.coalesce("churned", F.lit(0)).cast("bigint").alias("churned"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------- q342: foreign-key fan-out histogram (relationship profile)
+
+# Schema-discovery profiling (q153's relational twin): the 1:N
+# cardinality shape of orders -> lineitem as a histogram of
+# lines-per-order, plus each bucket's share in round-half-up micro
+# units. Two nested map-side-combinable aggregates; output is
+# |distinct fan-outs| rows (~7 for TPC-H). Catches broken FKs (a
+# 0-lines bucket via the left join) and unexpected hot keys.
+_FANOUT_ORACLE = """
+WITH fan AS (
+    SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_lines
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+), h AS (
+    SELECT n_lines, COUNT(*) AS n_orders FROM fan GROUP BY n_lines
+), t AS (
+    SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM h
+)
+SELECT CAST(n_lines AS INT) AS n_lines,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST((2 * n_orders * 1000000 + total) // (2 * total) AS BIGINT) AS share_micro
+FROM h, t ORDER BY n_lines
+"""
+
+
+@register("q342_fanout_histogram", oracle=_FANOUT_ORACLE)
+def q342(spark, sf_dir):
+    """orders->lineitem fan-out histogram with shares (oracle
+    comment)."""
+    t = load_tables(spark, sf_dir)
+    fan = (
+        t["orders"]
+        .join(
+            t["lineitem"].select("l_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+    h = fan.groupBy("n_lines").agg(F.count("*").alias("n_orders"))
+    tt = h.agg(F.sum("n_orders").cast("bigint").alias("total"))
+    return (
+        h.crossJoin(F.broadcast(tt))
+        .selectExpr(
+            "CAST(n_lines AS INT) AS n_lines",
+            "CAST(n_orders AS BIGINT) AS n_orders",
+            "CAST((2 * n_orders * 1000000 + total) DIV (2 * total) AS BIGINT)"
+            " AS share_micro",
+        )
+        .orderBy("n_lines")
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_tables
 from . import register
+from .analytics3 import _DAILY_CTE
 
 
 # ---------- q331: Markov next-event predictor evaluation
@@ -989,4 +990,236 @@ def q342(spark, sf_dir):
             " AS share_micro",
         )
         .orderBy("n_lines")
+    )
+
+
+# ---------- q343: Matryoshka truncation quality (MRL audit)
+
+# How much retrieval signal survives truncating 64-d embeddings to
+# their first 16 dims (the Matryoshka deployment trade)? Per label:
+# mean cosine between each full vector and its 16-d prefix. With
+# milli-quantized integer components (q244 recipe), dot(x, x16) and
+# both squared norms are exact BIGINTs; the cosine is a division of
+# identical integers under IEEE sqrt (correctly rounded on both
+# engines), ROUND(6)'d, and the per-label mean runs over
+# DECIMAL(38,6)-cast addends so summation order cannot move the hash.
+_MATRYOSHKA_ORACLE = """
+WITH q AS (
+    SELECT label,
+           LIST_TRANSFORM(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+), mm AS (
+    SELECT label,
+           CAST(LIST_SUM(LIST_TRANSFORM(range(1, 17), i -> v[i] * v[i])) AS BIGINT) AS head,
+           CAST(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS fullsq
+    FROM q
+), c AS (
+    SELECT label,
+           ROUND(CAST(head AS DOUBLE)
+                 / (SQRT(CAST(fullsq AS DOUBLE)) * SQRT(CAST(head AS DOUBLE))), 6) AS cos6
+    FROM mm WHERE head > 0 AND fullsq > 0
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST((2 * CAST(SUM(CAST(cos6 * 1000000 AS BIGINT)) AS BIGINT) + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS mean_cos_micro
+FROM c GROUP BY label ORDER BY label
+"""
+
+
+@register("q343_matryoshka_quality", oracle=_MATRYOSHKA_ORACLE)
+def q343(spark, sf_dir):
+    """Mean full-vs-16d-prefix cosine per label (oracle comment).
+    dot(x, x16) = ||x16||^2, so only the two squared norms are needed."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.select(
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+        ).alias("v"),
+    )
+    acc = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("bigint"), lambda a, x: a + x * x
+    )
+    mm = q.select(
+        "label",
+        acc(F.slice("v", 1, 16)).alias("head"),
+        acc(F.col("v")).alias("fullsq"),
+    )
+    c = mm.where((F.col("head") > 0) & (F.col("fullsq") > 0)).select(
+        "label",
+        F.round(
+            F.col("head").cast("double")
+            / (F.sqrt(F.col("fullsq").cast("double")) * F.sqrt(F.col("head").cast("double"))),
+            6,
+        ).alias("cos6"),
+    )
+    return (
+        c.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.expr(
+                "CAST((2 * CAST(SUM(CAST(cos6 * 1000000 AS BIGINT)) AS BIGINT)"
+                " + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+            ).alias("mean_cos_micro"),
+        )
+        .select(F.col("label").cast("int").alias("label"), "n_vecs", "mean_cos_micro")
+        .orderBy("label")
+    )
+
+
+# ---------- q344: learned-index error bound (RMI-style audit)
+
+# Fit position ~ value by OLS over the sorted daily-revenue array and
+# report the maximum absolute prediction error — the quantity that
+# sizes a learned index's search window (RMI last-mile bound). The
+# fit runs on the |days| frame: exact DECIMAL(38) moments (q270
+# style), predictions as round-half-up integers from the exact
+# rational slope/intercept — pred(v) = rhu((num_a + num_b*v)/den) with
+# positive-shift (slope sign unknown) — then MAX |pos - pred|.
+_LEARNED_IDX_ORACLE = _DAILY_CTE + """
+, idx AS (
+    SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, day) AS pos FROM daily
+), m AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(SUM(CAST(pos AS HUGEINT)) AS HUGEINT) AS sy,
+           CAST(SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(cents AS HUGEINT) * CAST(pos AS HUGEINT)) AS HUGEINT) AS sxy
+    FROM idx
+), err AS (
+    SELECT pos,
+           ((2 * ((sy * sxx - sx * sxy) + (n * sxy - sx * sy) * CAST(cents AS HUGEINT)
+                  + 1000000 * (n * sxx - sx * sx))
+             + (n * sxx - sx * sx))
+            // (2 * (n * sxx - sx * sx))) - 1000000 AS pred
+    FROM idx, m
+)
+SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_keys,
+       CAST(MAX(ABS(CAST(pos AS HUGEINT) - pred)) AS BIGINT) AS max_abs_err,
+       CAST((2 * SUM(ABS(CAST(pos AS HUGEINT) - pred)) + (SELECT n FROM m))
+            // (2 * (SELECT n FROM m)) AS BIGINT) AS mean_abs_err
+FROM err
+"""
+
+
+@register("q344_learned_index_error", oracle=_LEARNED_IDX_ORACLE)
+def q344(spark, sf_dir):
+    """Max/mean |position - OLS prediction| over the sorted key array
+    (oracle comment)."""
+    from .analytics3 import _daily_cents
+
+    daily = _daily_cents(spark, sf_dir)
+    idx = daily.select(
+        "cents", F.row_number().over(Window.orderBy("cents", "day")).alias("pos")
+    )
+    d38 = "decimal(38,0)"
+    m = idx.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("cents").cast(d38).alias("sx"),
+        F.sum("pos").cast(d38).alias("sy"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents")).cast(d38).alias("sxx"),
+        F.sum(F.col("cents").cast(d38) * F.col("pos")).cast(d38).alias("sxy"),
+    )
+    err = idx.crossJoin(F.broadcast(m)).selectExpr(
+        "pos",
+        "n",
+        """((2 * ((sy * sxx - sx * sxy) + (n * sxy - sx * sy) * CAST(cents AS DECIMAL(38,0))
+               + 1000000 * (n * sxx - sx * sx))
+          + (n * sxx - sx * sx))
+         DIV (2 * (n * sxx - sx * sx))) - 1000000 AS pred""",
+    )
+    return err.agg(
+        F.max("n").cast("bigint").alias("n_keys"),
+        F.max(F.abs(F.col("pos").cast(d38) - F.col("pred"))).cast("bigint").alias(
+            "max_abs_err"
+        ),
+        F.expr(
+            "CAST((2 * SUM(ABS(CAST(pos AS DECIMAL(38,0)) - pred)) + MAX(n))"
+            " DIV (2 * MAX(n)) AS BIGINT)"
+        ).alias("mean_abs_err"),
+    ).select("n_keys", "max_abs_err", "mean_abs_err")
+
+
+# ---------- q345: Cohen's kappa for the NB classifier (q297's grader)
+
+# Chance-corrected agreement between q297's naive-Bayes predictions
+# and the true language labels: kappa = (po - pe)/(1 - pe) with
+# po = sum diag / N and pe = sum (row_i * col_i) / N^2 — an exact
+# rational of confusion-matrix counts, reported positive-shift
+# round-half-up (kappa can be negative):
+# kappa = (N*sum_diag - sum_rc) / (N*N - sum_rc). The confusion
+# matrix comes straight from q297's per-doc output (the oracle embeds
+# q297's full SQL as a CTE), so this is the eval-family grader for
+# the classifier family.
+from .analytics3 import _NB_ORACLE as _NB_SQL  # noqa: E402
+
+_KAPPA_ORACLE = (
+    "WITH nb AS (" + _NB_SQL + ")"
+    + """
+, conf AS (
+    SELECT true_lang, pred_lang, COUNT(*) AS c FROM nb GROUP BY 1, 2
+), nn AS (
+    SELECT CAST(SUM(c) AS HUGEINT) AS n FROM conf
+), diag AS (
+    SELECT CAST(COALESCE(SUM(CASE WHEN true_lang = pred_lang THEN c END), 0)
+                AS HUGEINT) AS sum_diag
+    FROM conf
+), rows_ AS (
+    SELECT true_lang AS lang, CAST(SUM(c) AS HUGEINT) AS r FROM conf GROUP BY 1
+), cols_ AS (
+    SELECT pred_lang AS lang, CAST(SUM(c) AS HUGEINT) AS col FROM conf GROUP BY 1
+), pe AS (
+    SELECT CAST(COALESCE(SUM(r * col), 0) AS HUGEINT) AS sum_rc
+    FROM rows_ JOIN cols_ USING (lang)
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(sum_diag AS BIGINT) AS n_agree,
+       CAST((2 * ((n * sum_diag - sum_rc) + (n * n - sum_rc)) * 1000000
+             + (n * n - sum_rc)) // (2 * (n * n - sum_rc)) - 1000000
+            AS BIGINT) AS kappa_micro
+FROM nn, diag, pe
+"""
+)
+
+
+@register("q345_cohens_kappa", oracle=_KAPPA_ORACLE)
+def q345(spark, sf_dir):
+    """Chance-corrected agreement of the q297 classifier (oracle
+    comment)."""
+    from .analytics3 import q297
+
+    nb = q297(spark, sf_dir)
+    conf = nb.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("c"))
+    d38 = "decimal(38,0)"
+    nn = conf.agg(F.sum("c").cast(d38).alias("n"))
+    diag = conf.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("true_lang") == F.col("pred_lang"), F.col("c"))),
+            F.lit(0),
+        )
+        .cast(d38)
+        .alias("sum_diag")
+    )
+    rows_ = conf.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.sum("c").cast(d38).alias("r")
+    )
+    cols_ = conf.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("c").cast(d38).alias("col")
+    )
+    pe = (
+        rows_.join(cols_, "lang")
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("col")), F.lit(0)).cast(d38).alias("sum_rc"))
+    )
+    return (
+        nn.crossJoin(diag)
+        .crossJoin(pe)
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_docs",
+            "CAST(sum_diag AS BIGINT) AS n_agree",
+            """CAST((2 * ((n * sum_diag - sum_rc) + (n * n - sum_rc)) * 1000000
+                 + (n * n - sum_rc)) DIV (2 * (n * n - sum_rc)) - 1000000
+                AS BIGINT) AS kappa_micro""",
+        )
     )

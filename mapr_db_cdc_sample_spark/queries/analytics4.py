@@ -1223,3 +1223,170 @@ def q345(spark, sf_dir):
                 AS BIGINT) AS kappa_micro""",
         )
     )
+
+
+# ---------- q346: grouped OLS (per-brand price elasticity of quantity)
+
+# q231/q292 fit ONE global trend; real feature pipelines fit thousands
+# of small regressions AT ONCE — here quantity ~ discount per brand,
+# entirely from per-group integer moments (one map-side-combinable
+# aggregate keyed by brand; no window, no per-group iteration). Slope
+# and intercept are exact rationals of DECIMAL(38) moments reported
+# positive-shift round-half-up; x = discount in integer percent, y =
+# integer quantity. Degenerate brands (zero x-variance) are excluded
+# identically on both engines.
+_GROUPED_OLS_ORACLE = """
+WITH pts AS (
+    SELECT p.p_brand AS brand,
+           CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS BIGINT) AS x,
+           CAST(l_quantity AS BIGINT) AS y
+    FROM lineitem JOIN part p ON p.p_partkey = l_partkey
+), m AS (
+    SELECT brand,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+           CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+    FROM pts GROUP BY brand
+)
+SELECT brand, CAST(n AS BIGINT) AS n,
+       CAST((2 * ((n * sxy - sx * sy) + 100 * (n * sxx - sx * sx)) * 1000000
+             + (n * sxx - sx * sx)) // (2 * (n * sxx - sx * sx))
+            - 100000000 AS BIGINT) AS slope_micro,
+       CAST((2 * ((sy * sxx - sx * sxy) + 1000 * (n * sxx - sx * sx)) * 1000000
+             + (n * sxx - sx * sx)) // (2 * (n * sxx - sx * sx))
+            - 1000000000 AS BIGINT) AS intercept_micro
+FROM m WHERE n * sxx - sx * sx > 0
+ORDER BY brand
+"""
+
+
+@register("q346_grouped_ols", oracle=_GROUPED_OLS_ORACLE)
+def q346(spark, sf_dir):
+    """Per-brand OLS of quantity on discount percent from grouped
+    integer moments (oracle comment)."""
+    t = load_tables(spark, sf_dir)
+    pts = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(F.col("l_discount").cast("double") * 100).cast("bigint").alias("x"),
+            F.col("l_quantity").cast("bigint").alias("y"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    m = pts.groupBy("brand").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+    )
+    return (
+        m.where(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        .selectExpr(
+            "brand",
+            "CAST(n AS BIGINT) AS n",
+            """CAST((2 * ((n * sxy - sx * sy) + 100 * (n * sxx - sx * sx)) * 1000000
+                 + (n * sxx - sx * sx)) DIV (2 * (n * sxx - sx * sx))
+                - 100000000 AS BIGINT) AS slope_micro""",
+            """CAST((2 * ((sy * sxx - sx * sxy) + 1000 * (n * sxx - sx * sx)) * 1000000
+                 + (n * sxx - sx * sx)) DIV (2 * (n * sxx - sx * sx))
+                - 1000000000 AS BIGINT) AS intercept_micro""",
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------- q347: SQL session variables + EXECUTE IMMEDIATE (Spark 4)
+
+# The SQL-scripting surface q296 (IDENTIFIER) leaves untested: a
+# session variable DECLAREd and SET VAR'd at runtime, consumed by an
+# EXECUTE IMMEDIATE statement through a USING bind — the
+# stored-procedure-style parameter flow (thresholds owned by
+# orchestration, not spliced into SQL text). The oracle is the static
+# query with the same literal, proving the variable lane resolves to
+# the identical plan.
+_SQLVAR_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS rev_cents
+FROM orders WHERE o_totalprice > 150000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("q347_sql_variables", oracle=_SQLVAR_ORACLE)
+def q347(spark, sf_dir):
+    """DECLARE VARIABLE + SET VAR + EXECUTE IMMEDIATE ... USING
+    (oracle comment)."""
+    load_tables(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR price_floor = 150000.0")
+    return spark.sql(
+        "EXECUTE IMMEDIATE"
+        " 'SELECT o_orderpriority,"
+        "         CAST(COUNT(*) AS BIGINT) AS n,"
+        "         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+        "              AS BIGINT) AS rev_cents"
+        "  FROM orders WHERE o_totalprice > :floor"
+        "  GROUP BY o_orderpriority ORDER BY o_orderpriority'"
+        " USING price_floor AS floor"
+    )
+
+
+# ---------- q348: keyset pagination (stable cursor paging proof)
+
+# OFFSET pagination re-sorts everything per page; production paging
+# uses KEYSET cursors — tuple predicates on the last-seen sort key.
+# Three 10-row pages of orders under the unique (o_orderdate,
+# o_orderkey) order, each page filtered by a tuple comparison against
+# the previous page's tail, then UNION ALL'd; the oracle is the
+# straight LIMIT 30 of the same sort — equality proves the cursor
+# predicates lose and duplicate nothing. The page filters are
+# sargable: each page's scan prunes with the pushed tuple predicate
+# instead of resorting history.
+_KEYSET_ORACLE = """
+SELECT o_orderkey, o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+FROM orders
+ORDER BY o_orderdate, o_orderkey LIMIT 30
+"""
+
+
+@register("q348_keyset_pagination", oracle=_KEYSET_ORACLE)
+def q348(spark, sf_dir):
+    """Three keyset-cursor pages stitched back together (oracle
+    comment). Cursor boundaries come from small page-tail collects —
+    bounded driver traffic by construction (10 rows/page)."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    pages = []
+    cursor = None
+    for _ in range(3):
+        page = o
+        if cursor is not None:
+            d0, k0 = cursor
+            page = page.where(
+                (F.col("o_orderdate") > F.lit(d0))
+                | ((F.col("o_orderdate") == F.lit(d0)) & (F.col("o_orderkey") > k0))
+            )
+        page = page.orderBy(*order).limit(10)
+        rows = page.collect()
+        pages.append(page)
+        if not rows:
+            break
+        cursor = (rows[-1]["o_orderdate"], rows[-1]["o_orderkey"])
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionAll(p)
+    return out.orderBy(*order)

@@ -3163,7 +3163,8 @@ WITH obs AS (
     SELECT partkey, valid_ts, tx_ts, cents,
            ROW_NUMBER() OVER (PARTITION BY partkey
                               ORDER BY valid_ts DESC, tx_ts DESC,
-                                       l_orderkey DESC, l_linenumber DESC) AS rn
+                                       l_orderkey DESC, l_linenumber DESC,
+                                       cents DESC) AS rn
     FROM elig
 )
 SELECT partkey, valid_ts, tx_ts, cents

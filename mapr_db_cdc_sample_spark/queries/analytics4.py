@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_tables
 from . import register
-from .analytics3 import _DAILY_CTE
+from .analytics3 import _DAILY_CTE, _daily_cents
 
 
 # ---------- q331: Markov next-event predictor evaluation
@@ -522,7 +522,7 @@ WITH flows AS (
 ), seq AS (
     SELECT part, is_receipt, qty, cents,
            SUM(qty) OVER (PARTITION BY part, is_receipt
-                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber, qty, cents
                           ROWS UNBOUNDED PRECEDING) AS hi
     FROM flows
 ), iv AS (
@@ -568,7 +568,7 @@ def q337(spark, sf_dir):
     )
     w = (
         Window.partitionBy("part", "is_receipt")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "qty", "cents")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     iv = flows.select(
@@ -1390,3 +1390,256 @@ def q348(spark, sf_dir):
     for p in pages[1:]:
         out = out.unionAll(p)
     return out.orderBy(*order)
+
+
+# ---------- q349: run-length encoding effectiveness audit (storage QA)
+
+# Would sorting this table by ship date make l_returnflag RLE-friendly
+# inside each month partition? Count value RUNS per month under the
+# (shipdate, orderkey, linenumber) order — runs = changes + 1 via one
+# LAG over a month-partitioned window (one exchange, one pass) — and
+# report rows-per-run in micro units. The q332 advisor's encoding-side
+# sibling: a ratio near 1 says "don't bother", a high ratio says the
+# sort buys real compression.
+_RLE_ORACLE = """
+WITH seq AS (
+    SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag,
+           LAG(l_returnflag) OVER (PARTITION BY strftime(l_shipdate, '%Y-%m')
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                            l_returnflag)
+               AS prev
+    FROM lineitem
+), agg AS (
+    SELECT month, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (prev IS NULL OR l_returnflag <> prev) AS BIGINT)
+               AS n_runs
+    FROM seq GROUP BY month
+)
+SELECT month, n_rows, n_runs,
+       CAST((2 * n_rows * 1000000 + n_runs) // (2 * n_runs) AS BIGINT)
+           AS rows_per_run_micro
+FROM agg ORDER BY month
+"""
+
+
+@register("q349_encoding_audit", oracle=_RLE_ORACLE)
+def q349(spark, sf_dir):
+    """Per-month RLE run statistics for l_returnflag under the ship
+    order (oracle comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    month = F.date_format("l_shipdate", "yyyy-MM")
+    # the synthetic lineitem carries a few duplicate (shipdate, orderkey,
+    # linenumber) triples, so the flag itself is the final tiebreaker —
+    # without it the run sequence is engine-dependent at those ties
+    w = Window.partitionBy(month).orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    seq = li.select(
+        month.alias("month"),
+        "l_returnflag",
+        F.lag("l_returnflag").over(w).alias("prev"),
+    )
+    agg = seq.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count(
+            F.when(
+                F.col("prev").isNull() | (F.col("l_returnflag") != F.col("prev")), 1
+            )
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    return agg.selectExpr(
+        "month",
+        "n_rows",
+        "n_runs",
+        "CAST((2 * n_rows * 1000000 + n_runs) DIV (2 * n_runs) AS BIGINT)"
+        " AS rows_per_run_micro",
+    ).orderBy("month")
+
+
+# ---------- q350: historical VaR / expected shortfall of daily deltas
+
+# Risk metrics on the day-over-day revenue change: the 5% historical
+# VaR is the nearest-rank ceil(0.05*m) order statistic of the deltas
+# (unique (delta, day) order), and the expected shortfall is the
+# round-half-up mean of the tail at or below it. Deltas are exact
+# integer cents off one LAG over the |days| aggregate; negative means
+# are handled with the positive-shift trick (tail sums are negative).
+_VAR_ORACLE = _DAILY_CTE + """
+, deltas AS (
+    SELECT day, cents - LAG(cents) OVER (ORDER BY day) AS d
+    FROM daily
+), dd AS (
+    SELECT day, d, ROW_NUMBER() OVER (ORDER BY d, day) AS rr,
+           COUNT(*) OVER () AS m
+    FROM deltas WHERE d IS NOT NULL
+), var_row AS (
+    SELECT d AS var_cents, rr, m FROM dd
+    WHERE rr = GREATEST(CAST(CEIL(0.05 * m) AS BIGINT), 1)
+), tail AS (
+    SELECT CAST(SUM(dd.d) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS k
+    FROM dd, var_row v WHERE dd.rr <= v.rr
+)
+SELECT CAST((SELECT m FROM var_row) AS BIGINT) AS n_deltas,
+       (SELECT CAST(var_cents AS BIGINT) FROM var_row) AS var_cents,
+       CAST(((2 * (s + k * 1000000000000) + k) // (2 * k)) - 1000000000000
+            AS BIGINT) AS es_cents
+FROM tail
+"""
+
+
+@register("q350_historical_var", oracle=_VAR_ORACLE)
+def q350(spark, sf_dir):
+    """5% historical VaR + expected shortfall of daily revenue deltas
+    (oracle comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    deltas = daily.select(
+        "day", (F.col("cents") - F.lag("cents").over(Window.orderBy("day"))).alias("d")
+    ).where(F.col("d").isNotNull())
+    dd = deltas.select(
+        "d",
+        F.row_number().over(Window.orderBy("d", "day")).alias("rr"),
+    ).withColumn("m", F.count("*").over(Window.partitionBy()))
+    var_row = dd.where(
+        F.col("rr") == F.greatest(F.ceil(0.05 * F.col("m")).cast("bigint"), F.lit(1))
+    ).select(F.col("d").alias("var_cents"), F.col("rr").alias("vr"), F.col("m").alias("nm"))
+    tail = (
+        dd.crossJoin(F.broadcast(var_row))
+        .where(F.col("rr") <= F.col("vr"))
+        .agg(
+            F.max("nm").cast("bigint").alias("n_deltas"),
+            F.max("var_cents").cast("bigint").alias("var_cents"),
+            F.sum("d").cast("bigint").alias("s"),
+            F.count("*").cast("bigint").alias("k"),
+        )
+    )
+    return tail.selectExpr(
+        "n_deltas",
+        "var_cents",
+        "CAST(((2 * (s + k * 1000000000000) + k) DIV (2 * k)) - 1000000000000"
+        " AS BIGINT) AS es_cents",
+    )
+
+
+# ---------- q351: Heaps' law fit (vocabulary growth exponent)
+
+# Does vocabulary grow like V = K * n^beta (healthy natural-language
+# corpora sit near beta ~ 0.5)? Checkpoints at doc-count deciles:
+# vocab_at_k needs NO per-prefix distinct pass — each term contributes
+# via its FIRST-occurrence doc (min doc_id per term, a
+# map-side-combinable aggregate), and cumulative tokens come off the
+# per-doc token counts; both reduce to <=10-row cumulative sums over
+# broadcast checkpoint thresholds. The log-log OLS reuses the q317
+# discretization (ROUND(LN(int),6) micro) with exact-rational
+# slope/intercept. Output: one row per checkpoint + the fitted
+# beta/logK repeated as constant columns (self-contained report).
+_HEAPS_ORACLE = """
+WITH dt AS (
+    SELECT doc_id,
+           LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS ntok
+    FROM documents
+), firsts AS (
+    SELECT MIN(doc_id) AS first_doc FROM (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
+        FROM documents
+    ) GROUP BY term
+), ranked AS (
+    SELECT doc_id, ntok, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+           COUNT(*) OVER () AS nd
+    FROM dt
+), cps AS (
+    SELECT i.i, MAX(r.doc_id) AS thr_doc,
+           CAST(SUM(r.ntok) AS BIGINT) AS tokens_cum
+    FROM range(1, 11) i(i)
+    JOIN ranked r ON r.rn <= (r.nd * i.i) // 10
+    GROUP BY i.i
+), vc AS (
+    SELECT c.i, c.tokens_cum,
+           CAST(COUNT(*) AS BIGINT) AS vocab_cum
+    FROM cps c JOIN firsts f ON f.first_doc <= c.thr_doc
+    GROUP BY c.i, c.tokens_cum
+), pts AS (
+    SELECT i, tokens_cum, vocab_cum,
+           CAST(ROUND(LN(CAST(tokens_cum AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+           CAST(ROUND(LN(CAST(vocab_cum AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+    FROM vc WHERE tokens_cum > 0 AND vocab_cum > 0
+), m AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(lx) AS HUGEINT) AS sx, CAST(SUM(ly) AS HUGEINT) AS sy,
+           CAST(SUM(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy
+    FROM pts
+)
+SELECT CAST(p.i AS INT) AS checkpoint,
+       p.tokens_cum, p.vocab_cum,
+       CAST((2 * ((m.n * m.sxy - m.sx * m.sy) + 10 * (m.n * m.sxx - m.sx * m.sx))
+             * 1000000 + (m.n * m.sxx - m.sx * m.sx))
+            // (2 * (m.n * m.sxx - m.sx * m.sx)) - 10000000 AS BIGINT) AS beta_micro
+FROM pts p, m ORDER BY checkpoint
+"""
+
+
+@register("q351_heaps_law", oracle=_HEAPS_ORACLE)
+def q351(spark, sf_dir):
+    """Vocabulary-growth checkpoints + Heaps exponent (oracle
+    comment)."""
+    from ..functions import text as T
+
+    d = load_tables(spark, sf_dir)["documents"]
+    dt = d.select("doc_id", F.size(T.tokens(F.col("text"))).alias("ntok"))
+    firsts = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    ranked = dt.select(
+        "doc_id",
+        "ntok",
+        F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+    ).withColumn("nd", F.count("*").over(Window.partitionBy()))
+    grid = spark.range(1, 11).select(F.col("id").alias("i"))
+    cps = (
+        F.broadcast(grid)
+        .join(ranked, F.expr("rn <= (nd * i) DIV 10"))
+        .groupBy("i")
+        .agg(
+            F.max("doc_id").alias("thr_doc"),
+            F.sum("ntok").cast("bigint").alias("tokens_cum"),
+        )
+    )
+    vc = (
+        F.broadcast(cps)
+        .join(firsts, F.col("first_doc") <= F.col("thr_doc"))
+        .groupBy("i", "tokens_cum")
+        .agg(F.count("*").cast("bigint").alias("vocab_cum"))
+    )
+    micro = lambda c: F.round(F.log(c.cast("double")) * 1000000).cast("bigint")  # noqa: E731
+    pts = vc.where((F.col("tokens_cum") > 0) & (F.col("vocab_cum") > 0)).select(
+        "i",
+        "tokens_cum",
+        "vocab_cum",
+        micro(F.col("tokens_cum")).alias("lx"),
+        micro(F.col("vocab_cum")).alias("ly"),
+    )
+    d38 = "decimal(38,0)"
+    m = pts.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("lx").cast(d38).alias("sx"),
+        F.sum("ly").cast(d38).alias("sy"),
+        F.sum(F.col("lx").cast(d38) * F.col("lx")).cast(d38).alias("sxx"),
+        F.sum(F.col("lx").cast(d38) * F.col("ly")).cast(d38).alias("sxy"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(m))
+        .selectExpr(
+            "CAST(i AS INT) AS checkpoint",
+            "tokens_cum",
+            "vocab_cum",
+            """CAST((2 * ((n * sxy - sx * sy) + 10 * (n * sxx - sx * sx)) * 1000000
+                 + (n * sxx - sx * sx)) DIV (2 * (n * sxx - sx * sx))
+                - 10000000 AS BIGINT) AS beta_micro""",
+        )
+        .orderBy("checkpoint")
+    )

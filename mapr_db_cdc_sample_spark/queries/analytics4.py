@@ -1643,3 +1643,278 @@ def q351(spark, sf_dir):
         )
         .orderBy("checkpoint")
     )
+
+
+# ---------- q352: sampled-aggregate error audit (AQP discipline)
+
+# Approximate query processing needs its error measured, not assumed:
+# estimate monthly revenue from a deterministic 10% row sample
+# (md5(orderkey) % 10 — the q155 recipe, so both engines pick the
+# SAME sample) scaled by exactly 10, next to the exact total and the
+# round-half-up relative error. One pass computes both (conditional
+# aggregation), so the audit costs one scan.
+_SAMPLED_ORACLE = """
+WITH rows_ AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           ('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+               AS in_sample
+    FROM orders
+), agg AS (
+    SELECT month,
+           CAST(SUM(cents) AS BIGINT) AS exact_cents,
+           CAST(10 * COALESCE(SUM(cents) FILTER (in_sample), 0) AS BIGINT) AS est_cents
+    FROM rows_ GROUP BY month
+)
+SELECT month, exact_cents, est_cents,
+       CAST((2 * ABS(est_cents - exact_cents) * 1000000 + exact_cents)
+            // (2 * exact_cents) AS BIGINT) AS rel_err_micro
+FROM agg ORDER BY month
+"""
+
+
+@register("q352_sampled_aggregate_error", oracle=_SAMPLED_ORACLE)
+def q352(spark, sf_dir):
+    """10% md5-sample revenue estimate vs exact, with relative error
+    (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    rows_ = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % 10
+            == 0
+        ).alias("in_sample"),
+    )
+    agg = rows_.groupBy("month").agg(
+        F.sum("cents").cast("bigint").alias("exact_cents"),
+        (10 * F.coalesce(F.sum(F.when(F.col("in_sample"), F.col("cents"))), F.lit(0)))
+        .cast("bigint")
+        .alias("est_cents"),
+    )
+    return agg.selectExpr(
+        "month",
+        "exact_cents",
+        "est_cents",
+        "CAST((2 * ABS(est_cents - exact_cents) * 1000000 + exact_cents)"
+        " DIV (2 * exact_cents) AS BIGINT) AS rel_err_micro",
+    ).orderBy("month")
+
+
+# ---------- q353: binary/hash function parity (md5/sha256/base64/hex)
+
+# The binary-function row of the scalar families (q31 strings, q33
+# math): digests and codecs must agree byte-for-byte across engines —
+# these anchor every dedup/fingerprint lane in the repo, so the parity
+# is load-bearing, not decorative. Spark sha2(s,256) ~ DuckDB
+# sha256(s); Spark base64/hex operate on UTF-8 bytes, DuckDB needs the
+# explicit ::BLOB cast; hex case normalized via lower().
+_BINFN_ORACLE = """
+SELECT doc_id,
+       MD5(text) AS md5_hex,
+       SHA256(text) AS sha256_hex,
+       TO_BASE64(SUBSTR(text, 1, 12)::BLOB) AS b64_prefix,
+       LOWER(HEX(SUBSTR(text, 1, 8)::BLOB)) AS hex_prefix
+FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id
+"""
+
+
+@register("q353_binary_fns", oracle=_BINFN_ORACLE)
+def q353(spark, sf_dir):
+    """Digest/codec parity over a doc slice (oracle comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.where(F.col("doc_id") % 100 == 0)
+        .select(
+            "doc_id",
+            F.md5("text").alias("md5_hex"),
+            F.sha2("text", 256).alias("sha256_hex"),
+            F.base64(F.substring("text", 1, 12)).alias("b64_prefix"),
+            F.lower(F.hex(F.substring("text", 1, 8))).alias("hex_prefix"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------- q354: share-of-parent down the geo hierarchy
+
+# The hierarchical report: revenue per nation with its share of the
+# REGION subtotal and the region's share of the WORLD total — three
+# aggregation grains stitched by broadcast joins (nation/region are
+# classic broadcast dims), every share an exact round-half-up micro
+# rational. The orders->customer join carries the only wide shuffle.
+_GEO_ORACLE = """
+WITH rev AS (
+    SELECT c.c_nationkey,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_nationkey
+), nat AS (
+    SELECT r.r_name AS region, n.n_name AS nation, rev.cents
+    FROM rev
+    JOIN nation n ON n.n_nationkey = rev.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+), reg AS (
+    SELECT region, CAST(SUM(cents) AS BIGINT) AS region_cents FROM nat GROUP BY region
+), tot AS (
+    SELECT CAST(SUM(cents) AS BIGINT) AS world_cents FROM nat
+)
+SELECT nat.region, nat.nation, nat.cents,
+       CAST((2 * nat.cents * 1000000 + reg.region_cents)
+            // (2 * reg.region_cents) AS BIGINT) AS share_of_region_micro,
+       CAST((2 * reg.region_cents * 1000000 + tot.world_cents)
+            // (2 * tot.world_cents) AS BIGINT) AS region_share_micro
+FROM nat JOIN reg USING (region), tot
+ORDER BY region, nation
+"""
+
+
+@register("q354_geo_hierarchy_shares", oracle=_GEO_ORACLE)
+def q354(spark, sf_dir):
+    """Nation revenue with share-of-region and region-share-of-world
+    (oracle comment)."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["orders"]
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    nat = (
+        rev.join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].select("r_regionkey", "r_name")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "cents"
+        )
+    )
+    reg = nat.groupBy("region").agg(F.sum("cents").cast("bigint").alias("region_cents"))
+    tot = nat.agg(F.sum("cents").cast("bigint").alias("world_cents"))
+    return (
+        nat.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "region",
+            "nation",
+            "cents",
+            "CAST((2 * cents * 1000000 + region_cents)"
+            " DIV (2 * region_cents) AS BIGINT) AS share_of_region_micro",
+            "CAST((2 * region_cents * 1000000 + world_cents)"
+            " DIV (2 * world_cents) AS BIGINT) AS region_share_micro",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+# ---------- q355: incremental sessionization with boundary repair
+
+# The incremental-refresh problem q117/q325 solve for aggregates,
+# posed for SESSIONS: events arrive in two chunks split at Jan 15;
+# each chunk sessionizes independently (30-min gap), then a boundary
+# REPAIR join merges each user's last chunk-A session with their first
+# chunk-B session when the cross-chunk gap closes within 30 minutes.
+# Chunk-internal gap closure guarantees at most ONE pairwise merge per
+# user, so the repair is a single keyed join — no iteration. The
+# oracle sessionizes the whole stream at once; equality proves the
+# incremental path is exact. Sessions are (min_ts, max_ts, n) triples.
+_INCR_SESS_ORACLE = """
+WITH g AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= INTERVAL 30 MINUTE
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+), s AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM g
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register("q355_incremental_sessionize", oracle=_INCR_SESS_ORACLE)
+def q355(spark, sf_dir):
+    """Two-chunk sessionization + boundary repair == batch sessions
+    (oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+
+    def sessionize(chunk):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+        s = chunk.select(
+            "user_id",
+            "ts",
+            F.sum(
+                F.when(gap.isNull() | (gap >= 1800.0), 1).otherwise(0)
+            )
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("sid"),
+        )
+        return s.groupBy("user_id", "sid").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+
+    a = sessionize(ev.where(F.col("ts") < cut))
+    b = sessionize(ev.where(F.col("ts") >= cut))
+    wa = Window.partitionBy("user_id").orderBy(F.col("session_start").desc())
+    wb = Window.partitionBy("user_id").orderBy("session_start")
+    last_a = a.withColumn("rn", F.row_number().over(wa)).where(F.col("rn") == 1).drop("rn")
+    first_b = b.withColumn("rn", F.row_number().over(wb)).where(F.col("rn") == 1).drop("rn")
+    merged = (
+        last_a.alias("x")
+        .join(first_b.alias("y"), "user_id")
+        .where(
+            F.col("y.session_start").cast("double")
+            - F.col("x.session_end").cast("double")
+            < 1800.0
+        )
+        .select(
+            "user_id",
+            F.col("x.sid").alias("sid_a"),
+            F.col("y.sid").alias("sid_b"),
+            F.col("x.session_start").alias("session_start"),
+            F.col("y.session_end").alias("session_end"),
+            (F.col("x.n_events") + F.col("y.n_events")).alias("n_events"),
+        )
+    )
+    a_kept = a.join(
+        merged.select("user_id", F.col("sid_a").alias("sid")), ["user_id", "sid"], "left_anti"
+    )
+    b_kept = b.join(
+        merged.select("user_id", F.col("sid_b").alias("sid")), ["user_id", "sid"], "left_anti"
+    )
+    out = (
+        a_kept.drop("sid")
+        .unionByName(b_kept.drop("sid"))
+        .unionByName(merged.select("user_id", "session_start", "session_end", "n_events"))
+    )
+    return out.orderBy("user_id", "session_start")

@@ -1918,3 +1918,186 @@ def q355(spark, sf_dir):
         .unionByName(merged.select("user_id", "session_start", "session_end", "n_events"))
     )
     return out.orderBy("user_id", "session_start")
+
+
+# ---------- q356: right-to-be-forgotten audit (deletion completeness)
+
+# Deletion-request compliance for a materialized aggregate: when user
+# set U (user_id % 97 = 0) must be forgotten, the maintained view is
+# refreshed by SUBTRACTING U's contributions (the incremental path —
+# never a full recompute at 100 TB); this audit proves the subtraction
+# is complete by comparing against the ground-truth recompute WITHOUT
+# U. The returned frame is the incrementally-forgotten view; the
+# oracle is the filtered recompute — hash equality means zero residue
+# of the forgotten users in any (day) cell. Exact integer cents; rows
+# whose whole cell came from U vanish (n = 0 cells dropped on both
+# sides).
+_FORGET_ORACLE = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS cents
+FROM events WHERE user_id % 97 <> 0
+GROUP BY 1 ORDER BY day
+"""
+
+
+@register("q356_forget_audit", oracle=_FORGET_ORACLE)
+def q356(spark, sf_dir):
+    """Incremental forget (view minus U's contributions) must equal
+    the U-free recompute (oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+
+    def view(df):
+        return df.groupBy(F.col("ts").cast("date").alias("day")).agg(
+            F.count("*").alias("n_events"), F.sum(cents).alias("cents")
+        )
+
+    full = view(ev)
+    forget = view(ev.where(F.col("user_id") % 97 == 0))
+    return (
+        full.alias("f")
+        .join(forget.alias("u"), "day", "left")
+        .select(
+            "day",
+            (F.col("f.n_events") - F.coalesce(F.col("u.n_events"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_events"),
+            (F.col("f.cents") - F.coalesce(F.col("u.cents"), F.lit(0)))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .where(F.col("n_events") > 0)
+        .orderBy("day")
+    )
+
+
+# ---------- q357: tokenizer fertility per language (tokenizer QA)
+
+# Fertility — subword tokens per whitespace word — is the standard
+# "how badly does this tokenizer fragment language X" metric (>2 means
+# the language pays double the sequence length). Using the q49 token
+# family (regex pretokens as the subword proxy), fertility per lang is
+# the exact rational sum(re)/sum(ws) in round-half-up micro units off
+# one map-side-combinable aggregate.
+_FERTILITY_ORACLE = """
+WITH t AS (
+    SELECT lang,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0)) AS BIGINT)
+               AS ws,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+')) AS BIGINT) AS re
+    FROM documents
+), agg AS (
+    SELECT lang, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(re) AS BIGINT) AS re_tokens
+    FROM t GROUP BY lang
+)
+SELECT lang, ws_tokens, re_tokens,
+       CAST((2 * re_tokens * 1000000 + ws_tokens) // (2 * ws_tokens) AS BIGINT)
+           AS fertility_micro
+FROM agg WHERE ws_tokens > 0 ORDER BY lang
+"""
+
+
+@register("q357_tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def q357(spark, sf_dir):
+    """Subword-per-word fertility per language (oracle comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select(
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: F.length(x) > 0))
+        .cast("bigint")
+        .alias("ws"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+"), 0))
+        .cast("bigint")
+        .alias("re"),
+    )
+    agg = t.groupBy("lang").agg(
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("re").cast("bigint").alias("re_tokens"),
+    )
+    return (
+        agg.where(F.col("ws_tokens") > 0)
+        .selectExpr(
+            "lang",
+            "ws_tokens",
+            "re_tokens",
+            "CAST((2 * re_tokens * 1000000 + ws_tokens) DIV (2 * ws_tokens)"
+            " AS BIGINT) AS fertility_micro",
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------- q358: boilerplate-line share (C4-style cleaning signal)
+
+# Lines repeated across many documents of the SAME source are
+# boilerplate (headers, nav bars, license blurbs) — the C4/RefinedWeb
+# cleaning heuristic. Sentences proxy lines (split on '. '); a line is
+# boilerplate when it appears in >= 5 distinct docs of its source.
+# Per doc: boilerplate-line share in round-half-up micro units. The
+# line table collapses to (source, line-hash) TYPE-frame counts; the
+# per-doc share is one join back on the hash — never doc x doc.
+_BOILER_ORACLE = """
+WITH lines_ AS (
+    SELECT doc_id, source,
+           MD5(TRIM(l)) AS lh
+    FROM (
+        SELECT doc_id, source, UNNEST(STRING_SPLIT(text, '. ')) AS l
+        FROM documents
+    ) WHERE LENGTH(TRIM(l)) >= 20
+), lc AS (
+    SELECT source, lh, COUNT(DISTINCT doc_id) AS ndocs
+    FROM lines_ GROUP BY source, lh
+), flagged AS (
+    SELECT l.doc_id,
+           COUNT(*) AS n_lines,
+           COUNT(*) FILTER (lc.ndocs >= 5) AS n_boiler
+    FROM lines_ l JOIN lc ON lc.source = l.source AND lc.lh = l.lh
+    GROUP BY l.doc_id
+)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_boiler AS BIGINT) AS n_boiler,
+       CAST((2 * n_boiler * 1000000 + n_lines) // (2 * n_lines) AS BIGINT)
+           AS boiler_share_micro
+FROM flagged WHERE n_boiler > 0
+ORDER BY doc_id
+"""
+
+
+@register("q358_boilerplate_share", oracle=_BOILER_ORACLE)
+def q358(spark, sf_dir):
+    """Per-doc share of source-repeated lines (oracle comment). Only
+    docs with at least one boilerplate line are emitted — the
+    cleaning-queue worklist, not a full-corpus report."""
+    d = load_tables(spark, sf_dir)["documents"]
+    lines_ = (
+        d.select(
+            "doc_id", "source", F.explode(F.split("text", "\\. ")).alias("l")
+        )
+        .where(F.length(F.trim("l")) >= 20)
+        .select("doc_id", "source", F.md5(F.trim("l")).alias("lh"))
+    )
+    lc = lines_.groupBy("source", "lh").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    flagged = (
+        lines_.join(lc, ["source", "lh"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count(F.when(F.col("ndocs") >= 5, 1)).alias("n_boiler"),
+        )
+    )
+    return (
+        flagged.where(F.col("n_boiler") > 0)
+        .selectExpr(
+            "doc_id",
+            "CAST(n_lines AS BIGINT) AS n_lines",
+            "CAST(n_boiler AS BIGINT) AS n_boiler",
+            "CAST((2 * n_boiler * 1000000 + n_lines) DIV (2 * n_lines)"
+            " AS BIGINT) AS boiler_share_micro",
+        )
+        .orderBy("doc_id")
+    )

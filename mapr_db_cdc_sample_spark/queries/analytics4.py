@@ -691,7 +691,11 @@ def q338(spark, sf_dir):
         F.explode(
             F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
         ).alias("h"),
-    )
+    ).repartition("user_id")
+    # ^ the bounds frame is |users|-sized, so AQE coalesces its shuffle
+    # to one partition BEFORE the x720 sequence explode — without the
+    # explicit post-explode repartition every window below runs in a
+    # single task (measured 23s -> ~4s at sf0.1)
     joined = spine.join(hourly, ["user_id", "h"], "left").select(
         "user_id",
         (F.unix_timestamp(F.col("h").cast("timestamp")) / 3600)
@@ -705,8 +709,13 @@ def q338(spark, sf_dir):
     wf = Window.partitionBy("user_id").orderBy("eh").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    wb = Window.partitionBy("user_id").orderBy("eh").rowsBetween(
-        0, Window.unboundedFollowing
+    # the backward walk is a REVERSED running frame, not
+    # (0, unboundedFollowing): Spark evaluates growing-from-the-right
+    # frames by rescanning the tail per row — O(rows^2) per partition
+    # (measured 11s vs 4.6s for the forward leg at sf0.1) — while the
+    # descending running frame gets the incremental path
+    wr = Window.partitionBy("user_id").orderBy(F.col("eh").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
     )
     walked = masked.select(
         "user_id",
@@ -714,8 +723,8 @@ def q338(spark, sf_dir):
         "cents",
         F.last("cents", ignorenulls=True).over(wf).alias("pv"),
         F.last("obs_eh", ignorenulls=True).over(wf).alias("pt"),
-        F.first("cents", ignorenulls=True).over(wb).alias("nv"),
-        F.first("obs_eh", ignorenulls=True).over(wb).alias("nt"),
+        F.last("cents", ignorenulls=True).over(wr).alias("nv"),
+        F.last("obs_eh", ignorenulls=True).over(wr).alias("nt"),
     )
     return (
         walked.where(F.col("pv").isNotNull() & F.col("nv").isNotNull())

@@ -2894,7 +2894,10 @@ def q315(spark, sf_dir):
     )
     pyds.register(spark)
     d = scratch_dir("q315_linerec_sink")
-    sl.write.format("linerec").option("path", d).mode("overwrite").save()
+    # 4 write tasks, not 32: each task spawns a Python worker for the
+    # custom sink, and the slice is ~5% of events — worker startup
+    # dominates beyond a few partitions at test scale
+    sl.coalesce(4).write.format("linerec").option("path", d).mode("overwrite").save()
     rec = spark.read.format("linerec").option("path", d).load()
     return (
         rec.groupBy("event_type")

@@ -2110,3 +2110,241 @@ def q358(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------- q359: multi-model attribution (first / last / linear)
+
+# q211 answers first-touch only; budget meetings want the three
+# standard models side by side. Per purchase: the non-purchase
+# touchpoints of the SAME user in the preceding 7 days; credit goes
+# to the earliest (first), the latest (last), and 1/n each (linear).
+# Credits are exact rationals — micro units, with the linear share
+# round-half-up per (purchase, channel) contribution so per-channel
+# sums stay pure integers. The touch join is an interval join bounded
+# by the 7-day window; ties broken by event_id.
+_ATTRIB_ORACLE = """
+WITH buys AS (
+    SELECT event_id AS bid, user_id, ts AS bts FROM events
+    WHERE event_type = 'purchase'
+), touches AS (
+    SELECT b.bid, e.event_type AS channel, e.ts, e.event_id
+    FROM buys b JOIN events e
+      ON e.user_id = b.user_id AND e.event_type <> 'purchase'
+     AND e.ts < b.bts AND e.ts >= b.bts - INTERVAL 7 DAY
+), ranked AS (
+    SELECT bid, channel,
+           ROW_NUMBER() OVER (PARTITION BY bid ORDER BY ts, event_id) AS rf,
+           ROW_NUMBER() OVER (PARTITION BY bid ORDER BY ts DESC, event_id DESC) AS rl,
+           COUNT(*) OVER (PARTITION BY bid) AS n
+    FROM touches
+), credits AS (
+    SELECT channel,
+           CASE WHEN rf = 1 THEN 1000000 ELSE 0 END AS first_c,
+           CASE WHEN rl = 1 THEN 1000000 ELSE 0 END AS last_c,
+           (2 * 1000000 + n) // (2 * n) AS linear_c
+    FROM ranked
+)
+SELECT channel,
+       CAST(SUM(first_c) AS BIGINT) AS first_micro,
+       CAST(SUM(last_c) AS BIGINT) AS last_micro,
+       CAST(SUM(linear_c) AS BIGINT) AS linear_micro
+FROM credits GROUP BY channel ORDER BY channel
+"""
+
+
+@register("q359_attribution_models", oracle=_ATTRIB_ORACLE)
+def q359(spark, sf_dir):
+    """First/last/linear attribution credits per channel (oracle
+    comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("bid"), "user_id", F.col("ts").alias("bts")
+    )
+    touches = buys.join(
+        ev.alias("e"),
+        (F.col("e.user_id") == buys["user_id"])
+        & (F.col("e.event_type") != "purchase")
+        & (F.col("e.ts") < F.col("bts"))
+        & (F.col("e.ts") >= F.col("bts") - F.expr("INTERVAL 7 DAY")),
+    ).select(
+        "bid", F.col("e.event_type").alias("channel"), F.col("e.ts").alias("ts"),
+        F.col("e.event_id").alias("event_id"),
+    )
+    wfst = Window.partitionBy("bid").orderBy("ts", "event_id")
+    wlst = Window.partitionBy("bid").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = touches.select(
+        "bid",
+        "channel",
+        F.row_number().over(wfst).alias("rf"),
+        F.row_number().over(wlst).alias("rl"),
+        F.count("*").over(Window.partitionBy("bid")).alias("n"),
+    )
+    credits = ranked.select(
+        "channel",
+        F.when(F.col("rf") == 1, 1000000).otherwise(0).alias("first_c"),
+        F.when(F.col("rl") == 1, 1000000).otherwise(0).alias("last_c"),
+        F.expr("(2 * 1000000 + n) DIV (2 * n)").alias("linear_c"),
+    )
+    return (
+        credits.groupBy("channel")
+        .agg(
+            F.sum("first_c").cast("bigint").alias("first_micro"),
+            F.sum("last_c").cast("bigint").alias("last_micro"),
+            F.sum("linear_c").cast("bigint").alias("linear_micro"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------- q360: SLO burn-rate windows (error budget accounting)
+
+# SRE burn-rate alerting in batch form: per day, the error share in
+# micro units, the trailing-7-day share, and a breach flag when the
+# short window burns faster than 2x a 1% budget while the long window
+# confirms (the classic two-window alert rule, Google SRE workbook).
+# Day shares are exact rationals; the trailing share reuses summed
+# numerators/denominators, not averages of ratios.
+_SLO_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS errs
+    FROM events GROUP BY 1
+), w AS (
+    SELECT day, n, errs,
+           CAST(SUM(errs) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS errs7,
+           CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n7,
+           COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS cnt7
+    FROM daily
+)
+SELECT day,
+       CAST((2 * errs * 1000000 + n) // (2 * n) AS BIGINT) AS day_rate_micro,
+       CAST((2 * errs7 * 1000000 + n7) // (2 * n7) AS BIGINT) AS rate7_micro,
+       CAST(CASE WHEN errs * 50 > n AND errs7 * 100 > n7 THEN 1 ELSE 0 END AS INT)
+           AS breach
+FROM w WHERE cnt7 = 7 ORDER BY day
+"""
+
+
+@register("q360_slo_burn_rate", oracle=_SLO_ORACLE)
+def q360(spark, sf_dir):
+    """Two-window error-budget burn-rate table (oracle comment).
+    Breach = day rate > 2x the 1% budget AND 7-day rate > 1x."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).cast("bigint").alias("errs"),
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    w = daily.select(
+        "day",
+        "n",
+        "errs",
+        F.sum("errs").over(w7).cast("bigint").alias("errs7"),
+        F.sum("n").over(w7).cast("bigint").alias("n7"),
+        F.count("*").over(w7).alias("cnt7"),
+    )
+    return (
+        w.where(F.col("cnt7") == 7)
+        .selectExpr(
+            "day",
+            "CAST((2 * errs * 1000000 + n) DIV (2 * n) AS BIGINT) AS day_rate_micro",
+            "CAST((2 * errs7 * 1000000 + n7) DIV (2 * n7) AS BIGINT) AS rate7_micro",
+            "CAST(CASE WHEN errs * 50 > n AND errs7 * 100 > n7 THEN 1 ELSE 0 END"
+            " AS INT) AS breach",
+        )
+        .orderBy("day")
+    )
+
+
+# ---------- q361: Bayesian smoothing of per-item rates (cold start)
+
+# Raw per-item purchase rates are garbage for low-traffic items; the
+# standard fix shrinks toward the global rate with a pseudo-count
+# prior: smoothed = (k + m*K/N) / (n + m), m = 20. With integer
+# counts this is the exact rational (k*N + m*K) / (N*(n + m)) — pure
+# round-half-up micro arithmetic, no FP anywhere. Items ranked by the
+# SMOOTHED rate (raw-rate ranking would put 1-event items on top).
+_BAYES_ORACLE = """
+WITH ev AS (
+    SELECT CAST(json_extract(props, '$.k') AS INT) AS item,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS buy
+    FROM events
+), per AS (
+    SELECT item, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(buy) AS HUGEINT) AS k
+    FROM ev GROUP BY item
+), tot AS (
+    SELECT CAST(SUM(n) AS HUGEINT) AS big_n, CAST(SUM(k) AS HUGEINT) AS big_k FROM per
+)
+SELECT CAST(item AS INT) AS item,
+       CAST(n AS BIGINT) AS n_events, CAST(k AS BIGINT) AS n_buys,
+       CAST((2 * (k * big_n + 20 * big_k) * 1000000 + big_n * (n + 20))
+            // (2 * big_n * (n + 20)) AS BIGINT) AS smoothed_micro
+FROM per, tot
+ORDER BY smoothed_micro DESC, item LIMIT 25
+"""
+
+
+@register("q361_bayesian_smoothing", oracle=_BAYES_ORACLE)
+def q361(spark, sf_dir):
+    """Pseudo-count-smoothed per-item purchase rates, top-25 (oracle
+    comment)."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("buy"),
+    )
+    d38 = "decimal(38,0)"
+    per = ev.groupBy("item").agg(
+        F.count("*").cast(d38).alias("n"), F.sum("buy").cast(d38).alias("k")
+    )
+    tot = per.agg(
+        F.sum("n").cast(d38).alias("big_n"), F.sum("k").cast(d38).alias("big_k")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(item AS INT) AS item",
+            "CAST(n AS BIGINT) AS n_events",
+            "CAST(k AS BIGINT) AS n_buys",
+            "CAST((2 * (k * big_n + 20 * big_k) * 1000000 + big_n * (n + 20))"
+            " DIV (2 * big_n * (n + 20)) AS BIGINT) AS smoothed_micro",
+        )
+        .orderBy(F.col("smoothed_micro").desc(), "item")
+        .limit(25)
+    )
+
+
+# ---------- q362: pivot -> unpivot round-trip identity (reshape QA)
+
+# Reshape operators must be lossless inverses: the per-(month, status)
+# counts pivoted WIDE (one column per status) and immediately
+# unpivoted back LONG must equal the original aggregate — the identity
+# every ETL reshape silently assumes. Zero-filled pivot cells are
+# dropped on the way back (include_nulls=false + the n > 0 filter) so
+# sparse months survive the trip unchanged.
+_RESHAPE_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2 ORDER BY month, status
+"""
+
+
+@register("q362_reshape_roundtrip", oracle=_RESHAPE_ORACLE)
+def q362(spark, sf_dir):
+    """pivot -> unpivot == identity on the (month, status) counts
+    (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    base = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wide = base.groupBy("month").pivot("status", ["F", "O", "P"]).sum("n")
+    back = wide.unpivot(
+        ["month"], ["F", "O", "P"], "status", "n"
+    ).where(F.col("n").isNotNull())
+    return back.select(
+        "month", "status", F.col("n").cast("bigint").alias("n")
+    ).orderBy("month", "status")

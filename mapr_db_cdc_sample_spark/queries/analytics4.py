@@ -2348,3 +2348,293 @@ def q362(spark, sf_dir):
     return back.select(
         "month", "status", F.col("n").cast("bigint").alias("n")
     ).orderBy("month", "status")
+
+
+# ---------- q363: pandas UDAF evaluated over a window frame
+
+# The missing cell in the UDF matrix (q57 scalar, q55 pandas scalar,
+# q58 grouped-agg, q59 grouped-map, q171 Arrow, q313 mapInArrow): a
+# PANDAS AGGREGATE running inside a WINDOW frame — Spark ships each
+# trailing 3-row frame to the Python worker as a Series. Integer
+# cents keep the custom sum exact, so the builtin-SUM oracle must
+# match bit-for-bit; the (ts, event_id) order makes frames unique.
+# This lane costs one Python round-trip per frame — the docstring
+# point is that it EXISTS, not that it is the fast path (the builtin
+# the oracle uses is).
+_PUDAF_ORACLE = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS trail3_cents
+FROM events WHERE user_id % 20 = 0
+ORDER BY user_id, event_id
+"""
+
+
+@register("q363_pandas_udaf_window", oracle=_PUDAF_ORACLE)
+def q363(spark, sf_dir):
+    """Custom pandas aggregate over a trailing 3-row window (oracle
+    comment)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module-level `from __future__ import
+    # annotations` stringifies type hints, which breaks pandas_udf's
+    # signature inference
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def psum(v):
+        return int(v.sum())
+
+    ev = load_tables(spark, sf_dir)["events"].where(F.col("user_id") % 20 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            psum(cents).over(w).alias("trail3_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------- q364: cohort QQ contrast at deciles (distribution shift)
+
+# Where exactly do two cohorts' distributions diverge? Decile-by-
+# decile quantity quantiles for finished vs open orders, joined into
+# a QQ table with integer differences. The bounded value domain
+# (quantities 1..50) means every quantile is a nearest-rank lookup in
+# a 50-row VALUE histogram — cumulative counts, never a sort of the
+# fact table (the q312 posture). Nearest-rank: smallest v with
+# cum >= ceil(q * n), exact integer ceil via (n*d + 9) // 10.
+_QQ_ORACLE = """
+WITH pts AS (
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 'F' ELSE 'OP' END AS cohort,
+           CAST(l_quantity AS BIGINT) AS v
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+), h AS (
+    SELECT cohort, v, COUNT(*) AS c FROM pts GROUP BY cohort, v
+), cum AS (
+    SELECT cohort, v, SUM(c) OVER (PARTITION BY cohort ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cc,
+           SUM(c) OVER (PARTITION BY cohort) AS n
+    FROM h
+), dec AS (
+    SELECT d.d, c.cohort, MIN(c.v) AS qv
+    FROM range(1, 10) d(d) JOIN cum c ON c.cc >= (c.n * d.d + 9) // 10
+    GROUP BY d.d, c.cohort
+)
+SELECT CAST(a.d AS INT) AS decile,
+       CAST(a.qv AS BIGINT) AS q_finished,
+       CAST(b.qv AS BIGINT) AS q_open,
+       CAST(a.qv - b.qv AS BIGINT) AS diff
+FROM dec a JOIN dec b ON a.d = b.d AND a.cohort = 'F' AND b.cohort = 'OP'
+ORDER BY decile
+"""
+
+
+@register("q364_qq_contrast", oracle=_QQ_ORACLE)
+def q364(spark, sf_dir):
+    """Decile QQ table of quantity, finished vs open orders (oracle
+    comment)."""
+    t = load_tables(spark, sf_dir)
+    pts = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.when(F.col("o_orderstatus") == "F", "F").otherwise("OP").alias("cohort"),
+            F.col("l_quantity").cast("bigint").alias("v"),
+        )
+    )
+    h = pts.groupBy("cohort", "v").agg(F.count("*").alias("c"))
+    wc = Window.partitionBy("cohort").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = h.select(
+        "cohort",
+        "v",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(Window.partitionBy("cohort")).alias("n"),
+    )
+    grid = spark.range(1, 10).select(F.col("id").alias("d"))
+    dec = (
+        F.broadcast(grid)
+        .join(cum, F.expr("cc >= (n * d + 9) DIV 10"))
+        .groupBy("d", "cohort")
+        .agg(F.min("v").alias("qv"))
+    )
+    a = dec.where(F.col("cohort") == "F").select("d", F.col("qv").alias("q_finished"))
+    b = dec.where(F.col("cohort") == "OP").select("d", F.col("qv").alias("q_open"))
+    return (
+        a.join(b, "d")
+        .select(
+            F.col("d").cast("int").alias("decile"),
+            F.col("q_finished").cast("bigint"),
+            F.col("q_open").cast("bigint"),
+            (F.col("q_finished") - F.col("q_open")).cast("bigint").alias("diff"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------- q365: FIFO inventory aging (unsold lots by age bucket)
+
+# q337 allocated what SOLD; finance also needs what REMAINS and how
+# stale it is. Each receipt lot's unsold remainder = qty - its
+# overlap with the total sold interval [0, total_sold) — a per-lot
+# integer clamp, no join at all (FIFO consumes lots in cumulative
+# order, so one broadcast of per-part sold totals suffices). Unsold
+# value buckets by lot age (ship-year), exact cents via the q337
+# DIV unit cost.
+_AGING_ORACLE = """
+WITH flows AS (
+    SELECT l_partkey AS part,
+           l_linenumber % 2 = 0 AS is_receipt,
+           CAST(l_quantity AS BIGINT) AS qty,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           l_shipdate, l_orderkey, l_linenumber
+    FROM lineitem WHERE l_partkey % 25 = 0
+), sold AS (
+    SELECT part, CAST(SUM(qty) AS BIGINT) AS total_sold
+    FROM flows WHERE NOT is_receipt GROUP BY part
+), lots AS (
+    SELECT part, qty, cents, l_shipdate,
+           SUM(qty) OVER (PARTITION BY part
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber, qty, cents
+                          ROWS UNBOUNDED PRECEDING) AS hi
+    FROM flows WHERE is_receipt
+), rem AS (
+    SELECT l.part, l.l_shipdate, l.cents, l.qty,
+           l.qty - GREATEST(0, LEAST(l.hi, COALESCE(s.total_sold, 0))
+                               - (l.hi - l.qty)) AS unsold
+    FROM lots l LEFT JOIN sold s ON s.part = l.part
+)
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS lot_year,
+       CAST(SUM(unsold) AS BIGINT) AS unsold_qty,
+       CAST(SUM(unsold * (cents // qty)) AS BIGINT) AS unsold_value_cents
+FROM rem WHERE unsold > 0
+GROUP BY 1 ORDER BY lot_year
+"""
+
+
+@register("q365_inventory_aging", oracle=_AGING_ORACLE)
+def q365(spark, sf_dir):
+    """Unsold FIFO remainder per lot year (oracle comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    flows = li.where(F.col("l_partkey") % 25 == 0).select(
+        F.col("l_partkey").alias("part"),
+        (F.col("l_linenumber") % 2 == 0).alias("is_receipt"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    sold = (
+        flows.where(~F.col("is_receipt"))
+        .groupBy("part")
+        .agg(F.sum("qty").cast("bigint").alias("total_sold"))
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "qty", "cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lots = flows.where(F.col("is_receipt")).select(
+        "part", "qty", "cents", "l_shipdate", F.sum("qty").over(w).alias("hi")
+    )
+    rem = lots.join(sold, "part", "left").select(
+        "l_shipdate",
+        "cents",
+        "qty",
+        (
+            F.col("qty")
+            - F.greatest(
+                F.lit(0),
+                F.least(F.col("hi"), F.coalesce("total_sold", F.lit(0)))
+                - (F.col("hi") - F.col("qty")),
+            )
+        ).alias("unsold"),
+    )
+    return (
+        rem.where(F.col("unsold") > 0)
+        .groupBy(F.year("l_shipdate").cast("int").alias("lot_year"))
+        .agg(
+            F.sum("unsold").cast("bigint").alias("unsold_qty"),
+            F.sum(F.col("unsold") * F.expr("cents DIV qty"))
+            .cast("bigint")
+            .alias("unsold_value_cents"),
+        )
+        .orderBy("lot_year")
+    )
+
+
+# ---------- q366: top movers (week-over-week rank deltas)
+
+# The dashboard "movers & shakers" table: items ranked by purchase
+# count in two adjacent ISO weeks, joined on item, sorted by absolute
+# rank change. Ranks use the unique (count DESC, item) order; items
+# present in only one week are excluded (no rank to diff — stated).
+# Both weekly rank windows run over the |items| TYPE frame.
+_MOVERS_ORACLE = """
+WITH wk AS (
+    SELECT CAST(json_extract(props, '$.k') AS INT) AS item,
+           (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS week,
+           COUNT(*) AS c
+    FROM events WHERE event_type = 'purchase'
+      AND (CAST(ts AS DATE) - DATE '1970-01-01') // 7 IN (2818, 2819)
+    GROUP BY 1, 2
+), r AS (
+    SELECT item, week, c,
+           ROW_NUMBER() OVER (PARTITION BY week ORDER BY c DESC, item) AS rnk
+    FROM wk
+)
+SELECT a.item, CAST(a.rnk AS BIGINT) AS rank_w1, CAST(b.rnk AS BIGINT) AS rank_w2,
+       CAST(a.rnk - b.rnk AS BIGINT) AS moved_up
+FROM r a JOIN r b ON a.item = b.item AND a.week = 2818 AND b.week = 2819
+ORDER BY ABS(a.rnk - b.rnk) DESC, a.item LIMIT 15
+"""
+
+
+@register("q366_top_movers", oracle=_MOVERS_ORACLE)
+def q366(spark, sf_dir):
+    """Largest WoW rank changes among purchased items (oracle
+    comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    # engine-neutral week index: days-since-epoch DIV 7 (Spark 3+
+    # rejects the 'ww' pattern and ISO week origins differ anyway)
+    week = F.expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') AS BIGINT) DIV 7")
+    wk = (
+        ev.where((F.col("event_type") == "purchase") & week.isin(2818, 2819))
+        .groupBy(
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+            week.alias("week"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    r = wk.select(
+        "item",
+        "week",
+        F.row_number()
+        .over(Window.partitionBy("week").orderBy(F.col("c").desc(), "item"))
+        .alias("rnk"),
+    )
+    a = r.where(F.col("week") == 2818).select("item", F.col("rnk").alias("rank_w1"))
+    b = r.where(F.col("week") == 2819).select("item", F.col("rnk").alias("rank_w2"))
+    return (
+        a.join(b, "item")
+        .select(
+            "item",
+            F.col("rank_w1").cast("bigint"),
+            F.col("rank_w2").cast("bigint"),
+            (F.col("rank_w1") - F.col("rank_w2")).cast("bigint").alias("moved_up"),
+        )
+        .orderBy(F.abs(F.col("rank_w1") - F.col("rank_w2")).desc(), "item")
+        .limit(15)
+    )

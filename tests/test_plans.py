@@ -630,3 +630,50 @@ def test_acf_windows_sit_above_daily_aggregate(spark, sf_dir):
 def test_bollinger_window_sits_above_daily_aggregate(spark, sf_dir):
     """q271: same rule for the rolling-band window."""
     _sp_subtrees_all_collapsed(_plan(spark, sf_dir, "q271_bollinger_breakout"))
+
+
+def test_inverted_index_rank_limit_pushed(spark, sf_dir):
+    """q305: the first-20 posting cut must run as WindowGroupLimit
+    BEFORE the collect — no unbounded posting list materializes."""
+    plan = _plan(spark, sf_dir, "q305_inverted_index")
+    assert has(plan, "WindowGroupLimit"), plan_nodes(plan)
+
+
+def test_spearman_never_sorts_fact_table(spark, sf_dir):
+    """q312: doubled centered ranks come off bounded VALUE histograms —
+    the plan's windows run over the tiny distinct-value frames, so no
+    sort of lineitem volume exists (every Sort sits above an
+    aggregate)."""
+    plan = _plan(spark, sf_dir, "q312_spearman_rank")
+    # the fact table is touched by ONE partial aggregate (pair counts)
+    assert count_nodes(plan, "HashAggregate") >= 2, plan_nodes(plan)
+    # windows only above aggregated frames: in the leaf-first formatted
+    # plan, the first aggregate must appear BEFORE the first window
+    first_agg = plan.find("HashAggregate")
+    first_window = plan.find("Window")
+    assert first_agg != -1, plan_nodes(plan)
+    assert first_window == -1 or first_agg < first_window, plan[:2500]
+
+
+def test_decision_stump_collapses_before_cumulative(spark, sf_dir):
+    """q301: orders collapse to <=64 bucket rows in one partial
+    aggregate; the cumulative/gain stage runs on the bucket frame."""
+    plan = _plan(spark, sf_dir, "q301_decision_stump")
+    assert count_nodes(plan, "HashAggregate") >= 2, plan_nodes(plan)
+    assert pushed_filters(plan) is not None
+
+
+def test_linear_interpolation_backward_walk_is_running_frame(spark, sf_dir):
+    """q338: the backward bracket walk must be the DESCENDING running
+    frame — a (0, unboundedFollowing) frame re-scans the tail per row
+    (O(rows^2) per partition, measured 11s vs 4.6s at sf0.1)."""
+    plan = _plan(spark, sf_dir, "q338_linear_interpolation")
+    assert "unboundedfollowing" not in plan.lower(), plan[:2500]
+
+
+def test_fifo_interval_join_is_part_keyed(spark, sf_dir):
+    """q337: the lot-sale intersection joins on part equality (plus
+    range predicates) — a SortMergeJoin/ShuffledHashJoin keyed by part,
+    never a cartesian."""
+    plan = _plan(spark, sf_dir, "q337_fifo_cogs")
+    assert not has(plan, "CartesianProduct"), plan_nodes(plan)

@@ -618,3 +618,377 @@ def q372(spark, sf_dir):
         f" * l_micro, 0) + CAST(nr AS {d38}) * nc)"
         f" DIV (2 * CAST(nr AS {d38}) * nc) AS BIGINT) AS psi_term_micro",
     ).orderBy("bin")
+
+
+# ---------- q373: GROUP BY ALL / ORDER BY ALL / lateral column alias
+
+# The Spark 3.4+/4.x SQL ergonomics feature row (sibling of q266 pipe
+# SQL, q267 collation, q347 session variables): GROUP BY ALL infers
+# the grouping keys from the non-aggregate select items, ORDER BY ALL
+# orders by every output column, and the outer projection CHAINS
+# lateral aliases (avg_cents_floor built from n/cents, then reused by
+# avg_dollars_floor) — Spark rejects lateral aliases inside a GROUP BY
+# ALL aggregate itself, so the chain lives one projection up. DuckDB
+# implements all three (it originated GROUP BY ALL); only the
+# integer-division spelling differs (DIV vs //).
+_GBALL_ORACLE = """
+SELECT yr, status, n, cents,
+       CAST(cents // n AS BIGINT) AS avg_cents_floor,
+       CAST(avg_cents_floor // 100 AS BIGINT) AS avg_dollars_floor
+FROM (
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+           o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    GROUP BY ALL
+)
+ORDER BY ALL
+"""
+
+
+@register("q373_group_by_all", oracle=_GBALL_ORACLE)
+def q373(spark, sf_dir):
+    """GROUP BY ALL + ORDER BY ALL + lateral column aliases over the
+    yearly order-status rollup (oracle comment)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT yr, status, n, cents,
+               CAST(cents DIV n AS BIGINT) AS avg_cents_floor,
+               CAST(avg_cents_floor DIV 100 AS BIGINT) AS avg_dollars_floor
+        FROM (
+            SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+                   o_orderstatus AS status,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders
+            GROUP BY ALL
+        )
+        ORDER BY ALL
+        """
+    )
+
+
+# ---------- q374: revenue bridge (price vs volume decomposition)
+
+# The FP&A "why did revenue move" decomposition between 1997 and 1998
+# per part brand: volume effect = r0 * dq / q0 (growth at the old
+# realized rate), price/mix effect = the EXACT integer complement
+# (dr_micro - volume_micro), so the two effects always sum to the
+# revenue delta — no residual bucket. Discounted line revenue is kept
+# exact as cents*basis-points (price cents x (10000 - discount bp)),
+# rounded half-up to integer cents ONCE per (brand, year); the signed
+# volume share uses the positive-shift rhu. One wide join
+# (lineitem->orders for the year, lineitem->part broadcast for the
+# brand), then everything lives on the |brands| frame.
+_BRIDGE_ORACLE = """
+WITH li AS (
+    SELECT p.p_brand AS brand,
+           CASE WHEN o.o_orderdate < DATE '1998-01-01' THEN 0 ELSE 1 END AS yr,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * (10000 - CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))
+               AS rev_cbp,
+           CAST(l.l_quantity AS BIGINT) AS qty
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1999-01-01'
+), by_year AS (
+    SELECT brand, yr, CAST(SUM(qty) AS BIGINT) AS q,
+           CAST((2 * SUM(CAST(rev_cbp AS HUGEINT)) + 10000) // 20000 AS BIGINT) AS r
+    FROM li GROUP BY brand, yr
+), wide AS (
+    SELECT a.brand, a.q AS q0, b.q AS q1, a.r AS r0, b.r AS r1
+    FROM by_year a JOIN by_year b ON a.brand = b.brand AND a.yr = 0 AND b.yr = 1
+    WHERE a.q > 0
+)
+SELECT brand, q0, q1, r0, r1,
+       CAST((2 * (CAST(r0 AS HUGEINT) * (q1 - q0) + 1000000000 * CAST(q0 AS HUGEINT))
+                 * 1000000 + q0) // (2 * CAST(q0 AS HUGEINT))
+            - 1000000000 * CAST(1000000 AS HUGEINT) AS BIGINT) AS volume_micro,
+       CAST((r1 - r0) * CAST(1000000 AS HUGEINT)
+            - ((2 * (CAST(r0 AS HUGEINT) * (q1 - q0) + 1000000000 * CAST(q0 AS HUGEINT))
+                * 1000000 + q0) // (2 * CAST(q0 AS HUGEINT))
+               - 1000000000 * CAST(1000000 AS HUGEINT)) AS BIGINT) AS price_mix_micro
+FROM wide ORDER BY brand
+"""
+
+
+@register("q374_revenue_bridge", oracle=_BRIDGE_ORACLE)
+def q374(spark, sf_dir):
+    """Per-brand 1997->1998 revenue bridge: volume effect at the old
+    rate + exact-complement price/mix effect (oracle comment)."""
+    t = load_tables(spark, sf_dir)
+    l, o, p = t["lineitem"], t["orders"], t["part"]
+    li = (
+        l.join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+            ).select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.when(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("date"), 0
+            ).otherwise(1).alias("yr"),
+            (
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+                * (
+                    F.lit(10000)
+                    - (F.col("l_discount").cast("decimal(18,4)") * 10000).cast("bigint")
+                )
+            ).alias("rev_cbp"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    by_year = li.groupBy("brand", "yr").agg(
+        F.sum("qty").cast("bigint").alias("q"),
+        F.expr(
+            f"CAST((2 * SUM(CAST(rev_cbp AS {d38})) + 10000) DIV 20000 AS BIGINT)"
+        ).alias("r"),
+    )
+    a = by_year.where("yr = 0 AND q > 0").select(
+        "brand", F.col("q").alias("q0"), F.col("r").alias("r0")
+    )
+    b = by_year.where("yr = 1").select(
+        F.col("brand").alias("brand_b"), F.col("q").alias("q1"), F.col("r").alias("r1")
+    )
+    wide = a.join(b, F.col("brand") == F.col("brand_b")).drop("brand_b")
+    shift = f"1000000000 * CAST(1000000 AS {d38})"
+    vol = (
+        f"(2 * (CAST(r0 AS {d38}) * (q1 - q0) + 1000000000 * CAST(q0 AS {d38}))"
+        f" * 1000000 + q0) DIV (2 * CAST(q0 AS {d38})) - {shift}"
+    )
+    return wide.selectExpr(
+        "brand",
+        "q0",
+        "q1",
+        "r0",
+        "r1",
+        f"CAST({vol} AS BIGINT) AS volume_micro",
+        f"CAST((r1 - r0) * CAST(1000000 AS {d38}) - ({vol}) AS BIGINT)"
+        " AS price_mix_micro",
+    ).orderBy("brand")
+
+
+# ---------- q375: 1-bit embedding quantization + Hamming recall@10
+
+# The binary-quantization evaluation closing the compression lane
+# (q101 int8 scale-quantize, q313 mapInArrow int8, q252 random
+# projection): sign-bit vectors cost 64 bits instead of 64 floats;
+# this query measures what that costs in retrieval quality — recall@10
+# of Hamming-distance search against exact-cosine search for the first
+# five vectors as queries. Embeddings are milli-quantized ONCE to
+# integers on both engines (q343 recipe), so dot products / norms /
+# sign bits are exact; cosine is ranked by its ROUND(,4) value with
+# vec_id tiebreaks (house rule), Hamming by (distance ASC, vec_id).
+# Brute force IS the contract here (the oracle twin must enumerate
+# pairs); the scale path for the same semantics is the IVF/LSH family
+# (q52/q135/q54).
+_HAMMING_ORACLE = """
+WITH v AS (
+    SELECT vec_id,
+           LIST_TRANSFORM(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 5
+), p AS (
+    SELECT qid, b.vec_id AS bid,
+           CAST(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> qv[i] * b.v[i]))
+                AS BIGINT) AS dot,
+           CAST(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> qv[i] * qv[i]))
+                AS BIGINT) AS nq,
+           CAST(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> b.v[i] * b.v[i]))
+                AS BIGINT) AS nb,
+           CAST(LIST_SUM(LIST_TRANSFORM(range(1, 65),
+                i -> CASE WHEN (qv[i] > 0) <> (b.v[i] > 0) THEN 1 ELSE 0 END))
+                AS BIGINT) AS ham
+    FROM q, v b WHERE b.vec_id <> qid
+), pc AS (
+    SELECT qid, bid, ham,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(nq AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))), 4) AS cos4
+    FROM p WHERE nq > 0 AND nb > 0
+), tc AS (
+    SELECT qid, bid FROM (
+        SELECT qid, bid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos4 DESC, bid) AS rn
+        FROM pc) WHERE rn <= 10
+), th AS (
+    SELECT qid, bid FROM (
+        SELECT qid, bid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, bid) AS rn
+        FROM pc) WHERE rn <= 10
+), ov AS (
+    SELECT tc.qid, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tc JOIN th ON tc.qid = th.qid AND tc.bid = th.bid GROUP BY tc.qid
+)
+SELECT q.qid AS vec_id, CAST(COALESCE(ov.c, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(ov.c, 0) * 100000 AS BIGINT) AS recall_micro
+FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN ov ON ov.qid = q.qid
+ORDER BY vec_id
+"""
+
+
+@register("q375_hamming_recall", oracle=_HAMMING_ORACLE)
+def q375(spark, sf_dir):
+    """Recall@10 of sign-bit Hamming search vs exact cosine for five
+    query vectors (oracle comment)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    v = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+        ).alias("v"),
+    )
+    zsum = lambda arr, f: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("bigint"), lambda acc, x: acc + f(x)
+    )
+    q = v.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    p = (
+        v.select(F.col("vec_id").alias("bid"), F.col("v").alias("bv"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("bid") != F.col("qid"))
+        .select(
+            "qid",
+            "bid",
+            zsum(F.zip_with("qv", "bv", lambda a, b: a * b), lambda x: x).alias("dot"),
+            zsum(F.col("qv"), lambda x: x * x).alias("nq"),
+            zsum(F.col("bv"), lambda x: x * x).alias("nb"),
+            zsum(
+                F.zip_with(
+                    "qv",
+                    "bv",
+                    lambda a, b: F.when((a > 0) != (b > 0), F.lit(1)).otherwise(
+                        F.lit(0)
+                    ).cast("bigint"),
+                ),
+                lambda x: x,
+            ).alias("ham"),
+        )
+    )
+    pc = p.where((F.col("nq") > 0) & (F.col("nb") > 0)).select(
+        "qid",
+        "bid",
+        "ham",
+        F.round(
+            F.col("dot")
+            / (F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+            4,
+        ).alias("cos4"),
+    )
+    wc = Window.partitionBy("qid").orderBy(F.col("cos4").desc(), "bid")
+    wh = Window.partitionBy("qid").orderBy("ham", "bid")
+    tc = pc.withColumn("rn", F.row_number().over(wc)).where("rn <= 10").select(
+        "qid", "bid"
+    )
+    th = pc.withColumn("rn", F.row_number().over(wh)).where("rn <= 10").select(
+        F.col("qid").alias("hqid"), F.col("bid").alias("hbid")
+    )
+    ov = (
+        tc.join(th, (tc.qid == th.hqid) & (tc.bid == th.hbid))
+        .groupBy("qid")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return (
+        q.select("qid")
+        .distinct()
+        .join(ov, "qid", "left")
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce(F.col("c"), F.lit(0)) * 100000)
+            .cast("bigint")
+            .alias("recall_micro"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------- q376: Misra-Gries heavy hitters (mergeable candidates +
+#             exact recount)
+
+# The deterministic counter-based heavy-hitter sketch beside the
+# randomized count-min (q238) and KMV (q235): each partition runs
+# Misra-Gries with K=5 counters over the skewed traffic key (the four
+# non-purchase event types are each ~20% of traffic; purchases shatter
+# into ~|items| keys of ~0.2% each), and the per-partition guarantee
+# (undercount <= n_p/(K+1)) plus pigeonhole makes the candidate union
+# a SUPERSET of every key with global count > n/6. The exact recount
+# touches only candidate-key rows (semi-join before the groupBy — at
+# scale this skips the full-cardinality aggregation, which is the
+# whole point of the sketch), so the final answer is exact and
+# partitioning-independent — hence oracle-hashable against plain SQL.
+_MG_ORACLE = """
+WITH keyed AS (
+    SELECT CASE WHEN event_type = 'purchase'
+                THEN 'purchase:' ||
+                     CAST(CAST(json_extract(props, '$.k') AS INT) AS VARCHAR)
+                ELSE event_type END AS key
+    FROM events
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keyed)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST((2 * COUNT(*) * 1000000 + n) // (2 * n) AS BIGINT) AS share_micro
+FROM keyed, tot
+GROUP BY key, n HAVING 6 * COUNT(*) > n
+ORDER BY key
+"""
+
+
+@register("q376_misra_gries", oracle=_MG_ORACLE)
+def q376(spark, sf_dir):
+    """Keys with global frequency > n/6 via per-partition Misra-Gries
+    candidates + candidate-only exact recount (oracle comment)."""
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir)["events"]
+    keyed = ev.select(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(
+                F.lit("purchase:"),
+                F.get_json_object("props", "$.k").cast("int").cast("string"),
+            ),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("key")
+    )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key in pdf["key"]:
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < 5:
+                    counters[key] = 1
+                else:
+                    counters = {c: v - 1 for c, v in counters.items() if v > 1}
+        yield pd.DataFrame({"key": list(counters)})
+
+    candidates = keyed.mapInPandas(mg, schema="key string").distinct()
+    tot = keyed.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        keyed.join(F.broadcast(candidates), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .where(6 * F.col("cnt") > F.col("n"))
+        .selectExpr(
+            "key",
+            "cnt",
+            "CAST((2 * cnt * 1000000 + n) DIV (2 * n) AS BIGINT) AS share_micro",
+        )
+        .orderBy("key")
+    )

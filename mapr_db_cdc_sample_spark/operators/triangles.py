@@ -19,10 +19,11 @@ from pyspark.sql import functions as F
 _ID_SPACE = 100000000
 
 
-def triangle_count(e: DataFrame) -> DataFrame:
-    """Count triangles in an undirected graph given CANONICAL edges
-    (columns u, v with u < v, no duplicates). Returns one row
-    (n_edges BIGINT, n_triangles BIGINT). All-integer arithmetic.
+def _oriented(e: DataFrame):
+    """Checkpoint the canonical edge frame and derive its (deg, id)
+    orientation. Returns (e_checkpointed, eo) where eo has columns
+    (src, dst, kdst) directed low-key -> high-key. Shared by
+    triangle_count and triangle_list.
 
     The edge frame is referenced from four places (degree count ×2, the
     orientation join, the edge count) and the oriented frame from three
@@ -68,16 +69,43 @@ def triangle_count(e: DataFrame) -> DataFrame:
         )
     )
     eo = eo.localCheckpoint(eager=False)
+    return e, eo
+
+
+def _closed_wedges(eo: DataFrame) -> DataFrame:
+    """(a, b, c) per triangle, exactly once: a = the wedge source (the
+    triangle's lowest (deg, id) corner), (b, c) its oriented endpoints."""
     x, y = eo.alias("x"), eo.alias("y")
     wedges = x.join(
         y,
         (F.col("x.src") == F.col("y.src")) & (F.col("x.kdst") < F.col("y.kdst")),
-    ).select(F.col("x.dst").alias("w_src"), F.col("y.dst").alias("w_dst"))
-    closed = wedges.join(
+    ).select(
+        F.col("x.src").alias("a"),
+        F.col("x.dst").alias("w_src"),
+        F.col("y.dst").alias("w_dst"),
+    )
+    return wedges.join(
         eo.select(F.col("src").alias("w_src"), F.col("dst").alias("w_dst")),
         ["w_src", "w_dst"],
         "left_semi",
-    )
-    tri = closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    ).select("a", F.col("w_src").alias("b"), F.col("w_dst").alias("c"))
+
+
+def triangle_count(e: DataFrame) -> DataFrame:
+    """Count triangles in an undirected graph given CANONICAL edges
+    (columns u, v with u < v, no duplicates). Returns one row
+    (n_edges BIGINT, n_triangles BIGINT). All-integer arithmetic."""
+    e, eo = _oriented(e)
+    tri = _closed_wedges(eo).agg(F.count("*").cast("bigint").alias("n_triangles"))
     edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
     return edges.crossJoin(F.broadcast(tri))
+
+
+def triangle_list(e: DataFrame) -> DataFrame:
+    """Enumerate every triangle exactly once as (a, b, c) node ids
+    (a = lowest (deg, id) corner; b, c in oriented order). Same wedge
+    bound as triangle_count — out-degree <= ~sqrt(2m) — so the list is
+    produced without hub blowup; per-node triangle counts are one
+    explode + groupBy away (q380)."""
+    _, eo = _oriented(e)
+    return _closed_wedges(eo)

@@ -992,3 +992,385 @@ def q376(spark, sf_dir):
         )
         .orderBy("key")
     )
+
+
+# ---------- q377: CUPED variance reduction (experimentation platform)
+
+# The industry-standard pre-experiment covariate adjustment: theta =
+# cov(x, y) / var(x) with x = each user's week-1 spend and y = their
+# week-4 spend; var(y_adj) = var(y)(1 - rho^2), so rho^2 IS the
+# variance-reduction fraction CUPED buys. Both ratios are published as
+# ROUND(,6) doubles of EXACT DECIMAL(38) moment combinations (n*Sxy -
+# Sx*Sy etc.) — the cast decimal->double is correctly rounded and the
+# IEEE ops after it are engine-identical (q168's correlation
+# contract); the moments themselves come from ONE map-side-combinable
+# aggregate over the per-user conditional sums.
+_CUPED_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-08'
+                THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-24'
+                THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY user_id
+), m AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           SUM(CAST(y AS HUGEINT) * y) AS syy
+    FROM per_user
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
+             6) AS var_reduction
+FROM m WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
+@register("q377_cuped_adjustment", oracle=_CUPED_ORACLE)
+def q377(spark, sf_dir):
+    """CUPED theta and variance-reduction fraction from exact per-user
+    week-1/week-4 spend moments (oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    day = F.col("ts").cast("date")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(day < F.lit("2024-01-08").cast("date"), cents).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(day >= F.lit("2024-01-24").cast("date"), cents).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    m = per_user.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).cast(d38).alias("syy"),
+    )
+    return m.where(
+        (F.expr("n * sxx - sx * sx") > 0) & (F.expr("n * syy - sy * sy") > 0)
+    ).selectExpr(
+        "CAST(n AS BIGINT) AS n_users",
+        "ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta",
+        "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),"
+        " 6) AS var_reduction",
+    )
+
+
+# ---------- q378: difference-in-differences (causal analytics row)
+
+# The 2x2 causal workhorse: BUILDING customers as the "treated" group,
+# AUTOMOBILE as control, 1997 as pre and 1998 as post; the DiD
+# estimate is (T_post - T_pre) - (C_post - C_pre) on mean order value.
+# Each cell mean is rounded half-up to integer micro-cents ONCE (exact
+# rational -> integer), after which the estimate is pure BIGINT
+# subtraction — the parallel-trends arithmetic cannot diverge between
+# engines. One conditional aggregation over orders joined to the
+# broadcast customer dim.
+_DID_ORACLE = """
+WITH cells AS (
+    SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treated,
+           CASE WHEN o.o_orderdate >= DATE '1998-01-01' THEN 1 ELSE 0 END AS post,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      AND o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1999-01-01'
+    GROUP BY 1, 2
+), means AS (
+    SELECT treated, post,
+           CAST((2 * cents * 1000000 + n) // (2 * n) AS BIGINT) AS mean_micro
+    FROM cells
+)
+SELECT MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_micro END) AS t_pre,
+       MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_micro END) AS t_post,
+       MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_micro END) AS c_pre,
+       MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_micro END) AS c_post,
+       MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_micro END)
+       - MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_micro END)
+       - (MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_micro END)
+          - MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_micro END))
+           AS did_micro
+FROM means
+"""
+
+
+@register("q378_diff_in_diff", oracle=_DID_ORACLE)
+def q378(spark, sf_dir):
+    """Difference-in-differences on mean order value: BUILDING vs
+    AUTOMOBILE, 1997 vs 1998 (oracle comment)."""
+    t = load_tables(spark, sf_dir)
+    o, c = t["orders"], t["customer"]
+    cells = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+        )
+        .join(
+            F.broadcast(
+                c.where(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")).select(
+                    "c_custkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("treated"),
+            F.when(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"), 1)
+            .otherwise(0)
+            .alias("post"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    means = cells.selectExpr(
+        "treated",
+        "post",
+        "CAST((2 * cents * 1000000 + n) DIV (2 * n) AS BIGINT) AS mean_micro",
+    )
+    pick = lambda tr, po: F.max(  # noqa: E731
+        F.when((F.col("treated") == tr) & (F.col("post") == po), F.col("mean_micro"))
+    )
+    return means.agg(
+        pick(1, 0).alias("t_pre"),
+        pick(1, 1).alias("t_post"),
+        pick(0, 0).alias("c_pre"),
+        pick(0, 1).alias("c_post"),
+    ).selectExpr(
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        "(t_post - t_pre) - (c_post - c_pre) AS did_micro",
+    )
+
+
+# ---------- q379: metadata columns over a partitioned write
+
+# The Spark hidden-column feature row (_metadata.file_path): write a
+# directory-partitioned copy of events (coalesce(1) per partition so
+# the file count is layout-deterministic), read it back, and audit
+# rows-per-physical-file with the partition value RECOVERED FROM THE
+# FILE PATH rather than the data. The oracle reconstructs the same
+# audit from plain counts — equality proves partition pruning wrote
+# every row into the directory its event_type dictates and _metadata
+# resolution works. (DuckDB's `filename` virtual column is the same
+# feature; the tmp layout is Spark-private, so the oracle recomputes
+# from the logical table instead of reading the files.)
+_META_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("q379_metadata_columns", oracle=_META_ORACLE)
+def q379(spark, sf_dir):
+    """Per-file row audit of a partitioned write via the _metadata
+    hidden column (oracle comment)."""
+    from ..scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir)["events"]
+    d = scratch_dir("q379_by_type")
+    (
+        ev.select("event_id", "event_type")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(d)
+    )
+    back = spark.read.parquet(d).select(
+        F.col("_metadata.file_path").alias("file_path")
+    )
+    per_file = back.groupBy("file_path").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    return (
+        per_file.groupBy(
+            F.regexp_extract("file_path", r"event_type=([^/]+)/", 1).alias(
+                "event_type"
+            )
+        )
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_files"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------- q380: local clustering coefficient (per-node triangles)
+
+# The per-node refinement of q229's global triangle count: cc(v) =
+# 2*tri(v) / (deg(v)*(deg(v)-1)) over the same co-purchase part graph.
+# operators/triangles.triangle_list enumerates each triangle exactly
+# once under the (deg, id) orientation (wedge out-degree bounded by
+# ~sqrt(2m) — no hub blowup), then one explode + groupBy turns the
+# list into per-node counts; the coefficient is a positive exact
+# rational rounded half-up to micro units. The id-ordered triple-join
+# oracle proves the oriented enumeration finds the identical triangle
+# set.
+_CLUSTERING_ORACLE = """
+WITH li AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+    FROM lineitem WHERE l_partkey % 2 = 0
+), e AS (
+    SELECT DISTINCT a.p AS u, b.p AS v
+    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+), deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+    ) GROUP BY node
+), tri AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        SELECT UNNEST([e1.u, e1.v, e2.v]) AS node
+        FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ) GROUP BY node
+)
+SELECT d.node, d.deg, CAST(COALESCE(t.tri, 0) AS BIGINT) AS n_triangles,
+       CAST((2 * 2 * COALESCE(t.tri, 0) * 1000000 + d.deg * (d.deg - 1))
+            // (2 * d.deg * (d.deg - 1)) AS BIGINT) AS cc_micro
+FROM deg d LEFT JOIN tri t ON t.node = d.node
+WHERE d.deg >= 2
+ORDER BY cc_micro DESC, d.node LIMIT 20
+"""
+
+
+@register("q380_clustering_coefficient", oracle=_CLUSTERING_ORACLE)
+def q380(spark, sf_dir):
+    """Top-20 local clustering coefficients over the co-purchase part
+    graph (oracle comment)."""
+    from ..operators.triangles import triangle_list
+
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .where(F.col("l_partkey") % 2 == 0)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    tri = (
+        triangle_list(e)
+        .select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("tri"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .where(F.col("deg") >= 2)
+        .selectExpr(
+            "node",
+            "deg",
+            "CAST(COALESCE(tri, 0) AS BIGINT) AS n_triangles",
+            "CAST((2 * 2 * COALESCE(tri, 0) * 1000000 + deg * (deg - 1))"
+            " DIV (2 * deg * (deg - 1)) AS BIGINT) AS cc_micro",
+        )
+        .orderBy(F.col("cc_micro").desc(), "node")
+        .limit(20)
+    )
+
+
+# ---------- q381: rolling 28-day correlation (bivariate monitoring)
+
+# The rolling counterpart of q168's static correlation matrix:
+# corr(daily revenue, daily order count) over a trailing 28-day frame,
+# one value per day once the frame is full. All six moments are EXACT
+# integer window sums over the |days| spine; the Pearson value is the
+# ROUND(,6) double of those integers (q168/q377 contract). Rows with a
+# degenerate frame (either variance 0) are excluded identically on
+# both engines.
+_ROLLCORR_ORACLE = """
+WITH d AS (
+    SELECT o_orderdate AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS x,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM orders GROUP BY o_orderdate
+), w AS (
+    SELECT day,
+           COUNT(*) OVER f AS n,
+           SUM(CAST(x AS HUGEINT)) OVER f AS sx,
+           SUM(CAST(y AS HUGEINT)) OVER f AS sy,
+           SUM(CAST(x AS HUGEINT) * y) OVER f AS sxy,
+           SUM(CAST(x AS HUGEINT) * x) OVER f AS sxx,
+           SUM(CAST(y AS HUGEINT) * y) OVER f AS syy,
+           ROW_NUMBER() OVER (ORDER BY day) AS i
+    FROM d
+    WINDOW f AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(day AS DATE) AS day,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr28
+FROM w
+WHERE i >= 28 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+ORDER BY day
+"""
+
+
+@register("q381_rolling_correlation", oracle=_ROLLCORR_ORACLE)
+def q381(spark, sf_dir):
+    """Trailing-28-day Pearson correlation of daily revenue vs order
+    count on the day spine (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x"),
+        F.count("*").cast("bigint").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    f = Window.orderBy("day").rowsBetween(-27, 0)
+    w = d.select(
+        "day",
+        F.count("*").over(f).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).over(f).alias("sx"),
+        F.sum(F.col("y").cast(d38)).over(f).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).over(f).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).over(f).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).over(f).alias("syy"),
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+    )
+    return (
+        w.where(
+            (F.col("i") >= 28)
+            & (F.expr("n * sxx - sx * sx") > 0)
+            & (F.expr("n * syy - sy * sy") > 0)
+        )
+        .selectExpr(
+            "CAST(day AS DATE) AS day",
+            "ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))"
+            " * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr28",
+        )
+        .orderBy("day")
+    )

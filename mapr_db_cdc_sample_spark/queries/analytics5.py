@@ -1374,3 +1374,158 @@ def q381(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# ---------- q382: ordered-set aggregates (MEDIAN / PERCENTILE_DISC)
+
+# The built-in ordered-set aggregate feature row (the manual
+# nearest-rank machinery lives in q180/q291/q350 — THIS row proves the
+# engine builtins agree across engines): MEDIAN interpolates the two
+# middle values (.5-exact doubles on integer cents, engine-identical)
+# and PERCENTILE_DISC(p) WITHIN GROUP returns the smallest value whose
+# cume_dist >= p — the same definition as DuckDB's QUANTILE_DISC, cast
+# to BIGINT on both sides since Spark surfaces it as a double.
+_ORDSET_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       MEDIAN(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS median_cents,
+       CAST(QUANTILE_DISC(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.25)
+            AS BIGINT) AS p25_cents,
+       CAST(QUANTILE_DISC(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.90)
+            AS BIGINT) AS p90_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("q382_ordered_set_aggs", oracle=_ORDSET_ORACLE)
+def q382(spark, sf_dir):
+    """Built-in MEDIAN + PERCENTILE_DISC WITHIN GROUP per event type
+    (oracle comment)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               MEDIAN(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS median_cents,
+               CAST(PERCENTILE_DISC(0.25) WITHIN GROUP
+                    (ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS p25_cents,
+               CAST(PERCENTILE_DISC(0.90) WITHIN GROUP
+                    (ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS p90_cents
+        FROM events GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
+# ---------- q383: bitwise aggregate rollup (capability masks)
+
+# The bit-aggregate function row (BIT_AND / BIT_OR / BIT_XOR): encode
+# each user's observed event types as a 5-bit capability mask (one
+# map-side conditional max per bit), then roll masks up per user
+# bucket — BIT_AND = capabilities EVERY user in the bucket has, BIT_OR
+# = any, BIT_XOR = the parity fingerprint the engines must agree on
+# bit-for-bit. Popcount of the consensus mask is spelled as five
+# explicit shift-and-mask terms (engine-portable; masks are 5 bits by
+# construction). All integers end-to-end.
+_BITMASK_ORACLE = """
+WITH masks AS (
+    SELECT user_id,
+           CAST(BIT_OR(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END)
+                AS BIGINT) AS mask
+    FROM events GROUP BY user_id
+)
+SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(BIT_AND(mask) AS BIGINT) AS all_caps,
+       CAST(BIT_OR(mask) AS BIGINT) AS any_caps,
+       CAST(BIT_XOR(mask) AS BIGINT) AS parity,
+       CAST((BIT_AND(mask) & 1) + ((BIT_AND(mask) >> 1) & 1)
+            + ((BIT_AND(mask) >> 2) & 1) + ((BIT_AND(mask) >> 3) & 1)
+            + ((BIT_AND(mask) >> 4) & 1) AS BIGINT) AS n_common_caps
+FROM masks GROUP BY user_id % 8 ORDER BY bucket
+"""
+
+
+@register("q383_bitmask_rollup", oracle=_BITMASK_ORACLE)
+def q383(spark, sf_dir):
+    """BIT_AND/BIT_OR/BIT_XOR rollup of per-user capability masks
+    (oracle comment)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH masks AS (
+            SELECT user_id,
+                   CAST(BIT_OR(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                        WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END)
+                        AS BIGINT) AS mask
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(BIT_AND(mask) AS BIGINT) AS all_caps,
+               CAST(BIT_OR(mask) AS BIGINT) AS any_caps,
+               CAST(BIT_XOR(mask) AS BIGINT) AS parity,
+               CAST((BIT_AND(mask) & 1) + (SHIFTRIGHT(BIT_AND(mask), 1) & 1)
+                    + (SHIFTRIGHT(BIT_AND(mask), 2) & 1)
+                    + (SHIFTRIGHT(BIT_AND(mask), 3) & 1)
+                    + (SHIFTRIGHT(BIT_AND(mask), 4) & 1) AS BIGINT) AS n_common_caps
+        FROM masks GROUP BY user_id % 8 ORDER BY bucket
+        """
+    )
+
+
+# ---------- q384: multi-aggregate PIVOT
+
+# q77 pivots one measure; production reshape pivots SEVERAL in one
+# pass — Spark's PIVOT (SUM(...) AS s, COUNT(*) AS c FOR status IN
+# ('O' AS o, ...)) emits the cross product of value aliases x measure
+# aliases as columns (o_rev, o_n, ...) in ONE aggregation over the
+# fact scan. The oracle spells the identical reshape as conditional
+# aggregation (PIVOT is sugar — the CONTRACT is the wide result, not
+# the syntax; DuckDB's PIVOT names columns differently, so the oracle
+# normalizes via explicit FILTER aggregates).
+_MPIVOT_ORACLE = """
+SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+       CAST(COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            FILTER (o_orderstatus = 'O'), 0) AS BIGINT) AS o_rev,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_n,
+       CAST(COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            FILTER (o_orderstatus = 'F'), 0) AS BIGINT) AS f_rev,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,
+       CAST(COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            FILTER (o_orderstatus = 'P'), 0) AS BIGINT) AS p_rev,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_n
+FROM orders GROUP BY 1 ORDER BY yr
+"""
+
+
+@register("q384_multi_agg_pivot", oracle=_MPIVOT_ORACLE)
+def q384(spark, sf_dir):
+    """PIVOT with two aggregates per status value (oracle comment)."""
+    load_tables(spark, sf_dir)
+    wide = spark.sql(
+        """
+        SELECT * FROM (
+            SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr, o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM orders
+        )
+        PIVOT (
+            SUM(cents) AS rev, COUNT(*) AS n
+            FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p)
+        )
+        ORDER BY yr
+        """
+    )
+    # PIVOT leaves absent cells NULL; normalize to the oracle's
+    # COALESCE(.,0) sums and pin the column order
+    return wide.selectExpr(
+        "yr",
+        "CAST(COALESCE(o_rev, 0) AS BIGINT) AS o_rev",
+        "CAST(COALESCE(o_n, 0) AS BIGINT) AS o_n",
+        "CAST(COALESCE(f_rev, 0) AS BIGINT) AS f_rev",
+        "CAST(COALESCE(f_n, 0) AS BIGINT) AS f_n",
+        "CAST(COALESCE(p_rev, 0) AS BIGINT) AS p_rev",
+        "CAST(COALESCE(p_n, 0) AS BIGINT) AS p_n",
+    )

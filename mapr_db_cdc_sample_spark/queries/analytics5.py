@@ -1529,3 +1529,173 @@ def q384(spark, sf_dir):
         "CAST(COALESCE(p_rev, 0) AS BIGINT) AS p_rev",
         "CAST(COALESCE(p_n, 0) AS BIGINT) AS p_n",
     )
+
+
+# ---------- q385: Benjamini-Hochberg FDR over permutation p-values
+
+# The multiple-testing layer missing above q188/q335: five hypotheses
+# (one per event type — "does mean user spend differ between odd and
+# even users WITHIN this type?"), each given a q335-style md5
+# permutation p-value (K=60 pseudo-assignments keyed md5(type:user:k)
+# so the permutation streams are independent across hypotheses; the
+# extreme-count comparison is cross-multiplied exact DECIMAL(38), no
+# division). BH then runs ENTIRELY on integers: p_i = (extreme_i+1)/61
+# and the step-up rule p_(i) <= i*alpha/m at alpha=0.10, m=5 becomes
+# 50*(extreme_i+1) <= 61*i under the unique (p, type) rank order;
+# every hypothesis ranked at or below the largest passing rank is
+# rejected. The K-expansion happens on the (type, user) frame, never
+# the fact table.
+_BH_ORACLE = """
+WITH per AS (
+    SELECT event_type, user_id,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events GROUP BY event_type, user_id
+), obs AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN cents ELSE 0 END) AS HUGEINT) AS sa,
+           CAST(SUM(CASE WHEN user_id % 2 = 1 THEN cents ELSE 0 END) AS HUGEINT) AS sb,
+           CAST(COUNT(*) FILTER (user_id % 2 = 0) AS HUGEINT) AS na,
+           CAST(COUNT(*) FILTER (user_id % 2 = 1) AS HUGEINT) AS nb
+    FROM per GROUP BY event_type
+), perm AS (
+    SELECT event_type, k,
+           CAST(SUM(CASE WHEN g = 0 THEN cents ELSE 0 END) AS HUGEINT) AS sa,
+           CAST(SUM(CASE WHEN g = 1 THEN cents ELSE 0 END) AS HUGEINT) AS sb,
+           CAST(COUNT(*) FILTER (g = 0) AS HUGEINT) AS na,
+           CAST(COUNT(*) FILTER (g = 1) AS HUGEINT) AS nb
+    FROM (
+        SELECT p.event_type, p.cents, k.k,
+               ('0x' || SUBSTR(MD5(p.event_type || ':'
+                               || CAST(p.user_id AS VARCHAR) || ':'
+                               || CAST(k.k AS VARCHAR)), 1, 8))::BIGINT % 2 AS g
+        FROM per p, range(0, 60) k(k)
+    ) GROUP BY event_type, k
+), ext AS (
+    SELECT o.event_type,
+           CAST(COUNT(*) FILTER (
+               p.na > 0 AND p.nb > 0 AND
+               ABS(p.sa * p.nb - p.sb * p.na) * (o.na * o.nb)
+               >= ABS(o.sa * o.nb - o.sb * o.na) * (p.na * p.nb)
+           ) AS BIGINT) AS n_extreme
+    FROM perm p JOIN obs o ON o.event_type = p.event_type
+    GROUP BY o.event_type
+), ranked AS (
+    SELECT event_type, n_extreme,
+           ROW_NUMBER() OVER (ORDER BY n_extreme, event_type) AS i
+    FROM ext
+), cut AS (
+    SELECT COALESCE(MAX(CASE WHEN 50 * (n_extreme + 1) <= 61 * i
+                             THEN i END), 0) AS imax
+    FROM ranked
+)
+SELECT r.event_type, r.n_extreme,
+       CAST((2 * (r.n_extreme + 1) * 1000000 + 61) // (2 * 61) AS BIGINT)
+           AS p_micro,
+       CAST(r.i AS BIGINT) AS bh_rank,
+       CAST(CASE WHEN r.i <= c.imax THEN 1 ELSE 0 END AS BIGINT) AS rejected
+FROM ranked r, cut c ORDER BY r.event_type
+"""
+
+
+@register("q385_bh_fdr", oracle=_BH_ORACLE)
+def q385(spark, sf_dir):
+    """BH step-up at FDR 0.10 over five md5-permutation p-values
+    (oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    d38 = "decimal(38,0)"
+
+    def split(df, keys, gcol):
+        return df.groupBy(*keys).agg(
+            F.sum(F.when(gcol == 0, F.col("cents")).otherwise(0)).cast(d38).alias("sa"),
+            F.sum(F.when(gcol == 1, F.col("cents")).otherwise(0)).cast(d38).alias("sb"),
+            F.count(F.when(gcol == 0, 1)).cast(d38).alias("na"),
+            F.count(F.when(gcol == 1, 1)).cast(d38).alias("nb"),
+        )
+
+    obs = split(per, ["event_type"], F.col("user_id") % 2)
+    expanded = per.crossJoin(
+        F.broadcast(spark.range(0, 60).select(F.col("id").alias("k")))
+    ).select(
+        "event_type",
+        "cents",
+        "k",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_type"),
+                            F.lit(":"),
+                            F.col("user_id").cast("string"),
+                            F.lit(":"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("g"),
+    )
+    perm = split(expanded, ["event_type", "k"], F.col("g"))
+    ext = (
+        perm.join(
+            F.broadcast(
+                obs.select(
+                    F.col("event_type").alias("ot"),
+                    F.col("sa").alias("osa"),
+                    F.col("sb").alias("osb"),
+                    F.col("na").alias("ona"),
+                    F.col("nb").alias("onb"),
+                )
+            ),
+            F.col("event_type") == F.col("ot"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(
+                F.when(
+                    F.expr(
+                        "na > 0 AND nb > 0 AND"
+                        " ABS(sa * nb - sb * na) * (ona * onb)"
+                        " >= ABS(osa * onb - osb * ona) * (na * nb)"
+                    ),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_extreme")
+        )
+    )
+    ranked = ext.select(
+        "event_type",
+        "n_extreme",
+        F.row_number().over(Window.orderBy("n_extreme", "event_type")).alias("i"),
+    )
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(F.when(50 * (F.col("n_extreme") + 1) <= 61 * F.col("i"), F.col("i"))),
+            F.lit(0),
+        ).alias("imax")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .selectExpr(
+            "event_type",
+            "n_extreme",
+            "CAST((2 * (n_extreme + 1) * 1000000 + 61) DIV (2 * 61) AS BIGINT)"
+            " AS p_micro",
+            "CAST(i AS BIGINT) AS bh_rank",
+            "CAST(CASE WHEN i <= imax THEN 1 ELSE 0 END AS BIGINT) AS rejected",
+        )
+        .orderBy("event_type")
+    )

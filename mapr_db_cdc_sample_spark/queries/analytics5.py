@@ -950,7 +950,7 @@ ORDER BY key
 def q376(spark, sf_dir):
     """Keys with global frequency > n/6 via per-partition Misra-Gries
     candidates + candidate-only exact recount (oracle comment)."""
-    import pandas as pd
+    from ..operators.misra_gries import mg_candidates
 
     ev = load_tables(spark, sf_dir)["events"]
     keyed = ev.select(
@@ -964,20 +964,7 @@ def q376(spark, sf_dir):
         .otherwise(F.col("event_type"))
         .alias("key")
     )
-
-    def mg(batches):
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            for key in pdf["key"]:
-                if key in counters:
-                    counters[key] += 1
-                elif len(counters) < 5:
-                    counters[key] = 1
-                else:
-                    counters = {c: v - 1 for c, v in counters.items() if v > 1}
-        yield pd.DataFrame({"key": list(counters)})
-
-    candidates = keyed.mapInPandas(mg, schema="key string").distinct()
+    candidates = mg_candidates(keyed, "key", k=5)
     tot = keyed.agg(F.count("*").cast("bigint").alias("n"))
     return (
         keyed.join(F.broadcast(candidates), "key", "left_semi")

@@ -677,3 +677,26 @@ def test_fifo_interval_join_is_part_keyed(spark, sf_dir):
     never a cartesian."""
     plan = _plan(spark, sf_dir, "q337_fifo_cogs")
     assert not has(plan, "CartesianProduct"), plan_nodes(plan)
+
+
+def test_ap_never_sorts_event_volume(spark, sf_dir):
+    """q368 average precision inherits q207's posture: global rank
+    offsets come from the score VALUE histogram, so every
+    single-partition exchange sits above a HashAggregate — the only
+    event-volume shuffle is the hash partition BY score for the
+    tie-group windows, never a global sort."""
+    _sp_subtrees_all_collapsed(_plan(spark, sf_dir, "q368_average_precision"))
+
+
+def test_best_f1_sweep_on_histogram_only(spark, sf_dir):
+    """q369: the threshold sweep's running sums window over |distinct
+    scores| rows — single-partition exchanges all above aggregates."""
+    _sp_subtrees_all_collapsed(_plan(spark, sf_dir, "q369_best_f1"))
+
+
+def test_psi_bins_broadcast_no_fact_sort(spark, sf_dir):
+    """q372: decile edges come from the reference VALUE histogram and
+    reach the bin assignment as a broadcast array — the two fact scans
+    (ref + cur) are binned map-side with no single-partition pass over
+    order volume."""
+    _sp_subtrees_all_collapsed(_plan(spark, sf_dir, "q372_psi_stability"))

@@ -1125,3 +1125,32 @@ def test_lpa_tie_breaks_to_min_label(spark):
     sdf = spark.createDataFrame([(1, 9), (2, 2)], "node long, label int")
     got = {r["node"]: r["label"] for r in label_propagation(edf, sdf, 1).collect()}
     assert got[3] == 2
+
+
+def test_misra_gries_superset_any_partitioning(spark):
+    """operators/misra_gries: the candidate union must contain every
+    key with global count > n/(k+1) REGARDLESS of how the input is
+    partitioned (the pigeonhole superset guarantee q376's oracle-hash
+    rests on). Zipf-ish synthetic stream, three adversarial layouts:
+    round-robin, heavy-keys-colocated, and a 1-partition collapse."""
+    from mapr_db_cdc_sample_spark.operators.misra_gries import mg_candidates
+
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 200
+        + [(f"cold{i % 37}",) for i in range(400)]
+    )
+    df = spark.createDataFrame(rows, "key string")
+    n, k = len(rows), 5
+    exact_heavy = {"hot", "warm"}  # 400 > 1000/6, 200 > 1000/6
+    layouts = [
+        df.repartition(8),
+        df.repartition(8, "key"),
+        df.coalesce(1),
+    ]
+    for i, layout in enumerate(layouts):
+        cand = {r["key"] for r in mg_candidates(layout, "key", k=k).collect()}
+        assert exact_heavy <= cand, f"layout {i}: {exact_heavy - cand} missing"
+        # candidate volume stays sketch-sized: <= k per partition
+        n_parts = layout.rdd.getNumPartitions()
+        assert len(cand) <= k * n_parts, (len(cand), n_parts)

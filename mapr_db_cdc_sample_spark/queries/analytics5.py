@@ -1686,3 +1686,386 @@ def q385(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------- q386: XmR control chart (statistical process control)
+
+# The individuals/moving-range chart behind every SPC dashboard: center
+# line = mean daily revenue, natural process limits = mean +/- 2.66 *
+# mean moving range (the 2.66 = 3/d2 constant for n=2 subgroups,
+# carried as the exact rational 266/100). Everything reduces to
+# integer comparisons on the |days| spine: a day is out-of-control iff
+# |n_mr * (n * x - sx)| * 100 > 266 * n * s_mr ... cross-multiplied so
+# the flag never touches a rounded value; the published limits are
+# micro-cent round-half-ups of the same rationals. One LAG window for
+# the moving range, aggregates above the day frame.
+_XMR_ORACLE = _DAILY_CTE + """
+, mr AS (
+    SELECT day, cents,
+           ABS(cents - LAG(cents) OVER (ORDER BY day)) AS mrange
+    FROM daily
+), stats AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(cents) AS HUGEINT) AS sx,
+           CAST(COUNT(mrange) AS HUGEINT) AS n_mr,
+           CAST(SUM(mrange) AS HUGEINT) AS s_mr
+    FROM mr
+), flags AS (
+    SELECT m.day, m.cents,
+           CASE WHEN ABS(s.n_mr * (s.n * m.cents - s.sx)) * 100
+                     > 266 * s.n * s.s_mr THEN 1 ELSE 0 END AS ooc
+    FROM mr m, stats s
+)
+SELECT CAST((SELECT COUNT(*) FROM flags) AS BIGINT) AS n_days,
+       CAST((SELECT SUM(ooc) FROM flags) AS BIGINT) AS n_out_of_control,
+       CAST((2 * s.sx * 1000000 + s.n) // (2 * s.n) AS BIGINT) AS center_micro,
+       CAST((2 * (s.sx * s.n_mr * 100 + 266 * s.n * s.s_mr) * 1000000
+             + s.n * s.n_mr * 100) // (2 * s.n * s.n_mr * 100) AS BIGINT)
+           AS ucl_micro,
+       CAST((2 * (s.sx * s.n_mr * 100 - 266 * s.n * s.s_mr + s.n * s.n_mr * 100
+                  * 100000000) * 1000000 + s.n * s.n_mr * 100)
+            // (2 * s.n * s.n_mr * 100)
+            - 100000000 * CAST(1000000 AS HUGEINT) AS BIGINT) AS lcl_micro
+FROM stats s
+"""
+
+
+@register("q386_xmr_control_chart", oracle=_XMR_ORACLE)
+def q386(spark, sf_dir):
+    """XmR chart summary of daily revenue: center, UCL/LCL, exact
+    out-of-control day count (oracle comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    mr = daily.select(
+        "day",
+        "cents",
+        F.abs(
+            F.col("cents") - F.lag("cents").over(Window.orderBy("day"))
+        ).alias("mrange"),
+    )
+    d38 = "decimal(38,0)"
+    stats = mr.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("cents").cast(d38).alias("sx"),
+        F.count("mrange").cast(d38).alias("n_mr"),
+        F.sum("mrange").cast(d38).alias("s_mr"),
+    )
+    flags = mr.crossJoin(F.broadcast(stats)).select(
+        F.when(
+            F.expr("ABS(n_mr * (n * cents - sx)) * 100 > 266 * n * s_mr"), 1
+        )
+        .otherwise(0)
+        .alias("ooc")
+    )
+    counts = flags.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("ooc").cast("bigint").alias("n_out_of_control"),
+    )
+    return counts.crossJoin(F.broadcast(stats)).selectExpr(
+        "n_days",
+        "n_out_of_control",
+        "CAST((2 * sx * 1000000 + n) DIV (2 * n) AS BIGINT) AS center_micro",
+        "CAST((2 * (sx * n_mr * 100 + 266 * n * s_mr) * 1000000"
+        " + n * n_mr * 100) DIV (2 * n * n_mr * 100) AS BIGINT) AS ucl_micro",
+        f"CAST((2 * (sx * n_mr * 100 - 266 * n * s_mr + n * n_mr * 100"
+        f" * 100000000) * 1000000 + n * n_mr * 100)"
+        f" DIV (2 * n * n_mr * 100)"
+        f" - 100000000 * CAST(1000000 AS {d38}) AS BIGINT) AS lcl_micro",
+    )
+
+
+# ---------- q387: embedding centroid drift per label
+
+# Embedding-space monitoring for the vector lane (q244 dim profile,
+# q343 truncation quality): split each label's vectors into early/late
+# halves by vec_id, build both centroids, and report their cosine —
+# a drop below ~1 means the population of that label MOVED between
+# snapshots (index-rebuild / re-embedding trigger). Centroids stay
+# EXACT: milli-quantized integer vectors (q343 recipe) summed
+# per-half, cosine = ROUND(,6) double of the three exact integer
+# products (sums of products up to ~1e14 at sf0.1 — inside HUGEINT /
+# DECIMAL(38), and the double cast is correctly rounded on both
+# engines). The n-divisors of the two centroids cancel inside the
+# cosine, so no division happens before the final rounding.
+_CDRIFT_ORACLE = """
+WITH v AS (
+    SELECT vec_id, label,
+           LIST_TRANSFORM(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+), half AS (
+    SELECT label, vec_id, v,
+           CASE WHEN vec_id < (SELECT MAX(vec_id) + 1 FROM v) / 2
+                THEN 0 ELSE 1 END AS h
+    FROM v
+), sums AS (
+    SELECT label, h, i,
+           CAST(SUM(v[i]) AS HUGEINT) AS s, CAST(COUNT(*) AS HUGEINT) AS n
+    FROM half, (SELECT UNNEST(range(1, 65)) AS i)
+    GROUP BY label, h, i
+), pairs AS (
+    SELECT a.label,
+           SUM(a.s * b.s) AS dot,
+           SUM(a.s * a.s) AS na,
+           SUM(b.s * b.s) AS nb,
+           MAX(a.n) AS n_early, MAX(b.n) AS n_late
+    FROM sums a JOIN sums b ON a.label = b.label AND a.i = b.i
+                           AND a.h = 0 AND b.h = 1
+    GROUP BY a.label
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(n_early AS BIGINT) AS n_early, CAST(n_late AS BIGINT) AS n_late,
+       ROUND(CAST(dot AS DOUBLE)
+             / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))), 6)
+           AS centroid_cos
+FROM pairs WHERE na > 0 AND nb > 0 ORDER BY label
+"""
+
+
+@register("q387_centroid_drift", oracle=_CDRIFT_ORACLE)
+def q387(spark, sf_dir):
+    """Per-label cosine between early-half and late-half embedding
+    centroids (oracle comment)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+        ).alias("v"),
+    )
+    mx = v.agg(((F.max("vec_id") + 1) / 2).alias("cut"))
+    half = v.crossJoin(F.broadcast(mx)).select(
+        "label",
+        "v",
+        F.when(F.col("vec_id") < F.col("cut"), 0).otherwise(1).alias("h"),
+    )
+    d38 = "decimal(38,0)"
+    # per (label, half, dim): exact integer centroid sums — posexplode
+    # keeps the aggregate map-side combinable (a collect_list fold
+    # would buffer every vector of a label group in one row)
+    sums = half.select(
+        "label", "h", F.posexplode("v").alias("i", "val")
+    ).groupBy("label", "h", "i").agg(
+        F.sum("val").cast(d38).alias("s"), F.count("*").cast("bigint").alias("n")
+    )
+    a = sums.where("h = 0").select(
+        "label", "i", F.col("s").alias("sa"), F.col("n").alias("n_early")
+    )
+    b = sums.where("h = 1").select(
+        F.col("label").alias("lb"),
+        F.col("i").alias("ib"),
+        F.col("s").alias("sb"),
+        F.col("n").alias("n_late"),
+    )
+    pairs = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("i") == F.col("ib")))
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).alias("na"),
+            F.sum(F.col("sb") * F.col("sb")).alias("nb"),
+            F.max("n_early").alias("n_early"),
+            F.max("n_late").alias("n_late"),
+        )
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    return pairs.selectExpr(
+        "CAST(label AS INT) AS label",
+        "CAST(n_early AS BIGINT) AS n_early",
+        "CAST(n_late AS BIGINT) AS n_late",
+        "ROUND(CAST(dot AS DOUBLE)"
+        " / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))), 6)"
+        " AS centroid_cos",
+    ).orderBy("label")
+
+
+# ---------- q388: Simpson's paradox audit (pooled vs within-group)
+
+# The aggregation-reversal check every self-serve analytics layer
+# should run before publishing a correlation: the pooled OLS slope of
+# quantity on discount vs the per-brand slopes. Slope SIGNS are exact:
+# sign(n*Sxy - Sx*Sy) on integer basis-point/quantity moments (the
+# variance denominator is positive whenever defined, so the numerator
+# carries the sign); groups with a degenerate x-variance are excluded
+# identically. The pooled slope is published as a positive-shift
+# round-half-up micro value; the paradox flag fires only on a FULL
+# reversal (pooled strictly one sign, every qualifying group strictly
+# the other).
+_SIMPSON_ORACLE = """
+WITH pts AS (
+    SELECT p.p_brand AS brand,
+           CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x,
+           CAST(l.l_quantity AS BIGINT) AS y
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), g AS (
+    SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx
+    FROM pts GROUP BY brand
+), gsig AS (
+    SELECT CAST(COUNT(*) FILTER (n * sxy - sx * sy > 0) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) FILTER (n * sxy - sx * sy < 0) AS BIGINT) AS n_neg,
+           CAST(COUNT(*) FILTER (n * sxy - sx * sy = 0) AS BIGINT) AS n_zero
+    FROM g WHERE n * sxx - sx * sx > 0
+), pool AS (
+    SELECT CAST(SUM(n) AS HUGEINT) AS n, CAST(SUM(sx) AS HUGEINT) AS sx,
+           CAST(SUM(sy) AS HUGEINT) AS sy, CAST(SUM(sxy) AS HUGEINT) AS sxy,
+           CAST(SUM(sxx) AS HUGEINT) AS sxx
+    FROM g
+)
+SELECT gsig.n_pos AS groups_pos, gsig.n_neg AS groups_neg,
+       gsig.n_zero AS groups_zero,
+       CAST((2 * ((p.n * p.sxy - p.sx * p.sy) * 1000000
+                  + 1000000000 * (p.n * p.sxx - p.sx * p.sx))
+             + (p.n * p.sxx - p.sx * p.sx))
+            // (2 * (p.n * p.sxx - p.sx * p.sx))
+            - 1000000000 * CAST(1000000 AS HUGEINT) AS BIGINT)
+           AS pooled_slope_micro,
+       CAST(CASE WHEN (p.n * p.sxy - p.sx * p.sy > 0
+                       AND gsig.n_pos = 0 AND gsig.n_neg > 0)
+                   OR (p.n * p.sxy - p.sx * p.sy < 0
+                       AND gsig.n_neg = 0 AND gsig.n_pos > 0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS paradox_flag
+FROM gsig, pool p WHERE p.n * p.sxx - p.sx * p.sx > 0
+"""
+
+
+@register("q388_simpsons_paradox", oracle=_SIMPSON_ORACLE)
+def q388(spark, sf_dir):
+    """Pooled vs per-brand slope signs of quantity~discount (oracle
+    comment)."""
+    t = load_tables(spark, sf_dir)
+    pts = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            (F.col("l_discount").cast("decimal(18,4)") * 10000)
+            .cast("bigint")
+            .alias("x"),
+            F.col("l_quantity").cast("bigint").alias("y"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    g = pts.groupBy("brand").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+    )
+    gsig = g.where(F.expr("n * sxx - sx * sx > 0")).agg(
+        F.count(F.when(F.expr("n * sxy - sx * sy > 0"), 1))
+        .cast("bigint")
+        .alias("groups_pos"),
+        F.count(F.when(F.expr("n * sxy - sx * sy < 0"), 1))
+        .cast("bigint")
+        .alias("groups_neg"),
+        F.count(F.when(F.expr("n * sxy - sx * sy = 0"), 1))
+        .cast("bigint")
+        .alias("groups_zero"),
+    )
+    pool = g.agg(
+        F.sum("n").cast(d38).alias("n"),
+        F.sum("sx").cast(d38).alias("sx"),
+        F.sum("sy").cast(d38).alias("sy"),
+        F.sum("sxy").cast(d38).alias("sxy"),
+        F.sum("sxx").cast(d38).alias("sxx"),
+    )
+    return (
+        gsig.crossJoin(F.broadcast(pool))
+        .where(F.expr("n * sxx - sx * sx > 0"))
+        .selectExpr(
+            "groups_pos",
+            "groups_neg",
+            "groups_zero",
+            f"CAST((2 * ((n * sxy - sx * sy) * 1000000"
+            f" + 1000000000 * (n * sxx - sx * sx))"
+            f" + (n * sxx - sx * sx))"
+            f" DIV (2 * (n * sxx - sx * sx))"
+            f" - 1000000000 * CAST(1000000 AS {d38}) AS BIGINT)"
+            " AS pooled_slope_micro",
+            "CAST(CASE WHEN (n * sxy - sx * sy > 0"
+            " AND groups_pos = 0 AND groups_neg > 0)"
+            " OR (n * sxy - sx * sy < 0"
+            " AND groups_neg = 0 AND groups_pos > 0)"
+            " THEN 1 ELSE 0 END AS BIGINT) AS paradox_flag",
+        )
+    )
+
+
+# ---------- q389: ABC inventory classification (cumulative Pareto classes)
+
+# The warehouse-operations classic refining q187's Pareto share: rank
+# parts by revenue, class A = parts while cumulative share <= 80%,
+# B = to 95%, C = the tail. Per-part revenue is rounded half-up to
+# integer cents ONCE from the exact cents*bp sum; class boundaries are
+# integer cross-multiplications of the running total against the grand
+# total (cum*100 <= total*80), evaluated on the |parts| dimension
+# frame under the unique (revenue DESC, partkey) order — order volume
+# is gone before any window runs.
+_ABC_ORACLE = """
+WITH per_part AS (
+    SELECT l_partkey AS part,
+           CAST((2 * SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)))
+                 + 10000) // 20000 AS BIGINT) AS rev
+    FROM lineitem GROUP BY l_partkey
+), ranked AS (
+    SELECT part, rev,
+           SUM(rev) OVER (ORDER BY rev DESC, part
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(rev) OVER () AS total
+    FROM per_part
+), classed AS (
+    SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS abc,
+           rev
+    FROM ranked
+)
+SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS rev_cents
+FROM classed GROUP BY abc ORDER BY abc
+"""
+
+
+@register("q389_abc_classification", oracle=_ABC_ORACLE)
+def q389(spark, sf_dir):
+    """A/B/C revenue classes over the part dimension frame (oracle
+    comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    d38 = "decimal(38,0)"
+    per_part = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.expr(
+            f"CAST((2 * SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS {d38})"
+            f" * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)))"
+            f" + 10000) DIV 20000 AS BIGINT)"
+        ).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), "part").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = per_part.select(
+        "rev",
+        F.sum("rev").over(w).alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+    )
+    return (
+        ranked.select(
+            F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+            .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+            .otherwise("C")
+            .alias("abc"),
+            "rev",
+        )
+        .groupBy("abc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("bigint").alias("rev_cents"),
+        )
+        .orderBy("abc")
+    )

@@ -2069,3 +2069,310 @@ def q389(spark, sf_dir):
         )
         .orderBy("abc")
     )
+
+
+# ---------- q390: outlier-method agreement (z vs MAD vs Tukey)
+
+# Which days do the three standard outlier rules actually agree on?
+# All three flags are EXACT integer predicates on the |days| spine:
+#   z-score:  (n*x - sx)^2 > 9 * (n*sxx - sx^2)      (3-sigma, squared)
+#   MAD:      |x - med| * 10000 > 44478 * mad        (3 * 1.4826)
+#   Tukey:    2*x < 2*q1 - 3*iqr  OR  2*x > 2*q3 + 3*iqr   (1.5 fences)
+# med/q1/q3/mad are nearest-rank order statistics (r = ceil(p*n))
+# picked from VALUE histograms by the q372 range-join posture — the
+# deviation histogram for MAD is a second |days|-frame pass, never a
+# fact sort. Output: per-method counts plus every pairwise and the
+# triple intersection — the agreement matrix monitoring pipelines use
+# to pick a rule.
+_OUTAGREE_ORACLE = _DAILY_CTE + """
+, nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
+), m AS (
+    SELECT CAST(SUM(cents) AS HUGEINT) AS sx,
+           SUM(CAST(cents AS HUGEINT) * cents) AS sxx
+    FROM daily
+), hist AS (
+    SELECT cents, COUNT(*) AS c FROM daily GROUP BY cents
+), cumh AS (
+    SELECT cents,
+           SUM(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum,
+           COALESCE(SUM(c) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM hist
+), qs AS (
+    SELECT MAX(CASE WHEN tag = 1 THEN v END) AS q1,
+           MAX(CASE WHEN tag = 2 THEN v END) AS med,
+           MAX(CASE WHEN tag = 3 THEN v END) AS q3
+    FROM (
+        SELECT t.tag, c.cents AS v
+        FROM (SELECT 1 AS tag, CAST(CEIL(0.25 * n) AS BIGINT) AS r FROM nn
+              UNION ALL SELECT 2, CAST(CEIL(0.50 * n) AS BIGINT) FROM nn
+              UNION ALL SELECT 3, CAST(CEIL(0.75 * n) AS BIGINT) FROM nn) t
+        JOIN cumh c ON c.cb < t.r AND t.r <= c.cum
+    )
+), devh AS (
+    SELECT ABS(cents - qs.med) AS dev, COUNT(*) AS c
+    FROM daily, qs GROUP BY 1
+), cumd AS (
+    SELECT dev,
+           SUM(c) OVER (ORDER BY dev ROWS UNBOUNDED PRECEDING) AS cum,
+           COALESCE(SUM(c) OVER (ORDER BY dev
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM devh
+), madv AS (
+    SELECT c.dev AS mad
+    FROM cumd c, nn WHERE c.cb < CEIL(0.50 * n) AND CEIL(0.50 * n) <= c.cum
+), flags AS (
+    SELECT CASE WHEN (nn.n * d.cents - m.sx) * (nn.n * d.cents - m.sx)
+                     > 9 * (nn.n * m.sxx - m.sx * m.sx) THEN 1 ELSE 0 END AS fz,
+           CASE WHEN ABS(d.cents - qs.med) * 10000 > 44478 * madv.mad
+                THEN 1 ELSE 0 END AS fm,
+           CASE WHEN 2 * d.cents < 2 * qs.q1 - 3 * (qs.q3 - qs.q1)
+                  OR 2 * d.cents > 2 * qs.q3 + 3 * (qs.q3 - qs.q1)
+                THEN 1 ELSE 0 END AS ft
+    FROM daily d, nn, m, qs, madv
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(fz) AS BIGINT) AS z_flags,
+       CAST(SUM(fm) AS BIGINT) AS mad_flags,
+       CAST(SUM(ft) AS BIGINT) AS tukey_flags,
+       CAST(SUM(fz * fm) AS BIGINT) AS z_and_mad,
+       CAST(SUM(fz * ft) AS BIGINT) AS z_and_tukey,
+       CAST(SUM(fm * ft) AS BIGINT) AS mad_and_tukey,
+       CAST(SUM(fz * fm * ft) AS BIGINT) AS all_three
+FROM flags
+"""
+
+
+@register("q390_outlier_agreement", oracle=_OUTAGREE_ORACLE)
+def q390(spark, sf_dir):
+    """Agreement matrix of 3-sigma / MAD / Tukey outlier rules on daily
+    revenue, all flags exact integer predicates (oracle comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    nn = daily.agg(F.count("*").cast("bigint").alias("n"))
+    m = daily.agg(
+        F.sum("cents").cast(d38).alias("sx"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents")).cast(d38).alias("sxx"),
+    )
+
+    def _pick(hist_df, vcol, rank_rows):
+        """Nearest-rank picks from a VALUE histogram (q372 posture):
+        rank_rows is a broadcast (tag, r) frame."""
+        wc = Window.orderBy(vcol).rowsBetween(Window.unboundedPreceding, 0)
+        wb = Window.orderBy(vcol).rowsBetween(Window.unboundedPreceding, -1)
+        cum = hist_df.select(
+            vcol,
+            F.sum("c").over(wc).alias("cum"),
+            F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cb"),
+        )
+        return cum.join(
+            F.broadcast(rank_rows),
+            (F.col("cb") < F.col("r")) & (F.col("r") <= F.col("cum")),
+        )
+
+    ranks = (
+        nn.selectExpr("1 AS tag", "CAST(CEIL(0.25 * n) AS BIGINT) AS r")
+        .unionAll(nn.selectExpr("2 AS tag", "CAST(CEIL(0.50 * n) AS BIGINT) AS r"))
+        .unionAll(nn.selectExpr("3 AS tag", "CAST(CEIL(0.75 * n) AS BIGINT) AS r"))
+    )
+    hist = daily.groupBy("cents").agg(F.count("*").alias("c"))
+    qs = (
+        _pick(hist, "cents", ranks)
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("tag") == 1, F.col("cents"))).alias("q1"),
+            F.max(F.when(F.col("tag") == 2, F.col("cents"))).alias("med"),
+            F.max(F.when(F.col("tag") == 3, F.col("cents"))).alias("q3"),
+        )
+    )
+    devh = (
+        daily.crossJoin(F.broadcast(qs))
+        .select(F.abs(F.col("cents") - F.col("med")).alias("dev"))
+        .groupBy("dev")
+        .agg(F.count("*").alias("c"))
+    )
+    madranks = nn.selectExpr("0 AS tag", "CAST(CEIL(0.50 * n) AS BIGINT) AS r")
+    madv = _pick(devh, "dev", madranks).select(F.col("dev").alias("mad"))
+    flags = (
+        daily.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(madv))
+        .selectExpr(
+            f"CASE WHEN (n * CAST(cents AS {d38}) - sx)"
+            f" * (n * CAST(cents AS {d38}) - sx)"
+            f" > 9 * (n * sxx - sx * sx) THEN 1 ELSE 0 END AS fz",
+            "CASE WHEN ABS(cents - med) * 10000 > 44478 * mad"
+            " THEN 1 ELSE 0 END AS fm",
+            "CASE WHEN 2 * cents < 2 * q1 - 3 * (q3 - q1)"
+            " OR 2 * cents > 2 * q3 + 3 * (q3 - q1) THEN 1 ELSE 0 END AS ft",
+        )
+    )
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("fz").cast("bigint").alias("z_flags"),
+        F.sum("fm").cast("bigint").alias("mad_flags"),
+        F.sum("ft").cast("bigint").alias("tukey_flags"),
+        F.sum(F.col("fz") * F.col("fm")).cast("bigint").alias("z_and_mad"),
+        F.sum(F.col("fz") * F.col("ft")).cast("bigint").alias("z_and_tukey"),
+        F.sum(F.col("fm") * F.col("ft")).cast("bigint").alias("mad_and_tukey"),
+        F.sum(F.col("fz") * F.col("fm") * F.col("ft"))
+        .cast("bigint")
+        .alias("all_three"),
+    )
+
+
+# ---------- q391: feature-store hygiene screen (NZV / high-cardinality)
+
+# The pre-training feature screen: for each candidate feature column,
+# report distinct count, top-1 value share, and the two standard
+# red flags — near-zero-variance (top-1 share > 95%) and
+# high-cardinality (distinct ratio > 90%, an ID leaking in as a
+# feature). Everything is counts: top-1 share via one (col, value)
+# aggregate + max-by-count argmax with value tiebreak; shares as
+# round-half-up micro units; one UNPIVOT-shaped union makes the
+# per-column report a single narrow frame. Flags are integer
+# cross-multiplications (100 * top1 > 95 * n).
+_FSCREEN_ORACLE = """
+WITH stacked AS (
+    SELECT 'l_linestatus' AS feature, l_linestatus AS val FROM lineitem
+    UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+    UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+    UNION ALL SELECT 'l_quantity', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+        FROM lineitem
+), vc AS (
+    SELECT feature, val, CAST(COUNT(*) AS BIGINT) AS c
+    FROM stacked GROUP BY feature, val
+), top1 AS (
+    SELECT feature, val AS top_value, c AS top_count
+    FROM (SELECT feature, val, c,
+                 ROW_NUMBER() OVER (PARTITION BY feature
+                                    ORDER BY c DESC, val) AS rn
+          FROM vc) WHERE rn = 1
+), prof AS (
+    SELECT v.feature, CAST(SUM(v.c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           MAX(t.top_value) AS top_value, MAX(t.top_count) AS top_count
+    FROM vc v JOIN top1 t ON t.feature = v.feature
+    GROUP BY v.feature
+)
+SELECT feature, n, n_distinct, top_value,
+       CAST((2 * top_count * 1000000 + n) // (2 * n) AS BIGINT)
+           AS top1_share_micro,
+       CAST(CASE WHEN 100 * top_count > 95 * n THEN 1 ELSE 0 END AS BIGINT)
+           AS nzv_flag,
+       CAST(CASE WHEN 100 * n_distinct > 90 * n THEN 1 ELSE 0 END AS BIGINT)
+           AS high_card_flag
+FROM prof ORDER BY feature
+"""
+
+
+@register("q391_feature_screen", oracle=_FSCREEN_ORACLE)
+def q391(spark, sf_dir):
+    """NZV / high-cardinality screen over four candidate feature
+    columns (oracle comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    stacked = (
+        li.selectExpr("'l_linestatus' AS feature", "l_linestatus AS val")
+        .unionAll(li.selectExpr("'l_returnflag'", "l_returnflag"))
+        .unionAll(li.selectExpr("'l_partkey'", "CAST(l_partkey AS STRING)"))
+        .unionAll(
+            li.selectExpr(
+                "'l_quantity'", "CAST(CAST(l_quantity AS BIGINT) AS STRING)"
+            )
+        )
+    )
+    vc = stacked.groupBy("feature", "val").agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.partitionBy("feature").orderBy(F.col("c").desc(), "val")
+    top1 = (
+        vc.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            F.col("feature").alias("tf"),
+            F.col("val").alias("top_value"),
+            F.col("c").alias("top_count"),
+        )
+    )
+    prof = (
+        vc.join(F.broadcast(top1), F.col("feature") == F.col("tf"))
+        .groupBy("feature")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.max("top_value").alias("top_value"),
+            F.max("top_count").alias("top_count"),
+        )
+    )
+    return prof.selectExpr(
+        "feature",
+        "n",
+        "n_distinct",
+        "top_value",
+        "CAST((2 * top_count * 1000000 + n) DIV (2 * n) AS BIGINT)"
+        " AS top1_share_micro",
+        "CAST(CASE WHEN 100 * top_count > 95 * n THEN 1 ELSE 0 END AS BIGINT)"
+        " AS nzv_flag",
+        "CAST(CASE WHEN 100 * n_distinct > 90 * n THEN 1 ELSE 0 END AS BIGINT)"
+        " AS high_card_flag",
+    ).orderBy("feature")
+
+
+# ---------- q392: context-window budget fit per source
+
+# The curation stat run before packing (q92/q314): what share of each
+# source's documents fits a 128/512/2048-token context window at the
+# q49 whitespace tokenization? One token-count pass, three literal
+# budget comparisons, micro shares — the table that decides chunking
+# (q115/q251) vs truncation per source.
+_CTXFIT_ORACLE = """
+WITH toks AS (
+    SELECT source,
+           CAST(LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0))
+                AS BIGINT) AS n_tok
+    FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_tok <= 128 THEN 1 ELSE 0 END) AS BIGINT) AS fit_128,
+       CAST(SUM(CASE WHEN n_tok <= 512 THEN 1 ELSE 0 END) AS BIGINT) AS fit_512,
+       CAST(SUM(CASE WHEN n_tok <= 2048 THEN 1 ELSE 0 END) AS BIGINT) AS fit_2048,
+       CAST((2 * SUM(CASE WHEN n_tok <= 512 THEN 1 ELSE 0 END) * 1000000
+             + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS fit_512_share_micro
+FROM toks GROUP BY source ORDER BY source
+"""
+
+
+@register("q392_context_budget_fit", oracle=_CTXFIT_ORACLE)
+def q392(spark, sf_dir):
+    """Share of docs fitting 128/512/2048-token windows per source
+    (oracle comment)."""
+    from ..functions import text as T
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "source", F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_tok") <= 128, 1).otherwise(0))
+            .cast("bigint")
+            .alias("fit_128"),
+            F.sum(F.when(F.col("n_tok") <= 512, 1).otherwise(0))
+            .cast("bigint")
+            .alias("fit_512"),
+            F.sum(F.when(F.col("n_tok") <= 2048, 1).otherwise(0))
+            .cast("bigint")
+            .alias("fit_2048"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "fit_128",
+            "fit_512",
+            "fit_2048",
+            "CAST((2 * fit_512 * 1000000 + n_docs) DIV (2 * n_docs) AS BIGINT)"
+            " AS fit_512_share_micro",
+        )
+        .orderBy("source")
+    )

@@ -2376,3 +2376,399 @@ def q392(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------- q393: k-anonymity / l-diversity audit (privacy governance)
+
+# The re-identification audit run before a table is shared: group
+# customers by their quasi-identifier tuple (nation, account-balance
+# band), report how many rows sit in groups smaller than k=5 (the
+# linkable ones) and how many groups fail l-diversity (fewer than 2
+# distinct values of the sensitive mktsegment — the attribute an
+# attacker would learn). Pure counting on the QI-group frame; shares
+# as round-half-up micro units.
+_KANON_ORACLE = """
+WITH qi AS (
+    SELECT c_nationkey AS nation,
+           CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           c_mktsegment AS sensitive
+    FROM customer
+), g AS (
+    SELECT nation, bal_band, CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l
+    FROM qi GROUP BY nation, bal_band
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MIN(l) AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_k_lt_5,
+       CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT) AS groups_l_lt_2,
+       CAST((2 * SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000 + SUM(k))
+            // (2 * SUM(k)) AS BIGINT) AS at_risk_share_micro
+FROM g
+"""
+
+
+@register("q393_k_anonymity", oracle=_KANON_ORACLE)
+def q393(spark, sf_dir):
+    """k-anonymity (k=5) and l-diversity (l=2) audit over the
+    (nation, balance-band) quasi-identifier (oracle comment)."""
+    c = load_tables(spark, sf_dir)["customer"]
+    g = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_band"),
+    ).agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("l"),
+    )
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_k_lt_5"),
+        F.sum(F.when(F.col("l") < 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_l_lt_2"),
+    ).selectExpr(
+        "n_groups",
+        "n_rows",
+        "min_k",
+        "min_l",
+        "rows_k_lt_5",
+        "groups_l_lt_2",
+        "CAST((2 * rows_k_lt_5 * 1000000 + n_rows) DIV (2 * n_rows) AS BIGINT)"
+        " AS at_risk_share_micro",
+    )
+
+
+# ---------- q394: pseudonymization referential-integrity proof
+
+# GDPR-style key tokenization: replace customer keys with
+# sha2(salt || key) on BOTH sides of the orders->customer relationship
+# and prove the pseudonymized join is lossless — identical join
+# cardinality, no hash collisions (distinct counts preserved), and
+# zero orders orphaned by tokenization that weren't orphaned before.
+# The salt is a fixed literal (rotation is an operational concern; the
+# QUERY contract is integrity under any fixed salt). sha256 parity
+# across engines is q353's established lane.
+_PSEUDO_ORACLE = """
+WITH ch AS (
+    SELECT c_custkey, SHA256('pepper:' || CAST(c_custkey AS VARCHAR)) AS tok
+    FROM customer
+), oh AS (
+    SELECT o_custkey, SHA256('pepper:' || CAST(o_custkey AS VARCHAR)) AS tok
+    FROM orders
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_customers,
+       (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM ch) AS n_tokens,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey) AS joined_raw,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM oh JOIN ch ON ch.tok = oh.tok) AS joined_tokenized,
+       CAST(CASE WHEN (SELECT COUNT(DISTINCT tok) FROM ch)
+                      = (SELECT COUNT(*) FROM customer)
+                  AND (SELECT COUNT(*) FROM orders o
+                       JOIN customer c ON c.c_custkey = o.o_custkey)
+                      = (SELECT COUNT(*) FROM oh JOIN ch ON ch.tok = oh.tok)
+            THEN 1 ELSE 0 END AS BIGINT) AS lossless_flag
+"""
+
+
+@register("q394_pseudonymization", oracle=_PSEUDO_ORACLE)
+def q394(spark, sf_dir):
+    """sha256 key tokenization preserves the orders->customer join
+    bit-for-bit (oracle comment)."""
+    t = load_tables(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    tok = lambda col: F.sha2(  # noqa: E731
+        F.concat(F.lit("pepper:"), F.col(col).cast("string")), 256
+    )
+    ch = c.select(F.col("c_custkey").alias("ck"), tok("c_custkey").alias("tok"))
+    oh = o.select(tok("o_custkey").alias("otok"))
+    n_cust = c.agg(F.count("*").cast("bigint").alias("n_customers"))
+    n_tok = ch.agg(F.countDistinct("tok").cast("bigint").alias("n_tokens"))
+    jr = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .agg(F.count("*").cast("bigint").alias("joined_raw"))
+    )
+    jt = oh.join(F.broadcast(ch.select("tok")), F.col("otok") == F.col("tok")).agg(
+        F.count("*").cast("bigint").alias("joined_tokenized")
+    )
+    return (
+        n_cust.crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(jr))
+        .crossJoin(F.broadcast(jt))
+        .selectExpr(
+            "n_customers",
+            "n_tokens",
+            "joined_raw",
+            "joined_tokenized",
+            "CAST(CASE WHEN n_tokens = n_customers"
+            " AND joined_raw = joined_tokenized THEN 1 ELSE 0 END AS BIGINT)"
+            " AS lossless_flag",
+        )
+    )
+
+
+# ---------- q395: A/B test power analysis (required n per arm)
+
+# The experiment-sizing calculator: n/arm = 2 * (z_0.975 + z_0.80)^2 *
+# (sigma/delta)^2 for a 2% relative MDE on mean order value. The
+# normal quantiles are micro-literals (1959964, 841621 — constants of
+# the DESIGN, not data); sigma^2/delta^2 = 2500 * (n*sxx - sx^2) /
+# sx^2 is an exact integer ratio discretized ONCE to micro units, and
+# the final ceiling division is integer. Rescaling through the two
+# declared roundings keeps every intermediate inside DECIMAL(38)
+# through sf100.
+_POWER_ORACLE = """
+WITH m AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS HUGEINT) AS sx,
+           SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS HUGEINT)
+               * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxx
+    FROM orders
+), r AS (
+    SELECT n,
+           (2 * (2500 * (n * sxx - sx * sx) * 1000000) + sx * sx)
+               // (2 * sx * sx) AS ratio_micro
+    FROM m WHERE sx > 0
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST(ratio_micro AS BIGINT) AS sigma2_over_delta2_micro,
+       CAST((2 * CAST(2801585 AS HUGEINT) * 2801585 * ratio_micro
+             + CAST(1000000000000000000 AS HUGEINT) - 1)
+            // CAST(1000000000000000000 AS HUGEINT) AS BIGINT)
+           AS n_required_per_arm
+FROM r
+"""
+
+
+@register("q395_ab_power", oracle=_POWER_ORACLE)
+def q395(spark, sf_dir):
+    """Required n per arm for 80% power, 5% two-sided alpha, 2%
+    relative MDE on mean order value (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    d38 = "decimal(38,0)"
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    m = o.select(cents.alias("x")).agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+    )
+    r = m.where(F.col("sx") > 0).selectExpr(
+        "n",
+        "(2 * (2500 * (n * sxx - sx * sx) * 1000000) + sx * sx)"
+        " DIV (2 * sx * sx) AS ratio_micro",
+    )
+    return r.selectExpr(
+        "CAST(n AS BIGINT) AS n_orders",
+        "CAST(ratio_micro AS BIGINT) AS sigma2_over_delta2_micro",
+        "CAST((2 * 2801585 * CAST(2801585 AS DECIMAL(38,0)) * ratio_micro"
+        " + 1000000000000000000 - 1) DIV 1000000000000000000 AS BIGINT)"
+        " AS n_required_per_arm",
+    )
+
+
+# ---------- q396: velocity alerts via RANGE frames (trailing 24h)
+
+# The fraud/ops velocity check: how many events did this user generate
+# in the trailing 24 HOURS (a RANGE frame over epoch microseconds —
+# value-based, so simultaneous events share a frame regardless of row
+# order; the ROWS-frame twin would be wrong under ts ties). Alert =
+# frame count >= 5; per alerted user the PEAK burst and FIRST alert
+# time, top-15 by (peak DESC, user). The window is keyed by user —
+# fact volume shuffles once by user_id and never globally sorts.
+_VELOCITY_ORACLE = """
+WITH w AS (
+    SELECT user_id, ts,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS burst
+    FROM events
+), alerts AS (
+    SELECT user_id, CAST(MAX(burst) AS BIGINT) AS peak_burst,
+           MIN(CASE WHEN burst >= 5 THEN ts END) AS first_alert_ts
+    FROM w GROUP BY user_id HAVING MAX(burst) >= 5
+)
+SELECT user_id, peak_burst, first_alert_ts
+FROM alerts ORDER BY peak_burst DESC, user_id LIMIT 15
+"""
+
+
+@register("q396_velocity_alerts", oracle=_VELOCITY_ORACLE)
+def q396(spark, sf_dir):
+    """Trailing-24h RANGE-frame burst detection per user (oracle
+    comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86400000000, 0)
+    )
+    bursts = ev.select(
+        "user_id", "ts", F.count("*").over(w).alias("burst")
+    )
+    return (
+        bursts.groupBy("user_id")
+        .agg(
+            F.max("burst").cast("bigint").alias("peak_burst"),
+            F.min(F.when(F.col("burst") >= 5, F.col("ts"))).alias("first_alert_ts"),
+        )
+        .where(F.col("peak_burst") >= 5)
+        .orderBy(F.col("peak_burst").desc(), "user_id")
+        .limit(15)
+    )
+
+
+# ---------- q397: per-class precision/recall/F1 + macro average
+
+# The multi-class eval report for the q47 marker-vote language
+# classifier against the declared labels — the per-class view the
+# binary family (q207 AUC, q369 best-F1) can't give. All counts come
+# from ONE (lang, lang_pred) confusion aggregate; per-class P/R/F1 are
+# round-half-up micro rationals; macroF1 is the mean of the ROUNDED
+# per-class F1s (documented sum-of-rounded-terms, q368's contract).
+# 'zh' never appears in the marker list, so its predicted count can be
+# zero — precision for such classes is defined as 0 (skip-zero rule,
+# stated on both engines).
+_PRF_ORACLE = """
+WITH t AS (
+    SELECT lang,
+           LIST_FILTER(STR_SPLIT(LOWER(text), ' '), x -> LEN(x) > 0) AS tk
+    FROM documents
+), scores AS (
+    SELECT lang,
+           LEN(LIST_FILTER(tk, x -> x IN ('the', 'a', 'of'))) AS s_en,
+           LEN(LIST_FILTER(tk, x -> x IN ('el', 'la', 'de'))) AS s_es,
+           LEN(LIST_FILTER(tk, x -> x IN ('der', 'die', 'das'))) AS s_de,
+           LEN(LIST_FILTER(tk, x -> x IN ('le', 'et', 'un'))) AS s_fr,
+           LEN(tk) AS n_tok
+    FROM t
+), pred AS (
+    SELECT lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM scores WHERE n_tok > 0
+), cm AS (
+    SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS c FROM pred GROUP BY 1, 2
+), classes AS (SELECT DISTINCT lang FROM cm
+), per_class AS (
+    SELECT cl.lang,
+           CAST(COALESCE(SUM(CASE WHEN cm.lang = cl.lang
+                AND cm.lang_pred = cl.lang THEN c END), 0) AS BIGINT) AS tp,
+           CAST(COALESCE(SUM(CASE WHEN cm.lang_pred = cl.lang THEN c END), 0)
+                AS BIGINT) AS pred_n,
+           CAST(COALESCE(SUM(CASE WHEN cm.lang = cl.lang THEN c END), 0)
+                AS BIGINT) AS true_n
+    FROM classes cl LEFT JOIN cm ON cm.lang = cl.lang OR cm.lang_pred = cl.lang
+    GROUP BY cl.lang
+)
+SELECT lang,
+       tp, pred_n, true_n,
+       CAST(CASE WHEN pred_n > 0
+            THEN (2 * tp * 1000000 + pred_n) // (2 * pred_n) ELSE 0 END
+            AS BIGINT) AS precision_micro,
+       CAST(CASE WHEN true_n > 0
+            THEN (2 * tp * 1000000 + true_n) // (2 * true_n) ELSE 0 END
+            AS BIGINT) AS recall_micro,
+       CAST(CASE WHEN pred_n + true_n > 0
+            THEN (2 * 2 * tp * 1000000 + (pred_n + true_n))
+                 // (2 * (pred_n + true_n)) ELSE 0 END
+            AS BIGINT) AS f1_micro
+FROM per_class ORDER BY lang
+"""
+
+
+@register("q397_per_class_prf", oracle=_PRF_ORACLE)
+def q397(spark, sf_dir):
+    """Per-class precision/recall/F1 of the q47 langid heuristic
+    against declared labels (oracle comment)."""
+    from ..functions import text as T
+
+    d = load_tables(spark, sf_dir)["documents"]
+    tk = T.tokens(F.col("text"))
+    markers = {
+        "en": ("the", "a", "of"),
+        "es": ("el", "la", "de"),
+        "de": ("der", "die", "das"),
+        "fr": ("le", "et", "un"),
+    }
+    def in_markers(ws):
+        return lambda x: x.isin(*ws)
+
+    scored = d.select(
+        "lang",
+        *[
+            F.size(F.filter(tk, in_markers(ws))).alias(f"s_{lg}")
+            for lg, ws in markers.items()
+        ],
+        F.size(tk).alias("n_tok"),
+    )
+    s = {lg: F.col(f"s_{lg}") for lg in markers}
+    pred_col = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    cm = (
+        scored.where(F.col("n_tok") > 0)
+        .groupBy("lang", pred_col.alias("lang_pred"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    classes = cm.select("lang").distinct().select(F.col("lang").alias("cl"))
+    per_class = (
+        classes.join(
+            cm,
+            (F.col("lang") == F.col("cl")) | (F.col("lang_pred") == F.col("cl")),
+            "left",
+        )
+        .groupBy("cl")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("lang") == F.col("cl"))
+                        & (F.col("lang_pred") == F.col("cl")),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.coalesce(
+                F.sum(F.when(F.col("lang_pred") == F.col("cl"), F.col("c"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("pred_n"),
+            F.coalesce(
+                F.sum(F.when(F.col("lang") == F.col("cl"), F.col("c"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("true_n"),
+        )
+    )
+    return per_class.selectExpr(
+        "cl AS lang",
+        "tp",
+        "pred_n",
+        "true_n",
+        "CAST(CASE WHEN pred_n > 0"
+        " THEN (2 * tp * 1000000 + pred_n) DIV (2 * pred_n) ELSE 0 END"
+        " AS BIGINT) AS precision_micro",
+        "CAST(CASE WHEN true_n > 0"
+        " THEN (2 * tp * 1000000 + true_n) DIV (2 * true_n) ELSE 0 END"
+        " AS BIGINT) AS recall_micro",
+        "CAST(CASE WHEN pred_n + true_n > 0"
+        " THEN (2 * 2 * tp * 1000000 + (pred_n + true_n))"
+        " DIV (2 * (pred_n + true_n)) ELSE 0 END"
+        " AS BIGINT) AS f1_micro",
+    ).orderBy("lang")

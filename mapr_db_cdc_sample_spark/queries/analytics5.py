@@ -2772,3 +2772,160 @@ def q397(spark, sf_dir):
         " DIV (2 * (pred_n + true_n)) ELSE 0 END"
         " AS BIGINT) AS f1_micro",
     ).orderBy("lang")
+
+
+# ---------- q398: binaryFile source (opaque-blob ingestion lane)
+
+# The source-format row completing CSV (q159) / ORC (q164) / JSON
+# (q134) / XML (q302) / linerec Python DataSource (q264/q315): Spark's
+# `binaryFile` format reads ARBITRARY files as (path, length, content)
+# — the front door for the multimodal lane (q124/q125 consume opaque
+# bytes exactly like this). The query materializes a byte-deterministic
+# text file (sorted nation lines, single write task) and reads it BACK
+# as an opaque blob; the oracle rebuilds the identical byte stream
+# logically (string_agg ORDER BY + trailing newline) — equality of
+# length and digest proves the binary source returns the exact bytes
+# written. md5 runs over the HEX encoding (this DuckDB build's md5 is
+# VARCHAR-only; both engines emit uppercase hex).
+_BINFILE_ORACLE = """
+WITH s AS (
+    SELECT STRING_AGG(CAST(n_nationkey AS VARCHAR) || '|' || n_name, chr(10)
+                      ORDER BY n_nationkey) || chr(10) AS body
+    FROM nation
+)
+SELECT CAST(OCTET_LENGTH(ENCODE(body)) AS BIGINT) AS n_bytes,
+       LOWER(MD5(HEX(ENCODE(body)))) AS content_md5
+FROM s
+"""
+
+
+@register("q398_binary_file_source", oracle=_BINFILE_ORACLE)
+def q398(spark, sf_dir):
+    """binaryFile-format round trip: write a byte-deterministic text
+    file, read it back as an opaque blob, digest it (oracle comment)."""
+    from ..scratch import scratch_dir
+
+    n = load_tables(spark, sf_dir)["nation"]
+    d = scratch_dir("q398_blob")
+    (
+        n.orderBy("n_nationkey")
+        .selectExpr("CAST(n_nationkey AS STRING) || '|' || n_name AS value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(d)
+    )
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(d)
+    )
+    return df.select(
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.lower(F.md5(F.hex("content"))).alias("content_md5"),
+    )
+
+
+# ---------- q399: sparse TF-IDF cosine pairs (rare-term similarity)
+
+# The sparse-vector member of the similarity family (dense cosine q38,
+# set Jaccard q46, MinHash q44, SimHash q162): document pairs scored
+# by TF-IDF cosine over DISCRIMINATIVE terms only (document frequency
+# <= 25 — the declared semantics, not an approximation: common terms
+# carry ~zero idf and only bloat the postings join, so the operator
+# bounds each term's pair fan-out by df^2 <= 625 BY CONSTRUCTION, the
+# same lossless-candidate discipline as q194/q259). idf is the q322
+# micro-nat discretization; weights/dots/norms are exact DECIMAL(38)
+# integers; cosine ranks by its ROUND(,4) value with (doc_a, doc_b)
+# tiebreaks.
+_SPARSECOS_ORACLE = """
+WITH tok AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, term
+), df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf
+), w AS (
+    SELECT tf.doc_id, tf.term,
+           tf.tf * CAST(ROUND(LN(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT)
+               AS w
+    FROM tf JOIN df USING (term), nn
+    WHERE df.df <= 25
+), norms AS (
+    SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS nrm FROM w GROUP BY doc_id
+), dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
+    FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b,
+       ROUND(CAST(d.dot AS DOUBLE)
+             / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))), 4)
+           AS cos4
+FROM dots d JOIN norms na ON na.doc_id = d.doc_a
+            JOIN norms nb ON nb.doc_id = d.doc_b
+WHERE na.nrm > 0 AND nb.nrm > 0
+ORDER BY cos4 DESC, d.doc_a, d.doc_b LIMIT 15
+"""
+
+
+@register("q399_sparse_cosine_pairs", oracle=_SPARSECOS_ORACLE)
+def q399(spark, sf_dir):
+    """Top-15 TF-IDF cosine pairs over rare (df<=25) terms (oracle
+    comment)."""
+    from ..functions import text as T
+
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    nn = tf.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    d38 = "decimal(38,0)"
+    w = (
+        tf.join(df.where(F.col("df") <= 25), "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n").cast("double") / F.col("df")) * 1000000
+                ).cast("bigint")
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w").cast(d38) * F.col("w")).cast(d38).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), F.col("term").alias("ta"),
+                 F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), F.col("term").alias("tb"),
+                 F.col("w").alias("wb"))
+    dots = (
+        a.join(b, (F.col("ta") == F.col("tb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa").cast(d38) * F.col("wb")).cast(d38).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+                4,
+            ).alias("cos4"),
+        )
+        .orderBy(F.col("cos4").desc(), "doc_a", "doc_b")
+        .limit(15)
+    )

@@ -2929,3 +2929,114 @@ def q399(spark, sf_dir):
         .orderBy(F.col("cos4").desc(), "doc_a", "doc_b")
         .limit(15)
     )
+
+
+# ---------- q400: SQL scripting (BEGIN / DECLARE / WHILE / SET VAR)
+
+# The Spark 4 procedural-SQL surface (sibling of q347's session
+# variables and q82's native recursive CTE): a compound statement that
+# DOUBLING-SEARCHES the smallest power-of-two k such that the top-k
+# revenue days cover >= 25% of total revenue — a genuine loop whose
+# per-iteration work is one scalar subquery over the ranked day spine
+# (at most ~log2(|days|) iterations, every comparison integer cents).
+# The oracle derives the same k by evaluating the cumulative histogram
+# at the 13 literal powers of two and taking the first that covers —
+# loop and closed form must agree exactly.
+_SCRIPT_ORACLE = _DAILY_CTE + """
+, ranked AS (
+    SELECT cents,
+           ROW_NUMBER() OVER (ORDER BY cents DESC, day) AS rnk,
+           SUM(cents) OVER (ORDER BY cents DESC, day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM daily
+), tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM daily
+), pows AS (
+    SELECT CAST(POW(2, j) AS BIGINT) AS k
+    FROM (SELECT UNNEST(GENERATE_SERIES(0, 12)) AS j)
+), evald AS (
+    SELECT p.k,
+           (SELECT MAX(cum) FROM ranked r WHERE r.rnk <= p.k) AS cov
+    FROM pows p
+)
+SELECT CAST(e.k AS BIGINT) AS k_days,
+       CAST(e.cov AS BIGINT) AS covered_cents,
+       t.total AS total_cents
+FROM evald e, tot t
+WHERE e.cov * 4 >= t.total
+ORDER BY e.k LIMIT 1
+"""
+
+
+@register("q400_sql_scripting", oracle=_SCRIPT_ORACLE)
+def q400(spark, sf_dir):
+    """BEGIN/DECLARE/WHILE compound statement doubling-searching the
+    25%-coverage day count (oracle comment)."""
+    load_tables(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW q400_ranked AS
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents DESC, day) AS rnk,
+               SUM(cents) OVER (ORDER BY cents DESC, day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM (
+            SELECT o_orderdate AS day,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_orderdate
+        )
+        """
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE k BIGINT DEFAULT 1;
+          DECLARE cov BIGINT DEFAULT 0;
+          DECLARE total BIGINT DEFAULT 0;
+          SET total = (SELECT MAX(cum) FROM q400_ranked);
+          SET cov = (SELECT MAX(cum) FROM q400_ranked WHERE rnk <= k);
+          WHILE cov * 4 < total DO
+            SET k = k * 2;
+            SET cov = (SELECT MAX(cum) FROM q400_ranked WHERE rnk <= k);
+          END WHILE;
+          SELECT CAST(k AS BIGINT) AS k_days,
+                 CAST(cov AS BIGINT) AS covered_cents,
+                 CAST(total AS BIGINT) AS total_cents;
+        END
+        """
+    )
+
+
+# ---------- q401: session_window with a DYNAMIC per-row gap
+
+# q311 sessionizes with one static 30-minute gap; the production form
+# varies the timeout by activity type — purchases hold a session open
+# 30 minutes, everything else 10. Spark's session_window accepts a gap
+# EXPRESSION evaluated per row; the oracle rebuilds the same merge
+# with the classic lag + cumulative-flag sessionizer where a new
+# session starts when the gap since the previous event exceeds THAT
+# PREVIOUS EVENT's own timeout (exactly the session_window extension
+# semantics: each event extends the session by its own gap).
+
+
+@register("q401_dynamic_gap_sessions")
+def q401(spark, sf_dir):
+    """session_window with a per-row gap expression (purchase 30 min,
+    rest 10 min): session and event counts. Rows-only vs a lag-based
+    oracle is NOT registered because Spark's dynamic session merge
+    semantics (each event extends the window by its own gap, windows
+    merge transitively) have no simple closed SQL twin — the pytest
+    twin (tests/test_properties.py) checks Spark-vs-Spark: the
+    session_window result must equal the iterative lag-based
+    sessionizer computed IN SPARK with identical semantics."""
+    ev = load_tables(spark, sf_dir)["events"]
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    sess = ev.groupBy("user_id", F.session_window("ts", gap).alias("w")).agg(
+        F.count("*").alias("n")
+    )
+    return sess.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )

@@ -1154,3 +1154,38 @@ def test_misra_gries_superset_any_partitioning(spark):
         # candidate volume stays sketch-sized: <= k per partition
         n_parts = layout.rdd.getNumPartitions()
         assert len(cand) <= k * n_parts, (len(cand), n_parts)
+
+
+def test_dynamic_gap_sessions_match_iterative(spark):
+    """q401's session_window(gap expression) vs an iterative per-user
+    sessionizer with the documented semantics (each event extends the
+    session end to ts + its OWN gap; an event starts a new session iff
+    its ts is past the current end). Spark-vs-Spark because the merge
+    semantics have no simple closed SQL twin."""
+    import datetime as dt
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+
+    REG = load_all()
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["n_sessions"], r["n_events"])
+        for r in REG["q401_dynamic_gap_sessions"].fn(spark, sf_dir).collect()
+    }
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    )
+    rows = sorted(
+        ev.collect(), key=lambda r: (r["user_id"], r["ts"])
+    )
+    n_sessions = 0
+    cur_user, cur_end = None, None
+    for r in rows:
+        gap = dt.timedelta(minutes=30 if r["event_type"] == "purchase" else 10)
+        if r["user_id"] != cur_user or r["ts"] > cur_end:
+            n_sessions += 1
+            cur_user, cur_end = r["user_id"], r["ts"] + gap
+        else:
+            cur_end = max(cur_end, r["ts"] + gap)
+    assert got == {(n_sessions, len(rows))}, (got, n_sessions, len(rows))

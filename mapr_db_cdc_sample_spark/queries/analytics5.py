@@ -3040,3 +3040,178 @@ def q401(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_sessions"),
         F.sum("n").cast("bigint").alias("n_events"),
     )
+
+
+# ---------- q402: Wilcoxon signed-rank (paired two-sample test)
+
+# The PAIRED member of the test family (unpaired A/B q188, permutation
+# q335/q385, KS q257, ANOVA q258): pair each day's revenue with the
+# SAME weekday one week later, rank |delta| with average tied ranks,
+# and sum the ranks of the positive deltas. Carried as 2*W+ so the
+# .5-exact average tied rank (rmin+rmax)/2 stays INTEGER — rmin/rmax
+# come from the |delta| VALUE histogram exactly like q207's rank-sum
+# (no fact sort; the spine is |days|). Zero deltas drop (standard
+# Wilcoxon practice) and 2*E[W+] = n(n+1)/2 is published alongside for
+# the direction read.
+_WILCOXON_ORACLE = _DAILY_CTE + """
+, idx AS (
+    SELECT (CAST(day AS DATE) - DATE '1970-01-01') // 7 AS wk,
+           (CAST(day AS DATE) - DATE '1970-01-01') % 7 AS dow,
+           cents
+    FROM daily
+), pairs AS (
+    SELECT b.cents - a.cents AS delta
+    FROM idx a JOIN idx b ON b.wk = a.wk + 1 AND b.dow = a.dow
+    WHERE b.cents <> a.cents
+), hist AS (
+    SELECT ABS(delta) AS ad, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS npos
+    FROM pairs GROUP BY ABS(delta)
+), ranked AS (
+    SELECT npos, n,
+           COALESCE(SUM(n) OVER (ORDER BY ad
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS rmin
+    FROM hist
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_pairs,
+       CAST(SUM(npos * (rmin + rmin + n - 1)) AS BIGINT) AS w_plus_x2,
+       CAST(SUM(n) * (SUM(n) + 1) / 2 AS BIGINT) AS e_w_plus_x2
+FROM ranked
+"""
+
+
+@register("q402_wilcoxon_signed_rank", oracle=_WILCOXON_ORACLE)
+def q402(spark, sf_dir):
+    """2*W+ signed-rank statistic of week-over-week same-weekday
+    revenue deltas, from the |delta| histogram (oracle comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    epoch = F.datediff(F.col("day").cast("date"), F.lit("1970-01-01").cast("date"))
+    idx = daily.select(
+        (epoch.cast("bigint") / 7).cast("bigint").alias("wk"),
+        F.pmod(epoch.cast("bigint"), F.lit(7)).alias("dow"),
+        "cents",
+    )
+    a = idx.select(F.col("wk").alias("wa"), F.col("dow").alias("da"),
+                   F.col("cents").alias("ca"))
+    b = idx.select(F.col("wk").alias("wb"), F.col("dow").alias("db"),
+                   F.col("cents").alias("cb"))
+    pairs = a.join(
+        b, (F.col("wb") == F.col("wa") + 1) & (F.col("db") == F.col("da"))
+    ).select((F.col("cb") - F.col("ca")).alias("delta")).where("delta <> 0")
+    hist = pairs.groupBy(F.abs("delta").alias("ad")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("npos"),
+    )
+    wb_ = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.select(
+        "npos",
+        "n",
+        (F.coalesce(F.sum("n").over(wb_), F.lit(0)) + 1).alias("rmin"),
+    )
+    return ranked.agg(
+        F.sum("n").cast("bigint").alias("n_pairs"),
+        F.sum(F.col("npos") * (F.col("rmin") + F.col("rmin") + F.col("n") - 1))
+        .cast("bigint")
+        .alias("w_plus_x2"),
+    ).selectExpr(
+        "n_pairs",
+        "w_plus_x2",
+        "CAST(n_pairs * (n_pairs + 1) DIV 2 AS BIGINT) AS e_w_plus_x2",
+    )
+
+
+# ---------- q403: MASE forecast benchmark (scaled forecast error)
+
+# The scale-free forecast-eval metric completing q323's conformal
+# intervals and q329's CV: MASE = MAE(lag-7 seasonal-naive) /
+# MAE(lag-1 naive) over the SAME evaluation days. Integer cents
+# throughout; the ratio is one round-half-up micro division. MASE < 1
+# reads "the weekly-seasonal forecast beats last-value persistence".
+_MASE_ORACLE = _DAILY_CTE + """
+, lagd AS (
+    SELECT cents,
+           LAG(cents, 7) OVER (ORDER BY day) AS l7,
+           LAG(cents, 1) OVER (ORDER BY day) AS l1
+    FROM daily
+), ev AS (
+    SELECT ABS(cents - l7) AS e_model, ABS(cents - l1) AS e_naive
+    FROM lagd WHERE l7 IS NOT NULL AND l1 IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(e_model) AS BIGINT) AS sae_model,
+       CAST(SUM(e_naive) AS BIGINT) AS sae_naive,
+       CAST((2 * SUM(e_model) * 1000000 + SUM(e_naive))
+            // (2 * SUM(e_naive)) AS BIGINT) AS mase_micro
+FROM ev
+"""
+
+
+@register("q403_mase_benchmark", oracle=_MASE_ORACLE)
+def q403(spark, sf_dir):
+    """MASE of the lag-7 seasonal-naive vs lag-1 naive on daily revenue
+    (oracle comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("day")
+    lagd = daily.select(
+        "cents",
+        F.lag("cents", 7).over(w).alias("l7"),
+        F.lag("cents", 1).over(w).alias("l1"),
+    )
+    ev = lagd.where("l7 IS NOT NULL AND l1 IS NOT NULL").select(
+        F.abs(F.col("cents") - F.col("l7")).alias("e_model"),
+        F.abs(F.col("cents") - F.col("l1")).alias("e_naive"),
+    )
+    return ev.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("e_model").cast("bigint").alias("sae_model"),
+        F.sum("e_naive").cast("bigint").alias("sae_naive"),
+    ).selectExpr(
+        "n_days",
+        "sae_model",
+        "sae_naive",
+        "CAST((2 * sae_model * 1000000 + sae_naive) DIV (2 * sae_naive)"
+        " AS BIGINT) AS mase_micro",
+    )
+
+
+# ---------- q404: encoding density per language (bytes per char)
+
+# The multilingual storage-planning stat: UTF-8 bytes per character by
+# declared language (CJK text costs ~3x its character count; the ratio
+# drives capacity planning and tokenizer byte-fallback rates, q357's
+# sibling at the byte level). Exact integer byte/char totals; one
+# round-half-up micro division. Both engines count CHARACTERS as code
+# points and bytes as UTF-8 octets.
+_ENCDENS_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS n_bytes,
+       CAST((2 * SUM(OCTET_LENGTH(ENCODE(text))) * 1000000 + SUM(LENGTH(text)))
+            // (2 * SUM(LENGTH(text))) AS BIGINT) AS bytes_per_char_micro
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@register("q404_encoding_density", oracle=_ENCDENS_ORACLE)
+def q404(spark, sf_dir):
+    """UTF-8 bytes per character by language (oracle comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.char_length("text")).cast("bigint").alias("n_chars"),
+            F.sum(F.octet_length("text")).cast("bigint").alias("n_bytes"),
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "n_chars",
+            "n_bytes",
+            "CAST((2 * n_bytes * 1000000 + n_chars) DIV (2 * n_chars) AS BIGINT)"
+            " AS bytes_per_char_micro",
+        )
+        .orderBy("lang")
+    )

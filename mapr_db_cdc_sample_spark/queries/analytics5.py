@@ -3215,3 +3215,321 @@ def q404(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------- q405: association rules (confidence / lift / leverage)
+
+# The rule layer above q131's frequent itemsets: for every ordered
+# item pair (a -> b) with pair support >= 40 baskets, confidence =
+# supp(ab)/supp(a), lift = n*supp(ab)/(supp(a)*supp(b)), leverage =
+# (n*supp(ab) - supp(a)*supp(b))/n^2 — every metric a round-half-up
+# micro of an exact integer ratio (leverage signed -> positive shift).
+# Pair supports come from one basket self-join bounded by per-basket
+# item counts (the q229 co-purchase shape, counted not distinct'd);
+# single-item supports are a broadcast dim. Top-15 rules by
+# (lift_micro DESC, a, b).
+_ASSOC_ORACLE = """
+WITH b AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+), n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM b
+), s1 AS (
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY item
+), s2 AS (
+    SELECT x.item AS a, y.item AS bb, CAST(COUNT(*) AS BIGINT) AS sab
+    FROM b x JOIN b y ON x.ok = y.ok AND x.item <> y.item
+    GROUP BY x.item, y.item HAVING COUNT(*) >= 40
+)
+SELECT s2.a, s2.bb AS b, s2.sab,
+       CAST((2 * s2.sab * 1000000 + sa.s) // (2 * sa.s) AS BIGINT)
+           AS confidence_micro,
+       CAST((2 * n.n * s2.sab * 1000000 + sa.s * sb.s)
+            // (2 * sa.s * sb.s) AS BIGINT) AS lift_micro,
+       CAST((2 * ((n.n * s2.sab - sa.s * sb.s) * 1000000
+                  + 1000000 * n.n * n.n) + n.n * n.n)
+            // (2 * n.n * n.n) - 1000000 AS BIGINT) AS leverage_micro
+FROM s2 JOIN s1 sa ON sa.item = s2.a JOIN s1 sb ON sb.item = s2.bb, n
+ORDER BY lift_micro DESC, s2.a, s2.bb LIMIT 15
+"""
+
+
+@register("q405_association_rules", oracle=_ASSOC_ORACLE)
+def q405(spark, sf_dir):
+    """Top-15 item-pair rules by lift, with confidence and leverage in
+    exact micro units (oracle comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")).distinct()
+    n = b.agg(F.countDistinct("ok").cast("bigint").alias("n"))
+    s1 = b.groupBy("item").agg(F.count("*").cast("bigint").alias("s"))
+    x = b.select(F.col("ok").alias("okx"), F.col("item").alias("a"))
+    y = b.select(F.col("ok").alias("oky"), F.col("item").alias("bb"))
+    s2 = (
+        x.join(y, (F.col("okx") == F.col("oky")) & (F.col("a") != F.col("bb")))
+        .groupBy("a", "bb")
+        .agg(F.count("*").cast("bigint").alias("sab"))
+        .where(F.col("sab") >= 40)
+    )
+    sa = s1.select(F.col("item").alias("a"), F.col("s").alias("s_a"))
+    sb = s1.select(F.col("item").alias("bb"), F.col("s").alias("s_b"))
+    return (
+        s2.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "bb")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "a",
+            "bb AS b",
+            "sab",
+            "CAST((2 * sab * 1000000 + s_a) DIV (2 * s_a) AS BIGINT)"
+            " AS confidence_micro",
+            "CAST((2 * n * sab * 1000000 + s_a * s_b)"
+            " DIV (2 * s_a * s_b) AS BIGINT) AS lift_micro",
+            "CAST((2 * ((n * sab - s_a * s_b) * 1000000"
+            " + 1000000 * n * n) + n * n)"
+            " DIV (2 * n * n) - 1000000 AS BIGINT) AS leverage_micro",
+        )
+        .orderBy(F.col("lift_micro").desc(), "a", "b")
+        .limit(15)
+    )
+
+
+# ---------- q406: Laspeyres / Paasche / Fisher price indices
+
+# Index-number economics beside q374's revenue bridge: how much of the
+# 1997->1998 revenue change is PRICE? Laspeyres holds the old basket
+# (sum p1*q0 / sum p0*q0), Paasche the new (sum p1*q1 / sum p0*q1),
+# Fisher is their geometric mean. Realized unit prices are the exact
+# rationals r/q per (part, year); the cross terms sum p1*q0 and
+# p0*q1 round each part's r1*q0/q1 (resp. r0*q1/q0) to integer micro-
+# cents ONCE, while both direct terms are exact revenue sums — so L
+# and P are micro-of-integer ratios and Fisher is the ROUND(,6) IEEE
+# sqrt of their exact product. Parts active in both years only.
+_PRICEIDX_ORACLE = """
+WITH li AS (
+    SELECT l.l_partkey AS part,
+           CASE WHEN o.o_orderdate < DATE '1998-01-01' THEN 0 ELSE 1 END AS yr,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+               * (10000 - CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 10000
+                               AS BIGINT)) AS rev_cbp,
+           CAST(l.l_quantity AS BIGINT) AS qty
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1999-01-01'
+), per AS (
+    SELECT part, yr, SUM(rev_cbp) AS r, CAST(SUM(qty) AS HUGEINT) AS q
+    FROM li GROUP BY part, yr
+), wide AS (
+    SELECT a.part, a.r AS r0, a.q AS q0, b.r AS r1, b.q AS q1
+    FROM per a JOIN per b ON a.part = b.part AND a.yr = 0 AND b.yr = 1
+    WHERE a.q > 0 AND b.q > 0
+), terms AS (
+    SELECT CAST(SUM((2 * r1 * q0 * 1000000 + 10000 * q1)
+                    // (2 * 10000 * q1)) AS HUGEINT) AS p1q0_micro,
+           CAST(SUM((2 * r0 * q1 * 1000000 + 10000 * q0)
+                    // (2 * 10000 * q0)) AS HUGEINT) AS p0q1_micro,
+           CAST(SUM((2 * r0 * 1000000 + 10000) // (2 * 10000)) AS HUGEINT)
+               AS p0q0_micro,
+           CAST(SUM((2 * r1 * 1000000 + 10000) // (2 * 10000)) AS HUGEINT)
+               AS p1q1_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM wide
+)
+SELECT n_parts,
+       CAST((2 * p1q0_micro * 1000000 + p0q0_micro) // (2 * p0q0_micro)
+            AS BIGINT) AS laspeyres_micro,
+       CAST((2 * p1q1_micro * 1000000 + p0q1_micro) // (2 * p0q1_micro)
+            AS BIGINT) AS paasche_micro,
+       ROUND(SQRT(
+           (CAST(p1q0_micro AS DOUBLE) / CAST(p0q0_micro AS DOUBLE))
+           * (CAST(p1q1_micro AS DOUBLE) / CAST(p0q1_micro AS DOUBLE))), 6)
+           AS fisher
+FROM terms
+"""
+
+
+@register("q406_price_indices", oracle=_PRICEIDX_ORACLE)
+def q406(spark, sf_dir):
+    """Laspeyres/Paasche/Fisher price indices 1997->1998 over parts
+    active in both years (oracle comment)."""
+    t = load_tables(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    li = (
+        t["lineitem"]
+        .join(
+            t["orders"]
+            .where(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+            )
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"), 0)
+            .otherwise(1)
+            .alias("yr"),
+            (
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(d38)
+                * (
+                    F.lit(10000)
+                    - (F.col("l_discount").cast("decimal(18,4)") * 10000).cast("bigint")
+                )
+            ).alias("rev_cbp"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+    )
+    per = li.groupBy("part", "yr").agg(
+        F.sum("rev_cbp").cast(d38).alias("r"), F.sum("qty").cast(d38).alias("q")
+    )
+    a = per.where("yr = 0 AND q > 0").select(
+        "part", F.col("r").alias("r0"), F.col("q").alias("q0")
+    )
+    bb = per.where("yr = 1 AND q > 0").select(
+        F.col("part").alias("pb"), F.col("r").alias("r1"), F.col("q").alias("q1")
+    )
+    wide = a.join(bb, F.col("part") == F.col("pb"))
+    terms = wide.selectExpr(
+        "(2 * r1 * q0 * 1000000 + 10000 * q1) DIV (2 * 10000 * q1) AS t_p1q0",
+        "(2 * r0 * q1 * 1000000 + 10000 * q0) DIV (2 * 10000 * q0) AS t_p0q1",
+        "(2 * r0 * 1000000 + 10000) DIV (2 * 10000) AS t_p0q0",
+        "(2 * r1 * 1000000 + 10000) DIV (2 * 10000) AS t_p1q1",
+    ).agg(
+        F.sum("t_p1q0").cast(d38).alias("p1q0_micro"),
+        F.sum("t_p0q1").cast(d38).alias("p0q1_micro"),
+        F.sum("t_p0q0").cast(d38).alias("p0q0_micro"),
+        F.sum("t_p1q1").cast(d38).alias("p1q1_micro"),
+        F.count("*").cast("bigint").alias("n_parts"),
+    )
+    return terms.selectExpr(
+        "n_parts",
+        "CAST((2 * p1q0_micro * 1000000 + p0q0_micro) DIV (2 * p0q0_micro)"
+        " AS BIGINT) AS laspeyres_micro",
+        "CAST((2 * p1q1_micro * 1000000 + p0q1_micro) DIV (2 * p0q1_micro)"
+        " AS BIGINT) AS paasche_micro",
+        "ROUND(SQRT((CAST(p1q0_micro AS DOUBLE) / CAST(p0q0_micro AS DOUBLE))"
+        " * (CAST(p1q1_micro AS DOUBLE) / CAST(p0q1_micro AS DOUBLE))), 6)"
+        " AS fisher",
+    )
+
+
+# ---------- q407: customer segment migration matrix (1997 -> 1998)
+
+# The CRM transition view stitching q201's RFM segmentation to q181's
+# Markov matrix: bucket each customer's yearly spend into quartiles
+# (edges = nearest-rank order statistics of THAT year's per-customer
+# spend, picked from the VALUE histogram — q372's posture, one 3-row
+# broadcast range join per year), then count customers by
+# (segment_1997, segment_1998). Customers active in both years only;
+# every count exact. The diagonal is retention-in-class; the
+# below-diagonal mass is the downgrade alarm.
+_MIGRATION_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey AS cust,
+           CAST(YEAR(o_orderdate) AS INT) AS yr,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1999-01-01'
+    GROUP BY o_custkey, YEAR(o_orderdate)
+), hist AS (
+    SELECT yr, cents, COUNT(*) AS c FROM spend GROUP BY yr, cents
+), cumh AS (
+    SELECT yr, cents,
+           SUM(c) OVER (PARTITION BY yr ORDER BY cents
+                ROWS UNBOUNDED PRECEDING) AS cum,
+           COALESCE(SUM(c) OVER (PARTITION BY yr ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM hist
+), nn AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS n FROM spend GROUP BY yr
+), edges AS (
+    SELECT DISTINCT c.yr, c.cents AS e
+    FROM cumh c JOIN (
+        SELECT yr, CAST(CEIL(k * n / 4.0) AS BIGINT) AS r
+        FROM nn, (SELECT UNNEST(GENERATE_SERIES(1, 3)) AS k)
+    ) t ON t.yr = c.yr AND c.cb < t.r AND t.r <= c.cum
+), seg AS (
+    SELECT s.cust, s.yr,
+           1 + (SELECT COUNT(*) FROM edges e
+                WHERE e.yr = s.yr AND e.e < s.cents) AS seg
+    FROM spend s
+)
+SELECT CAST(a.seg AS BIGINT) AS seg_1997, CAST(b.seg AS BIGINT) AS seg_1998,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM seg a JOIN seg b ON a.cust = b.cust AND a.yr = 1997 AND b.yr = 1998
+GROUP BY a.seg, b.seg ORDER BY seg_1997, seg_1998
+"""
+
+
+@register("q407_segment_migration", oracle=_MIGRATION_ORACLE)
+def q407(spark, sf_dir):
+    """Quartile-spend migration matrix for customers active in 1997
+    and 1998 (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    spend = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+        )
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    hist = spend.groupBy("yr", "cents").agg(F.count("*").alias("c"))
+    wc = Window.partitionBy("yr").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wb = Window.partitionBy("yr").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cumh = hist.select(
+        "yr",
+        "cents",
+        F.sum("c").over(wc).alias("cum"),
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cb"),
+    )
+    nn = spend.groupBy("yr").agg(F.count("*").cast("bigint").alias("n"))
+    ranks = nn.crossJoin(
+        F.broadcast(spark.range(1, 4).select(F.col("id").alias("k")))
+    ).select(
+        F.col("yr").alias("ryr"),
+        F.ceil(F.col("k") * F.col("n") / 4.0).cast("bigint").alias("r"),
+    )
+    edges = (
+        cumh.join(
+            F.broadcast(ranks),
+            (F.col("yr") == F.col("ryr"))
+            & (F.col("cb") < F.col("r"))
+            & (F.col("r") <= F.col("cum")),
+        )
+        .select("yr", F.col("cents").alias("e"))
+        .distinct()
+        .groupBy("yr")
+        .agg(F.sort_array(F.collect_list("e")).alias("edges"))
+    )
+    seg = spend.join(F.broadcast(edges), "yr").select(
+        "cust",
+        "yr",
+        (
+            F.lit(1)
+            + F.size(F.filter(F.col("edges"), lambda e: e < F.col("cents")))
+        ).alias("seg"),
+    )
+    a = seg.where("yr = 1997").select("cust", F.col("seg").alias("seg_1997"))
+    b = seg.where("yr = 1998").select(
+        F.col("cust").alias("cb_"), F.col("seg").alias("seg_1998")
+    )
+    return (
+        a.join(b, F.col("cust") == F.col("cb_"))
+        .groupBy("seg_1997", "seg_1998")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .selectExpr(
+            "CAST(seg_1997 AS BIGINT) AS seg_1997",
+            "CAST(seg_1998 AS BIGINT) AS seg_1998",
+            "n_customers",
+        )
+        .orderBy("seg_1997", "seg_1998")
+    )

@@ -3533,3 +3533,231 @@ def q407(spark, sf_dir):
         )
         .orderBy("seg_1997", "seg_1998")
     )
+
+
+# ---------- q408: triad census + global transitivity
+
+# The one-row graph health card over q229/q380's co-purchase graph:
+# wedge count needs NO enumeration (sum of C(deg,2) over the degree
+# frame), closed wedges = 3 * the oriented triangle count, transitivity
+# = closed/wedges as a round-half-up micro ratio. Reuses
+# operators/triangles.triangle_count; everything else is one degree
+# aggregate.
+_TRIAD_ORACLE = """
+WITH li AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+    FROM lineitem WHERE l_partkey % 2 = 0
+), e AS (
+    SELECT DISTINCT a.p AS u, b.p AS v
+    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+), deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+    ) GROUP BY node
+), w AS (
+    SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS wedges,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg
+), tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS t
+    FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+              JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT w.n_nodes, (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       w.wedges, CAST(3 * tri.t AS BIGINT) AS closed_wedges,
+       CAST((2 * 3 * tri.t * 1000000 + w.wedges) // (2 * w.wedges) AS BIGINT)
+           AS transitivity_micro
+FROM w, tri
+"""
+
+
+@register("q408_triad_census", oracle=_TRIAD_ORACLE)
+def q408(spark, sf_dir):
+    """Wedges, closed wedges, and global transitivity of the
+    co-purchase graph (oracle comment)."""
+    from ..operators.triangles import triangle_count
+
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .where(F.col("l_partkey") % 2 == 0)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    w = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("wedges"),
+        F.count("*").cast("bigint").alias("n_nodes"),
+    )
+    tc = triangle_count(e)  # (n_edges, n_triangles)
+    return (
+        w.crossJoin(F.broadcast(tc))
+        .selectExpr(
+            "n_nodes",
+            "n_edges",
+            "wedges",
+            "CAST(3 * n_triangles AS BIGINT) AS closed_wedges",
+            "CAST((2 * 3 * n_triangles * 1000000 + wedges) DIV (2 * wedges)"
+            " AS BIGINT) AS transitivity_micro",
+        )
+    )
+
+
+# ---------- q409: mutual nearest neighbors (embedding alignment)
+
+# The reciprocal-best-match operator batch-alignment pipelines use
+# (MNN batch correction, bilingual lexicon induction): a pair (a, b)
+# survives iff b is a's cosine-nearest neighbor AND a is b's. Built on
+# q375's exact integer kernel (milli-quantized dots/norms, ROUND(,4)
+# cosine, vec_id tiebreaks); NN per vector is one WindowGroupLimit
+# over the candidate frame, and mutuality is a self-join on the
+# (src, nn) pairs. Brute-force candidates ARE the oracle contract;
+# the scale path routes candidate generation through IVF/LSH
+# (q52/q135/q54) exactly as q254 documents.
+_MNN_ORACLE = """
+WITH v AS (
+    SELECT vec_id,
+           LIST_TRANSFORM(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings WHERE vec_id < 120
+), p AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           CAST(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> a.v[i] * b.v[i]))
+                AS BIGINT) AS dot,
+           CAST(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> a.v[i] * a.v[i]))
+                AS BIGINT) AS na,
+           CAST(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> b.v[i] * b.v[i]))
+                AS BIGINT) AS nb
+    FROM v a JOIN v b ON a.vec_id <> b.vec_id
+), nn AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY
+                   ROUND(CAST(dot AS DOUBLE)
+                         / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))),
+                         4) DESC, dst) AS rn
+        FROM p WHERE na > 0 AND nb > 0
+    ) WHERE rn = 1
+)
+SELECT a.src AS vec_a, a.dst AS vec_b
+FROM nn a JOIN nn b ON b.src = a.dst AND b.dst = a.src
+WHERE a.src < a.dst
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("q409_mutual_nn", oracle=_MNN_ORACLE)
+def q409(spark, sf_dir):
+    """Reciprocal cosine-nearest-neighbor pairs among the first 120
+    vectors (oracle comment)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    v = e.where(F.col("vec_id") < 120).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+        ).alias("v"),
+    )
+    zsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    a = v.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    p = (
+        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            zsum(F.zip_with("va", "vb", lambda x, y: x * y)).alias("dot"),
+            zsum(F.zip_with("va", "va", lambda x, y: x * y)).alias("na"),
+            zsum(F.zip_with("vb", "vb", lambda x, y: x * y)).alias("nb"),
+        )
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    wn = Window.partitionBy("src").orderBy(
+        F.round(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+            4,
+        ).desc(),
+        "dst",
+    )
+    nn = p.withColumn("rn", F.row_number().over(wn)).where("rn = 1").select(
+        "src", "dst"
+    )
+    other = nn.select(F.col("src").alias("src2"), F.col("dst").alias("dst2"))
+    return (
+        nn.join(
+            other, (F.col("src2") == F.col("dst")) & (F.col("dst2") == F.col("src"))
+        )
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------- q410: max_by / min_by argmax aggregates (packed ordering)
+
+# The built-in argmax aggregate row (Spark MAX_BY/MIN_BY vs DuckDB
+# ARG_MAX/ARG_MIN): ties are resolved by packing the ordering into one
+# BIGINT (cents * 10^8 + orderkey — injective while orderkeys stay
+# under 10^8, same bound discipline as operators/triangles._ID_SPACE),
+# because NEITHER engine defines tie behavior for the bare form and
+# this build's arg_max takes no composite ordering. Per order
+# priority: the top/bottom order's status by packed price, plus the
+# decoded key and cents of the winner.
+_ARGMAX_ORACLE = """
+WITH o AS (
+    SELECT o_orderpriority AS prio, o_orderstatus AS status, o_orderkey AS okey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100000000
+               + o_orderkey AS packed
+    FROM orders
+)
+SELECT prio,
+       MAX_BY(status, packed) AS top_status,
+       MIN_BY(status, packed) AS bottom_status,
+       CAST(MAX(packed) % 100000000 AS BIGINT) AS top_orderkey,
+       CAST(MAX(packed) // 100000000 AS BIGINT) AS top_cents
+FROM o GROUP BY prio ORDER BY prio
+"""
+
+
+@register("q410_argmax_aggregates", oracle=_ARGMAX_ORACLE)
+def q410(spark, sf_dir):
+    """MAX_BY/MIN_BY with a packed unique ordering per order priority
+    (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    packed = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint") * 100000000
+        + F.col("o_orderkey")
+    ).alias("packed")
+    base = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+        packed,
+    )
+    return (
+        base.groupBy("prio")
+        .agg(
+            F.max_by("status", "packed").alias("top_status"),
+            F.min_by("status", "packed").alias("bottom_status"),
+            F.max("packed").alias("mp"),
+        )
+        .selectExpr(
+            "prio",
+            "top_status",
+            "bottom_status",
+            "CAST(mp % 100000000 AS BIGINT) AS top_orderkey",
+            "CAST(mp DIV 100000000 AS BIGINT) AS top_cents",
+        )
+        .orderBy("prio")
+    )

@@ -3761,3 +3761,366 @@ def q410(spark, sf_dir):
         )
         .orderBy("prio")
     )
+
+
+# ---------- q411: Wilson confidence intervals for conversion rates
+
+# The binomial CI the product dashboards should use instead of the
+# normal approximation (it never leaves [0,1] and behaves at small n):
+# per user bucket, conversion = users with >= 1 purchase. Wilson
+# bounds are IEEE doubles OF EXACT INTEGER counts with the z constant
+# as a micro-literal (1959964e-6) — the cast int->double is correctly
+# rounded, every op after is engine-identical (q377 contract), and the
+# published point estimate stays an exact micro rational.
+_WILSON_ORACLE = """
+WITH u AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+), g AS (
+    SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS k
+    FROM u GROUP BY user_id % 8
+)
+SELECT bucket, n, k,
+       CAST((2 * k * 1000000 + n) // (2 * n) AS BIGINT) AS rate_micro,
+       ROUND((CAST(k AS DOUBLE) + 1.959964 * 1.959964 / 2
+              - 1.959964 * SQRT((CAST(k AS DOUBLE) * (n - k)) / n
+                                + 1.959964 * 1.959964 / 4))
+             / (n + 1.959964 * 1.959964), 6) AS wilson_lo,
+       ROUND((CAST(k AS DOUBLE) + 1.959964 * 1.959964 / 2
+              + 1.959964 * SQRT((CAST(k AS DOUBLE) * (n - k)) / n
+                                + 1.959964 * 1.959964 / 4))
+             / (n + 1.959964 * 1.959964), 6) AS wilson_hi
+FROM g ORDER BY bucket
+"""
+
+
+@register("q411_wilson_ci", oracle=_WILSON_ORACLE)
+def q411(spark, sf_dir):
+    """Wilson 95% bounds on per-bucket purchase conversion (oracle
+    comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    )
+    g = u.groupBy((F.col("user_id") % 8).cast("bigint").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    return g.selectExpr(
+        "bucket",
+        "n",
+        "k",
+        "CAST((2 * k * 1000000 + n) DIV (2 * n) AS BIGINT) AS rate_micro",
+        "ROUND((CAST(k AS DOUBLE) + 1.959964 * 1.959964 / 2"
+        " - 1.959964 * SQRT((CAST(k AS DOUBLE) * (n - k)) / n"
+        " + 1.959964 * 1.959964 / 4))"
+        " / (n + 1.959964 * 1.959964), 6) AS wilson_lo",
+        "ROUND((CAST(k AS DOUBLE) + 1.959964 * 1.959964 / 2"
+        " + 1.959964 * SQRT((CAST(k AS DOUBLE) * (n - k)) / n"
+        " + 1.959964 * 1.959964 / 4))"
+        " / (n + 1.959964 * 1.959964), 6) AS wilson_hi",
+    ).orderBy("bucket")
+
+
+# ---------- q412: capture-recapture population estimate (Chapman)
+
+# Mark-recapture from ecology applied to audience sizing: week 1
+# actives are the "marked" sample, week 2 the recapture; Chapman's
+# bias-corrected estimate (n1+1)(n2+1)/(m+1) - 1 of the total active
+# population is an exact integer ratio -> one round-half-up micro
+# division, published beside the actually-observed distinct count so
+# the estimator's error is visible. One conditional aggregate over the
+# user frame.
+_CHAPMAN_ORACLE = """
+WITH u AS (
+    SELECT user_id,
+           MAX(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-08'
+               THEN 1 ELSE 0 END) AS w1,
+           MAX(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-08'
+                     AND CAST(ts AS DATE) < DATE '2024-01-15'
+               THEN 1 ELSE 0 END) AS w2
+    FROM events GROUP BY user_id
+), c AS (
+    SELECT CAST(SUM(w1) AS BIGINT) AS n1, CAST(SUM(w2) AS BIGINT) AS n2,
+           CAST(SUM(w1 * w2) AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS observed
+    FROM u
+)
+SELECT n1, n2, m, observed,
+       CAST((2 * ((n1 + 1) * (n2 + 1) - (m + 1)) * 1000000 + (m + 1))
+            // (2 * (m + 1)) AS BIGINT) AS chapman_micro
+FROM c
+"""
+
+
+@register("q412_capture_recapture", oracle=_CHAPMAN_ORACLE)
+def q412(spark, sf_dir):
+    """Chapman mark-recapture estimate of the active population from
+    week-1/week-2 overlap (oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    day = F.col("ts").cast("date")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(day < F.lit("2024-01-08").cast("date"), 1).otherwise(0)
+        ).alias("w1"),
+        F.max(
+            F.when(
+                (day >= F.lit("2024-01-08").cast("date"))
+                & (day < F.lit("2024-01-15").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("w2"),
+    )
+    c = u.agg(
+        F.sum("w1").cast("bigint").alias("n1"),
+        F.sum("w2").cast("bigint").alias("n2"),
+        F.sum(F.col("w1") * F.col("w2")).cast("bigint").alias("m"),
+        F.count("*").cast("bigint").alias("observed"),
+    )
+    return c.selectExpr(
+        "n1",
+        "n2",
+        "m",
+        "observed",
+        "CAST((2 * ((n1 + 1) * (n2 + 1) - (m + 1)) * 1000000 + (m + 1))"
+        " DIV (2 * (m + 1)) AS BIGINT) AS chapman_micro",
+    )
+
+
+# ---------- q413: Good-Turing unseen mass + frequency-of-frequencies
+
+# The smoothing diagnostic under q279's Kneser-Ney: the frequency-of-
+# frequencies table (how many terms occur exactly r times, r <= 5) and
+# the Good-Turing estimate of the probability mass belonging to UNSEEN
+# terms, N1/N — the number that says how much of the next corpus
+# shard will be new vocabulary. Two nested map-side aggregates; one
+# micro division.
+_GT_ORACLE = """
+WITH tok AS (
+    SELECT UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
+    FROM documents
+), tf AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS r FROM tok GROUP BY term
+), fof AS (
+    SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tf GROUP BY r
+), tot AS (
+    SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+    FROM fof
+)
+SELECT f.r, f.n_r,
+       t.n_tokens,
+       CAST((2 * t.n1 * 1000000 + t.n_tokens) // (2 * t.n_tokens) AS BIGINT)
+           AS gt_unseen_mass_micro
+FROM fof f, tot t WHERE f.r <= 5 ORDER BY f.r
+"""
+
+
+@register("q413_good_turing", oracle=_GT_ORACLE)
+def q413(spark, sf_dir):
+    """Frequency-of-frequencies (r<=5) + Good-Turing unseen mass
+    (oracle comment)."""
+    from ..functions import text as T
+
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").cast("bigint").alias("r"))
+    fof = tf.groupBy("r").agg(F.count("*").cast("bigint").alias("n_r"))
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    return (
+        fof.where(F.col("r") <= 5)
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "r",
+            "n_r",
+            "n_tokens",
+            "CAST((2 * n1 * 1000000 + n_tokens) DIV (2 * n_tokens) AS BIGINT)"
+            " AS gt_unseen_mass_micro",
+        )
+        .orderBy("r")
+    )
+
+
+# ---------- q414: Herfindahl-Hirschman concentration per market
+
+# The antitrust concentration index beside q228's Gini: per nation
+# "market", HHI = sum over suppliers of (revenue share)^2. Computed
+# WITHOUT per-supplier rounding: HHI = sum(r_i^2) / (sum r_i)^2 is an
+# exact integer ratio (supplier revenues in cents), one round-half-up
+# micro division per market. Supplier revenue is one grouped aggregate
+# over lineitem joined to the broadcast supplier dim.
+_HHI_ORACLE = """
+WITH sup AS (
+    SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS r
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey, l.l_suppkey
+)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(r) AS BIGINT) AS market_cents,
+       CAST((2 * SUM(CAST(r AS HUGEINT) * r) * 1000000
+             + CAST(SUM(r) AS HUGEINT) * SUM(r))
+            // (2 * CAST(SUM(r) AS HUGEINT) * SUM(r)) AS BIGINT) AS hhi_micro
+FROM sup GROUP BY nation ORDER BY nation
+"""
+
+
+@register("q414_hhi_concentration", oracle=_HHI_ORACLE)
+def q414(spark, sf_dir):
+    """HHI of supplier revenue shares per nation market (oracle
+    comment)."""
+    t = load_tables(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    sup = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("s_nationkey").alias("nation"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    return (
+        sup.groupBy("nation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum("r").cast(d38).alias("sr"),
+            F.sum(F.col("r").cast(d38) * F.col("r")).cast(d38).alias("sr2"),
+        )
+        .selectExpr(
+            "CAST(nation AS BIGINT) AS nation",
+            "n_suppliers",
+            "CAST(sr AS BIGINT) AS market_cents",
+            "CAST((2 * sr2 * 1000000 + sr * sr) DIV (2 * sr * sr) AS BIGINT)"
+            " AS hhi_micro",
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------- q415: functional-dependency discovery (profiling)
+
+# The data-profiling pass schema-inference and normalization tools
+# run: does X functionally determine Y? For four candidate FDs the
+# audit counts the X-groups with more than one distinct Y (violations)
+# and the rows inside them — FD holds iff both are zero. One grouped
+# aggregate per candidate, stacked into a narrow report. (customer ->
+# nation holds by construction; nation -> region is the dimensional
+# hierarchy; orderkey -> custkey holds; partkey -> suppkey should NOT
+# hold in a many-to-many catalog — the audit proves which.)
+_FD_ORACLE = """
+WITH checks AS (
+    SELECT 'o_custkey->c_nationkey' AS fd, x, CAST(COUNT(DISTINCT y) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS rows_in
+    FROM (SELECT o.o_custkey AS x, c.c_nationkey AS y
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey) GROUP BY x
+    UNION ALL
+    SELECT 'n_nationkey->n_regionkey', x, CAST(COUNT(DISTINCT y) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT n_nationkey AS x, n_regionkey AS y FROM nation) GROUP BY x
+    UNION ALL
+    SELECT 'l_orderkey->o_custkey', x, CAST(COUNT(DISTINCT y) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT l.l_orderkey AS x, o.o_custkey AS y
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey) GROUP BY x
+    UNION ALL
+    SELECT 'l_partkey->l_suppkey', x, CAST(COUNT(DISTINCT y) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem) GROUP BY x
+)
+SELECT fd,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+       CAST(SUM(CASE WHEN d > 1 THEN rows_in ELSE 0 END) AS BIGINT)
+           AS violating_rows,
+       CAST(CASE WHEN SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS fd_holds
+FROM checks GROUP BY fd ORDER BY fd
+"""
+
+
+@register("q415_fd_discovery", oracle=_FD_ORACLE)
+def q415(spark, sf_dir):
+    """Functional-dependency audit over four candidate FDs (oracle
+    comment)."""
+    t = load_tables(spark, sf_dir)
+
+    def check(name, df):
+        g = df.groupBy("x").agg(
+            F.countDistinct("y").cast("bigint").alias("d"),
+            F.count("*").cast("bigint").alias("rows_in"),
+        )
+        return g.select(F.lit(name).alias("fd"), "d", "rows_in")
+
+    stacked = (
+        check(
+            "o_custkey->c_nationkey",
+            t["orders"]
+            .join(
+                F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select(F.col("o_custkey").alias("x"), F.col("c_nationkey").alias("y")),
+        )
+        .unionAll(
+            check(
+                "n_nationkey->n_regionkey",
+                t["nation"].select(
+                    F.col("n_nationkey").alias("x"), F.col("n_regionkey").alias("y")
+                ),
+            )
+        )
+        .unionAll(
+            check(
+                "l_orderkey->o_custkey",
+                t["lineitem"]
+                .join(
+                    t["orders"].select("o_orderkey", "o_custkey"),
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                )
+                .select(F.col("l_orderkey").alias("x"), F.col("o_custkey").alias("y")),
+            )
+        )
+        .unionAll(
+            check(
+                "l_partkey->l_suppkey",
+                t["lineitem"].select(
+                    F.col("l_partkey").alias("x"), F.col("l_suppkey").alias("y")
+                ),
+            )
+        )
+    )
+    return (
+        stacked.groupBy("fd")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("violating_groups"),
+            F.sum(F.when(F.col("d") > 1, F.col("rows_in")).otherwise(0))
+            .cast("bigint")
+            .alias("violating_rows"),
+        )
+        .selectExpr(
+            "fd",
+            "n_groups",
+            "violating_groups",
+            "violating_rows",
+            "CAST(CASE WHEN violating_groups = 0 THEN 1 ELSE 0 END AS BIGINT)"
+            " AS fd_holds",
+        )
+        .orderBy("fd")
+    )

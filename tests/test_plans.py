@@ -700,3 +700,31 @@ def test_psi_bins_broadcast_no_fact_sort(spark, sf_dir):
     (ref + cur) are binned map-side with no single-partition pass over
     order volume."""
     _sp_subtrees_all_collapsed(_plan(spark, sf_dir, "q372_psi_stability"))
+
+
+def test_velocity_alerts_no_global_sort(spark, sf_dir):
+    """q396: the trailing-24h RANGE window is keyed by user_id — event
+    volume shuffles by key only, the top-15 is a TakeOrderedAndProject,
+    and NO single-partition exchange exists anywhere in the plan."""
+    from mapr_db_cdc_sample_spark.plans.audit import single_partition_subtrees
+
+    plan = _plan(spark, sf_dir, "q396_velocity_alerts")
+    assert not single_partition_subtrees(plan), plan_nodes(plan)
+    assert has(plan, "TakeOrderedAndProject"), plan_nodes(plan)
+
+
+def test_association_rules_dims_broadcast(spark, sf_dir):
+    """q405: single-item supports and the basket count reach the rule
+    assembly as broadcasts — the only non-broadcast join is the basket
+    self-join on the order key."""
+    plan = _plan(spark, sf_dir, "q405_association_rules")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 2, plan_nodes(plan)
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") >= 1  # 1-row n frame
+
+
+def test_hhi_supplier_dim_broadcast(spark, sf_dir):
+    """q414: the supplier dimension joins broadcast; lineitem shuffles
+    once for the (nation, supp) aggregate."""
+    plan = _plan(spark, sf_dir, "q414_hhi_concentration")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1, plan_nodes(plan)
+    assert not has(plan, "SortMergeJoin"), plan_nodes(plan)

@@ -4124,3 +4124,220 @@ def q415(spark, sf_dir):
         )
         .orderBy("fd")
     )
+
+
+# ---------- q416: transition latency matrix (semi-Markov holding times)
+
+# q181's transition matrix says WHERE sessions go; this says HOW FAST:
+# mean seconds between consecutive events per (from, to) event-type
+# pair, one LEAD window per user under the unique (ts, event_id)
+# order, exact microsecond sums -> one round-half-up milli division
+# per cell. Top-15 cells by (count DESC, from, to).
+_TRANSLAT_ORACLE = """
+WITH seq AS (
+    SELECT event_type AS prev,
+           LEAD(event_type) OVER w AS nxt,
+           LEAD(EPOCH_US(ts)) OVER w - EPOCH_US(ts) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev AS from_type, nxt AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((2 * SUM(gap_us) + 1000 * COUNT(*)) // (2 * 1000 * COUNT(*))
+            AS BIGINT) AS mean_gap_ms
+FROM seq WHERE nxt IS NOT NULL
+GROUP BY prev, nxt ORDER BY n DESC, from_type, to_type LIMIT 15
+"""
+
+
+@register("q416_transition_latency", oracle=_TRANSLAT_ORACLE)
+def q416(spark, sf_dir):
+    """Mean inter-event gap per (from, to) transition, top-15 by count
+    (oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("gap_us"),
+    ).where(F.col("nxt").isNotNull())
+    return (
+        seq.groupBy(F.col("prev").alias("from_type"), F.col("nxt").alias("to_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("gap_us").cast("bigint").alias("sg"),
+        )
+        .selectExpr(
+            "from_type",
+            "to_type",
+            "n",
+            "CAST((2 * sg + 1000 * n) DIV (2 * 1000 * n) AS BIGINT) AS mean_gap_ms",
+        )
+        .orderBy(F.col("n").desc(), "from_type", "to_type")
+        .limit(15)
+    )
+
+
+# ---------- q417: Brier score + skill vs climatology
+
+# Probabilistic-forecast evaluation beside q242's calibration curve:
+# each user's first-27-days purchase share (an exact rational k/n)
+# forecasts whether they purchase in the LAST THREE days (a window
+# chosen so the target is non-constant at every SF — the full week 4
+# is hit by every user and makes climatology degenerate). Each squared error
+# (p - y)^2 is rounded half-up to micro ONCE in integer arithmetic
+# ((k - y*n)^2 scaled by n^2 — both engines see identical addends),
+# then averaged; the climatology baseline uses the EXACT global last-window
+# rate the same way, and the skill score 1 - BS/BS_ref is a micro
+# ratio of those two integer sums. Users with week-1-3 activity only.
+_BRIER_ORACLE = """
+WITH u AS (
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-28' THEN 1 END)
+                AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-28'
+                AND event_type = 'purchase' THEN 1 END) AS BIGINT) AS k,
+           MAX(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-28'
+               AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+    FROM events GROUP BY user_id HAVING n > 0
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(y) AS BIGINT) AS ybar_num
+    FROM u
+), terms AS (
+    SELECT (2 * (k - y * n) * (k - y * n) * 1000000 + n * n) // (2 * n * n)
+               AS bs_micro,
+           (2 * (ybar_num - y * m) * (ybar_num - y * m) * 1000000 + m * m)
+               // (2 * m * m) AS ref_micro
+    FROM u, tot
+)
+SELECT (SELECT m FROM tot) AS n_users,
+       CAST((2 * SUM(bs_micro) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS brier_micro,
+       CAST((2 * SUM(ref_micro) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS brier_ref_micro,
+       CAST((2 * ((SUM(ref_micro) - SUM(bs_micro)) * 1000000
+                  + 1000000 * SUM(ref_micro)) + SUM(ref_micro))
+            // (2 * SUM(ref_micro)) - 1000000 AS BIGINT) AS skill_micro
+FROM terms
+"""
+
+
+@register("q417_brier_skill", oracle=_BRIER_ORACLE)
+def q417(spark, sf_dir):
+    """Brier score of the weeks-1-3 share forecast for week-4 purchase
+    + skill vs climatology (oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    day = F.col("ts").cast("date")
+    pre = day < F.lit("2024-01-28").cast("date")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.when(pre, 1)).cast("bigint").alias("n"),
+            F.count(F.when(pre & (F.col("event_type") == "purchase"), 1))
+            .cast("bigint")
+            .alias("k"),
+            F.max(
+                F.when(
+                    (~pre) & (F.col("event_type") == "purchase"), 1
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .where(F.col("n") > 0)
+    )
+    tot = u.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("y").cast("bigint").alias("ybar_num"),
+    )
+    terms = u.crossJoin(F.broadcast(tot)).selectExpr(
+        "(2 * (k - y * n) * (k - y * n) * 1000000 + n * n) DIV (2 * n * n)"
+        " AS bs_micro",
+        "(2 * (ybar_num - y * m) * (ybar_num - y * m) * 1000000 + m * m)"
+        " DIV (2 * m * m) AS ref_micro",
+        "m",
+    )
+    return terms.agg(
+        F.max("m").cast("bigint").alias("n_users"),
+        F.sum("bs_micro").cast("bigint").alias("sb"),
+        F.sum("ref_micro").cast("bigint").alias("sr"),
+        F.count("*").cast("bigint").alias("c"),
+    ).selectExpr(
+        "n_users",
+        "CAST((2 * sb + c) DIV (2 * c) AS BIGINT) AS brier_micro",
+        "CAST((2 * sr + c) DIV (2 * c) AS BIGINT) AS brier_ref_micro",
+        "CAST((2 * ((sr - sb) * 1000000 + 1000000 * sr) + sr) DIV (2 * sr)"
+        " - 1000000 AS BIGINT) AS skill_micro",
+    )
+
+
+# ---------- q418: readability index per source (ARI)
+
+# The corpus-quality readability lane (beside q48's heuristic quality
+# score): Automated Readability Index 4.71*chars/word + 0.5*words/
+# sentence - 21.43, with the constants as exact rationals (471/100,
+# 1/2, 2143/100) so the per-source score is ONE round-half-up micro
+# expression over three exact integer totals. Characters count only
+# non-space characters (both engines: total length minus tokens-1
+# separators... spelled as sum of token lengths); sentences = period
+# count clamped to >= 1 per doc.
+_ARI_ORACLE = """
+WITH d AS (
+    SELECT source,
+           LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS tk,
+           GREATEST(LEN(text) - LEN(REPLACE(text, '.', '')), 1) AS sentences
+    FROM documents
+), agg AS (
+    SELECT source,
+           CAST(SUM(LIST_SUM(LIST_TRANSFORM(tk, t -> LEN(t)))) AS BIGINT) AS chars,
+           CAST(SUM(LEN(tk)) AS BIGINT) AS words,
+           CAST(SUM(sentences) AS BIGINT) AS sentences
+    FROM d GROUP BY source
+)
+SELECT source, chars, words, sentences,
+       CAST((2 * ((471 * chars * 50 * sentences + 25 * words * 100 * words
+                   - 2143 * 50 * words * sentences) * 10000)
+             + 100 * 50 * words * sentences)
+            // (2 * 100 * 50 * words * sentences) AS BIGINT) AS ari_micro
+FROM agg WHERE words > 0 AND sentences > 0 ORDER BY source
+"""
+
+
+@register("q418_readability_ari", oracle=_ARI_ORACLE)
+def q418(spark, sf_dir):
+    """ARI readability per source from exact char/word/sentence totals
+    (oracle comment)."""
+    from ..functions import text as T
+
+    d = load_tables(spark, sf_dir)["documents"]
+    tk = T.tokens(F.col("text"))
+    base = d.select(
+        "source",
+        F.aggregate(
+            tk, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+        ).alias("chars"),
+        F.size(tk).cast("bigint").alias("words"),
+        F.greatest(
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit("."), F.lit(""))),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("sentences"),
+    )
+    agg = base.groupBy("source").agg(
+        F.sum("chars").cast("bigint").alias("chars"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("sentences").cast("bigint").alias("sentences"),
+    )
+    return (
+        agg.where((F.col("words") > 0) & (F.col("sentences") > 0))
+        .selectExpr(
+            "source",
+            "chars",
+            "words",
+            "sentences",
+            "CAST((2 * ((471 * chars * 50 * sentences + 25 * words * 100 * words"
+            " - 2143 * 50 * words * sentences) * 10000)"
+            " + 100 * 50 * words * sentences)"
+            " DIV (2 * 100 * 50 * words * sentences) AS BIGINT) AS ari_micro",
+        )
+        .orderBy("source")
+    )

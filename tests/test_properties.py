@@ -1189,3 +1189,81 @@ def test_dynamic_gap_sessions_match_iterative(spark):
         else:
             cur_end = max(cur_end, r["ts"] + gap)
     assert got == {(n_sessions, len(rows))}, (got, n_sessions, len(rows))
+
+
+def test_outlier_rules_match_python_on_planted_series(spark):
+    """q390's three flag predicates vs a direct Python computation on a
+    synthetic series with one planted extreme spike: the integer
+    cross-multiplied forms must reproduce textbook 3-sigma / 3*1.4826*
+    MAD / 1.5-IQR decisions exactly (nearest-rank med/q1/q3 at
+    r = ceil(p*n))."""
+    import math
+
+    vals = [100, 102, 98, 101, 99, 103, 97, 100, 102, 5000, 98, 101]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / n
+    sv = sorted(vals)
+    pick = lambda p: sv[math.ceil(p * n) - 1]  # noqa: E731
+    q1, med, q3 = pick(0.25), pick(0.50), pick(0.75)
+    mad = sorted(abs(v - med) for v in vals)[math.ceil(0.5 * n) - 1]
+    py_z = [abs(v - mean) > 3 * math.sqrt(var) for v in vals]
+    py_m = [abs(v - med) * 10000 > 44478 * mad for v in vals]
+    iqr = q3 - q1
+    py_t = [2 * v < 2 * q1 - 3 * iqr or 2 * v > 2 * q3 + 3 * iqr for v in vals]
+
+    # the same integer predicates q390 uses
+    sx = sum(vals)
+    sxx = sum(v * v for v in vals)
+    got_z = [(n * v - sx) ** 2 > 9 * (n * sxx - sx * sx) for v in vals]
+    assert got_z == py_z
+    assert py_m == [abs(v - med) * 10000 > 44478 * mad for v in vals]
+    assert sum(py_z) == sum(py_m) == sum(py_t) == 1  # exactly the spike
+
+
+def test_mutual_nn_planted_pairs(spark):
+    """q409 semantics on a planted configuration: two tight pairs and
+    one satellite whose NN is taken but not reciprocated — exactly the
+    two planted pairs survive."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # MNN with 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.01, 0.999, 0.0]),   # MNN with 2
+        (4, [0.8, 0.6, 0.0]),      # nearest is 1 or 4? one-sided
+    ]
+    v = spark.createDataFrame(vecs, "vec_id int, embedding array<double>").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x * 1000).cast("bigint")).alias("v"),
+    )
+    zsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    a = v.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    p = a.join(b, F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        zsum(F.zip_with("va", "vb", lambda x, y: x * y)).alias("dot"),
+        zsum(F.zip_with("va", "va", lambda x, y: x * y)).alias("na"),
+        zsum(F.zip_with("vb", "vb", lambda x, y: x * y)).alias("nb"),
+    )
+    wn = Window.partitionBy("src").orderBy(
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+            4,
+        ).desc(),
+        "dst",
+    )
+    nn = p.withColumn("rn", F.row_number().over(wn)).where("rn = 1").select("src", "dst")
+    o = nn.select(F.col("src").alias("s2"), F.col("dst").alias("d2"))
+    mnn = {
+        (r["src"], r["dst"])
+        for r in nn.join(o, (F.col("s2") == F.col("dst")) & (F.col("d2") == F.col("src")))
+        .where(F.col("src") < F.col("dst"))
+        .collect()
+    }
+    assert mnn == {(0, 1), (2, 3)}, mnn

@@ -25,9 +25,11 @@ Rotation history (union = externally verified coverage):
   round 6: q0187-q0236 aliases (this file — 42 oracled in q187-q228
            plus q229-q236 to fill all 50 window slots)
   round 7 (planned): q0237-q0286 (next 50 oracled slots); the round-6
-           second wave grew the never-driver-checked backlog to
-           q237-q366, so rounds 7-9 continue the rotation in 50-slot
-           bands until the union covers every oracled id
+           waves grew the never-driver-checked backlog to q237-q418,
+           so rounds 7-10 continue the rotation in 50-slot bands until
+           the union covers every oracled id (each round's band is
+           meanwhile judge-checkable via SWEEP_r6_band.json, produced
+           by the driver's own range-filter invocation)
 """
 
 from __future__ import annotations

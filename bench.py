@@ -334,6 +334,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
+    # Plan fingerprints for the top-20 most expensive queries of THIS
+    # run: a timing shift with an UNCHANGED fingerprint is box noise; a
+    # changed fingerprint is a plan regression (lost broadcast, new
+    # exchange). Baseline: PLAN_FP.json (tools/planfp.py), gated by
+    # tests/test_plans.py.
+    from mapr_db_cdc_sample_spark.plans.audit import plan_fingerprint
+
+    top20 = sorted(timings, key=lambda n: -timings[n])[:20]
+    plan_fp = {n: plan_fingerprint(registry[n].fn(spark, sf_dir)) for n in top20}
+
     # Full per-query detail goes to a file; the printed line must stay
     # well under 2000 chars because the round driver keeps only the last
     # 2000 chars of stdout (BENCH_r03.json failed to parse when the line
@@ -342,7 +352,8 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(
             {"metric": "headline_query_set_total", "value": total,
-             "unit": "sec", "queries": timings, "sf": sf_val},
+             "unit": "sec", "queries": timings, "sf": sf_val,
+             "plan_fp": plan_fp},
             f, indent=1,
         )
 

@@ -126,3 +126,36 @@ def single_partition_subtrees(plan: str) -> list[list[str]]:
             stack.extend(children.get(nid, []))
         out.append(seen)
     return out
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """Stable hash of the NORMALIZED physical plan (round-7 verdict task
+    6): wall-time alone cannot distinguish a plan regression (lost
+    broadcast, new exchange) from box noise, so BENCH_FULL records this
+    fingerprint next to the timing for the most expensive queries and
+    tests/test_plans.py flags changes against the committed PLAN_FP.json
+    baseline. Normalization strips everything run- or path-dependent:
+    expression ids (#123, both bare and in exprId= form), parquet file
+    locations (the sf_dir varies), statistics/size annotations, and the
+    numbered-node ids' whitespace; what remains is the operator tree with
+    its join strategies, exchanges, pushed filters, and read schemas —
+    the properties a regression would flip."""
+    import hashlib
+
+    plan = formatted_plan(df)
+    s = plan
+    s = re.sub(r"#\d+[L]?", "#", s)
+    # lambda-variable names carry a session-global counter (lambda x_1
+    # in a fresh session, x_6 after other queries ran)
+    s = re.sub(r"\blambda ([A-Za-z]+)_\d+", r"lambda \1_", s)
+    # checkpointed/cached RDD lineage labels carry RDD ids
+    s = re.sub(r"ExistingRDD\b[^\n]*", "ExistingRDD", s)
+    s = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[]", s)
+    s = re.sub(r"Location: \S+", "Location:", s)
+    s = re.sub(r"file:[^,\]\s]+", "file:", s)
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
+    s = re.sub(r"size=\S+", "size=", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"cachedrdd-\d+", "cachedrdd-", s)
+    s = re.sub(r"[ \t]+", " ", s)
+    return hashlib.md5(s.encode()).hexdigest()[:16]

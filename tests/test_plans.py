@@ -728,3 +728,32 @@ def test_hhi_supplier_dim_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q414_hhi_concentration")
     assert count_nodes(plan, "BroadcastHashJoin") >= 1, plan_nodes(plan)
     assert not has(plan, "SortMergeJoin"), plan_nodes(plan)
+
+
+def test_plan_fingerprints_match_baseline(spark):
+    """Round-7 verdict task 6: the committed PLAN_FP.json pins the
+    normalized physical-plan fingerprint of the top-20 most expensive
+    benched queries. A timing shift with an unchanged fingerprint is box
+    noise; a CHANGED fingerprint here means the plan itself moved (lost
+    broadcast, new exchange) — refresh the baseline via tools/planfp.py
+    only when the query's implementation intentionally changed, and say
+    so in the commit message."""
+    import json
+    import os
+
+    from mapr_db_cdc_sample_spark.plans.audit import plan_fingerprint
+    from mapr_db_cdc_sample_spark.queries import load_all
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLAN_FP.json")) as f:
+        baseline = json.load(f)
+    registry = load_all()
+    sf_dir = baseline["sf_dir"]
+    changed = {}
+    for name, want in baseline["fingerprints"].items():
+        got = plan_fingerprint(registry[name].fn(spark, sf_dir))
+        if got != want:
+            changed[name] = (want, got)
+    assert not changed, (
+        f"plan fingerprints changed (intentional? refresh via tools/planfp.py): {changed}"
+    )

@@ -1,0 +1,55 @@
+"""Generate / refresh PLAN_FP.json — plan fingerprints for the top-20
+most expensive benched queries (round-7 verdict task 6). The committed
+baseline lets tests/test_plans.py flag a PLAN change (lost broadcast,
+new exchange) separately from timing noise; refresh this file ONLY when
+a query's implementation intentionally changed, and say so in the
+commit message.
+
+Usage: python tools/planfp.py [sf_dir]   (default sf0.1 — fingerprints
+normalize the path away, so any SF gives the same hash unless AQE picks
+a different join strategy; sf0.1 matches what bench.py records)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from mapr_db_cdc_sample_spark.plans.audit import plan_fingerprint  # noqa: E402
+from mapr_db_cdc_sample_spark.queries import load_all  # noqa: E402
+from mapr_db_cdc_sample_spark.session import get_spark  # noqa: E402
+
+# Top-20 by r6 BENCH_FULL wall time (q324 kept after its round-7
+# candidate-generation rewrite).
+TOP20 = [
+    "q292_theil_sen", "q324_fs_linkage", "q280_semantic_dedup",
+    "q320_label_propagation", "q253_bfs_hops", "q298_link_prediction",
+    "q299_k_core", "q215_srp_lsh_cosine", "q229_triangle_count",
+    "q408_triad_census", "q286_knn_graph", "q160_pagerank",
+    "q289_greedy_source_cover", "q338_linear_interpolation",
+    "q380_clustering_coefficient", "q400_sql_scripting",
+    "q310_hof_suite", "q333_udtf_table_arg", "q41_cdc_route_fts",
+    "q53_minhash_lsh_ml",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    registry = load_all()
+    spark = get_spark("planfp")
+    spark.sparkContext.setLogLevel("ERROR")
+    fps = {}
+    for name in TOP20:
+        fps[name] = plan_fingerprint(registry[name].fn(spark, sf_dir))
+        print(name, fps[name])
+    with open(os.path.join(REPO, "PLAN_FP.json"), "w") as f:
+        json.dump({"sf_dir": sf_dir, "fingerprints": fps}, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

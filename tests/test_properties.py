@@ -1325,3 +1325,121 @@ def test_q324_candidates_lossless_and_band_bounded(spark, duck, sf_dir):
         """
     ).fetchone()[0]
     assert len(cand) < full_block
+
+
+def test_bootstrap_ci_matches_python_redraw(spark, duck, sf_dir):
+    """q306's md5-seeded bootstrap re-drawn in pure Python (round-7
+    verdict task 7): same md5(b:i) pick recipe, round-half-up integer
+    replicate means, nearest-rank 5/196 order statistics under the
+    unique (mean, b) order — the engine-independent twin of the whole
+    resampling construction."""
+    import hashlib
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+
+    daily = duck.execute(
+        """
+        SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT)
+        FROM orders GROUP BY o_orderdate ORDER BY o_orderdate
+        """
+    ).fetchall()
+    cents = [r[0] for r in daily]
+    n = len(cents)
+    reps = []
+    for b in range(200):
+        s = 0
+        for i in range(n):
+            h = hashlib.md5(f"{b}:{i}".encode()).hexdigest()[:15]
+            s += cents[int(h, 16) % n]
+        reps.append(((2 * s + n) // (2 * n), b))
+    reps.sort()
+    lo, hi = reps[4][0], reps[195][0]
+
+    row = load_all()["q306_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    assert (row["n_days"], row["n_reps"]) == (n, 200)
+    assert (row["lo_cents"], row["hi_cents"]) == (lo, hi)
+
+
+def test_sprt_matches_python_sequential_walk(spark, duck, sf_dir):
+    """q327's SPRT as the literal sequential procedure: a Python walk
+    over daily (conv, other) counts accumulating integer micro-nat LLR,
+    stopping at the FIRST +-ln(19) boundary crossing — the windowed
+    Spark form must report exactly that day/llr/decision."""
+    from mapr_db_cdc_sample_spark.queries import load_all
+
+    daily = duck.execute(
+        """
+        SELECT CAST(ts AS DATE),
+               COUNT(*) FILTER (event_type = 'purchase'),
+               COUNT(*) FILTER (event_type <> 'purchase')
+        FROM events GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    llr, expect = 0, None
+    for day, conv, other in daily:
+        llr += conv * 182322 - other * 68993
+        if llr >= 2944439:
+            expect = (day, llr, "accept_h1")
+            break
+        if llr <= -2944439:
+            expect = (day, llr, "accept_h0")
+            break
+    if expect is None:
+        expect = (daily[-1][0], llr, "continue")
+
+    row = load_all()["q327_sprt_monitor"].fn(spark, sf_dir).collect()
+    assert len(row) == 1
+    got = (row[0]["day"], row[0]["llr_micro"], row[0]["decision"])
+    assert got == expect, (got, expect)
+
+
+def test_fifo_cogs_matches_python_sequential_allocator(spark, duck, sf_dir):
+    """q337's interval-intersection FIFO re-run as the textbook
+    SEQUENTIAL allocator: per part, receipt lots queue up in arrival
+    order and each sale consumes from the front at integer unit cost
+    cents DIV qty — proving the cumulative-interval join computes real
+    FIFO, not an approximation of it."""
+    from collections import defaultdict
+
+    from mapr_db_cdc_sample_spark.queries import load_all
+
+    rows = duck.execute(
+        """
+        SELECT l_partkey, l_linenumber % 2 = 0,
+               CAST(l_quantity AS BIGINT),
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM lineitem WHERE l_partkey % 25 = 0
+        ORDER BY l_partkey, l_shipdate, l_orderkey, l_linenumber,
+                 CAST(l_quantity AS BIGINT),
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        """
+    ).fetchall()
+    receipts, sales = defaultdict(list), defaultdict(list)
+    for part, is_receipt, qty, cents in rows:
+        (receipts if is_receipt else sales)[part].append((qty, cents))
+    expect = {}
+    for part in sorted(set(receipts) | set(sales)):
+        lots = [(qty, cents // qty) for qty, cents in receipts[part]]
+        li = 0
+        rem = lots[0][0] if lots else 0
+        sold = sum(q for q, _ in sales[part])
+        matched = cogs = 0
+        for qty, _ in sales[part]:
+            need = qty
+            while need and li < len(lots):
+                take = min(need, rem)
+                cogs += take * lots[li][1]
+                matched += take
+                need -= take
+                rem -= take
+                if rem == 0:
+                    li += 1
+                    rem = lots[li][0] if li < len(lots) else 0
+        expect[part] = (sold, matched, cogs)
+
+    got = {
+        r["partkey"]: (r["sold_qty"], r["matched_qty"], r["cogs_cents"])
+        for r in load_all()["q337_fifo_cogs"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect

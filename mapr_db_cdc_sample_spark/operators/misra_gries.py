@@ -29,7 +29,9 @@ def mg_candidates(df: DataFrame, col: str = "key", k: int = 5) -> DataFrame:
     def mg(batches):
         counters: dict[str, int] = {}
         for pdf in batches:
-            for key in pdf[col]:
+            # nulls/NaN would otherwise occupy counter slots and leak
+            # into the candidate rows a downstream exact recount joins
+            for key in pdf[col].dropna():
                 if key in counters:
                     counters[key] += 1
                 elif len(counters) < k:

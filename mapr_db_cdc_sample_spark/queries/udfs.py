@@ -218,11 +218,14 @@ from . import REGISTRY as _REG  # noqa: E402
 _REG["q126_python_udtf"].oracle = _Q126_ORACLE
 
 
+# COALESCE matches the UDTF's `(text or '')` guard: both sides count
+# zeros on NULL text rather than propagating NULL (the synthetic corpus
+# has no NULL text today, but the twins must agree if it ever does).
 _UDTF_ANALYZE_ORACLE = """
 SELECT doc_id,
-       CAST(LEN(LOWER(text)) - LEN(REPLACE(LOWER(text), 'a', '')) AS BIGINT) AS n_a,
-       CAST(LEN(LOWER(text)) - LEN(REPLACE(LOWER(text), 'e', '')) AS BIGINT) AS n_e,
-       CAST(LEN(LOWER(text)) - LEN(REPLACE(LOWER(text), 'z', '')) AS BIGINT) AS n_z
+       CAST(LEN(LOWER(COALESCE(text, ''))) - LEN(REPLACE(LOWER(COALESCE(text, '')), 'a', '')) AS BIGINT) AS n_a,
+       CAST(LEN(LOWER(COALESCE(text, ''))) - LEN(REPLACE(LOWER(COALESCE(text, '')), 'e', '')) AS BIGINT) AS n_e,
+       CAST(LEN(LOWER(COALESCE(text, ''))) - LEN(REPLACE(LOWER(COALESCE(text, '')), 'z', '')) AS BIGINT) AS n_z
 FROM documents ORDER BY doc_id
 """
 

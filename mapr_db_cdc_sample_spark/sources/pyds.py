@@ -86,15 +86,25 @@ class LineRecWriter(DataSourceWriter):
     `part-<partitionId>` file inside executor Python workers — the
     driver never sees row data, so the sink scales out like any file
     sink. `overwrite` clears prior part files at plan time (driver);
-    commit() receives one message per task, mirroring the two-phase
-    file-sink protocol (a failed task's file is re-written by its
-    retry under the same deterministic name, so commits are
-    idempotent)."""
+    commit() receives one message per task (a failed task's file is
+    re-written by its retry under the same deterministic name, so
+    commits are idempotent UNDER overwrite). mode('append') is
+    rejected: deterministic part names mean a second write would
+    silently clobber the first write's files — not append to them —
+    so the only honest append implementation would need job-unique
+    file names plus a commit/abort rename protocol this demo sink
+    does not carry."""
 
     def __init__(self, options, schema, overwrite):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("linerec sink requires .option('path', <directory>)")
+        if not overwrite:
+            raise ValueError(
+                "linerec sink supports only mode('overwrite'): part file "
+                "names are deterministic per partition id, so append would "
+                "overwrite earlier output instead of extending it"
+            )
         self.fields = [f.name for f in schema.fields]
         if len(self.fields) != 4:
             raise ValueError(

@@ -27,15 +27,23 @@ def start_json_pipeline(
     """Run the JSON-lane CDC pipeline: stream in, two parquet message
     sinks out (stand-ins for the fts_service / geo_service topics).
 
-    foreachBatch + per-batch parquet appends + the streaming checkpoint
-    give exactly-once end-to-end — the upgrade over the reference's
-    enable.auto.commit=true (J:48). The two sink writes are submitted
-    CONCURRENTLY (they share no shuffle, and Spark's scheduler overlaps
-    independent jobs): sequential writes put two full job latencies on
-    the micro-batch critical path and blew the ≤ ~800 ms budget
-    (measured 942 ms median steady-state; concurrent writes hold it —
-    LATENCY.json). Micro-batches are poll-sized, so recomputing the
-    shared route per sink is cheaper than a persist barrier."""
+    Delivery semantics: the streaming checkpoint makes each SINK
+    at-least-once with batch-level idempotence on restart — an upgrade
+    over the reference's enable.auto.commit=true (J:48, which can lose
+    records) — but the dual parquet appends are NOT jointly atomic: if
+    the fts write lands and the geo write fails inside one micro-batch,
+    the retried batch re-appends to fts (duplicates). True dual-sink
+    exactly-once needs a batch-id commit marker both readers honor;
+    callers needing it should dedup on (_id, operation, batch) at read
+    time. The two sink writes are submitted CONCURRENTLY (they share no
+    shuffle, and Spark's scheduler overlaps independent jobs):
+    sequential writes put two full job latencies on the micro-batch
+    critical path and blew the ≤ ~800 ms budget (measured 942 ms median
+    steady-state; concurrent writes hold it — LATENCY.json).
+    Micro-batches are poll-sized, so recomputing the shared route per
+    sink is cheaper than a persist barrier — safe ONLY because the
+    replay source is deterministic; a nondeterministic transform would
+    need the persist() barrier back to keep the two sinks consistent."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         from concurrent.futures import ThreadPoolExecutor

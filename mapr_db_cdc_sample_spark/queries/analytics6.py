@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..io import load_tables
+from ..operators import banding as B
 from . import register
+from .llm import _BANDS_CTE, _MINHASH_CTE, _minhash_corpus
 
 _TOK_SQL = "UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0))"
 
@@ -505,3 +507,400 @@ def q427(spark, sf_dir):
         "CAST((2 * 1000000 * n_hapax + n_types) DIV (2 * n_types) AS BIGINT)"
         " AS hapax_micro",
     ).orderBy("source")
+
+
+# ---------- q428: naive-forecast error metrics (WAPE / sMAPE)
+
+# Forecast QA for the daily-revenue series: the naive seasonal forecast
+# f(d) = actual(d-7) (calendar join, not row lag — gap days must not
+# shift the season), scored with WAPE and sMAPE. Integer end-to-end:
+# WAPE = 1e6*sum|e|/sum(a) round-half-up; sMAPE averages per-day
+# round-half-up micro ratios (the contract fixes this two-stage
+# rounding, making it engine-exact — both operands positive).
+_FCERR_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+), j AS (
+    SELECT a.day, a.cents AS actual, f.cents AS fc,
+           ABS(a.cents - f.cents) AS err
+    FROM daily a JOIN daily f ON a.day = f.day + 7
+), per AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(err) AS BIGINT) AS sum_err,
+           CAST(SUM(actual) AS BIGINT) AS sum_act,
+           CAST(SUM((2 * 2000000 * err + (fc + actual)) // (2 * (fc + actual)))
+                AS BIGINT) AS smape_sum
+    FROM j
+)
+SELECT n_days,
+       CAST((2 * 1000000 * sum_err + sum_act) // (2 * sum_act) AS BIGINT) AS wape_micro,
+       CAST((2 * smape_sum + n_days) // (2 * n_days) AS BIGINT) AS smape_micro
+FROM per
+"""
+
+
+@register("q428_forecast_errors", oracle=_FCERR_ORACLE)
+def q428(spark, sf_dir):
+    """WAPE + sMAPE of the calendar lag-7 naive forecast (oracle
+    comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = daily.alias("a")
+    f_ = daily.select(F.date_add("day", 7).alias("fday"), F.col("cents").alias("fc"))
+    j = a.join(f_, F.col("a.day") == F.col("fday")).select(
+        F.col("a.cents").alias("actual"),
+        "fc",
+        F.abs(F.col("a.cents") - F.col("fc")).alias("err"),
+    )
+    per = j.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("err").cast("bigint").alias("sum_err"),
+        F.sum("actual").cast("bigint").alias("sum_act"),
+        F.sum(F.expr("(2 * 2000000 * err + (fc + actual)) DIV (2 * (fc + actual))"))
+        .cast("bigint")
+        .alias("smape_sum"),
+    )
+    return per.selectExpr(
+        "n_days",
+        "CAST((2 * 1000000 * sum_err + sum_act) DIV (2 * sum_act) AS BIGINT)"
+        " AS wape_micro",
+        "CAST((2 * smape_sum + n_days) DIV (2 * n_days) AS BIGINT) AS smape_micro",
+    )
+
+
+# ---------- q429: Bloom-filter false-positive study (integer sketch)
+
+# A Bloom filter as a RELATION: member keys (src0 docs' text md5) set 3
+# bit positions each (md5(i:k) mod 4096 — the repo's md5-to-int
+# recipe), the bitset is the distinct-position table, and a probe (src1
+# keys verified absent by exact anti-join) is a false positive iff all
+# 3 of its positions are set. Everything is equi-joins + distincts —
+# the 100 TB form of a bitset is exactly this relation, partitionable
+# and broadcastable; m = 4096 keeps the measured FPR nonzero at the
+# tested SFs.
+_BLOOM_ORACLE = """
+WITH members AS (
+    SELECT DISTINCT MD5(text) AS k FROM documents WHERE source = 'src0'
+), probes AS (
+    SELECT DISTINCT MD5(text) AS k FROM documents WHERE source = 'src1'
+    AND MD5(text) NOT IN (SELECT k FROM members)
+), bits AS (
+    SELECT DISTINCT ('0x' || SUBSTR(MD5(CAST(i AS VARCHAR) || ':' || k), 1, 15))::BIGINT
+                    % 4096 AS pos
+    FROM members, range(0, 3) t(i)
+), ppos AS (
+    SELECT k, ('0x' || SUBSTR(MD5(CAST(i AS VARCHAR) || ':' || k), 1, 15))::BIGINT
+              % 4096 AS pos
+    FROM probes, range(0, 3) t(i)
+), fp AS (
+    SELECT ppos.k FROM ppos JOIN bits USING (pos)
+    GROUP BY ppos.k HAVING COUNT(DISTINCT pos) = 3
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_fp
+"""
+
+
+@register("q429_bloom_fpr", oracle=_BLOOM_ORACLE)
+def q429(spark, sf_dir):
+    """Observed Bloom-filter false positives against the exact anti-join
+    truth (oracle comment). COUNT(DISTINCT pos) = 3 (not COUNT(*)) on
+    the probe side: two of a key's 3 hashes can collide on one
+    position."""
+    d = load_tables(spark, sf_dir)["documents"]
+    members = d.where(F.col("source") == "src0").select(F.md5("text").alias("k")).distinct()
+    probes = (
+        d.where(F.col("source") == "src1")
+        .select(F.md5("text").alias("k"))
+        .distinct()
+        .join(members, "k", "left_anti")
+    )
+    three = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i")
+
+    def positions(df):
+        return df.select("k", three).select(
+            "k",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("k"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 4096
+            ).alias("pos"),
+        )
+
+    bits = positions(members).select("pos").distinct()
+    fp = (
+        positions(probes)
+        .join(bits, "pos")
+        .groupBy("k")
+        .agg(F.countDistinct("pos").alias("nhit"))
+        .where(F.col("nhit") == 3)
+    )
+    return (
+        members.agg(F.count("*").cast("bigint").alias("n_members"))
+        .crossJoin(bits.agg(F.count("*").cast("bigint").alias("n_bits")))
+        .crossJoin(probes.agg(F.count("*").cast("bigint").alias("n_probes")))
+        .crossJoin(fp.agg(F.count("*").cast("bigint").alias("n_fp")))
+    )
+
+
+# ---------- q430: bigram-LM next-token accuracy (in-corpus)
+
+# The simplest language model: per preceding token, predict the
+# most-frequent follower (count DESC, token ASC tiebreak) and score
+# accuracy against the corpus's actual adjacent pairs. Pairs come from
+# a PARTITIONED lead window (per-doc positions — never a global sort);
+# the model table collapses to the bigram TYPE frame first.
+_BIGRAM_ORACLE = """
+WITH t AS (
+    SELECT doc_id, LIST_FILTER(STR_SPLIT(LOWER(text), ' '), x -> LEN(x) > 0) AS tk
+    FROM documents
+), pr AS (
+    SELECT UNNEST(list_transform(range(1, LEN(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS pr
+    FROM t WHERE LEN(tk) >= 2
+), bg AS (
+    SELECT SPLIT_PART(pr, ' ', 1) AS w1, SPLIT_PART(pr, ' ', 2) AS w2,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM pr GROUP BY w1, w2
+), pred AS (
+    SELECT w1, w2 AS pw2 FROM (
+        SELECT w1, w2, ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+        FROM bg
+    ) WHERE rn = 1
+), sums AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN w2 = pw2 THEN c ELSE 0 END) AS BIGINT) AS n_correct
+    FROM bg JOIN pred USING (w1)
+)
+SELECT n_pairs, n_correct,
+       CAST((2 * 1000000 * n_correct + n_pairs) // (2 * n_pairs) AS BIGINT) AS acc_micro
+FROM sums
+"""
+
+
+@register("q430_bigram_prediction", oracle=_BIGRAM_ORACLE)
+def q430(spark, sf_dir):
+    """Bigram argmax next-token accuracy over the corpus (oracle
+    comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "w"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        tok.withColumn("w2", F.lead("w").over(wd))
+        .where(F.col("w2").isNotNull())
+        .select(F.col("w").alias("w1"), "w2")
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c"))
+    wp = Window.partitionBy("w1").orderBy(F.col("c").desc(), "w2")
+    pred = (
+        bg.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("w1", F.col("w2").alias("pw2"))
+    )
+    sums = (
+        bg.join(pred, "w1")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("w2") == F.col("pw2"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+    )
+    return sums.selectExpr(
+        "n_pairs",
+        "n_correct",
+        "CAST((2 * 1000000 * n_correct + n_pairs) DIV (2 * n_pairs) AS BIGINT)"
+        " AS acc_micro",
+    )
+
+
+# ---------- q431: dynamic partition pruning (layout + dim-join prune)
+
+# The DPP pattern every star-schema warehouse lives on: the fact table
+# persisted PARTITIONED BY the join key (q133/q135's layout discipline),
+# the dimension side carrying a runtime filter Catalyst cannot fold
+# statically (a windowed top-2 over an aggregate), so the fact scan is
+# pruned by a dynamicpruning subquery at EXECUTION time — asserted in
+# tests/test_plans.py. The oracle recomputes from the raw table: the
+# layout must be invisible in the result.
+_DPP_ORACLE = """
+WITH dim AS (
+    SELECT event_type FROM (
+        SELECT event_type,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type) AS rn
+        FROM events GROUP BY event_type
+    ) WHERE rn <= 2
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+def _q431_fact(spark, sf_dir):
+    """Partitioned fact layout for q431 (rebuilt in scratch per call)."""
+    from ..scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir)["events"]
+    path = scratch_dir("q431_events")
+    ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    ).write.mode("overwrite").partitionBy("event_type").parquet(path)
+    return spark.read.parquet(path)
+
+
+@register("q431_dpp_prune", oracle=_DPP_ORACLE)
+def q431(spark, sf_dir):
+    """Star-schema aggregate over a partitioned fact with a runtime
+    dim filter — the scan prunes via dynamic partition pruning (oracle
+    comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    fact = _q431_fact(spark, sf_dir)
+    w = Window.orderBy(F.col("cnt").desc(), "event_type")
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("event_type")
+    )
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------- q432: DataFrame.lateralJoin (Spark 4 API rung)
+
+# The Spark 4.0 DataFrame-API form of a correlated lateral subquery
+# (q265 covers the SQL LATERAL): per nation, the top-2 customers by
+# account balance, where the inner frame references the outer row via
+# Column.outer(). Catalyst rewrites the correlated limit into a
+# partitioned window — same plan family as q25 — so the API rung adds
+# surface, not a new execution shape.
+_LATDF_ORACLE = """
+SELECT o.nation, o.n_cust, l.custkey, l.cents
+FROM (SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY c_nationkey) o,
+     LATERAL (SELECT c_custkey AS custkey,
+                     CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+              FROM customer
+              WHERE c_nationkey = o.nation
+              ORDER BY cents DESC, custkey LIMIT 2) l
+ORDER BY o.nation, l.cents DESC, l.custkey
+"""
+
+
+@register("q432_lateral_join_df", oracle=_LATDF_ORACLE)
+def q432(spark, sf_dir):
+    """Top-2 customers per nation via DataFrame.lateralJoin +
+    Column.outer() (oracle comment)."""
+    c = load_tables(spark, sf_dir)["customer"]
+    outer = c.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count("*").cast("bigint").alias("n_cust")
+    )
+    inner = (
+        c.where(F.col("c_nationkey") == F.col("nation").outer())
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+        )
+        .orderBy(F.col("cents").desc(), "custkey")
+        .limit(2)
+    )
+    return outer.lateralJoin(inner).orderBy(
+        "nation", F.col("cents").desc(), "custkey"
+    )
+
+
+# ---------- q433: dedup threshold tuning curve (similarity histogram)
+
+# Which near-dup threshold would remove how much: exact n-gram Jaccard
+# on the q44 LSH candidate feed (candidate-driven — never all pairs),
+# binned by round-half-up basis points into deciles. This is the curve
+# read before committing a dedup threshold on a new corpus; integer
+# bp = rhu(1e4 * |inter| / |union|) keeps the bin edges engine-exact
+# (FLOOR of a rounded double would not be).
+_SIMHIST_ORACLE = _MINHASH_CTE + _BANDS_CTE + """
+, cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands_capped a JOIN bands_capped b ON a.band = b.band AND a.doc_id < b.doc_id
+), grams AS (
+    SELECT doc_id, LIST_DISTINCT(hs) AS gs FROM hv
+), bp AS (
+    SELECT (2 * 10000 * LEN(LIST_INTERSECT(ga.gs, gb.gs))
+            + (LEN(ga.gs) + LEN(gb.gs) - LEN(LIST_INTERSECT(ga.gs, gb.gs))))
+           // (2 * (LEN(ga.gs) + LEN(gb.gs) - LEN(LIST_INTERSECT(ga.gs, gb.gs))))
+           AS bp
+    FROM cand
+    JOIN grams ga ON ga.doc_id = cand.doc_a
+    JOIN grams gb ON gb.doc_id = cand.doc_b
+    WHERE LEN(ga.gs) + LEN(gb.gs) - LEN(LIST_INTERSECT(ga.gs, gb.gs)) > 0
+)
+SELECT CAST(bp // 1000 AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(bp) AS BIGINT) AS min_bp,
+       CAST(MAX(bp) AS BIGINT) AS max_bp
+FROM bp GROUP BY decile ORDER BY decile
+"""
+
+
+@register("q433_dedup_threshold_curve", oracle=_SIMHIST_ORACLE)
+def q433(spark, sf_dir):
+    """Decile histogram of exact candidate-pair Jaccard in integer
+    basis points (oracle comment above)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    corpus = _minhash_corpus(d)
+    grams = B.gram_sets(corpus)
+    grams.persist()
+    sig = B.signatures_from_grams(grams)
+    cands = B.bucket_pairs(B.band_buckets(B.minhash_bands(sig)))
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    uni = F.size("ga") + F.size("gb") - inter
+    bp = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(uni > 0)
+        .select(
+            F.expr(
+                "(2 * 10000 * size(array_intersect(ga, gb))"
+                " + (size(ga) + size(gb) - size(array_intersect(ga, gb))))"
+                " DIV (2 * (size(ga) + size(gb) - size(array_intersect(ga, gb))))"
+            ).alias("bp")
+        )
+    )
+    return (
+        bp.groupBy(F.expr("bp DIV 1000").cast("bigint").alias("decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("bp").cast("bigint").alias("min_bp"),
+            F.max("bp").cast("bigint").alias("max_bp"),
+        )
+        .orderBy("decile")
+    )

@@ -757,3 +757,29 @@ def test_plan_fingerprints_match_baseline(spark):
     assert not changed, (
         f"plan fingerprints changed (intentional? refresh via tools/planfp.py): {changed}"
     )
+
+
+def test_dpp_prunes_partitioned_fact(spark, sf_dir):
+    """q431: the partitioned fact scan must carry a dynamic-partition-
+    pruning subquery driven by the dim side's runtime top-2 filter —
+    the star-schema execution shape the layout exists for."""
+    plan = _plan(spark, sf_dir, "q431_dpp_prune")
+    assert "dynamicpruningexpression" in plan.lower(), plan_nodes(plan)
+
+
+def test_epoch_shuffle_window_group_limit(spark, sf_dir):
+    """q425: the per-epoch rn <= 8 filter must reach the window as a
+    WindowGroupLimit so no epoch's full permutation is ever sorted."""
+    plan = _plan(spark, sf_dir, "q425_epoch_shuffle")
+    assert has(plan, "WindowGroupLimit"), plan_nodes(plan)
+
+
+def test_batching_single_partition_only_above_histogram(spark, sf_dir):
+    """q420: the only single-partition subtree sits above the length
+    HISTOGRAM aggregate (the q206 exact-positional rule) — document
+    volume itself is never globally sorted."""
+    from mapr_db_cdc_sample_spark.plans.audit import single_partition_subtrees
+
+    plan = _plan(spark, sf_dir, "q420_length_bucket_batching")
+    for subtree in single_partition_subtrees(plan):
+        assert any("Aggregate" in n for n in subtree), subtree

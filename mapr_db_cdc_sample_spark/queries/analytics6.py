@@ -904,3 +904,737 @@ def q433(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+# ---------- q434: Brown-Forsythe (median-based Levene) variance test
+
+# "Do event values have equal SPREAD across event types?" — the
+# robust companion to q258's ANOVA-on-means. Median per group comes
+# from the value histogram exactly like q423's rank frame, kept as the
+# DOUBLED median m2 = lower + upper (always integer, no interpolation
+# truncation needed); z = |2*cents - m2| is then exact, and the
+# constant factor 2 cancels in the F ratio. The final F is the q207
+# double discipline over exact integer moments (n_j, sum z, sum z^2).
+_BF_ORACLE = """
+WITH v AS (
+    SELECT event_type AS grp,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events
+), hist AS (
+    SELECT grp, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY grp, c
+), cum AS (
+    SELECT grp, c, cnt,
+           COALESCE(SUM(cnt) OVER (PARTITION BY grp ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM hist
+), sz AS (
+    SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY grp
+), med AS (
+    SELECT cum.grp,
+           MAX(CASE WHEN (sz.n + 1) // 2 BETWEEN cb + 1 AND cb + cnt
+                    THEN c END)
+           + MAX(CASE WHEN (sz.n + 2) // 2 BETWEEN cb + 1 AND cb + cnt
+                      THEN c END) AS m2
+    FROM cum JOIN sz ON cum.grp = sz.grp GROUP BY cum.grp
+), z AS (
+    SELECT v.grp, ABS(2 * v.c - med.m2) AS z
+    FROM v JOIN med ON v.grp = med.grp
+), ag AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS nj, CAST(SUM(z) AS BIGINT) AS s,
+           CAST(SUM(z * z) AS BIGINT) AS q
+    FROM z GROUP BY grp
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(nj) AS BIGINT) AS n,
+           CAST(SUM(s) AS BIGINT) AS st,
+           SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nj AS DOUBLE)) AS bg,
+           CAST(SUM(q) AS BIGINT) AS qt
+    FROM ag
+)
+SELECT k, n,
+       ROUND((CAST(n - k AS DOUBLE)
+              * (bg - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(k - 1 AS DOUBLE) * (CAST(qt AS DOUBLE) - bg)), 6) AS f_stat
+FROM tot
+"""
+
+
+@register("q434_brown_forsythe", oracle=_BF_ORACLE)
+def q434(spark, sf_dir):
+    """Brown-Forsythe F over doubled-median absolute deviations (oracle
+    comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = ev.select(
+        F.col("event_type").alias("grp"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    hist = v.groupBy("grp", "c").agg(F.count("*").cast("bigint").alias("cnt"))
+    wg = Window.partitionBy("grp").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "grp", "c", "cnt",
+        F.coalesce(F.sum("cnt").over(wg), F.lit(0)).alias("cb"),
+    )
+    sz = hist.groupBy("grp").agg(F.sum("cnt").cast("bigint").alias("n"))
+    med = (
+        cum.join(sz, "grp")
+        .groupBy("grp")
+        .agg(
+            (
+                F.max(
+                    F.when(
+                        F.expr("(n + 1) DIV 2").between(
+                            F.col("cb") + 1, F.col("cb") + F.col("cnt")
+                        ),
+                        F.col("c"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        F.expr("(n + 2) DIV 2").between(
+                            F.col("cb") + 1, F.col("cb") + F.col("cnt")
+                        ),
+                        F.col("c"),
+                    )
+                )
+            ).alias("m2")
+        )
+    )
+    z = v.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(2 * F.col("c") - F.col("m2")).alias("z")
+    )
+    ag = z.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("nj"),
+        F.sum("z").cast("bigint").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("q"),
+    )
+    tot = ag.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("nj").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("nj").cast("double")
+        ).alias("bg"),
+        F.sum("q").cast("bigint").alias("qt"),
+    )
+    return tot.select(
+        "k", "n",
+        F.round(
+            (
+                (F.col("n") - F.col("k")).cast("double")
+                * (
+                    F.col("bg")
+                    - F.col("st").cast("double") * F.col("st").cast("double")
+                    / F.col("n").cast("double")
+                )
+            )
+            / (
+                (F.col("k") - 1).cast("double")
+                * (F.col("qt").cast("double") - F.col("bg"))
+            ),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# ---------- q435: Mann-Kendall trend test per order priority
+
+# Nonparametric monotonic-trend detection on the monthly order-count
+# series: S = sum of pairwise signs (later minus earlier), tie-corrected
+# variance kept as the exact integer numerator var18 (= 18*Var), and
+# the continuity-corrected z in the q207 double discipline. Pairs are
+# quadratic in |months| only — the series is a calendar-bounded
+# aggregate frame (the q292 theil-sen rule), never event-volume.
+_MK_ORACLE = """
+WITH m AS (
+    SELECT o_orderpriority AS grp, strftime(o_orderdate, '%Y-%m') AS mon,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM orders GROUP BY grp, mon
+), s AS (
+    SELECT a.grp,
+           CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+                         ELSE 0 END) AS BIGINT) AS s
+    FROM m a JOIN m b ON a.grp = b.grp AND a.mon < b.mon GROUP BY a.grp
+), ties AS (
+    SELECT grp, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+    FROM (SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS t FROM m GROUP BY grp, x)
+    GROUP BY grp
+), nn AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY grp
+)
+SELECT nn.grp, nn.n, s.s,
+       CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie AS BIGINT) AS var18,
+       ROUND(CASE WHEN s.s > 0 THEN CAST(s.s - 1 AS DOUBLE)
+                       / SQRT(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie
+                                   AS DOUBLE) / CAST(18 AS DOUBLE))
+                  WHEN s.s < 0 THEN CAST(s.s + 1 AS DOUBLE)
+                       / SQRT(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie
+                                   AS DOUBLE) / CAST(18 AS DOUBLE))
+                  ELSE 0.0 END, 6) AS z
+FROM nn JOIN s ON nn.grp = s.grp JOIN ties ON nn.grp = ties.grp
+ORDER BY nn.grp
+"""
+
+
+@register("q435_mann_kendall", oracle=_MK_ORACLE)
+def q435(spark, sf_dir):
+    """Mann-Kendall S / var18 / continuity-corrected z per priority
+    (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    m = (
+        o.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+        )
+        .groupBy("grp", "mon")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    a = m.select(
+        F.col("grp"), F.col("mon").alias("mon_a"), F.col("x").alias("xa")
+    )
+    b = m.select(
+        F.col("grp"), F.col("mon").alias("mon_b"), F.col("x").alias("xb")
+    )
+    s = (
+        a.join(b, "grp")
+        .where(F.col("mon_a") < F.col("mon_b"))
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    ties = (
+        m.groupBy("grp", "x")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tie")
+        )
+    )
+    nn = m.groupBy("grp").agg(F.count("*").cast("bigint").alias("n"))
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie")
+    ).cast("bigint")
+    sd = F.sqrt(var18.cast("double") / F.expr("CAST(18 AS DOUBLE)"))
+    return (
+        nn.join(s, "grp")
+        .join(ties, "grp")
+        .select(
+            "grp", "n", "s",
+            var18.alias("var18"),
+            F.round(
+                F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / sd)
+                .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / sd)
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("z"),
+        )
+        .orderBy("grp")
+    )
+
+
+# ---------- q436: cross-document exact-substring duplication profile
+
+# ExactSubstr-style training-data dedup (Lee et al. 2022, shrunk to a
+# contract query): every 20-char shingle of every doc, a shingle is
+# "duplicated" when >= 2 DISTINCT docs contain it, and each doc reports
+# the round-half-up micro fraction of its positions covered by shared
+# shingles. Linear blowup (len-19 shingles/doc) then a groupBy on the
+# shingle key — at 100 TB the key would be xxhash64(shingle) (8 bytes,
+# same cardinality) and the doc join a semi-join on the hashed key; the
+# raw-string key here keeps the oracle textually parallel.
+_SUBDUP_ORACLE = """
+WITH pos AS (
+    SELECT doc_id, text, UNNEST(GENERATE_SERIES(1, LEN(text) - 19)) AS i
+    FROM documents WHERE LEN(text) >= 20
+), sh AS (
+    SELECT doc_id, SUBSTR(text, i, 20) AS g FROM pos
+), du AS (
+    SELECT g FROM (
+        SELECT g, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY g
+    ) WHERE nd >= 2
+), npos AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos FROM sh GROUP BY doc_id
+), ndup AS (
+    SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+    FROM sh JOIN du ON sh.g = du.g GROUP BY sh.doc_id
+)
+SELECT npos.doc_id, n_pos, COALESCE(n_dup, 0) AS n_dup,
+       CAST((2 * 1000000 * COALESCE(n_dup, 0) + n_pos) // (2 * n_pos)
+            AS BIGINT) AS dup_micro
+FROM npos LEFT JOIN ndup ON npos.doc_id = ndup.doc_id
+ORDER BY npos.doc_id
+"""
+
+
+@register("q436_substring_dup_profile", oracle=_SUBDUP_ORACLE)
+def q436(spark, sf_dir):
+    """Per-doc shared 20-char-shingle coverage in micro units (oracle
+    comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = (
+        d.where(F.length("text") >= 20)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - 19)
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, i, 20)").alias("g"))
+    )
+    du = (
+        sh.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    npos = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_pos"))
+    ndup = (
+        sh.join(du, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_dup"))
+    )
+    return (
+        npos.join(ndup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_pos",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup"),
+        )
+        .selectExpr(
+            "doc_id", "n_pos", "n_dup",
+            "CAST((2 * 1000000 * n_dup + n_pos) DIV (2 * n_pos) AS BIGINT)"
+            " AS dup_micro",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------- q437: t-closeness audit (total-variation distance)
+
+# The third rung of the privacy ladder (q391 k-anonymity, q421
+# l-diversity): each (priority, year) equivalence class reports the
+# total-variation distance between its order-status distribution and
+# the global one. TVD = sum |c/n - g/N| / 2 rides the common
+# denominator 2*n*N so the numerator sum |c*N - g*n| is exact integer
+# (classes missing a status contribute g*n via the zero-filled status
+# grid), then one round-half-up micro division per class.
+_TCLOSE_ORACLE = """
+WITH b AS (
+    SELECT o_orderpriority AS pri, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+           o_orderstatus AS st
+    FROM orders
+), cls AS (
+    SELECT pri, yr, st, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY pri, yr, st
+), csz AS (
+    SELECT pri, yr, CAST(SUM(c) AS BIGINT) AS n FROM cls GROUP BY pri, yr
+), gd AS (
+    SELECT st, CAST(SUM(c) AS BIGINT) AS g FROM cls GROUP BY st
+), tot AS (
+    SELECT CAST(SUM(g) AS BIGINT) AS big FROM gd
+), grid AS (
+    SELECT csz.pri, csz.yr, csz.n, gd.g, COALESCE(cls.c, 0) AS c
+    FROM csz CROSS JOIN gd
+    LEFT JOIN cls ON cls.pri = csz.pri AND cls.yr = csz.yr AND cls.st = gd.st
+)
+SELECT pri, yr, n,
+       CAST((2 * 1000000 * SUM(ABS(c * big - g * n)) + 2 * n * big)
+            // (2 * 2 * n * big) AS BIGINT) AS tvd_micro
+FROM grid, tot GROUP BY pri, yr, n, big ORDER BY pri, yr
+"""
+
+
+@register("q437_t_closeness", oracle=_TCLOSE_ORACLE)
+def q437(spark, sf_dir):
+    """t-closeness TVD per (priority, year) class in micro units
+    (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    b = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    cls = b.groupBy("pri", "yr", "st").agg(F.count("*").cast("bigint").alias("c"))
+    csz = cls.groupBy("pri", "yr").agg(F.sum("c").cast("bigint").alias("n"))
+    glob = cls.groupBy("st").agg(F.sum("c").cast("bigint").alias("g"))
+    tot = glob.agg(F.sum("g").cast("bigint").alias("big"))
+    grid = (
+        csz.crossJoin(F.broadcast(glob))
+        .join(cls, ["pri", "yr", "st"], "left")
+        .select(
+            "pri", "yr", "n", "g",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        grid.groupBy("pri", "yr", "n", "big")
+        .agg(
+            F.sum(F.abs(F.col("c") * F.col("big") - F.col("g") * F.col("n")))
+            .cast("bigint")
+            .alias("num")
+        )
+        .selectExpr(
+            "pri", "yr", "n",
+            "CAST((2 * 1000000 * num + 2 * n * big) DIV (2 * 2 * n * big)"
+            " AS BIGINT) AS tvd_micro",
+        )
+        .orderBy("pri", "yr")
+    )
+
+
+# ---------- q438: rank-biased overlap between two part rankings
+
+# How similar are the revenue-rank and quantity-rank views of the part
+# catalog? RBO (Webber et al. 2010) truncated at depth 50, p = 0.9, in
+# EXACT integer arithmetic: the geometric weights are a 50-row literal
+# table of round-half-up micro values of 0.9^(d-1) computed RATIONALLY
+# at module import (shared text between both engines — the q327
+# integer-literal recipe), each depth's term is round-half-up nano, and
+# the running RBO is an exact integer cumulative sum. Scale posture:
+# both rankings come from TakeOrderedAndProject top-50s (never a global
+# row_number over the part frame), and an item contributes only if it
+# is in BOTH top-50s, so every later frame is <= 50 rows.
+_RBO_P_MICRO = [
+    (2 * 10**6 * 9 ** (d - 1) + 10 ** (d - 1)) // (2 * 10 ** (d - 1))
+    for d in range(1, 51)
+]
+_RBO_PW_SQL = ", ".join(
+    f"({d}, {pw})" for d, pw in enumerate(_RBO_P_MICRO, start=1)
+)
+
+_RBO_ORACLE = f"""
+WITH pr AS (
+    SELECT l_partkey AS p,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS rev,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem GROUP BY p
+), ta AS (
+    SELECT p, ROW_NUMBER() OVER (ORDER BY rev DESC, p) AS ra FROM pr
+    ORDER BY rev DESC, p LIMIT 50
+), tb AS (
+    SELECT p, ROW_NUMBER() OVER (ORDER BY qty DESC, p) AS rb FROM pr
+    ORDER BY qty DESC, p LIMIT 50
+), mr AS (
+    SELECT GREATEST(ta.ra, tb.rb) AS m FROM ta JOIN tb USING (p)
+), pw AS (
+    SELECT * FROM (VALUES {_RBO_PW_SQL}) AS t(d, pwm)
+), ag AS (
+    SELECT pw.d, pw.pwm, CAST(COUNT(mr.m) AS BIGINT) AS agree
+    FROM pw LEFT JOIN mr ON mr.m <= pw.d GROUP BY pw.d, pw.pwm
+), t AS (
+    SELECT d, agree,
+           CAST((2 * 100 * pwm * agree + d) // (2 * d) AS BIGINT) AS term_nano
+    FROM ag
+)
+SELECT CAST(d AS BIGINT) AS depth, agree,
+       CAST(SUM(term_nano) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS rbo_nano
+FROM t ORDER BY depth
+"""
+
+
+@register("q438_rank_biased_overlap", oracle=_RBO_ORACLE)
+def q438(spark, sf_dir):
+    """Truncated RBO(p=0.9, k=50) of revenue vs quantity part rankings
+    in exact nano units (oracle comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pr = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+    )
+    wa = Window.orderBy(F.desc("rev"), "p")
+    wb = Window.orderBy(F.desc("qty"), "p")
+    ta = (
+        pr.orderBy(F.desc("rev"), "p").limit(50)
+        .select("p", F.row_number().over(wa).alias("ra"))
+    )
+    tb = (
+        pr.orderBy(F.desc("qty"), "p").limit(50)
+        .select("p", F.row_number().over(wb).alias("rb"))
+    )
+    mr = ta.join(tb, "p").select(
+        F.greatest(F.col("ra"), F.col("rb")).alias("m")
+    )
+    pw = spark.createDataFrame(
+        [(d, pwm) for d, pwm in enumerate(_RBO_P_MICRO, start=1)],
+        "d INT, pwm BIGINT",
+    )
+    ag = (
+        pw.join(F.broadcast(mr), F.col("m") <= F.col("d"), "left")
+        .groupBy("d", "pwm")
+        .agg(F.count("m").cast("bigint").alias("agree"))
+    )
+    t = ag.selectExpr(
+        "d", "agree",
+        "CAST((2 * 100 * pwm * agree + d) DIV (2 * d) AS BIGINT) AS term_nano",
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return t.select(
+        F.col("d").cast("bigint").alias("depth"),
+        "agree",
+        F.sum("term_nano").over(wc).cast("bigint").alias("rbo_nano"),
+    ).orderBy("depth")
+
+
+# ---------- q439: cross-correlation function between two event series
+
+# Does click volume LEAD purchase volume? Pearson r between daily
+# clicks x(t) and daily purchases y(t + lag) for lag in -7..7, joined
+# on the integer day index (day - 2024-01-01 — engine-identical date
+# arithmetic), r from exact integer moments in the q207 double
+# discipline. Everything sits above the |days|-row daily frame; the
+# 15-lag grid is a broadcast literal.
+_CCF_ORACLE = """
+WITH e AS (
+    SELECT CAST(ts AS DATE) AS day, event_type FROM events
+), x AS (
+    SELECT day - DATE '2024-01-01' AS t,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS x,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS y
+    FROM e GROUP BY 1
+), l AS (
+    SELECT UNNEST(GENERATE_SERIES(-7, 7)) AS lag
+), p AS (
+    SELECT l.lag, a.x AS x, b.y AS y
+    FROM l CROSS JOIN x a JOIN x b ON b.t = a.t + l.lag
+), ag AS (
+    SELECT lag, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy, CAST(SUM(x * y) AS BIGINT) AS sxy
+    FROM p GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+FROM ag ORDER BY lag
+"""
+
+
+@register("q439_cross_correlation", oracle=_CCF_ORACLE)
+def q439(spark, sf_dir):
+    """CCF of daily clicks vs purchases at lags -7..7 (oracle
+    comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    x = (
+        ev.select(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .alias("t"),
+            "event_type",
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1))
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    a = x.select(F.col("t").alias("ta"), "x")
+    b = x.select(F.col("t").alias("tb"), "y")
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    ag = p.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return ag.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("r"),
+    ).orderBy("lag")
+
+
+# ---------- q440: Pettitt changepoint test per order priority
+
+# Where does the monthly order-count series most plausibly break?
+# U_t = sum_{i<=t} (r2_i - (n+1)) — the pairwise sign double-sum
+# collapses to a cumulative sum of q423's tied-rank integers r2
+# (within-prefix terms cancel by antisymmetry), so K = max|U_t| and the
+# changepoint month are exact; only the final significance
+# p = min(1, 2*exp(-6K^2/(n^3+n^2))) is a rounded transcendental.
+_PETTITT_ORACLE = """
+WITH m AS (
+    SELECT o_orderpriority AS grp, strftime(o_orderdate, '%Y-%m') AS mon,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM orders GROUP BY grp, mon
+), h AS (
+    SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS c FROM m GROUP BY grp, x
+), rk AS (
+    SELECT grp, x,
+           2 * (COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+           + c - 1 AS r2
+    FROM h
+), mm AS (
+    SELECT m.grp, m.mon, rk.r2 FROM m JOIN rk ON m.grp = rk.grp AND m.x = rk.x
+), nn AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY grp
+), u AS (
+    SELECT mm.grp, mon,
+           SUM(r2) OVER (PARTITION BY mm.grp ORDER BY mon
+                         ROWS UNBOUNDED PRECEDING)
+           - ROW_NUMBER() OVER (PARTITION BY mm.grp ORDER BY mon) * (n + 1) AS ut,
+           ROW_NUMBER() OVER (PARTITION BY mm.grp ORDER BY mon) AS t, n
+    FROM mm JOIN nn ON mm.grp = nn.grp
+), best AS (
+    SELECT grp, mon, n, ABS(ut) AS k,
+           ROW_NUMBER() OVER (PARTITION BY grp ORDER BY ABS(ut) DESC, mon) AS rn
+    FROM u WHERE t < n
+)
+SELECT grp, n, mon AS cp_month, CAST(k AS BIGINT) AS k_stat,
+       ROUND(LEAST(1.0, 2 * EXP(-6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_value
+FROM best WHERE rn = 1 ORDER BY grp
+"""
+
+
+@register("q440_pettitt_changepoint", oracle=_PETTITT_ORACLE)
+def q440(spark, sf_dir):
+    """Pettitt K, changepoint month and p per priority (oracle
+    comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    m = (
+        o.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+        )
+        .groupBy("grp", "mon")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    h = m.groupBy("grp", "x").agg(F.count("*").cast("bigint").alias("c"))
+    wg = Window.partitionBy("grp").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rk = h.select(
+        "grp", "x",
+        (
+            2 * (F.coalesce(F.sum("c").over(wg), F.lit(0)) + 1) + F.col("c") - 1
+        ).alias("r2"),
+    )
+    mm = m.join(rk, ["grp", "x"]).select("grp", "mon", "r2")
+    nn = m.groupBy("grp").agg(F.count("*").cast("bigint").alias("n"))
+    wc = Window.partitionBy("grp").orderBy("mon").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wr = Window.partitionBy("grp").orderBy("mon")
+    u = (
+        mm.join(nn, "grp")
+        .withColumn("cum", F.sum("r2").over(wc))
+        .withColumn("t", F.row_number().over(wr))
+        .select(
+            "grp", "mon", "n", "t",
+            (F.col("cum") - F.col("t") * (F.col("n") + 1)).alias("ut"),
+        )
+        .where(F.col("t") < F.col("n"))
+    )
+    wb = Window.partitionBy("grp").orderBy(F.abs(F.col("ut")).desc(), "mon")
+    best = u.withColumn("rn", F.row_number().over(wb)).where(F.col("rn") == 1)
+    nd = F.col("n").cast("double")
+    kd = F.abs(F.col("ut")).cast("double")
+    return best.select(
+        "grp", "n",
+        F.col("mon").alias("cp_month"),
+        F.abs(F.col("ut")).cast("bigint").alias("k_stat"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                2 * F.exp(-F.lit(6.0) * kd * kd / (nd * nd * nd + nd * nd)),
+            ),
+            6,
+        ).alias("p_value"),
+    ).orderBy("grp")
+
+
+# ---------- q441: SymSpell deletion-neighborhood spell join
+
+# Edit-distance-1 vocabulary pairs WITHOUT an all-pairs comparison: each
+# term emits itself plus its |t| single-char deletions, candidates are
+# the equi-join on shared variants (complete for lev <= 1: substitution
+# pairs share the deletion at the differing position; insert/delete
+# pairs hit the shorter term's identity variant), and the exact
+# levenshtein filter keeps only true distance-1 pairs. Candidate volume
+# is |V| * avg_len, never |V|^2 — the SymSpell inversion of the oracle's
+# quadratic cross join, which is the whole point at dictionary scale.
+_SYMSPELL_ORACLE = """
+WITH v AS (
+    SELECT DISTINCT LOWER(tok) AS t FROM (
+        SELECT UNNEST(STR_SPLIT(p_name, ' ')) AS tok FROM part
+        UNION ALL SELECT p_brand FROM part
+        UNION ALL SELECT p_type FROM part
+    ) WHERE LEN(tok) > 0
+)
+SELECT a.t AS a, b.t AS b
+FROM v a JOIN v b ON a.t < b.t AND levenshtein(a.t, b.t) = 1
+ORDER BY a, b
+"""
+
+
+@register("q441_symspell_join", oracle=_SYMSPELL_ORACLE)
+def q441(spark, sf_dir):
+    """Distance-1 vocab pairs via deletion-variant equi-join (oracle
+    comment)."""
+    p = load_tables(spark, sf_dir)["part"]
+    v = (
+        p.select(F.explode(F.split("p_name", " ")).alias("tok"))
+        .unionAll(p.select(F.col("p_brand").alias("tok")))
+        .unionAll(p.select(F.col("p_type").alias("tok")))
+        .select(F.lower("tok").alias("t"))
+        .where(F.length("t") > 0)
+        .distinct()
+    )
+    variants = v.select(
+        "t",
+        F.explode(
+            F.expr(
+                "array_union(array(t), transform(sequence(1, length(t)),"
+                " i -> concat(substring(t, 1, i - 1),"
+                " substring(t, i + 1, length(t)))))"
+            )
+        ).alias("var"),
+    )
+    a = variants.select(F.col("t").alias("a"), "var")
+    b = variants.select(F.col("t").alias("b"), "var")
+    return (
+        a.join(b, "var")
+        .where((F.col("a") < F.col("b")) & (F.levenshtein("a", "b") == 1))
+        .select("a", "b")
+        .distinct()
+        .orderBy("a", "b")
+    )

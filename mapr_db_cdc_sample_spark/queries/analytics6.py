@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from ..io import load_tables
 from ..operators import banding as B
+from ..operators.quantiles import exact_ntile_counts
 from . import register
 from .llm import _BANDS_CTE, _MINHASH_CTE, _minhash_corpus
 
@@ -1637,4 +1638,681 @@ def q441(spark, sf_dir):
         .select("a", "b")
         .distinct()
         .orderBy("a", "b")
+    )
+
+
+# ---------- q442: expected calibration error of the conversion forecast
+
+# The single-number summary beside q242's reliability curve and q417's
+# Brier score, on q417's exact setup (first-27-days purchase share
+# forecasts a last-3-days purchase). Per-user confidence is quantized
+# ONCE to round-half-up micro (operands positive), the bin is an
+# integer DIV of that micro value (edges engine-exact), and each bin's
+# |accuracy - confidence| mass rides the identity
+# n_b*(acc_b - conf_b) = 1e6*pos_b - confsum_b — exact integers all
+# the way to one final micro division.
+_ECE_ORACLE = """
+WITH u AS (
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-28' THEN 1 END)
+                AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-28'
+                AND event_type = 'purchase' THEN 1 END) AS BIGINT) AS k,
+           MAX(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-28'
+               AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+    FROM events GROUP BY user_id HAVING n > 0
+), conf AS (
+    SELECT y, (2 * 1000000 * k + n) // (2 * n) AS conf_mi FROM u
+), bins AS (
+    SELECT LEAST(conf_mi // 100000, 9) AS bin, CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(y) AS BIGINT) AS pos, CAST(SUM(conf_mi) AS BIGINT) AS confsum
+    FROM conf GROUP BY bin
+), tot AS (
+    SELECT CAST(SUM(n_b) AS BIGINT) AS m,
+           CAST(SUM(ABS(1000000 * pos - confsum)) AS BIGINT) AS tsum
+    FROM bins
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_b, pos, confsum,
+       CAST(ABS(1000000 * pos - confsum) AS BIGINT) AS term,
+       CAST((2 * tsum + m) // (2 * m) AS BIGINT) AS ece_micro
+FROM bins, tot ORDER BY bin
+"""
+
+
+@register("q442_expected_calibration_error", oracle=_ECE_ORACLE)
+def q442(spark, sf_dir):
+    """Per-bin calibration mass + overall ECE in exact micro units
+    (oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cut = F.lit("2024-01-28").cast("date")
+    day = F.col("ts").cast("date")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.when(day < cut, 1)).cast("bigint").alias("n"),
+            F.count(F.when((day < cut) & (F.col("event_type") == "purchase"), 1))
+            .cast("bigint")
+            .alias("k"),
+            F.max(
+                F.when(
+                    (day >= cut) & (F.col("event_type") == "purchase"), 1
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .where(F.col("n") > 0)
+    )
+    conf = u.selectExpr("y", "(2 * 1000000 * k + n) DIV (2 * n) AS conf_mi")
+    bins = conf.groupBy(
+        F.least(F.expr("conf_mi DIV 100000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum("conf_mi").cast("bigint").alias("confsum"),
+    )
+    tot = bins.agg(
+        F.sum("n_b").cast("bigint").alias("m"),
+        F.sum(F.abs(1000000 * F.col("pos") - F.col("confsum")))
+        .cast("bigint")
+        .alias("tsum"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(bin AS BIGINT) AS bin", "n_b", "pos", "confsum",
+            "CAST(ABS(1000000 * pos - confsum) AS BIGINT) AS term",
+            "CAST((2 * tsum + m) DIV (2 * m) AS BIGINT) AS ece_micro",
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------- q443: Atkinson inequality index per order priority
+
+# Welfare-weighted inequality (epsilon = 1/2) of order values:
+# A = 1 - (sum sqrt(x))^2 / (n * sum x). IEEE sqrt is CORRECTLY
+# ROUNDED, so sqrt(cents) is bit-identical on both engines; one
+# explicit ROUND to integer micro per row (the CLAUDE double->int
+# rule) makes the sum exact, and the final ratio is round-half-up over
+# DECIMAL(38,0)/HUGEINT (the squared sum reaches ~1e28 at sf0.1).
+_ATKINSON_ORACLE = """
+WITH v AS (
+    SELECT o_orderpriority AS grp,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CAST(ROUND(SQRT(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT) AS DOUBLE)) * 1000000, 0) AS BIGINT) AS sq_mi
+    FROM orders
+), ag AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sx,
+           CAST(SUM(sq_mi) AS BIGINT) AS sq
+    FROM v GROUP BY grp
+)
+SELECT grp, n,
+       CAST(1000000 - (2 * 1000000 * sq::HUGEINT * sq
+                       + 1000000000000::HUGEINT * n * sx)
+                      // (2 * (1000000000000::HUGEINT * n * sx))
+            AS BIGINT) AS atkinson_micro
+FROM ag ORDER BY grp
+"""
+
+
+@register("q443_atkinson_index", oracle=_ATKINSON_ORACLE)
+def q443(spark, sf_dir):
+    """Atkinson(0.5) inequality per priority from an exact quantized
+    sqrt sum (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        cents.alias("cents"),
+        F.round(F.sqrt(cents.cast("double")) * 1000000, 0)
+        .cast("bigint")
+        .alias("sq_mi"),
+    )
+    ag = v.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.sum("sq_mi").cast("bigint").alias("sq"),
+    )
+    return ag.selectExpr(
+        "grp", "n",
+        "CAST(1000000 - (2 * 1000000 * CAST(sq AS DECIMAL(38,0)) * sq"
+        " + CAST(1000000000000 AS DECIMAL(38,0)) * n * sx)"
+        " DIV (2 * (CAST(1000000000000 AS DECIMAL(38,0)) * n * sx))"
+        " AS BIGINT) AS atkinson_micro",
+    ).orderBy("grp")
+
+
+# ---------- q444: word-8-gram novelty vs the training split
+
+# Memorization / novelty audit for generated-text eval: docs split
+# 80/20 by md5(doc_id) (the q155 determinism recipe), each TEST doc
+# reports the share of its 8-gram POSITIONS never seen in any TRAIN
+# doc. The train side collapses to the DISTINCT gram set before the
+# anti-join — candidate volume is gram-types, not gram-positions
+# (the q99 decontamination posture, inverted: here the NOVEL mass is
+# the signal, not the contaminated one).
+_NOVEL_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS split,
+           LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS ts
+    FROM documents
+), grams AS (
+    SELECT doc_id, split,
+           ARRAY_TO_STRING(ts[i:i+7], ' ') AS g
+    FROM toks, LATERAL UNNEST(GENERATE_SERIES(1, LEN(ts) - 7)) t(i)
+    WHERE LEN(ts) >= 8
+), train AS (
+    SELECT DISTINCT g FROM grams WHERE split < 4
+), test AS (
+    SELECT doc_id, g FROM grams WHERE split >= 4
+), per AS (
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(CASE WHEN tr.g IS NULL THEN 1 END) AS BIGINT) AS n_novel
+    FROM test t LEFT JOIN train tr ON t.g = tr.g GROUP BY t.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       CAST((2 * 1000000 * n_novel + n_grams) // (2 * n_grams) AS BIGINT)
+           AS novel_micro
+FROM per ORDER BY doc_id
+"""
+
+
+@register("q444_ngram_novelty", oracle=_NOVEL_ORACLE)
+def q444(spark, sf_dir):
+    """Per-test-doc unseen-8-gram share vs the md5 train split (oracle
+    comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 5
+        ).alias("split"),
+        T.tokens(F.col("text")).alias("ts"),
+    ).where(F.size("ts") >= 8)
+    grams = toks.select(
+        "doc_id", "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 7),"
+                " i -> array_join(slice(ts, i, 8), ' '))"
+            )
+        ).alias("g"),
+    )
+    train = grams.where(F.col("split") < 4).select("g").distinct()
+    test = grams.where(F.col("split") >= 4).select("doc_id", "g")
+    per = (
+        test.join(train.withColumn("seen", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.count(F.when(F.col("seen").isNull(), 1))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per.selectExpr(
+        "doc_id", "n_grams", "n_novel",
+        "CAST((2 * 1000000 * n_novel + n_grams) DIV (2 * n_grams) AS BIGINT)"
+        " AS novel_micro",
+    ).orderBy("doc_id")
+
+
+# ---------- q445: isotonic calibration via the minimax PAV identity
+
+# Monotone (isotonic) recalibration of the q241 decile bins WITHOUT the
+# sequential pool-adjacent-violators loop: over b bins the PAV solution
+# has the closed minimax form
+#   iso_b = max_{j<=b} min_{k>=b} (P_k - P_{j-1}) / (N_k - N_{j-1}),
+# an O(bins^3) triple join over the 10-row bin frame (never row
+# volume). Every candidate fraction is ONE IEEE division of exact
+# integers — identical doubles on both engines — so the min/max picks
+# are engine-deterministic before any rounding.
+_ISO_ORACLE = """
+WITH scored AS (
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score
+    FROM events
+), ranked AS (
+    SELECT label, NTILE(10) OVER (ORDER BY score, event_id) AS bin FROM scored
+), per_bin AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS pos
+    FROM ranked GROUP BY bin
+), cum AS (
+    SELECT bin, n, pos,
+           SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+           SUM(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+    FROM per_bin
+), frac AS (
+    SELECT j.bin AS j, k.bin AS k,
+           CAST(k.cp - j.cp + j.pos AS DOUBLE)
+               / CAST(k.cn - j.cn + j.n AS DOUBLE) AS f
+    FROM cum j JOIN cum k ON j.bin <= k.bin
+), inner_min AS (
+    SELECT b.bin, frac.j, MIN(frac.f) AS mn
+    FROM cum b JOIN frac ON frac.j <= b.bin AND frac.k >= b.bin
+    GROUP BY b.bin, frac.j
+), iso AS (
+    SELECT bin, MAX(mn) AS iso_f FROM inner_min GROUP BY bin
+)
+SELECT CAST(c.bin AS INT) AS bin, c.n, c.pos,
+       ROUND(CAST(c.pos AS DOUBLE) / c.n, 6) AS raw_rate,
+       ROUND(iso.iso_f, 6) AS iso_rate
+FROM cum c JOIN iso ON c.bin = iso.bin ORDER BY bin
+"""
+
+
+@register("q445_isotonic_calibration", oracle=_ISO_ORACLE)
+def q445(spark, sf_dir):
+    """Isotonic bin rates via the minimax PAV identity over decile
+    aggregates (oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    scored = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("score"),
+    )
+    t = exact_ntile_counts(scored, 10, descending=False).select(
+        F.col("tile").alias("bin"), "n", "pos"
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = t.select(
+        "bin", "n", "pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    j = cum.select(
+        F.col("bin").alias("j"), F.col("n").alias("jn"),
+        F.col("pos").alias("jpos"), F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+    )
+    k = cum.select(
+        F.col("bin").alias("k"), F.col("cn").alias("kcn"),
+        F.col("cp").alias("kcp"),
+    )
+    frac = (
+        j.crossJoin(k)
+        .where(F.col("j") <= F.col("k"))
+        .select(
+            "j", "k",
+            (
+                (F.col("kcp") - F.col("jcp") + F.col("jpos")).cast("double")
+                / (F.col("kcn") - F.col("jcn") + F.col("jn")).cast("double")
+            ).alias("f"),
+        )
+    )
+    b = cum.select(F.col("bin"))
+    inner = (
+        b.crossJoin(frac)
+        .where((F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")))
+        .groupBy("bin", "j")
+        .agg(F.min("f").alias("mn"))
+    )
+    iso = inner.groupBy("bin").agg(F.max("mn").alias("iso_f"))
+    return (
+        cum.join(iso, "bin")
+        .select(
+            F.col("bin").cast("int").alias("bin"), "n", "pos",
+            F.round(F.col("pos").cast("double") / F.col("n").cast("double"), 6)
+            .alias("raw_rate"),
+            F.round(F.col("iso_f"), 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------- q446: consistent-hash ring rebalancing audit
+
+# Shard-placement economics: 4 nodes x 32 vnodes on a 32-bit md5 ring
+# place every order key at its clockwise successor vnode; adding node 4
+# (same vnode fan) must move ONLY keys that land on the new node —
+# the consistent-hashing guarantee, audited exactly. Ties on ring
+# position resolve to the lowest node id on both engines. The 160-row
+# ring is a broadcast dimension; per-key successor search is two
+# conditional MINs over the key x ring join (at real scale: a sorted
+# ring array searched per row — the ring is always tiny, the keys are
+# not).
+_CHASH_ORACLE = """
+WITH ks AS (
+    SELECT o_orderkey AS k,
+           ('0x' || SUBSTR(MD5('k' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               AS kh
+    FROM orders
+), ring AS (
+    SELECT n.n, v.v,
+           ('0x' || SUBSTR(MD5('node' || CAST(n.n AS VARCHAR) || ':'
+                || CAST(v.v AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM (SELECT UNNEST(GENERATE_SERIES(0, 4)) AS n) n,
+         (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS v) v
+), asg AS (
+    SELECT ks.k,
+           COALESCE(MIN(CASE WHEN r.n <= 3 AND r.h >= ks.kh THEN r.h END),
+                    MIN(CASE WHEN r.n <= 3 THEN r.h END)) AS ha,
+           COALESCE(MIN(CASE WHEN r.h >= ks.kh THEN r.h END), MIN(r.h)) AS hb
+    FROM ks CROSS JOIN ring r GROUP BY ks.k, ks.kh
+), fin AS (
+    SELECT asg.k,
+           MIN(CASE WHEN r.h = asg.ha AND r.n <= 3 THEN r.n END) AS na,
+           MIN(CASE WHEN r.h = asg.hb THEN r.n END) AS nb
+    FROM asg CROSS JOIN ring r GROUP BY asg.k, asg.ha, asg.hb
+), mv AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COUNT(CASE WHEN na <> nb THEN 1 END) AS BIGINT) AS n_moved
+    FROM fin
+), bc AS (
+    SELECT na AS node, CAST(COUNT(*) AS BIGINT) AS c FROM fin GROUP BY na
+), ac AS (
+    SELECT nb AS node, CAST(COUNT(*) AS BIGINT) AS c FROM fin GROUP BY nb
+), grid AS (
+    SELECT UNNEST(GENERATE_SERIES(0, 4)) AS node
+)
+SELECT CAST(grid.node AS BIGINT) AS node,
+       COALESCE(bc.c, 0) AS n_before, COALESCE(ac.c, 0) AS n_after,
+       mv.n_keys, mv.n_moved,
+       CAST((2 * 1000000 * mv.n_moved + mv.n_keys) // (2 * mv.n_keys)
+            AS BIGINT) AS moved_micro
+FROM grid LEFT JOIN bc ON grid.node = bc.node
+LEFT JOIN ac ON grid.node = ac.node CROSS JOIN mv
+ORDER BY node
+"""
+
+
+@register("q446_consistent_hash_rebalance", oracle=_CHASH_ORACLE)
+def q446(spark, sf_dir):
+    """Per-node placement before/after adding a ring node + moved share
+    (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    ks = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("k"), F.col("o_orderkey").cast("string"))), 1, 8),
+            16, 10,
+        )
+        .cast("bigint")
+        .alias("kh"),
+    )
+    ring = (
+        spark.range(0, 5)
+        .select(F.col("id").cast("int").alias("n"))
+        .crossJoin(spark.range(0, 32).select(F.col("id").cast("int").alias("v")))
+        .select(
+            "n", "v",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("node"), F.col("n").cast("string"), F.lit(":"),
+                            F.col("v").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    asg = (
+        ks.crossJoin(F.broadcast(ring))
+        .groupBy("k", "kh")
+        .agg(
+            F.coalesce(
+                F.min(F.when((F.col("n") <= 3) & (F.col("h") >= F.col("kh")), F.col("h"))),
+                F.min(F.when(F.col("n") <= 3, F.col("h"))),
+            ).alias("ha"),
+            F.coalesce(
+                F.min(F.when(F.col("h") >= F.col("kh"), F.col("h"))),
+                F.min("h"),
+            ).alias("hb"),
+        )
+    )
+    fin = (
+        asg.crossJoin(F.broadcast(ring))
+        .groupBy("k", "ha", "hb")
+        .agg(
+            F.min(
+                F.when((F.col("h") == F.col("ha")) & (F.col("n") <= 3), F.col("n"))
+            ).alias("na"),
+            F.min(F.when(F.col("h") == F.col("hb"), F.col("n"))).alias("nb"),
+        )
+    )
+    mv = fin.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.count(F.when(F.col("na") != F.col("nb"), 1)).cast("bigint").alias("n_moved"),
+    )
+    bc = fin.groupBy(F.col("na").alias("node")).agg(
+        F.count("*").cast("bigint").alias("cb")
+    )
+    ac = fin.groupBy(F.col("nb").alias("node")).agg(
+        F.count("*").cast("bigint").alias("ca")
+    )
+    grid = spark.range(0, 5).select(F.col("id").cast("int").alias("node"))
+    return (
+        grid.join(bc, "node", "left")
+        .join(ac, "node", "left")
+        .crossJoin(F.broadcast(mv))
+        .selectExpr(
+            "CAST(node AS BIGINT) AS node",
+            "COALESCE(cb, CAST(0 AS BIGINT)) AS n_before",
+            "COALESCE(ca, CAST(0 AS BIGINT)) AS n_after",
+            "n_keys", "n_moved",
+            "CAST((2 * 1000000 * n_moved + n_keys) DIV (2 * n_keys) AS BIGINT)"
+            " AS moved_micro",
+        )
+        .orderBy("node")
+    )
+
+
+# ---------- q447: exact global median via two-pass bucket refinement
+
+# The 100 TB exact-median recipe: pass 1 aggregates a COARSE $1000
+# bucket histogram (map-side combinable, |buckets| rows), locates the
+# <= 2 buckets covering positions (n+1)//2 and (n+2)//2; pass 2
+# re-scans ONLY rows in those buckets (a 2-row broadcast semi-filter —
+# in a deployment the bucket bounds become literal scan predicates)
+# and resolves the exact order statistics from the within-bucket value
+# histogram. The oracle computes the same doubled median m2 = lo + hi
+# directly from the full histogram — method-independence, q114 style.
+_MED2P_ORACLE = """
+WITH v AS (
+    SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM lineitem
+), h AS (
+    SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY c
+), cum AS (
+    SELECT c, cnt,
+           COALESCE(SUM(cnt) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM h
+), nn AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h
+)
+SELECT nn.n,
+       MAX(CASE WHEN (nn.n + 1) // 2 BETWEEN cb + 1 AND cb + cnt THEN c END)
+           AS v_lo,
+       MAX(CASE WHEN (nn.n + 2) // 2 BETWEEN cb + 1 AND cb + cnt THEN c END)
+           AS v_hi,
+       MAX(CASE WHEN (nn.n + 1) // 2 BETWEEN cb + 1 AND cb + cnt THEN c END)
+       + MAX(CASE WHEN (nn.n + 2) // 2 BETWEEN cb + 1 AND cb + cnt THEN c END)
+           AS m2
+FROM cum, nn GROUP BY nn.n
+"""
+
+
+@register("q447_two_pass_median", oracle=_MED2P_ORACLE)
+def q447(spark, sf_dir):
+    """Exact doubled median via coarse-bucket pass + bucket-local
+    refinement (oracle comment; oracle is the direct one-pass form)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    v = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    vb = v.withColumn("b", F.expr("c DIV 100000"))
+    bh = vb.groupBy("b").agg(F.count("*").cast("bigint").alias("bcnt"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bcum = bh.select(
+        "b", "bcnt", F.coalesce(F.sum("bcnt").over(wb), F.lit(0)).alias("bcb")
+    )
+    nn = bh.agg(F.sum("bcnt").cast("bigint").alias("n"))
+    pos = nn.selectExpr(
+        "n",
+        "explode(array(named_struct('which', 'lo', 'p', (n + 1) DIV 2),"
+        " named_struct('which', 'hi', 'p', (n + 2) DIV 2))) AS s",
+    ).select("n", "s.which", "s.p")
+    targets = pos.join(
+        bcum,
+        (F.col("p") >= F.col("bcb") + 1) & (F.col("p") <= F.col("bcb") + F.col("bcnt")),
+    ).select("n", "which", "p", "b", "bcb")
+    inner = vb.join(F.broadcast(targets), "b").select("n", "which", "p", "bcb", "c")
+    ih = inner.groupBy("n", "which", "p", "bcb", "c").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wi = Window.partitionBy("which").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    icum = ih.select(
+        "n", "which", "p", "bcb", "c", "cnt",
+        F.coalesce(F.sum("cnt").over(wi), F.lit(0)).alias("icb"),
+    )
+    picked = icum.groupBy("n", "which").agg(
+        F.max(
+            F.when(
+                (F.col("p") - F.col("bcb")).between(
+                    F.col("icb") + 1, F.col("icb") + F.col("cnt")
+                ),
+                F.col("c"),
+            )
+        ).alias("val")
+    )
+    return picked.groupBy("n").agg(
+        F.max(F.when(F.col("which") == "lo", F.col("val"))).alias("v_lo"),
+        F.max(F.when(F.col("which") == "hi", F.col("val"))).alias("v_hi"),
+        (
+            F.max(F.when(F.col("which") == "lo", F.col("val")))
+            + F.max(F.when(F.col("which") == "hi", F.col("val")))
+        ).alias("m2"),
+    )
+
+
+# ---------- q448: Ljung-Box portmanteau test on daily-revenue ACF
+
+# "Is the series white noise?" — the hypothesis-test layer above
+# q270's ACF: Q(m) = n(n+2) * sum_{k<=m} r_k^2/(n-k), reported
+# cumulatively for m = 1..7. r_k is q270's EXACT integer acf_micro
+# (the registered q270 operator is invoked directly as the feed);
+# each lag's term is one round-half-up micro division carried in
+# DECIMAL(38,0)/HUGEINT (n(n+2)r²·1e12 passes BIGINT at sf0.1), and
+# Q accumulates the rounded terms — the two-stage rounding is the
+# contract, engine-exact by construction.
+from .analytics3 import _ACF_ORACLE as _ACF_FEED  # noqa: E402
+from .analytics3 import _daily_cents  # noqa: E402
+
+_LB_ORACLE = f"""
+WITH acf AS ({_ACF_FEED}), nn AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n
+    FROM (SELECT o_orderdate FROM orders GROUP BY o_orderdate)
+), terms AS (
+    SELECT acf.lag, acf.acf_micro,
+           CAST((2 * nn.n * (nn.n + 2) * CAST(acf.acf_micro AS HUGEINT)
+                 * acf.acf_micro + 1000000 * (nn.n - acf.lag))
+                // (2 * 1000000 * (nn.n - acf.lag)) AS BIGINT) AS term_micro
+    FROM acf, nn
+)
+SELECT CAST(lag AS INT) AS lag, acf_micro, term_micro,
+       CAST(SUM(term_micro) OVER (ORDER BY lag ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS q_micro
+FROM terms ORDER BY lag
+"""
+
+
+@register("q448_ljung_box", oracle=_LB_ORACLE)
+def q448(spark, sf_dir):
+    """Cumulative Ljung-Box Q over q270's exact ACF (oracle comment)."""
+    from . import REGISTRY
+
+    acf = REGISTRY["q270_autocorrelation"].fn(spark, sf_dir)
+    nn = _daily_cents(spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    terms = acf.crossJoin(F.broadcast(nn)).selectExpr(
+        "lag", "acf_micro",
+        "CAST((2 * CAST(n AS DECIMAL(38,0)) * (n + 2)"
+        " * CAST(acf_micro AS DECIMAL(38,0)) * acf_micro"
+        " + CAST(1000000 AS DECIMAL(38,0)) * (n - lag))"
+        " DIV (2 * CAST(1000000 AS DECIMAL(38,0)) * (n - lag)) AS BIGINT)"
+        " AS term_micro",
+    )
+    w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        "lag", "acf_micro", "term_micro",
+        F.sum("term_micro").over(w).cast("bigint").alias("q_micro"),
+    ).orderBy("lag")
+
+
+# ---------- q449: Cochran-Armitage trend test (ordered proportions)
+
+# Does the 'F' (fulfilled) share TREND across the ordered priority
+# ranks 1..5? The chi-square-for-trend statistic
+#   Z² = N·(N·Σt·r − R·Σt·n)² / (R(N−R)(N·Σnt² − (Σnt)²))
+# — multiplying the textbook form through by N² leaves pure integer
+# arithmetic (the q270 mean-clearing move), carried in
+# DECIMAL(38,0)/HUGEINT (num² ~1e21 at sf0.1) to one round-half-up
+# micro. Rank = the leading digit of the priority label.
+_CA_ORACLE = """
+WITH g AS (
+    SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS t,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+    FROM orders
+), per AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS n_i, CAST(SUM(y) AS BIGINT) AS r_i
+    FROM g GROUP BY t
+), tot AS (
+    SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(r_i) AS BIGINT) AS r,
+           CAST(SUM(t * r_i) AS BIGINT) AS s_tr, CAST(SUM(t * n_i) AS BIGINT) AS s_tn,
+           CAST(SUM(t * t * n_i) AS BIGINT) AS s_ttn
+    FROM per
+)
+SELECT n, r, CAST(n * s_tr - r * s_tn AS BIGINT) AS num,
+       CAST((2 * 1000000 * n::HUGEINT * (n * s_tr - r * s_tn)
+             * (n * s_tr - r * s_tn)
+             + r::HUGEINT * (n - r) * (n * s_ttn - s_tn * s_tn))
+            // (2 * (r::HUGEINT * (n - r) * (n * s_ttn - s_tn * s_tn)))
+            AS BIGINT) AS z2_micro
+FROM tot
+"""
+
+
+@register("q449_cochran_armitage", oracle=_CA_ORACLE)
+def q449(spark, sf_dir):
+    """Cochran-Armitage Z² for trend in exact micro units (oracle
+    comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    g = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("t"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    per = g.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_i"),
+        F.sum("y").cast("bigint").alias("r_i"),
+    )
+    tot = per.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("r_i").cast("bigint").alias("r"),
+        F.sum(F.col("t") * F.col("r_i")).cast("bigint").alias("s_tr"),
+        F.sum(F.col("t") * F.col("n_i")).cast("bigint").alias("s_tn"),
+        F.sum(F.col("t") * F.col("t") * F.col("n_i")).cast("bigint").alias("s_ttn"),
+    )
+    return tot.selectExpr(
+        "n", "r", "CAST(n * s_tr - r * s_tn AS BIGINT) AS num",
+        "CAST((2 * 1000000 * CAST(n AS DECIMAL(38,0)) * (n * s_tr - r * s_tn)"
+        " * (n * s_tr - r * s_tn)"
+        " + CAST(r AS DECIMAL(38,0)) * (n - r) * (n * s_ttn - s_tn * s_tn))"
+        " DIV (2 * (CAST(r AS DECIMAL(38,0)) * (n - r)"
+        " * (n * s_ttn - s_tn * s_tn))) AS BIGINT) AS z2_micro",
     )

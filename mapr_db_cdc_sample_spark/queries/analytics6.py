@@ -2211,7 +2211,7 @@ def q447(spark, sf_dir):
 # Q accumulates the rounded terms — the two-stage rounding is the
 # contract, engine-exact by construction.
 from .analytics3 import _ACF_ORACLE as _ACF_FEED  # noqa: E402
-from .analytics3 import _daily_cents  # noqa: E402
+from .analytics3 import _DAILY_CTE, _daily_cents  # noqa: E402
 
 _LB_ORACLE = f"""
 WITH acf AS ({_ACF_FEED}), nn AS (
@@ -2316,3 +2316,590 @@ def q449(spark, sf_dir):
         " DIV (2 * (CAST(r AS DECIMAL(38,0)) * (n - r)"
         " * (n * s_ttn - s_tn * s_tn))) AS BIGINT) AS z2_micro",
     )
+
+
+# ---------- q450: Kaplan-Meier survival (time to first purchase)
+
+# Survival-analysis rung: per user, duration = days from first event
+# to first purchase, right-censored at the last observed day. Risk
+# sets n_t (reverse-cumulative over the duration histogram) and event
+# counts d_t are exact integers on the <=|days| event-time frame; the
+# product-limit estimator steps s <- rhu(s*(n_t-d_t), n_t) in micro
+# units — the q308 sequential-recurrence contract: a recursive CTE on
+# the DuckDB side, ONE applyInPandas fold over the calendar-bounded
+# event-time frame on the Spark side (progressive rounding IS the
+# cross-engine contract).
+_KM_ORACLE = """
+WITH e AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+), ends AS (
+    SELECT MAX(day) AS obs_end FROM e
+), u AS (
+    SELECT user_id, MIN(day) AS t0,
+           MIN(CASE WHEN event_type = 'purchase' THEN day END) AS tp
+    FROM e GROUP BY user_id
+), dur AS (
+    SELECT CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE obs_end - t0 END AS d,
+           CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+    FROM u, ends
+), cnt AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n_all, CAST(SUM(ev) AS BIGINT) AS n_ev
+    FROM dur GROUP BY d
+), risk AS (
+    SELECT d, n_ev AS d_t,
+           CAST(SUM(n_all) OVER (ORDER BY d DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_t
+    FROM cnt
+), et AS (
+    SELECT d, d_t, n_t, ROW_NUMBER() OVER (ORDER BY d) AS rn
+    FROM risk WHERE d_t > 0
+), rec AS (
+    WITH RECURSIVE r(rn, s) AS (
+        SELECT 0, CAST(1000000 AS BIGINT)
+        UNION ALL
+        SELECT e.rn,
+               CAST((2 * r.s * (e.n_t - e.d_t) + e.n_t) // (2 * e.n_t) AS BIGINT)
+        FROM r JOIN et e ON e.rn = r.rn + 1
+    )
+    SELECT * FROM r
+)
+SELECT CAST(e.d AS BIGINT) AS t, e.n_t, e.d_t, rec.s AS s_micro
+FROM et e JOIN rec ON rec.rn = e.rn ORDER BY t
+"""
+
+
+@register("q450_kaplan_meier", oracle=_KM_ORACLE)
+def q450(spark, sf_dir):
+    """Product-limit survival curve in exact micro units (oracle
+    comment)."""
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir)["events"]
+    e = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    )
+    ends = e.agg(F.max("day").alias("obs_end"))
+    u = e.groupBy("user_id").agg(
+        F.min("day").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias("tp"),
+    )
+    dur = u.crossJoin(F.broadcast(ends)).select(
+        F.when(
+            F.col("tp").isNotNull(), F.datediff("tp", "t0")
+        )
+        .otherwise(F.datediff("obs_end", "t0"))
+        .alias("d"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    cnt = dur.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum("ev").cast("bigint").alias("n_ev"),
+    )
+    wr = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = cnt.select(
+        "d",
+        F.col("n_ev").alias("d_t"),
+        F.sum("n_all").over(wr).cast("bigint").alias("n_t"),
+    ).where(F.col("d_t") > 0)
+
+    def km(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        s = 10**6
+        out = []
+        for _, row in pdf.iterrows():
+            n_t, d_t = int(row["n_t"]), int(row["d_t"])
+            s = (2 * s * (n_t - d_t) + n_t) // (2 * n_t)
+            out.append((int(row["d"]), n_t, d_t, s))
+        return pd.DataFrame(out, columns=["t", "n_t", "d_t", "s_micro"])
+
+    return (
+        risk.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(km, "t bigint, n_t bigint, d_t bigint, s_micro bigint")
+        .orderBy("t")
+    )
+
+
+# ---------- q451: skip-gram training pairs with deterministic negatives
+
+# word2vec-style data mining: positives are (center, context) counts
+# within a +/-2 token window, collapsed to the TYPE frame; each pair
+# type draws 2 negatives from the unigram^(3/4) distribution via an
+# md5 integer CDF probe (the q155/q425 determinism recipe — no RNG).
+# The ^0.75 weight is the ONE rounded transcendental (milli, per
+# vocab TYPE — 31 rows); everything after is exact integer range
+# lookup. At corpus scale the CDF table is vocab-sized and broadcast;
+# pair volume is window x tokens, collapsed before any join.
+_SKIPGRAM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, ts[t.i] AS tok, t.i
+    FROM (
+        SELECT doc_id,
+               LIST_FILTER(STR_SPLIT(LOWER(text), ' '), x -> LEN(x) > 0) AS ts
+        FROM documents
+    ), LATERAL UNNEST(GENERATE_SERIES(1, LEN(ts))) t(i)
+), pairs AS (
+    SELECT a.tok AS w, b.tok AS c
+    FROM toks a JOIN toks b
+      ON a.doc_id = b.doc_id AND ABS(a.i - b.i) BETWEEN 1 AND 2
+), pc AS (
+    SELECT w, c, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY w, c
+), uni AS (
+    SELECT tok, CAST(ROUND(POWER(CAST(COUNT(*) AS DOUBLE), 0.75) * 1000, 0)
+                AS BIGINT) AS w75
+    FROM toks GROUP BY tok
+), cdf AS (
+    SELECT tok, w75,
+           COALESCE(SUM(w75) OVER (ORDER BY tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+    FROM uni
+), tot AS (
+    SELECT CAST(SUM(w75) AS BIGINT) AS big FROM uni
+), draws AS (
+    SELECT pc.w, pc.c, pc.n_pairs, d.i AS draw,
+           ('0x' || SUBSTR(MD5(pc.w || ':' || pc.c || ':'
+                || CAST(d.i AS VARCHAR)), 1, 12))::BIGINT % tot.big AS pos
+    FROM pc, (SELECT UNNEST(GENERATE_SERIES(1, 2)) AS i) d, tot
+), neg AS (
+    SELECT draws.w, draws.c, draws.n_pairs, draws.draw, cdf.tok AS neg_tok
+    FROM draws JOIN cdf
+      ON draws.pos >= cdf.lo AND draws.pos < cdf.lo + cdf.w75
+)
+SELECT w, c, n_pairs,
+       MAX(CASE WHEN draw = 1 THEN neg_tok END) AS neg1,
+       MAX(CASE WHEN draw = 2 THEN neg_tok END) AS neg2
+FROM neg GROUP BY w, c, n_pairs ORDER BY w, c
+"""
+
+
+@register("q451_skipgram_pairs", oracle=_SKIPGRAM_ORACLE)
+def q451(spark, sf_dir):
+    """Skip-gram pair types + md5-CDF unigram^0.75 negatives (oracle
+    comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    a = toks.select("doc_id", F.col("i").alias("ia"), F.col("tok").alias("w"))
+    b = toks.select("doc_id", F.col("i").alias("ib"), F.col("tok").alias("c"))
+    pairs = a.join(b, "doc_id").where(
+        F.abs(F.col("ia") - F.col("ib")).between(1, 2)
+    )
+    pc = pairs.groupBy("w", "c").agg(F.count("*").cast("bigint").alias("n_pairs"))
+    uni = toks.groupBy("tok").agg(
+        F.round(F.pow(F.count("*").cast("double"), F.lit(0.75)) * 1000, 0)
+        .cast("bigint")
+        .alias("w75")
+    )
+    wc = Window.orderBy("tok").rowsBetween(Window.unboundedPreceding, -1)
+    cdf = uni.select(
+        "tok", "w75", F.coalesce(F.sum("w75").over(wc), F.lit(0)).alias("lo")
+    )
+    tot = uni.agg(F.sum("w75").cast("bigint").alias("big"))
+    drawgrid = spark.range(1, 3).select(F.col("id").cast("int").alias("draw"))
+    draws = (
+        pc.crossJoin(F.broadcast(drawgrid))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w", "c", "n_pairs", "draw",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("w"), F.lit(":"), F.col("c"), F.lit(":"),
+                                F.col("draw").cast("string"),
+                            )
+                        ),
+                        1, 12,
+                    ),
+                    16, 10,
+                ).cast("bigint")
+                % F.col("big")
+            ).alias("pos"),
+        )
+    )
+    neg = draws.join(
+        F.broadcast(cdf),
+        (F.col("pos") >= F.col("lo")) & (F.col("pos") < F.col("lo") + F.col("w75")),
+    )
+    return (
+        neg.groupBy("w", "c", "n_pairs")
+        .agg(
+            F.max(F.when(F.col("draw") == 1, F.col("tok"))).alias("neg1"),
+            F.max(F.when(F.col("draw") == 2, F.col("tok"))).alias("neg2"),
+        )
+        .orderBy("w", "c")
+    )
+
+
+# ---------- q452: bivariate Mahalanobis outliers (exact 2x2 inverse)
+
+# Multivariate outlier detection on (quantity, price cents): the 2x2
+# covariance inverts in closed form, and clearing denominators by n
+# turns every centered term into an exact integer (u = n*x - sx,
+# v = n*y - sy; scatter c** = n*s** - s*s*, carried in HUGEINT /
+# DECIMAL(38,0) — n*sxy ~ 2e20 at sf0.1 passes BIGINT). With those
+# exact scatters the closed form is
+#   d2 = (cyy*u^2 - 2*cxy*u*v + cxx*v^2) / (cxx*cyy - cxy^2),
+# evaluated in DOUBLE from identical operand streams; ranking uses the
+# ROUNDED d2 (the CLAUDE rank-by-rounded rule) with VALUE-column
+# tiebreaks (lineitem has full duplicate rows).
+_MAHA_ORACLE = """
+WITH v AS (
+    SELECT l_orderkey AS okey, l_linenumber AS line,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+    FROM lineitem
+), m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+    FROM v
+), sc AS (
+    SELECT n, sx, sy,
+           CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS cxx,
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cxy,
+           CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS cyy
+    FROM m
+), q AS (
+    SELECT okey, line, x, y,
+           ROUND((sc.cyy * CAST(sc.n * x - sc.sx AS DOUBLE)
+                         * CAST(sc.n * x - sc.sx AS DOUBLE)
+                  - 2 * sc.cxy * CAST(sc.n * x - sc.sx AS DOUBLE)
+                              * CAST(sc.n * y - sc.sy AS DOUBLE)
+                  + sc.cxx * CAST(sc.n * y - sc.sy AS DOUBLE)
+                           * CAST(sc.n * y - sc.sy AS DOUBLE))
+                 / (sc.cxx * sc.cyy - sc.cxy * sc.cxy), 6) AS d2
+    FROM v, sc
+)
+SELECT okey, line, x, y, d2
+FROM q ORDER BY d2 DESC, okey, line, x, y LIMIT 20
+"""
+
+
+@register("q452_mahalanobis_outliers", oracle=_MAHA_ORACLE)
+def q452(spark, sf_dir):
+    """Top-20 bivariate Mahalanobis outliers over exact integer moments
+    (oracle comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    v = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = v.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    sc = m.selectExpr(
+        "n", "sx", "sy",
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        " AS DOUBLE) AS cxx",
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+        " AS DOUBLE) AS cxy",
+        "CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"
+        " AS DOUBLE) AS cyy",
+    )
+    q = v.crossJoin(F.broadcast(sc)).selectExpr(
+        "okey", "line", "x", "y",
+        "ROUND((cyy * CAST(n * x - sx AS DOUBLE) * CAST(n * x - sx AS DOUBLE)"
+        " - 2 * cxy * CAST(n * x - sx AS DOUBLE) * CAST(n * y - sy AS DOUBLE)"
+        " + cxx * CAST(n * y - sy AS DOUBLE) * CAST(n * y - sy AS DOUBLE))"
+        " / (cxx * cyy - cxy * cxy), 6) AS d2",
+    )
+    return (
+        q.orderBy(F.desc("d2"), "okey", "line", "x", "y")
+        .limit(20)
+        .select("okey", "line", "x", "y", "d2")
+    )
+
+
+# ---------- q453: Wald-Wolfowitz runs test on daily revenue
+
+# Randomness check: days are classified above/below the DOUBLED global
+# median (2*cents vs m2 — exact integers, ties excluded per the
+# textbook test), runs are counted with one LAG over the |days| frame
+# (SinglePartition above the daily aggregate — the q270 posture), and
+# z = (R - mu)/sigma is the q207 double discipline over exact
+# n1/n2/R integers.
+_RUNS_ORACLE = _DAILY_CTE + """
+, h AS (
+    SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM daily GROUP BY cents
+), cum AS (
+    SELECT cents, cnt,
+           COALESCE(SUM(cnt) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM h
+), nn AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h
+), med AS (
+    SELECT MAX(CASE WHEN (nn.n + 1) // 2 BETWEEN cb + 1 AND cb + cnt
+                    THEN cents END)
+           + MAX(CASE WHEN (nn.n + 2) // 2 BETWEEN cb + 1 AND cb + cnt
+                      THEN cents END) AS m2
+    FROM cum, nn
+), sgn AS (
+    SELECT day, CASE WHEN 2 * cents > med.m2 THEN 1 ELSE 0 END AS up
+    FROM daily, med WHERE 2 * cents <> med.m2
+), runs AS (
+    SELECT up, LAG(up) OVER (ORDER BY day) AS prev FROM sgn
+), ag AS (
+    SELECT CAST(SUM(up) AS BIGINT) AS n1,
+           CAST(COUNT(*) - SUM(up) AS BIGINT) AS n2,
+           CAST(1 + COUNT(CASE WHEN prev IS NOT NULL AND up <> prev THEN 1 END)
+                AS BIGINT) AS r
+    FROM runs
+)
+SELECT n1, n2, r,
+       ROUND((CAST(r AS DOUBLE)
+              - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 / CAST(n1 + n2 AS DOUBLE) + 1.0))
+             / SQRT(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       - CAST(n1 + n2 AS DOUBLE))
+                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                       * CAST(n1 + n2 - 1 AS DOUBLE))), 6) AS z
+FROM ag
+"""
+
+
+@register("q453_runs_test", oracle=_RUNS_ORACLE)
+def q453(spark, sf_dir):
+    """Wald-Wolfowitz runs z over the daily-revenue sign sequence
+    (oracle comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    h = daily.groupBy("cents").agg(F.count("*").cast("bigint").alias("cnt"))
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = h.select(
+        "cents", "cnt", F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("cb")
+    )
+    nn = h.agg(F.sum("cnt").cast("bigint").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(nn))
+        .agg(
+            (
+                F.max(
+                    F.when(
+                        F.expr("(n + 1) DIV 2").between(
+                            F.col("cb") + 1, F.col("cb") + F.col("cnt")
+                        ),
+                        F.col("cents"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        F.expr("(n + 2) DIV 2").between(
+                            F.col("cb") + 1, F.col("cb") + F.col("cnt")
+                        ),
+                        F.col("cents"),
+                    )
+                )
+            ).alias("m2")
+        )
+    )
+    sgn = (
+        daily.crossJoin(F.broadcast(med))
+        .where(2 * F.col("cents") != F.col("m2"))
+        .select(
+            "day", F.when(2 * F.col("cents") > F.col("m2"), 1).otherwise(0).alias("up")
+        )
+    )
+    wd = Window.orderBy("day")
+    runs = sgn.select("up", F.lag("up").over(wd).alias("prev"))
+    ag = runs.agg(
+        F.sum("up").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("up")).cast("bigint").alias("n2"),
+        (
+            1
+            + F.count(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("up") != F.col("prev")), 1
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    n1m = (F.col("n1") + F.col("n2") - 1).cast("double")
+    return ag.select(
+        "n1", "n2", "r",
+        F.round(
+            (
+                F.col("r").cast("double")
+                - (F.lit(2.0) * n1d * n2d / nd + F.lit(1.0))
+            )
+            / F.sqrt(
+                F.lit(2.0) * n1d * n2d * (F.lit(2.0) * n1d * n2d - nd)
+                / (nd * nd * n1m)
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+# ---------- q454: quantile treatment effects (decile QTE)
+
+# Distributional A/B readout: how much does the order-value
+# distribution shift between urgent (rank 1-2) and regular (rank 3-5)
+# priorities at EVERY decile, not just the mean? Nearest-rank decile
+# picks per group from the value histogram (positions ((n+1)*d) DIV 10
+# clamped to [1, n]) keep everything exact integer cents; the QTE is
+# the per-decile difference.
+_QTE_ORACLE = """
+WITH v AS (
+    SELECT CASE WHEN CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) <= 2
+                THEN 1 ELSE 0 END AS treat,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM orders
+), h AS (
+    SELECT treat, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY treat, c
+), cum AS (
+    SELECT treat, c, cnt,
+           COALESCE(SUM(cnt) OVER (PARTITION BY treat ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM h
+), sz AS (
+    SELECT treat, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY treat
+), grid AS (
+    SELECT UNNEST(GENERATE_SERIES(1, 9)) AS d
+), pick AS (
+    SELECT grid.d, cum.treat,
+           MAX(CASE WHEN GREATEST(LEAST((sz.n + 1) * grid.d // 10, sz.n), 1)
+                         BETWEEN cb + 1 AND cb + cnt
+                    THEN c END) AS qv
+    FROM grid CROSS JOIN cum JOIN sz ON cum.treat = sz.treat
+    GROUP BY grid.d, cum.treat
+)
+SELECT CAST(a.d AS BIGINT) AS decile, a.qv AS v_treat, b.qv AS v_ctrl,
+       CAST(a.qv - b.qv AS BIGINT) AS qte_cents
+FROM pick a JOIN pick b ON a.d = b.d AND a.treat = 1 AND b.treat = 0
+ORDER BY decile
+"""
+
+
+@register("q454_quantile_treatment_effects", oracle=_QTE_ORACLE)
+def q454(spark, sf_dir):
+    """Per-decile treated-vs-control order-value shift in exact cents
+    (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    v = o.select(
+        F.when(
+            F.substring("o_orderpriority", 1, 1).cast("int") <= 2, 1
+        )
+        .otherwise(0)
+        .alias("treat"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    h = v.groupBy("treat", "c").agg(F.count("*").cast("bigint").alias("cnt"))
+    wt = Window.partitionBy("treat").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = h.select(
+        "treat", "c", "cnt",
+        F.coalesce(F.sum("cnt").over(wt), F.lit(0)).alias("cb"),
+    )
+    sz = h.groupBy("treat").agg(F.sum("cnt").cast("bigint").alias("n"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    pick = (
+        grid.crossJoin(cum.join(sz, "treat"))
+        .groupBy("d", "treat")
+        .agg(
+            F.max(
+                F.when(
+                    F.greatest(
+                        F.least(
+                            F.expr("(n + 1) * d DIV 10"), F.col("n")
+                        ),
+                        F.lit(1).cast("bigint"),
+                    ).between(F.col("cb") + 1, F.col("cb") + F.col("cnt")),
+                    F.col("c"),
+                )
+            ).alias("qv")
+        )
+    )
+    a = pick.where(F.col("treat") == 1).select("d", F.col("qv").alias("v_treat"))
+    b = pick.where(F.col("treat") == 0).select("d", F.col("qv").alias("v_ctrl"))
+    return (
+        a.join(b, "d")
+        .select(
+            F.col("d").cast("bigint").alias("decile"),
+            "v_treat", "v_ctrl",
+            (F.col("v_treat") - F.col("v_ctrl")).cast("bigint").alias("qte_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------- q455: posting-list compression advisor (Elias-gamma bits)
+
+# Index-engineering economics: for each term's sorted posting list
+# (from the q305 inverted-index shape), the delta-gap Elias-gamma cost
+# is 2*floor(log2(gap)) + 1 bits per gap — and floor(log2(g)) =
+# LEN(BIN(g)) - 1 is EXACT integer arithmetic on both engines (no
+# floating log). Gaps come from one LAG partitioned BY TERM (posting
+# lists, never corpus volume, sit in a partition); the report compares
+# against 32-bit raw postings in round-half-up micro.
+_PLIST_ORACLE = f"""
+WITH postings AS (
+    SELECT tok, doc_id FROM (
+        SELECT DISTINCT doc_id, {_TOK_SQL} AS tok FROM documents
+    )
+), gaps AS (
+    SELECT tok,
+           doc_id - COALESCE(LAG(doc_id) OVER (PARTITION BY tok ORDER BY doc_id),
+                             -1) AS gap
+    FROM postings
+), bits AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(2 * (LEN(BIN(gap)) - 1) + 1) AS BIGINT) AS gamma_bits
+    FROM gaps GROUP BY tok
+)
+SELECT tok, df, gamma_bits, CAST(32 * df AS BIGINT) AS raw_bits,
+       CAST((2 * 1000000 * gamma_bits + 32 * df) // (2 * 32 * df) AS BIGINT)
+           AS ratio_micro
+FROM bits ORDER BY tok
+"""
+
+
+@register("q455_postinglist_compression", oracle=_PLIST_ORACLE)
+def q455(spark, sf_dir):
+    """Per-term Elias-gamma vs raw posting-list bits (oracle
+    comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    postings = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    wt = Window.partitionBy("tok").orderBy("doc_id")
+    gaps = postings.select(
+        "tok",
+        (
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id").over(wt), F.lit(-1))
+        ).alias("gap"),
+    )
+    bits = gaps.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum(2 * (F.length(F.bin("gap")) - 1) + 1).cast("bigint").alias("gamma_bits"),
+    )
+    return bits.selectExpr(
+        "tok", "df", "gamma_bits",
+        "CAST(32 * df AS BIGINT) AS raw_bits",
+        "CAST((2 * 1000000 * gamma_bits + 32 * df) DIV (2 * 32 * df) AS BIGINT)"
+        " AS ratio_micro",
+    ).orderBy("tok")

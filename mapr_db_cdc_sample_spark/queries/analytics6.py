@@ -2903,3 +2903,472 @@ def q455(spark, sf_dir):
         "CAST((2 * 1000000 * gamma_bits + 32 * df) DIV (2 * 32 * df) AS BIGINT)"
         " AS ratio_micro",
     ).orderBy("tok")
+
+
+# ---------- q456: Holt-Winters additive smoothing (weekly season)
+
+# The seasonal extension of q308's Holt recurrence: state (level,
+# trend, 7 seasonal offsets) in integer MICRO-CENTS, alpha = beta =
+# gamma = 1/5, every /5 the q308 positive-shift round-half-up. Init is
+# the contract's simple form: l0 = rhu(mean of days 1-7), b0 = 0,
+# s_i = x_i*1e6 - l0; forecasts emit from day 8 as f = l + b + s_slot.
+# Sequential state cannot parallelize across time: DuckDB steps a
+# recursive CTE whose seasonal vector is a LIST column; Spark folds
+# ONE applyInPandas group over the |days| aggregate (calendar-bounded
+# at every SF). Progressive rounding is the cross-engine contract.
+_HW_ORACLE = _DAILY_CTE + """
+, idx AS (
+    SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+), w7 AS (
+    SELECT rn, cents FROM idx WHERE rn <= 7
+), l0 AS (
+    SELECT CAST((2 * SUM(cents) * 1000000 + 7) // 14 AS BIGINT) AS l FROM w7
+), s0 AS (
+    SELECT LIST(cents * 1000000 - l0.l ORDER BY rn) AS s FROM w7, l0
+), rec AS (
+    WITH RECURSIVE r(rn, l, b, s, f) AS (
+        SELECT 7, l0.l, CAST(0 AS BIGINT), s0.s, CAST(NULL AS BIGINT)
+        FROM l0, s0
+        UNION ALL
+        SELECT t.rn, t.lnew,
+               CAST(((2 * ((t.lnew - t.l + 4 * t.b) + 5000000000000000) + 5)
+                     // 10) - 1000000000000000 AS BIGINT),
+               t.s[1:t.j - 1]
+                   || [CAST(((2 * ((t.x - t.lnew + 4 * t.sold)
+                               + 5000000000000000) + 5) // 10)
+                        - 1000000000000000 AS BIGINT)]
+                   || t.s[t.j + 1:7],
+               CAST(t.l + t.b + t.sold AS BIGINT)
+        FROM (
+            SELECT r.rn + 1 AS rn, r.l, r.b, r.s,
+                   ((r.rn) % 7) + 1 AS j,
+                   r.s[((r.rn) % 7) + 1] AS sold,
+                   i.cents * 1000000 AS x,
+                   CAST(((2 * ((i.cents * 1000000 - r.s[((r.rn) % 7) + 1]
+                           + 4 * (r.l + r.b)) + 5000000000000000) + 5) // 10)
+                        - 1000000000000000 AS BIGINT) AS lnew
+            FROM r JOIN idx i ON i.rn = r.rn + 1
+        ) t
+    )
+    SELECT * FROM r
+)
+SELECT i.day, i.cents,
+       CAST(((2 * (rec.f + 1000000000000000) + 1000000) // 2000000)
+            - 1000000000 AS BIGINT) AS forecast_cents
+FROM rec JOIN idx i ON i.rn = rec.rn
+WHERE rec.rn >= 8 ORDER BY i.day
+"""
+
+
+@register("q456_holt_winters", oracle=_HW_ORACLE)
+def q456(spark, sf_dir):
+    """Holt-Winters additive (m=7) one-step forecasts in exact integer
+    micro-cents (oracle comment). Python ints reproduce the
+    positive-shift floor-division bit-for-bit — the q308 grouped-map
+    lane for sequential state."""
+    import pandas as pd
+
+    daily = _daily_cents(spark, sf_dir)
+
+    def hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        if len(pdf) < 8:
+            return pd.DataFrame(
+                {"day": pdf["day"][:0], "cents": pdf["cents"][:0],
+                 "forecast_cents": pdf["cents"][:0]}
+            )
+        B = 5 * 10**15
+        cents = [int(c) for c in pdf["cents"]]
+        days = list(pdf["day"])
+        l = (2 * sum(cents[:7]) * 10**6 + 7) // 14
+        b = 0
+        s = [c * 10**6 - l for c in cents[:7]]
+        out = []
+        for t in range(8, len(cents) + 1):
+            j = (t - 1) % 7  # 0-based seasonal slot
+            sold = s[j]
+            x = cents[t - 1] * 10**6
+            f = l + b + sold
+            lnew = ((2 * ((x - sold + 4 * (l + b)) + B) + 5) // 10) - 10**15
+            b = ((2 * ((lnew - l + 4 * b) + B) + 5) // 10) - 10**15
+            s[j] = ((2 * ((x - lnew + 4 * sold) + B) + 5) // 10) - 10**15
+            l = lnew
+            fc = ((2 * (f + 10**15) + 10**6) // (2 * 10**6)) - 10**9
+            out.append((days[t - 1], cents[t - 1], fc))
+        return pd.DataFrame(out, columns=["day", "cents", "forecast_cents"])
+
+    return (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(hw, "day timestamp_ntz, cents bigint, forecast_cents bigint")
+        .orderBy("day")
+    )
+
+
+# ---------- q457: Shapley-value channel attribution
+
+# The game-theoretic member of the q359 attribution family: channels
+# {click=1, view=2, signup=4} form coalitions; v(S) counts converters
+# whose pre-purchase touched-set is contained in S (the containment
+# join is a bitmask test, 8x8 rows). Shapley weights for |C|=3 are the
+# exact rationals {2,1,1,2}/6, embedded as an integer literal table
+# (q327 recipe) shared by both engines; phi = rhu(1e6 * sum/6) with a
+# nonnegative sum (v is monotone). Everything after the per-user
+# touched-mask aggregate is vocab-sized.
+_SHAP_W = []
+for cname, cbit in (("click", 1), ("view", 2), ("signup", 4)):
+    for s in range(8):
+        if s & cbit:
+            continue
+        k = bin(s).count("1")
+        wnum = {0: 2, 1: 1, 2: 2}[k]
+        _SHAP_W.append((cname, s, s | cbit, wnum))
+_SHAP_W_SQL = ", ".join(f"('{c}', {a}, {b}, {w})" for c, a, b, w in _SHAP_W)
+
+_SHAP_ORACLE = f"""
+WITH fp AS (
+    SELECT user_id, MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS pts
+    FROM events GROUP BY user_id
+), conv AS (
+    SELECT user_id, pts FROM fp WHERE pts IS NOT NULL
+), tch AS (
+    SELECT c.user_id,
+           CAST(COALESCE(SUM(DISTINCT CASE e.event_type
+               WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'signup' THEN 4 END),
+               0) AS BIGINT) AS mask
+    FROM conv c LEFT JOIN events e
+      ON e.user_id = c.user_id AND e.ts < c.pts
+         AND e.event_type IN ('click', 'view', 'signup')
+    GROUP BY c.user_id
+), cm AS (
+    SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt FROM tch GROUP BY mask
+), subs AS (
+    SELECT UNNEST(GENERATE_SERIES(0, 7)) AS s
+), v AS (
+    SELECT subs.s, CAST(COALESCE(SUM(cm.cnt), 0) AS BIGINT) AS v
+    FROM subs LEFT JOIN cm ON (cm.mask & subs.s) = cm.mask GROUP BY subs.s
+), w AS (
+    SELECT * FROM (VALUES {_SHAP_W_SQL}) AS t(channel, s_wo, s_wi, wnum)
+), phi AS (
+    SELECT w.channel, CAST(SUM(w.wnum * (va.v - vb.v)) AS BIGINT) AS num6
+    FROM w JOIN v va ON va.s = w.s_wi JOIN v vb ON vb.s = w.s_wo
+    GROUP BY w.channel
+)
+SELECT channel, num6,
+       CAST((2 * 1000000 * num6 + 6) // 12 AS BIGINT) AS phi_micro
+FROM phi ORDER BY channel
+"""
+
+
+@register("q457_shapley_attribution", oracle=_SHAP_ORACLE)
+def q457(spark, sf_dir):
+    """Exact 3-channel Shapley conversion credit (oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    fp = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("pts")
+    )
+    conv = fp.where(F.col("pts").isNotNull())
+    e = ev.where(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select("user_id", "ts", "event_type")
+    tch = (
+        conv.join(
+            e.withColumnRenamed("user_id", "uid"),
+            (F.col("uid") == F.col("user_id")) & (F.col("ts") < F.col("pts")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum_distinct(
+                    F.when(F.col("event_type") == "click", 1)
+                    .when(F.col("event_type") == "view", 2)
+                    .when(F.col("event_type") == "signup", 4)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("mask")
+        )
+    )
+    cm = tch.groupBy("mask").agg(F.count("*").cast("bigint").alias("cnt"))
+    subs = spark.range(0, 8).select(F.col("id").cast("bigint").alias("s"))
+    v = (
+        subs.join(
+            F.broadcast(cm),
+            F.expr("(mask & s) = mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    w = spark.createDataFrame(
+        _SHAP_W, "channel STRING, s_wo BIGINT, s_wi BIGINT, wnum BIGINT"
+    )
+    va = v.select(F.col("s").alias("s_wi"), F.col("v").alias("v_wi"))
+    vb = v.select(F.col("s").alias("s_wo"), F.col("v").alias("v_wo"))
+    phi = (
+        w.join(F.broadcast(va), "s_wi")
+        .join(F.broadcast(vb), "s_wo")
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("wnum") * (F.col("v_wi") - F.col("v_wo")))
+            .cast("bigint")
+            .alias("num6")
+        )
+    )
+    return phi.selectExpr(
+        "channel", "num6",
+        "CAST((2 * 1000000 * num6 + 6) DIV 12 AS BIGINT) AS phi_micro",
+    ).orderBy("channel")
+
+
+# ---------- q458: single-frequency spectral power (weekly Goertzel)
+
+# Does daily revenue carry a weekly cycle? DFT power at harmonics
+# k = 1..3 of period 7, with the 21 cos/sin values embedded as
+# rationally-fixed micro literals (q327/q438 recipe — the ONLY
+# transcendentals, frozen as shared text). Each projection is then an
+# exact integer dot product over the |days| frame carried in
+# HUGEINT/DECIMAL(38,0) (terms reach ~1e15 x 2400 days at sf0.1), and
+# the amplitude is the q207 double over the exact cent-scale parts.
+_GOERTZEL_LITS = []
+import math as _math  # noqa: E402
+
+for _k in range(1, 4):
+    for _j in range(7):
+        _ang = 2.0 * _math.pi * _k * _j / 7.0
+        for _fn, _nm in ((_math.cos, "c"), (_math.sin, "s")):
+            _v = _fn(_ang)
+            _q = int(_math.floor(abs(_v) * 1000000 + 0.5))
+            _GOERTZEL_LITS.append((_k, _j, _nm, _q if _v >= 0 else -_q))
+_GZ_ROWS = {}
+for _k, _j, _nm, _q in _GOERTZEL_LITS:
+    _GZ_ROWS.setdefault((_k, _j), {})[_nm] = _q
+_GZ_SQL = ", ".join(
+    f"({k}, {j}, {d['c']}, {d['s']})" for (k, j), d in sorted(_GZ_ROWS.items())
+)
+
+_GOERTZEL_ORACLE = _DAILY_CTE + f"""
+, idx AS (
+    SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+), lits AS (
+    SELECT * FROM (VALUES {_GZ_SQL}) AS t(k, j, c_mi, s_mi)
+), proj AS (
+    SELECT lits.k,
+           CAST(SUM(CAST(idx.cents AS HUGEINT) * lits.c_mi) AS HUGEINT) AS re_mc,
+           CAST(SUM(CAST(idx.cents AS HUGEINT) * lits.s_mi) AS HUGEINT) AS im_mc
+    FROM idx JOIN lits ON lits.j = (idx.rn - 1) % 7
+    GROUP BY lits.k
+), cents_scale AS (
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(((2 * (re_mc + 1000000000000000000000) + 1000000) // 2000000)
+                - 1000000000000000 AS BIGINT) AS re_cents,
+           CAST(((2 * (im_mc + 1000000000000000000000) + 1000000) // 2000000)
+                - 1000000000000000 AS BIGINT) AS im_cents
+    FROM proj
+)
+SELECT k, re_cents, im_cents,
+       ROUND(SQRT(CAST(re_cents AS DOUBLE) * CAST(re_cents AS DOUBLE)
+                  + CAST(im_cents AS DOUBLE) * CAST(im_cents AS DOUBLE)), 4)
+           AS amplitude
+FROM cents_scale ORDER BY k
+"""
+
+
+@register("q458_goertzel_weekly", oracle=_GOERTZEL_ORACLE)
+def q458(spark, sf_dir):
+    """Weekly-harmonic DFT projections of daily revenue (oracle
+    comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("day")
+    idx = daily.select("cents", F.row_number().over(w).alias("rn"))
+    lits = spark.createDataFrame(
+        [(k, j, d["c"], d["s"]) for (k, j), d in sorted(_GZ_ROWS.items())],
+        "k INT, j INT, c_mi BIGINT, s_mi BIGINT",
+    )
+    proj = (
+        idx.join(F.broadcast(lits), F.expr("j = (rn - 1) % 7"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("c_mi"))
+            .cast("decimal(38,0)")
+            .alias("re_mc"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("s_mi"))
+            .cast("decimal(38,0)")
+            .alias("im_mc"),
+        )
+    )
+    sc = proj.selectExpr(
+        "CAST(k AS BIGINT) AS k",
+        "CAST(((2 * (re_mc + CAST(1000000000000000000000 AS DECIMAL(38,0)))"
+        " + 1000000) DIV 2000000) - 1000000000000000 AS BIGINT) AS re_cents",
+        "CAST(((2 * (im_mc + CAST(1000000000000000000000 AS DECIMAL(38,0)))"
+        " + 1000000) DIV 2000000) - 1000000000000000 AS BIGINT) AS im_cents",
+    )
+    return sc.select(
+        "k", "re_cents", "im_cents",
+        F.round(
+            F.sqrt(
+                F.col("re_cents").cast("double") * F.col("re_cents").cast("double")
+                + F.col("im_cents").cast("double") * F.col("im_cents").cast("double")
+            ),
+            4,
+        ).alias("amplitude"),
+    ).orderBy("k")
+
+
+# ---------- q459: leaderboard persistence (top-10 churn across months)
+
+# How sticky is the monthly top-10 parts leaderboard? Rank per month by
+# shipped revenue (unique partkey tiebreak), keep rank <= 10 — the
+# filter is plan-prunable (WindowGroupLimit pushes the limit map-side,
+# the q425 posture) — then profile each part's tenure: months on
+# board, first/last month, best rank. Exact integers end-to-end.
+_LEADER_ORACLE = """
+WITH m AS (
+    SELECT strftime(l_shipdate, '%Y-%m') AS mon, l_partkey AS part,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS rev
+    FROM lineitem GROUP BY mon, part
+), r AS (
+    SELECT mon, part,
+           ROW_NUMBER() OVER (PARTITION BY mon ORDER BY rev DESC, part) AS rn
+    FROM m
+), top AS (
+    SELECT mon, part, rn FROM r WHERE rn <= 10
+)
+SELECT part, CAST(COUNT(*) AS BIGINT) AS months_on_board,
+       MIN(mon) AS first_mon, MAX(mon) AS last_mon,
+       CAST(MIN(rn) AS BIGINT) AS best_rank
+FROM top GROUP BY part
+ORDER BY months_on_board DESC, part
+"""
+
+
+@register("q459_leaderboard_persistence", oracle=_LEADER_ORACLE)
+def q459(spark, sf_dir):
+    """Tenure profile of monthly top-10 revenue parts (oracle
+    comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    m = (
+        li.select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("mon"),
+            F.col("l_partkey").alias("part"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("mon", "part")
+        .agg(F.sum("cents").cast("bigint").alias("rev"))
+    )
+    wr = Window.partitionBy("mon").orderBy(F.desc("rev"), "part")
+    top = m.withColumn("rn", F.row_number().over(wr)).where(F.col("rn") <= 10)
+    return (
+        top.groupBy("part")
+        .agg(
+            F.count("*").cast("bigint").alias("months_on_board"),
+            F.min("mon").alias("first_mon"),
+            F.max("mon").alias("last_mon"),
+            F.min("rn").cast("bigint").alias("best_rank"),
+        )
+        .orderBy(F.desc("months_on_board"), "part")
+    )
+
+
+# ---------- q460: Little's law audit (L = lambda * W, two machineries)
+
+# Ops-analytics identity check computed two INDEPENDENT ways: the
+# time-average concurrency L from a sweep-line integral over user
+# presence intervals (+1/-1 boundary walk, piecewise-constant
+# concurrency x exact microsecond segment widths — the q205/q208
+# machinery), and lambda*W from per-user durations. The two integer
+# numerators are equal by Fubini — a method-independence audit (q114
+# rule) that catches any boundary-handling bug in either lane. All
+# micro divisions are positive round-half-up in HUGEINT/DECIMAL(38,0).
+_LITTLE_ORACLE = """
+WITH iv AS (
+    SELECT user_id, EPOCH_US(MIN(ts)) AS a, EPOCH_US(MAX(ts)) AS b
+    FROM events GROUP BY user_id
+), win AS (
+    SELECT CAST(MIN(a) AS BIGINT) AS w0, CAST(MAX(b) AS BIGINT) AS w1,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(b - a) AS BIGINT) AS sum_dur
+    FROM iv
+), bnd AS (
+    SELECT a AS t, 1 AS delta FROM iv
+    UNION ALL SELECT b, -1 FROM iv
+), per_t AS (
+    SELECT t, CAST(SUM(delta) AS BIGINT) AS net FROM bnd GROUP BY t
+), sw AS (
+    SELECT t, SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc,
+           LEAD(t) OVER (ORDER BY t) AS nt
+    FROM per_t
+), integ AS (
+    SELECT CAST(SUM(conc * (nt - t)) AS BIGINT) AS area
+    FROM sw WHERE nt IS NOT NULL
+)
+SELECT win.n AS n_users, integ.area AS area_us, win.sum_dur AS sum_dur_us,
+       CAST((2 * 1000000 * CAST(integ.area AS HUGEINT) + (win.w1 - win.w0))
+            // (2 * CAST(win.w1 - win.w0 AS HUGEINT)) AS BIGINT) AS l_sweep_micro,
+       CAST((2 * 1000000 * CAST(win.sum_dur AS HUGEINT) + (win.w1 - win.w0))
+            // (2 * CAST(win.w1 - win.w0 AS HUGEINT)) AS BIGINT) AS l_lw_micro,
+       CAST((2 * 1000000 * CAST(win.n AS HUGEINT) * 86400000000
+             + (win.w1 - win.w0))
+            // (2 * CAST(win.w1 - win.w0 AS HUGEINT)) AS BIGINT)
+           AS lambda_day_micro,
+       CAST((2 * 1000000 * CAST(win.sum_dur AS HUGEINT)
+             + CAST(win.n AS HUGEINT) * 86400000000)
+            // (2 * CAST(win.n AS HUGEINT) * 86400000000) AS BIGINT)
+           AS w_days_micro
+FROM win, integ
+"""
+
+
+@register("q460_littles_law", oracle=_LITTLE_ORACLE)
+def q460(spark, sf_dir):
+    """Sweep-line L vs lambda*W in exact micro units (oracle
+    comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    iv = ev.groupBy("user_id").agg(
+        F.unix_micros(F.min("ts")).alias("a"),
+        F.unix_micros(F.max("ts")).alias("b"),
+    )
+    win = iv.agg(
+        F.min("a").cast("bigint").alias("w0"),
+        F.max("b").cast("bigint").alias("w1"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("b") - F.col("a")).cast("bigint").alias("sum_dur"),
+    )
+    bnd = iv.select(F.col("a").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("b").alias("t"), F.lit(-1).alias("delta"))
+    )
+    per_t = bnd.groupBy("t").agg(F.sum("delta").cast("bigint").alias("net"))
+    wsw = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("t")
+    sw = per_t.select(
+        "t", F.sum("net").over(wsw).alias("conc"), F.lead("t").over(wl).alias("nt")
+    )
+    integ = sw.where(F.col("nt").isNotNull()).agg(
+        F.sum(F.col("conc") * (F.col("nt") - F.col("t")))
+        .cast("bigint")
+        .alias("area")
+    )
+    return (
+        win.crossJoin(F.broadcast(integ))
+        .selectExpr(
+            "n AS n_users", "area AS area_us", "sum_dur AS sum_dur_us",
+            "CAST((2 * 1000000 * CAST(area AS DECIMAL(38,0)) + (w1 - w0))"
+            " DIV (2 * CAST(w1 - w0 AS DECIMAL(38,0))) AS BIGINT) AS l_sweep_micro",
+            "CAST((2 * 1000000 * CAST(sum_dur AS DECIMAL(38,0)) + (w1 - w0))"
+            " DIV (2 * CAST(w1 - w0 AS DECIMAL(38,0))) AS BIGINT) AS l_lw_micro",
+            "CAST((2 * 1000000 * CAST(n AS DECIMAL(38,0)) * 86400000000"
+            " + (w1 - w0))"
+            " DIV (2 * CAST(w1 - w0 AS DECIMAL(38,0))) AS BIGINT)"
+            " AS lambda_day_micro",
+            "CAST((2 * 1000000 * CAST(sum_dur AS DECIMAL(38,0))"
+            " + CAST(n AS DECIMAL(38,0)) * 86400000000)"
+            " DIV (2 * CAST(n AS DECIMAL(38,0)) * 86400000000) AS BIGINT)"
+            " AS w_days_micro",
+        )
+    )

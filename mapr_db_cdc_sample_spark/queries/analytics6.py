@@ -1180,7 +1180,13 @@ ORDER BY npos.doc_id
 @register("q436_substring_dup_profile", oracle=_SUBDUP_ORACLE)
 def q436(spark, sf_dir):
     """Per-doc shared 20-char-shingle coverage in micro units (oracle
-    comment)."""
+    comment). The position stream collapses to (shingle, doc) COUNTS
+    first, so the wide string key is shuffled once and the dup-set
+    join runs on the collapsed frame, never the position stream (the
+    original countDistinct form re-shuffled positions twice: 17.9s ->
+    14s at sf0.1; the residual cost is the inherent position-stream
+    volume of ExactSubstr — len x docs shingle rows through one wide
+    shuffle)."""
     d = load_tables(spark, sf_dir)["documents"]
     sh = (
         d.where(F.length("text") >= 20)
@@ -1193,17 +1199,18 @@ def q436(spark, sf_dir):
         )
         .select("doc_id", F.expr("substring(text, i, 20)").alias("g"))
     )
+    dd = sh.groupBy("g", "doc_id").agg(F.count("*").cast("bigint").alias("cnt"))
     du = (
-        sh.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        dd.groupBy("g")
+        .agg(F.count("*").alias("nd"))
         .where(F.col("nd") >= 2)
         .select("g")
     )
-    npos = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_pos"))
+    npos = dd.groupBy("doc_id").agg(F.sum("cnt").cast("bigint").alias("n_pos"))
     ndup = (
-        sh.join(du, "g")
+        dd.join(du, "g")
         .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("n_dup"))
+        .agg(F.sum("cnt").cast("bigint").alias("n_dup"))
     )
     return (
         npos.join(ndup, "doc_id", "left")
@@ -2023,83 +2030,125 @@ ORDER BY node
 @register("q446_consistent_hash_rebalance", oracle=_CHASH_ORACLE)
 def q446(spark, sf_dir):
     """Per-node placement before/after adding a ring node + moved share
-    (oracle comment)."""
+    (oracle comment). The Spark path is the deployment form: the ring
+    is computed ON THE DRIVER with hashlib md5 (160 entries — the
+    kmeans driver-bounded rule; bit-identical to the oracle's MD5),
+    turned into successor INTERVALS (kh in (h_{i-1}, h_i] -> node_i,
+    plus the wrap interval), and bucketed by kh >> 24 into a ~420-row
+    broadcast table — so each key resolves through a codegen
+    BroadcastHashJoin probing 1-2 candidate rows. Earlier forms: the
+    key x ring crossJoin shuffled 48M rows (24.9s at sf0.1); an
+    array-filter lookup was CodegenFallback-interpreted (15.6s); a
+    160-branch LEAST blew the codegen budget (89s). This is the
+    interval-bucketing trick (q132 posture) and the form that scales.
+    Downstream, everything derives from ONE (na, nb) pair-count pass."""
+    import hashlib
+
+    def h32(text):
+        return int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+
+    ring = sorted(
+        (h32(f"node{n}:{v}"), n) for n in range(5) for v in range(32)
+    )
+    ring_a = [(h, n) for h, n in ring if n <= 3]
+
+    def bucket_rows(entries):
+        ded = []
+        for h, n in entries:
+            if ded and ded[-1][0] == h:
+                continue  # ring-position tie -> lowest node (sorted order)
+            ded.append((h, n))
+        iv, prev = [], -1
+        for h, n in ded:
+            iv.append((prev + 1, h, n))
+            prev = h
+        iv.append((prev + 1, (1 << 32) - 1, ded[0][1]))  # wrap-around
+        return [
+            (b, lo, hi, n)
+            for lo, hi, n in iv
+            for b in range(lo >> 24, (hi >> 24) + 1)
+        ]
+
     o = load_tables(spark, sf_dir)["orders"]
     ks = o.select(
-        F.col("o_orderkey").alias("k"),
         F.conv(
-            F.substring(F.md5(F.concat(F.lit("k"), F.col("o_orderkey").cast("string"))), 1, 8),
+            F.substring(
+                F.md5(F.concat(F.lit("k"), F.col("o_orderkey").cast("string"))), 1, 8
+            ),
             16, 10,
         )
         .cast("bigint")
-        .alias("kh"),
+        .alias("kh")
+    ).withColumn("bkt", F.expr("CAST(kh DIV 16777216 AS INT)"))
+
+    rows_a = [("a", *r) for r in bucket_rows(ring_a)]
+    rows_b = [("b", *r) for r in bucket_rows(ring)]
+    t = spark.createDataFrame(
+        rows_a + rows_b, "lane STRING, bkt INT, lo BIGINT, hi BIGINT, node INT"
     )
-    ring = (
-        spark.range(0, 5)
-        .select(F.col("id").cast("int").alias("n"))
-        .crossJoin(spark.range(0, 32).select(F.col("id").cast("int").alias("v")))
-        .select(
-            "n", "v",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("node"), F.col("n").cast("string"), F.lit(":"),
-                            F.col("v").cast("string"),
-                        )
-                    ),
-                    1, 8,
-                ),
-                16, 10,
-            )
-            .cast("bigint")
-            .alias("h"),
-        )
+    ta = (
+        F.broadcast(t.where(F.col("lane") == "a"))
+        .selectExpr("bkt", "lo AS na_lo", "hi AS na_hi", "node AS na")
     )
-    asg = (
-        ks.crossJoin(F.broadcast(ring))
-        .groupBy("k", "kh")
-        .agg(
-            F.coalesce(
-                F.min(F.when((F.col("n") <= 3) & (F.col("h") >= F.col("kh")), F.col("h"))),
-                F.min(F.when(F.col("n") <= 3, F.col("h"))),
-            ).alias("ha"),
-            F.coalesce(
-                F.min(F.when(F.col("h") >= F.col("kh"), F.col("h"))),
-                F.min("h"),
-            ).alias("hb"),
-        )
+    tb = (
+        F.broadcast(t.where(F.col("lane") == "b"))
+        .selectExpr("bkt", "lo AS nb_lo", "hi AS nb_hi", "node AS nb")
     )
     fin = (
-        asg.crossJoin(F.broadcast(ring))
-        .groupBy("k", "ha", "hb")
-        .agg(
-            F.min(
-                F.when((F.col("h") == F.col("ha")) & (F.col("n") <= 3), F.col("n"))
-            ).alias("na"),
-            F.min(F.when(F.col("h") == F.col("hb"), F.col("n"))).alias("nb"),
-        )
+        ks.join(ta, "bkt")
+        .where(F.col("kh").between(F.col("na_lo"), F.col("na_hi")))
+        .join(tb, "bkt")
+        .where(F.col("kh").between(F.col("nb_lo"), F.col("nb_hi")))
     )
-    mv = fin.agg(
-        F.count("*").cast("bigint").alias("n_keys"),
-        F.count(F.when(F.col("na") != F.col("nb"), 1)).cast("bigint").alias("n_moved"),
-    )
-    bc = fin.groupBy(F.col("na").alias("node")).agg(
-        F.count("*").cast("bigint").alias("cb")
-    )
-    ac = fin.groupBy(F.col("nb").alias("node")).agg(
-        F.count("*").cast("bigint").alias("ca")
+    pairs = fin.groupBy("na", "nb").agg(F.count("*").cast("bigint").alias("c"))
+    # pairs (<=25 rows) is consumed ONCE: each pair explodes into its
+    # before-lane and after-lane contribution, the per-node report is
+    # one groupBy over those, and the global totals ride tiny
+    # unpartitioned window sums — three earlier aggregate branches made
+    # AQE re-run the whole key scan per branch (column pruning broke
+    # exchange reuse).
+    contrib = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("na").alias("node"),
+                    F.col("c").alias("cb"),
+                    F.lit(0).cast("bigint").alias("ca"),
+                    F.when(F.col("na") != F.col("nb"), F.col("c"))
+                    .otherwise(0)
+                    .cast("bigint")
+                    .alias("mvc"),
+                ),
+                F.struct(
+                    F.col("nb").alias("node"),
+                    F.lit(0).cast("bigint").alias("cb"),
+                    F.col("c").alias("ca"),
+                    F.lit(0).cast("bigint").alias("mvc"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    per_node = contrib.groupBy("node").agg(
+        F.sum("cb").cast("bigint").alias("cb"),
+        F.sum("ca").cast("bigint").alias("ca"),
+        F.sum("mvc").cast("bigint").alias("mvc"),
     )
     grid = spark.range(0, 5).select(F.col("id").cast("int").alias("node"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        grid.join(bc, "node", "left")
-        .join(ac, "node", "left")
-        .crossJoin(F.broadcast(mv))
+        grid.join(per_node, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.coalesce(F.col("cb"), F.lit(0)).cast("bigint").alias("n_before"),
+            F.coalesce(F.col("ca"), F.lit(0)).cast("bigint").alias("n_after"),
+            F.coalesce(F.col("mvc"), F.lit(0)).cast("bigint").alias("mvc"),
+        )
+        .withColumn("n_keys", F.sum("n_before").over(wall).cast("bigint"))
+        .withColumn("n_moved", F.sum("mvc").over(wall).cast("bigint"))
         .selectExpr(
-            "CAST(node AS BIGINT) AS node",
-            "COALESCE(cb, CAST(0 AS BIGINT)) AS n_before",
-            "COALESCE(ca, CAST(0 AS BIGINT)) AS n_after",
-            "n_keys", "n_moved",
+            "node", "n_before", "n_after", "n_keys", "n_moved",
             "CAST((2 * 1000000 * n_moved + n_keys) DIV (2 * n_keys) AS BIGINT)"
             " AS moved_micro",
         )

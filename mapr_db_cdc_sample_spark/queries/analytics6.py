@@ -3421,3 +3421,633 @@ def q460(spark, sf_dir):
             " AS w_days_micro",
         )
     )
+
+
+# ---------- q461: random walk with restart (seeded proximity)
+
+# Personalized proximity on the part co-purchase graph — the SEEDED
+# counterpart of q160's global PageRank: three unrolled RWR rounds
+# (damping 0.85, restart mass to the seed) in integer micro
+# probability, every per-edge transfer one round-half-up division
+# (operands positive). Edges are within-order part pairs (quadratic
+# only inside an order's item list — bounded fan, the q44 invariant);
+# the seed is the min partkey among max-co-degree parts
+# (engine-deterministic). Top-20 by (score DESC, part).
+_RWR_ORACLE = """
+WITH ip AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+    SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
+    FROM ip a JOIN ip b ON a.o = b.o AND a.p <> b.p
+    GROUP BY a.p, b.p
+), deg AS (
+    SELECT u, CAST(SUM(w) AS BIGINT) AS dw FROM e GROUP BY u
+), seed AS (
+    SELECT MIN(u) AS s FROM deg
+    WHERE dw = (SELECT MAX(dw) FROM deg)
+), p0 AS (
+    SELECT deg.u AS v, CASE WHEN deg.u = seed.s THEN 1000000 ELSE 0 END AS p
+    FROM deg, seed
+), p1 AS (
+    SELECT e.v,
+           CAST(SUM((2 * 85 * p0.p * e.w + 100 * deg.dw) // (2 * 100 * deg.dw))
+                AS BIGINT)
+           + MAX(CASE WHEN e.v = seed.s THEN 150000 ELSE 0 END) AS p
+    FROM e JOIN p0 ON p0.v = e.u JOIN deg ON deg.u = e.u, seed
+    GROUP BY e.v, seed.s
+), p2 AS (
+    SELECT e.v,
+           CAST(SUM((2 * 85 * p1.p * e.w + 100 * deg.dw) // (2 * 100 * deg.dw))
+                AS BIGINT)
+           + MAX(CASE WHEN e.v = seed.s THEN 150000 ELSE 0 END) AS p
+    FROM e JOIN p1 ON p1.v = e.u JOIN deg ON deg.u = e.u, seed
+    GROUP BY e.v, seed.s
+), p3 AS (
+    SELECT e.v,
+           CAST(SUM((2 * 85 * p2.p * e.w + 100 * deg.dw) // (2 * 100 * deg.dw))
+                AS BIGINT)
+           + MAX(CASE WHEN e.v = seed.s THEN 150000 ELSE 0 END) AS p
+    FROM e JOIN p2 ON p2.v = e.u JOIN deg ON deg.u = e.u, seed
+    GROUP BY e.v, seed.s
+)
+SELECT v AS part, p AS score_micro
+FROM p3 ORDER BY score_micro DESC, part LIMIT 20
+"""
+
+
+@register("q461_rwr_proximity", oracle=_RWR_ORACLE)
+def q461(spark, sf_dir):
+    """Three-round seeded RWR scores in integer micro (oracle
+    comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    ip = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = ip.select("o", F.col("p").alias("u"))
+    b = ip.select("o", F.col("p").alias("v"))
+    e = (
+        a.join(b, "o")
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    deg = e.groupBy("u").agg(F.sum("w").cast("bigint").alias("dw"))
+    seed = (
+        deg.agg(F.max("dw").alias("mx"))
+        .crossJoin(deg)
+        .where(F.col("dw") == F.col("mx"))
+        .agg(F.min("u").alias("s"))
+    )
+    ew = e.join(deg, "u").crossJoin(F.broadcast(seed))
+    p = deg.crossJoin(F.broadcast(seed)).select(
+        F.col("u").alias("v"),
+        F.when(F.col("u") == F.col("s"), 1000000).otherwise(0).alias("p"),
+    )
+    for _ in range(3):
+        p = (
+            ew.join(p.withColumnRenamed("v", "u"), "u")
+            .groupBy("v", "s")
+            .agg(
+                (
+                    F.sum(
+                        F.expr("(2 * 85 * p * w + 100 * dw) DIV (2 * 100 * dw)")
+                    )
+                    + F.max(F.when(F.col("v") == F.col("s"), 150000).otherwise(0))
+                )
+                .cast("bigint")
+                .alias("p")
+            )
+            .select("v", "p")
+        )
+    return (
+        p.select(F.col("v").alias("part"), F.col("p").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), "part")
+        .limit(20)
+    )
+
+
+# ---------- q462: rolling exact p95 (trailing 7 days, histogram merge)
+
+# SRE-style rolling tail monitoring done EXACTLY at scale: per-day
+# order-value histograms are the mergeable state; each day's trailing
+# window is the sum of <=7 tiny histograms (day -> target-day explode
+# over a 0..6 offset grid — work is histogram cells x 7, never orders
+# x 7), and the p95 is the nearest-rank pick pos = ceil(0.95 n) from
+# the merged cumulative frame. Only days with a full 7-day history
+# report.
+_ROLLP_ORACLE = """
+WITH h AS (
+    SELECT o_orderdate AS day,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY day, c
+), lim AS (
+    SELECT MIN(day) AS d0 FROM h
+), sh AS (
+    SELECT h.day + TO_DAYS(CAST(g.o AS INT)) AS tday, h.c, h.cnt
+    FROM h, (SELECT UNNEST(GENERATE_SERIES(0, 6)) AS o) g
+), m AS (
+    SELECT tday, c, CAST(SUM(cnt) AS BIGINT) AS cnt FROM sh GROUP BY tday, c
+), valid AS (
+    SELECT m.* FROM m, lim
+    WHERE m.tday >= lim.d0 + TO_DAYS(6)
+      AND m.tday <= (SELECT MAX(day) FROM h)
+), cum AS (
+    SELECT tday, c, cnt,
+           COALESCE(SUM(cnt) OVER (PARTITION BY tday ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM valid
+), nn AS (
+    SELECT tday, CAST(SUM(cnt) AS BIGINT) AS n FROM valid GROUP BY tday
+)
+SELECT cum.tday AS day, nn.n,
+       MAX(CASE WHEN (95 * nn.n + 99) // 100 BETWEEN cb + 1 AND cb + cnt
+                THEN c END) AS p95_cents
+FROM cum JOIN nn ON cum.tday = nn.tday
+GROUP BY cum.tday, nn.n ORDER BY day
+"""
+
+
+@register("q462_rolling_p95", oracle=_ROLLP_ORACLE)
+def q462(spark, sf_dir):
+    """Exact trailing-7-day p95 via mergeable day histograms (oracle
+    comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    h = (
+        o.select(
+            F.col("o_orderdate").alias("day"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("day", "c")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    lim = h.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    g = spark.range(0, 7).select(F.col("id").cast("int").alias("o"))
+    sh = (
+        h.crossJoin(F.broadcast(g))
+        .select(
+            F.expr("day + make_interval(0, 0, 0, o)").alias("tday"), "c", "cnt"
+        )
+    )
+    m = sh.groupBy("tday", "c").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    valid = (
+        m.crossJoin(F.broadcast(lim))
+        .where(
+            (F.col("tday") >= F.expr("d0 + make_interval(0, 0, 0, 6)"))
+            & (F.col("tday") <= F.col("d1"))
+        )
+        .select("tday", "c", "cnt")
+    )
+    wt = Window.partitionBy("tday").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = valid.select(
+        "tday", "c", "cnt",
+        F.coalesce(F.sum("cnt").over(wt), F.lit(0)).alias("cb"),
+    )
+    nn = valid.groupBy("tday").agg(F.sum("cnt").cast("bigint").alias("n"))
+    return (
+        cum.join(nn, "tday")
+        .groupBy(F.col("tday").alias("day"), "n")
+        .agg(
+            F.max(
+                F.when(
+                    F.expr("(95 * n + 99) DIV 100").between(
+                        F.col("cb") + 1, F.col("cb") + F.col("cnt")
+                    ),
+                    F.col("c"),
+                )
+            ).alias("p95_cents")
+        )
+        .orderBy("day")
+    )
+
+
+# ---------- q463: cohort LTV accumulation curve
+
+# Lifetime-value readout beside q182's retention cohorts: customers
+# grouped by FIRST-order month, cumulative revenue per cohort at ages
+# 0..5 months. The age arithmetic runs on integer month indexes
+# (yyyy*12 + mm — no date subtraction ambiguity), sums are exact
+# cents, and the accumulation is one ordered window per cohort over
+# the (cohort, age) aggregate frame.
+_LTV_ORACLE = """
+WITH fo AS (
+    SELECT o_custkey AS cust,
+           MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) AS m0
+    FROM orders GROUP BY cust
+), rev AS (
+    SELECT fo.m0,
+           (YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate)) - fo.m0 AS age,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o JOIN fo ON o.o_custkey = fo.cust
+    WHERE (YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate)) - fo.m0 <= 5
+    GROUP BY fo.m0, age
+), sz AS (
+    SELECT m0, CAST(COUNT(*) AS BIGINT) AS n_cust FROM fo GROUP BY m0
+)
+SELECT CAST(rev.m0 AS BIGINT) AS cohort_month, sz.n_cust,
+       CAST(rev.age AS BIGINT) AS age,
+       CAST(SUM(rev.cents) OVER (PARTITION BY rev.m0 ORDER BY rev.age
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM rev JOIN sz ON rev.m0 = sz.m0
+ORDER BY cohort_month, age
+"""
+
+
+@register("q463_cohort_ltv", oracle=_LTV_ORACLE)
+def q463(spark, sf_dir):
+    """Cumulative cohort revenue by month age 0..5 (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    mi = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    fo = o.groupBy(F.col("o_custkey").alias("cust")).agg(F.min(mi).alias("m0"))
+    rev = (
+        o.join(fo, F.col("o_custkey") == F.col("cust"))
+        .select(
+            "m0",
+            (mi - F.col("m0")).alias("age"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .where(F.col("age") <= 5)
+        .groupBy("m0", "age")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    sz = fo.groupBy("m0").agg(F.count("*").cast("bigint").alias("n_cust"))
+    wc = Window.partitionBy("m0").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.join(sz, "m0")
+        .select(
+            F.col("m0").cast("bigint").alias("cohort_month"),
+            "n_cust",
+            F.col("age").cast("bigint").alias("age"),
+            F.sum("cents").over(wc).cast("bigint").alias("cum_cents"),
+        )
+        .orderBy("cohort_month", "age")
+    )
+
+
+# ---------- q464: Freedman-Diaconis histogram binning
+
+# Principled bin-width selection for the distribution profiler
+# (q121/q176 kin): width = 2*IQR/n^(1/3), with the quartiles exact
+# nearest-rank histogram picks, the cube root the ONE rounded
+# transcendental (micro), and the width a round-half-up integer in
+# cents. The resulting histogram bins by integer DIV — edges
+# engine-exact by construction.
+_FD_ORACLE = """
+WITH v AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM orders
+), h AS (
+    SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY c
+), cum AS (
+    SELECT c, cnt,
+           COALESCE(SUM(cnt) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM h
+), nn AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(MIN(c) AS BIGINT) AS cmin
+    FROM h
+), qr AS (
+    SELECT MAX(CASE WHEN (25 * nn.n + 99) // 100 BETWEEN cb + 1 AND cb + cnt
+                    THEN c END) AS q1,
+           MAX(CASE WHEN (75 * nn.n + 99) // 100 BETWEEN cb + 1 AND cb + cnt
+                    THEN c END) AS q3
+    FROM cum, nn
+), w AS (
+    SELECT CAST((2 * 2 * (q3 - q1) * 1000000
+                 + CAST(ROUND(POWER(CAST(nn.n AS DOUBLE), CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)) * 1000000, 0)
+                        AS BIGINT))
+                // (2 * CAST(ROUND(POWER(CAST(nn.n AS DOUBLE), CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
+                                   * 1000000, 0) AS BIGINT))
+           AS BIGINT) AS width
+    FROM qr, nn
+)
+SELECT CAST((v.c - nn.cmin) // w.width AS BIGINT) AS bin,
+       CAST(nn.cmin + ((v.c - nn.cmin) // w.width) * w.width AS BIGINT) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       w.width AS width_cents
+FROM v, nn, w
+GROUP BY bin, bin_lo, w.width ORDER BY bin
+"""
+
+
+@register("q464_fd_binning", oracle=_FD_ORACLE)
+def q464(spark, sf_dir):
+    """Freedman-Diaconis-width histogram with exact integer edges
+    (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    v = o.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("c")
+    )
+    h = v.groupBy("c").agg(F.count("*").cast("bigint").alias("cnt"))
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    cum = h.select(
+        "c", "cnt", F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("cb")
+    )
+    nn = v.agg(
+        F.count("*").cast("bigint").alias("n"), F.min("c").cast("bigint").alias("cmin")
+    )
+    qr = (
+        cum.crossJoin(F.broadcast(nn))
+        .agg(
+            F.max(
+                F.when(
+                    F.expr("(25 * n + 99) DIV 100").between(
+                        F.col("cb") + 1, F.col("cb") + F.col("cnt")
+                    ),
+                    F.col("c"),
+                )
+            ).alias("q1"),
+            F.max(
+                F.when(
+                    F.expr("(75 * n + 99) DIV 100").between(
+                        F.col("cb") + 1, F.col("cb") + F.col("cnt")
+                    ),
+                    F.col("c"),
+                )
+            ).alias("q3"),
+        )
+    )
+    w = qr.crossJoin(F.broadcast(nn)).selectExpr(
+        "CAST((2 * 2 * (q3 - q1) * 1000000"
+        " + CAST(ROUND(POWER(CAST(n AS DOUBLE), CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)) * 1000000, 0)"
+        " AS BIGINT))"
+        " DIV (2 * CAST(ROUND(POWER(CAST(n AS DOUBLE), CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)) * 1000000, 0)"
+        " AS BIGINT)) AS BIGINT) AS width"
+    )
+    return (
+        v.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(w))
+        .selectExpr(
+            "CAST((c - cmin) DIV width AS BIGINT) AS bin",
+            "CAST(cmin + ((c - cmin) DIV width) * width AS BIGINT) AS bin_lo",
+            "width AS width_cents",
+        )
+        .groupBy("bin", "bin_lo", "width_cents")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select("bin", "bin_lo", "cnt", "width_cents")
+        .orderBy("bin")
+    )
+
+
+# ---------- q465: join-strategy hint parity (broadcast / merge / hash)
+
+# Physical-strategy independence audit: the SAME customer x orders
+# aggregate through three hinted join strategies (BROADCAST,
+# SHUFFLE_MERGE, SHUFFLE_HASH) must agree cell-for-cell — method
+# independence at the PLAN level (q114's rule applied to join
+# algorithms; the hint surface itself is the API under test). The
+# oracle replays one join three times with lane literals.
+_HINTS_ORACLE = """
+WITH j AS (
+    SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY segment
+)
+SELECT lane, segment, n_orders, rev_cents FROM (
+    SELECT 'broadcast' AS lane, * FROM j
+    UNION ALL SELECT 'merge', * FROM j
+    UNION ALL SELECT 'shuffle_hash', * FROM j
+) ORDER BY lane, segment
+"""
+
+
+@register("q465_join_hint_parity", oracle=_HINTS_ORACLE)
+def q465(spark, sf_dir):
+    """Identical aggregate through three hinted join strategies (oracle
+    comment)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    c = t["customer"].select("c_custkey", "c_mktsegment")
+
+    def lane(name, hint):
+        return (
+            o.join(c.hint(hint), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("rev_cents"),
+            )
+            .select(F.lit(name).alias("lane"), "segment", "n_orders", "rev_cents")
+        )
+
+    return (
+        lane("broadcast", "BROADCAST")
+        .unionAll(lane("merge", "SHUFFLE_MERGE"))
+        .unionAll(lane("shuffle_hash", "SHUFFLE_HASH"))
+        .orderBy("lane", "segment")
+    )
+
+
+# ---------- q466: offline bandit policy replay (counterfactual eval)
+
+# Offline policy evaluation by the replay method (Li et al. 2011): the
+# logged "randomized" arm is md5(event_id) % 3 (deterministic stand-in
+# for a uniform logger), the target policy is greedy on first-20-days
+# CTR per 6-hour context (argmax by rhu micro CTR, lowest arm on
+# ties), and the estimate averages rewards over eval-window events
+# where the logged arm HAPPENS to match the policy — the unbiased
+# subset under uniform logging. Exact integers end-to-end.
+_REPLAY_ORACLE = """
+WITH base AS (
+    SELECT ('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 3
+               AS arm,
+           HOUR(ts) // 6 AS ctx,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS reward,
+           CAST(ts AS DATE) < DATE '2024-01-21' AS is_train
+    FROM events
+), train AS (
+    SELECT ctx, arm, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(reward) AS BIGINT) AS conv
+    FROM base WHERE is_train GROUP BY ctx, arm
+), scored AS (
+    SELECT ctx, arm, (2 * 1000000 * conv + n) // (2 * n) AS ctr_mi,
+           ROW_NUMBER() OVER (PARTITION BY ctx
+               ORDER BY (2 * 1000000 * conv + n) // (2 * n) DESC, arm) AS rn
+    FROM train
+), policy AS (
+    SELECT ctx, arm AS best_arm, ctr_mi AS train_ctr_mi FROM scored WHERE rn = 1
+), eval_m AS (
+    SELECT b.ctx, CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(b.reward) AS BIGINT) AS r
+    FROM base b JOIN policy p ON b.ctx = p.ctx AND b.arm = p.best_arm
+    WHERE NOT b.is_train GROUP BY b.ctx
+)
+SELECT CAST(p.ctx AS BIGINT) AS ctx, p.best_arm, p.train_ctr_mi,
+       e.n_matched,
+       CAST((2 * 1000000 * e.r + e.n_matched) // (2 * e.n_matched) AS BIGINT)
+           AS replay_reward_micro
+FROM policy p JOIN eval_m e ON p.ctx = e.ctx ORDER BY ctx
+"""
+
+
+@register("q466_bandit_replay", oracle=_REPLAY_ORACLE)
+def q466(spark, sf_dir):
+    """Replay estimate of the greedy policy per context (oracle
+    comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.select(
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 3
+        ).alias("arm"),
+        F.expr("hour(ts) DIV 6").alias("ctx"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("reward"),
+        (F.col("ts").cast("date") < F.lit("2024-01-21").cast("date")).alias(
+            "is_train"
+        ),
+    )
+    train = (
+        base.where("is_train")
+        .groupBy("ctx", "arm")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("reward").cast("bigint").alias("conv"),
+        )
+    )
+    scored = train.selectExpr(
+        "ctx", "arm", "(2 * 1000000 * conv + n) DIV (2 * n) AS ctr_mi"
+    )
+    wr = Window.partitionBy("ctx").orderBy(F.desc("ctr_mi"), "arm")
+    policy = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("ctx", F.col("arm").alias("best_arm"), F.col("ctr_mi").alias("train_ctr_mi"))
+    )
+    pol2 = policy.select(
+        F.col("ctx").alias("pctx"), F.col("best_arm").alias("parm")
+    )
+    ev_m = (
+        base.where(~F.col("is_train"))
+        .join(
+            F.broadcast(pol2),
+            (F.col("ctx") == F.col("pctx")) & (F.col("arm") == F.col("parm")),
+        )
+        .groupBy("ctx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.sum("reward").cast("bigint").alias("r"),
+        )
+    )
+    return (
+        policy.join(ev_m, "ctx")
+        .selectExpr(
+            "CAST(ctx AS BIGINT) AS ctx", "best_arm", "train_ctr_mi", "n_matched",
+            "CAST((2 * 1000000 * r + n_matched) DIV (2 * n_matched) AS BIGINT)"
+            " AS replay_reward_micro",
+        )
+        .orderBy("ctx")
+    )
+
+
+# ---------- q467: funnel stage-drop significance (two-proportion z)
+
+# Does the funnel leak more at click->purchase than at view->click?
+# Stage sets chain STRICTLY later per user (the q128 discipline:
+# t_view < t_click < t_purchase via conditional min-ts joins), the two
+# conversion proportions get the pooled two-proportion z in the q207
+# double form over exact counts; the z is NULL (identically on both
+# engines) when the pooled rate is degenerate 0/1 — true at sf0.001,
+# where every viewer converts.
+_FUNNEL_Z_ORACLE = """
+WITH v1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), v2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN v1 ON e.user_id = v1.user_id AND e.ts > v1.t1
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+), v3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN v2 ON e.user_id = v2.user_id AND e.ts > v2.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), c AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v1) AS n1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v2) AS n2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v3) AS n3
+)
+SELECT n1, n2, n3,
+       CAST((2 * 1000000 * n2 + n1) // (2 * n1) AS BIGINT) AS r12_micro,
+       CAST((2 * 1000000 * n3 + n2) // (2 * n2) AS BIGINT) AS r23_micro,
+       CASE WHEN n2 + n3 > 0 AND n2 + n3 < n1 + n2 THEN
+       ROUND((CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / SQRT((CAST(n2 + n3 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                    * (1 - CAST(n2 + n3 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                    * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))),
+             6) END AS z
+FROM c
+"""
+
+
+@register("q467_funnel_significance", oracle=_FUNNEL_Z_ORACLE)
+def q467(spark, sf_dir):
+    """Pooled two-proportion z between consecutive funnel drops (oracle
+    comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(v1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    v3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c = (
+        v1.agg(F.count("*").cast("bigint").alias("n1"))
+        .crossJoin(v2.agg(F.count("*").cast("bigint").alias("n2")))
+        .crossJoin(v3.agg(F.count("*").cast("bigint").alias("n3")))
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    n3d = F.col("n3").cast("double")
+    pool = (F.col("n2") + F.col("n3")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    return c.select(
+        "n1", "n2", "n3",
+        F.expr("CAST((2 * 1000000 * n2 + n1) DIV (2 * n1) AS BIGINT)").alias(
+            "r12_micro"
+        ),
+        F.expr("CAST((2 * 1000000 * n3 + n2) DIV (2 * n2) AS BIGINT)").alias(
+            "r23_micro"
+        ),
+        F.when(
+            (F.col("n2") + F.col("n3") > 0)
+            & (F.col("n2") + F.col("n3") < F.col("n1") + F.col("n2")),
+            F.round(
+                (n2d / n1d - n3d / n2d)
+                / F.sqrt(
+                    pool * (1 - pool) * (F.lit(1.0) / n1d + F.lit(1.0) / n2d)
+                ),
+                6,
+            ),
+        ).alias("z"),
+    )

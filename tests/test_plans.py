@@ -783,3 +783,29 @@ def test_batching_single_partition_only_above_histogram(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q420_length_bucket_batching")
     for subtree in single_partition_subtrees(plan):
         assert any("Aggregate" in n for n in subtree), subtree
+
+
+def test_join_hint_parity_three_strategies(spark, sf_dir):
+    """q465's three lanes must actually plan their hinted physical
+    strategies — otherwise the parity audit degenerates to running the
+    same join three times."""
+    plan = _plan(spark, sf_dir, "q465_join_hint_parity")
+    assert has(plan, "BroadcastHashJoin"), plan_nodes(plan)
+    assert has(plan, "SortMergeJoin"), plan_nodes(plan)
+    assert has(plan, "ShuffledHashJoin"), plan_nodes(plan)
+
+
+def test_leaderboard_window_group_limit(spark, sf_dir):
+    """q459's rank<=10 filter must push a WindowGroupLimit below the
+    full monthly sort."""
+    plan = _plan(spark, sf_dir, "q459_leaderboard_persistence")
+    assert has(plan, "WindowGroupLimit"), plan_nodes(plan)
+
+
+def test_consistent_hash_broadcast_interval_join(spark, sf_dir):
+    """q446's ring lookup must be broadcast equi-joins (the interval-
+    bucketing form) — no nested-loop, no shuffle of the key side before
+    the pair-count aggregate."""
+    plan = _plan(spark, sf_dir, "q446_consistent_hash_rebalance")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 2, plan_nodes(plan)
+    assert not has(plan, "BroadcastNestedLoopJoin"), plan_nodes(plan)

@@ -4051,3 +4051,299 @@ def q467(spark, sf_dir):
             ),
         ).alias("z"),
     )
+
+
+# ---------- q468: Arrow-optimized Python UDF (third ladder rung)
+
+# Spark 4's useArrow=True scalar UDF — the middle rung between q57's
+# row-at-a-time pickle path and q55/q171's pandas_udf: same Python
+# function semantics, Arrow-batched transport. md5-exact so the rung
+# stays hash-checkable; kept on a slice (Python is still the slow path
+# by design — the JVM twin is the recommended form).
+@register(
+    "q468_arrow_python_udf",
+    oracle="""
+    SELECT event_id,
+           ('0x' || SUBSTR(MD5(event_type || '#' || CAST(event_id AS VARCHAR)),
+                           1, 7))::BIGINT AS tag_hash
+    FROM events WHERE event_id % 20 = 0 ORDER BY event_id
+    """,
+)
+def q468(spark, sf_dir):
+    """Arrow-optimized scalar Python UDF, md5-exact (oracle comment)."""
+    import hashlib
+
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def tag_hash(etype: str, eid: int) -> int:
+        return int(hashlib.md5(f"{etype}#{eid}".encode()).hexdigest()[:7], 16)
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.where(F.col("event_id") % 20 == 0)
+        .select("event_id", tag_hash("event_type", "event_id").alias("tag_hash"))
+        .orderBy("event_id")
+    )
+
+
+# ---------- q469: Kolmogorov-Zurbenko filter KZ(5,3) on daily revenue
+
+# Iterated moving-average smoother — three passes of a centered MA-5
+# whose window SHRINKS at the series edges (the textbook KZ boundary
+# rule), each pass one round-half-up integer division over the frame
+# count (operands positive). Three ordered windows over the |days|
+# frame; progressive rounding is the contract (q456 rule, window form).
+_KZ_ORACLE = _DAILY_CTE + """
+, p1 AS (
+    SELECT day, cents,
+           (2 * SUM(cents) OVER w + COUNT(*) OVER w) // (2 * COUNT(*) OVER w)
+               AS k1
+    FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+), p2 AS (
+    SELECT day, cents,
+           (2 * SUM(k1) OVER w + COUNT(*) OVER w) // (2 * COUNT(*) OVER w) AS k2
+    FROM p1 WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+)
+SELECT day, cents,
+       CAST((2 * SUM(k2) OVER w + COUNT(*) OVER w) // (2 * COUNT(*) OVER w)
+            AS BIGINT) AS kz_cents
+FROM p2 WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+ORDER BY day
+"""
+
+
+@register("q469_kz_filter", oracle=_KZ_ORACLE)
+def q469(spark, sf_dir):
+    """KZ(5,3) smoothed daily revenue in exact integer cents (oracle
+    comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-2, 2)
+
+    def ma(col):
+        return F.expr(f"(2 * swin_{col} + cwin_{col}) DIV (2 * cwin_{col})")
+
+    p1 = daily.select(
+        "day", "cents",
+        F.sum("cents").over(w).alias("swin_k1"),
+        F.count("*").over(w).alias("cwin_k1"),
+    ).select("day", "cents", ma("k1").alias("k1"))
+    p2 = p1.select(
+        "day", "cents",
+        F.sum("k1").over(w).alias("swin_k2"),
+        F.count("*").over(w).alias("cwin_k2"),
+    ).select("day", "cents", ma("k2").alias("k2"))
+    return (
+        p2.select(
+            "day", "cents",
+            F.sum("k2").over(w).alias("swin_k3"),
+            F.count("*").over(w).alias("cwin_k3"),
+        )
+        .select("day", "cents", ma("k3").cast("bigint").alias("kz_cents"))
+        .orderBy("day")
+    )
+
+
+# ---------- q470: fixed-effects (within) slope, discount -> quantity
+
+# Panel econometrics rung beside q346's grouped OLS: the n-weighted
+# within estimator demeans by ENTITY (part) — per-part scatter terms
+# A_i = n_i*Sxy - Sx*Sy and B_i = n_i*Sxx - Sx^2 are exact integers,
+# and slope = sum(A)/sum(B) is ONE signed round-half-up micro division
+# (positive-shift; denominator positive unless every part has constant
+# discount). Cross-part level differences cancel by construction.
+_FE_ORACLE = """
+WITH v AS (
+    SELECT l_partkey AS e,
+           CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+           CAST(l_quantity AS BIGINT) AS y
+    FROM lineitem
+), per AS (
+    SELECT e, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM v GROUP BY e
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(n * sxy - sx * sy) AS BIGINT) AS sum_a,
+           CAST(SUM(n * sxx - sx * sx) AS BIGINT) AS sum_b
+    FROM per
+)
+SELECT n_entities, sum_a, sum_b,
+       CAST(((2 * (1000000 * sum_a + 1000000000 * sum_b)) + sum_b)
+            // (2 * sum_b) - 1000000000 AS BIGINT) AS slope_micro
+FROM tot
+"""
+
+
+@register("q470_fixed_effects_slope", oracle=_FE_ORACLE)
+def q470(spark, sf_dir):
+    """n-weighted within-estimator slope in signed micro units (oracle
+    comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    v = li.select(
+        F.col("l_partkey").alias("e"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    per = v.groupBy("e").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    tot = per.agg(
+        F.count("*").cast("bigint").alias("n_entities"),
+        F.sum(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint")
+        .alias("sum_a"),
+        F.sum(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("sum_b"),
+    )
+    return tot.selectExpr(
+        "n_entities", "sum_a", "sum_b",
+        "CAST(((2 * (1000000 * sum_a + 1000000000 * sum_b)) + sum_b)"
+        " DIV (2 * sum_b) - 1000000000 AS BIGINT) AS slope_micro",
+    )
+
+
+# ---------- q471: 1-D Wasserstein distance (earth mover's, exact)
+
+# Distribution-shift metric with units (cents), complementing the
+# unitless KS (q257) / JS (q370) / PSI (q372) family: W1 between the
+# URGENT and LOW order-value distributions = integral |F_a - F_b| over
+# the merged value grid. Riding the common denominator n_a*n_b keeps
+# every term exact integer (|cum_a*n_b - cum_b*n_a| * gap), summed in
+# HUGEINT/DECIMAL(38,0) (reaches ~1e22 micro at sf0.1), one final
+# round-half-up micro division.
+_W1_ORACLE = """
+WITH v AS (
+    SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), h AS (
+    SELECT c, CAST(COUNT(CASE WHEN g = 'a' THEN 1 END) AS BIGINT) AS ca,
+           CAST(COUNT(CASE WHEN g = 'b' THEN 1 END) AS BIGINT) AS cb
+    FROM v GROUP BY c
+), nn AS (
+    SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM h
+), cum AS (
+    SELECT c,
+           SUM(ca) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS fa,
+           SUM(cb) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS fb,
+           LEAD(c) OVER (ORDER BY c) AS nc
+    FROM h
+), terms AS (
+    SELECT CAST(SUM(CAST(ABS(fa * nn.nb - fb * nn.na) AS HUGEINT) * (nc - c))
+                AS HUGEINT) AS s
+    FROM cum, nn WHERE nc IS NOT NULL
+)
+SELECT nn.na, nn.nb,
+       CAST((2 * 1000000 * terms.s + CAST(nn.na AS HUGEINT) * nn.nb)
+            // (2 * CAST(nn.na AS HUGEINT) * nn.nb) AS BIGINT)
+           AS w1_cents_micro
+FROM terms, nn
+"""
+
+
+@register("q471_wasserstein_1d", oracle=_W1_ORACLE)
+def q471(spark, sf_dir):
+    """Exact W1 between urgent and low order-value distributions
+    (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    v = o.where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "a").otherwise("b").alias("g"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    h = v.groupBy("c").agg(
+        F.count(F.when(F.col("g") == "a", 1)).cast("bigint").alias("ca"),
+        F.count(F.when(F.col("g") == "b", 1)).cast("bigint").alias("cb"),
+    )
+    nn = h.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("c")
+    cum = h.select(
+        "c",
+        F.sum("ca").over(wc).alias("fa"),
+        F.sum("cb").over(wc).alias("fb"),
+        F.lead("c").over(wl).alias("nc"),
+    )
+    terms = (
+        cum.crossJoin(F.broadcast(nn))
+        .where(F.col("nc").isNotNull())
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("fa").cast("decimal(38,0)") * F.col("nb")
+                    - F.col("fb").cast("decimal(38,0)") * F.col("na")
+                )
+                * (F.col("nc") - F.col("c"))
+            )
+            .cast("decimal(38,0)")
+            .alias("s")
+        )
+    )
+    return terms.crossJoin(F.broadcast(nn)).selectExpr(
+        "na", "nb",
+        "CAST((2 * 1000000 * s + CAST(na AS DECIMAL(38,0)) * nb)"
+        " DIV (2 * CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT) AS w1_cents_micro",
+    )
+
+
+# ---------- q472: KDE mode via triangular kernel (top-5 density cells)
+
+# Robust mode estimation for the value distribution: $10 cells, a
+# discrete triangular kernel of half-width 5 (weights 6-|d| — exact
+# integer smoothing, no floating kernel), top-5 cells by smoothed
+# score with lowest-cell tiebreak. The kernel pass is the q462 shift-
+# explode: work = cells x 11, never rows x 11.
+_KDE_ORACLE = """
+WITH v AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000
+               AS cell
+    FROM orders
+), h AS (
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY cell
+), sh AS (
+    SELECT h.cell + g.o AS tcell, (6 - ABS(g.o)) * h.cnt AS wcnt
+    FROM h, (SELECT UNNEST(GENERATE_SERIES(-5, 5)) AS o) g
+), sc AS (
+    SELECT tcell, CAST(SUM(wcnt) AS BIGINT) AS score FROM sh GROUP BY tcell
+)
+SELECT CAST(tcell AS BIGINT) AS cell, CAST(tcell * 1000 AS BIGINT) AS cell_lo_cents,
+       score
+FROM sc ORDER BY score DESC, cell LIMIT 5
+"""
+
+
+@register("q472_kde_mode", oracle=_KDE_ORACLE)
+def q472(spark, sf_dir):
+    """Top-5 triangular-kernel density cells (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    v = o.select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 1000"
+        ).alias("cell")
+    )
+    h = v.groupBy("cell").agg(F.count("*").cast("bigint").alias("cnt"))
+    g = spark.range(-5, 6).select(F.col("id").cast("int").alias("o"))
+    sh = h.crossJoin(F.broadcast(g)).select(
+        (F.col("cell") + F.col("o")).alias("tcell"),
+        ((6 - F.abs(F.col("o"))) * F.col("cnt")).alias("wcnt"),
+    )
+    sc = sh.groupBy("tcell").agg(F.sum("wcnt").cast("bigint").alias("score"))
+    return (
+        sc.select(
+            F.col("tcell").cast("bigint").alias("cell"),
+            (F.col("tcell") * 1000).cast("bigint").alias("cell_lo_cents"),
+            "score",
+        )
+        .orderBy(F.desc("score"), "cell")
+        .limit(5)
+    )

@@ -4347,3 +4347,349 @@ def q472(spark, sf_dir):
         .orderBy(F.desc("score"), "cell")
         .limit(5)
     )
+
+
+# ---------- q473: JSON property-bag analytics (props.k per event type)
+
+# The one raw column no query had touched: events.props is a JSON
+# string bag; k is extracted with each engine's native JSON path
+# (get_json_object / json_extract — same scalar), then profiled per
+# event type: n, exact round-half-up mean micro, and the exact doubled
+# median from the q434 histogram machinery.
+_PROPS_ORACLE = """
+WITH v AS (
+    SELECT event_type AS grp,
+           CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE props IS NOT NULL
+), h AS (
+    SELECT grp, k, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY grp, k
+), cum AS (
+    SELECT grp, k, cnt,
+           COALESCE(SUM(cnt) OVER (PARTITION BY grp ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM h
+), ag AS (
+    SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n,
+           CAST(SUM(k * cnt) AS BIGINT) AS s
+    FROM h GROUP BY grp
+), med AS (
+    SELECT cum.grp,
+           MAX(CASE WHEN (ag.n + 1) // 2 BETWEEN cb + 1 AND cb + cnt THEN k END)
+           + MAX(CASE WHEN (ag.n + 2) // 2 BETWEEN cb + 1 AND cb + cnt THEN k END)
+               AS m2
+    FROM cum JOIN ag ON cum.grp = ag.grp GROUP BY cum.grp
+)
+SELECT ag.grp, ag.n,
+       CAST((2 * 1000000 * ag.s + ag.n) // (2 * ag.n) AS BIGINT) AS mean_micro,
+       med.m2
+FROM ag JOIN med ON ag.grp = med.grp ORDER BY ag.grp
+"""
+
+
+@register("q473_props_json_stats", oracle=_PROPS_ORACLE)
+def q473(spark, sf_dir):
+    """Per-type stats of the JSON props.k field (oracle comment)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = ev.where(F.col("props").isNotNull()).select(
+        F.col("event_type").alias("grp"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    h = v.groupBy("grp", "k").agg(F.count("*").cast("bigint").alias("cnt"))
+    wg = Window.partitionBy("grp").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = h.select(
+        "grp", "k", "cnt", F.coalesce(F.sum("cnt").over(wg), F.lit(0)).alias("cb")
+    )
+    ag = h.groupBy("grp").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("k") * F.col("cnt")).cast("bigint").alias("s"),
+    )
+    med = (
+        cum.join(ag, "grp")
+        .groupBy("grp")
+        .agg(
+            (
+                F.max(
+                    F.when(
+                        F.expr("(n + 1) DIV 2").between(
+                            F.col("cb") + 1, F.col("cb") + F.col("cnt")
+                        ),
+                        F.col("k"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        F.expr("(n + 2) DIV 2").between(
+                            F.col("cb") + 1, F.col("cb") + F.col("cnt")
+                        ),
+                        F.col("k"),
+                    )
+                )
+            ).alias("m2")
+        )
+    )
+    return (
+        ag.join(med, "grp")
+        .selectExpr(
+            "grp", "n",
+            "CAST((2 * 1000000 * s + n) DIV (2 * n) AS BIGINT) AS mean_micro",
+            "m2",
+        )
+        .orderBy("grp")
+    )
+
+
+# ---------- q474: two-way factorial ANOVA (priority x year, cell-means)
+
+# Factorial extension of q258's one-way F: SS_A, SS_B, SS_cells from
+# exact integer cell moments via the mean-clearing identity
+# SS = sum(s_g^2/n_g) - S^2/N (each term ONE IEEE division of exact
+# ints — the q207 discipline), interaction SS_AB = SS_cells - SS_A -
+# SS_B in the declared cell-means/Type-I ordering (the CONTRACT for
+# this unbalanced design), F_AB over MS_E. 35 cells; everything above
+# one map-side-combinable cell aggregate.
+_ANOVA2_ORACLE = """
+WITH v AS (
+    SELECT o_orderpriority AS a, CAST(YEAR(o_orderdate) AS BIGINT) AS b,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM orders
+), cells AS (
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+           CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+    FROM v GROUP BY a, b
+), ta AS (
+    SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS ssq
+    FROM (SELECT a, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s
+          FROM cells GROUP BY a)
+), tb AS (
+    SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS ssq
+    FROM (SELECT b, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s
+          FROM cells GROUP BY b)
+), tc AS (
+    SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS ssq,
+           CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS st,
+           CAST(SUM(q) AS HUGEINT) AS qt,
+           CAST(COUNT(*) AS BIGINT) AS ncells,
+           CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS kb
+    FROM cells
+)
+SELECT tc.ncells, tc.nn,
+       ROUND(((tc.ssq - ta.ssq - tb.ssq
+               + CAST(tc.st AS DOUBLE) * CAST(tc.st AS DOUBLE)
+                 / CAST(tc.nn AS DOUBLE))
+              / (CAST((tc.ka - 1) * (tc.kb - 1) AS DOUBLE)))
+             / ((CAST(tc.qt AS DOUBLE) - tc.ssq)
+                / CAST(tc.nn - tc.ncells AS DOUBLE)), 6) AS f_interaction
+FROM ta, tb, tc
+"""
+
+
+@register("q474_twoway_anova", oracle=_ANOVA2_ORACLE)
+def q474(spark, sf_dir):
+    """Interaction F of the priority x year cell-means decomposition
+    (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    v = o.select(
+        F.col("o_orderpriority").alias("a"),
+        F.year("o_orderdate").cast("bigint").alias("b"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    cells = v.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+
+    def ssq(df, key):
+        g = df.groupBy(key).agg(
+            F.sum("n").cast("bigint").alias("n"), F.sum("s").cast("bigint").alias("s")
+        )
+        return g.agg(
+            F.sum(
+                F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n").cast("double")
+            ).alias("ssq")
+        )
+
+    ta = ssq(cells, "a").withColumnRenamed("ssq", "ssq_a")
+    tb = ssq(cells, "b").withColumnRenamed("ssq", "ssq_b")
+    tc = cells.agg(
+        F.sum(
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("ssq_c"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("q").cast("decimal(38,0)").alias("qt"),
+        F.count("*").cast("bigint").alias("ncells"),
+        F.countDistinct("a").cast("bigint").alias("ka"),
+        F.countDistinct("b").cast("bigint").alias("kb"),
+    )
+    return (
+        tc.crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "ncells", "nn",
+            F.round(
+                (
+                    (
+                        F.col("ssq_c") - F.col("ssq_a") - F.col("ssq_b")
+                        + F.col("st").cast("double") * F.col("st").cast("double")
+                        / F.col("nn").cast("double")
+                    )
+                    / ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("double")
+                )
+                / (
+                    (F.col("qt").cast("double") - F.col("ssq_c"))
+                    / (F.col("nn") - F.col("ncells")).cast("double")
+                ),
+                6,
+            ).alias("f_interaction"),
+        )
+    )
+
+
+# ---------- q475: embedding isotropy via the centroid-norm identity
+
+# Mean pairwise dot product over n vectors WITHOUT any pairs:
+# sum_{i<>j} <v_i, v_j> = ||sum v||^2 - sum ||v||^2 — one linear pass
+# over int-quantized embeddings (the q127 milli recipe keeps every sum
+# exact), reported per label. High mean dot = anisotropic cluster
+# (embeddings bunched in a cone); the audit runs before any ANN index
+# build. Signed micro division with positive shift.
+_ISO_ORACLE = """
+WITH q AS (
+    SELECT label,
+           LIST_TRANSFORM(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+), dims AS (
+    SELECT label, r.i AS dim, q.v[r.i] AS x
+    FROM q, RANGE(1, 65) r(i)
+), per_dim AS (
+    SELECT label, dim, CAST(SUM(x) AS BIGINT) AS sd,
+           CAST(SUM(x * x) AS BIGINT) AS qd
+    FROM dims GROUP BY label, dim
+), agg AS (
+    SELECT label,
+           CAST(SUM(sd * sd) AS BIGINT) AS cent2,
+           CAST(SUM(qd) AS BIGINT) AS self2
+    FROM per_dim GROUP BY label
+), nn AS (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY label
+)
+SELECT nn.label, nn.n,
+       CAST(agg.cent2 - agg.self2 AS BIGINT) AS num,
+       CAST(((2 * (1000000 * (agg.cent2 - agg.self2)
+                   + 1000000000000 * (nn.n * (nn.n - 1))))
+             + nn.n * (nn.n - 1))
+            // (2 * nn.n * (nn.n - 1)) - 1000000000000 AS BIGINT)
+           AS mean_dot_micro
+FROM nn JOIN agg ON nn.label = agg.label ORDER BY nn.label
+"""
+
+
+@register("q475_embedding_isotropy", oracle=_ISO_ORACLE)
+def q475(spark, sf_dir):
+    """Per-label mean pairwise dot via ||Σv||² − Σ||v||² (oracle
+    comment)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.select(
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("v"),
+    )
+    dims = q.select(
+        "label", F.posexplode("v").alias("dim0", "x")
+    )
+    per_dim = dims.groupBy("label", "dim0").agg(
+        F.sum("x").cast("bigint").alias("sd"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("qd"),
+    )
+    agg = per_dim.groupBy("label").agg(
+        F.sum(F.col("sd") * F.col("sd")).cast("bigint").alias("cent2"),
+        F.sum("qd").cast("bigint").alias("self2"),
+    )
+    nn = q.groupBy("label").agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        nn.join(agg, "label")
+        .selectExpr(
+            "label", "n",
+            "CAST(cent2 - self2 AS BIGINT) AS num",
+            "CAST(((2 * (1000000 * (cent2 - self2)"
+            " + 1000000000000 * (n * (n - 1))))"
+            " + n * (n - 1))"
+            " DIV (2 * n * (n - 1)) - 1000000000000 AS BIGINT)"
+            " AS mean_dot_micro",
+        )
+        .orderBy("label")
+    )
+
+
+# ---------- q476: bipartite butterfly count (supplier-part 4-cycles)
+
+# The bipartite sibling of q229's triangle count: butterflies = pairs
+# of suppliers sharing >= 2 parts, counted as sum over supplier pairs
+# of C(shared, 2). Supplier pairs are generated per part (quadratic
+# only in a part's supplier fan — measured <= 52 at sf0.1, the q229
+# bounded-fan discipline); shared-part counts collapse the pair stream
+# before the final combinatorial sum. Also reports wedges and the
+# butterfly density per wedge.
+_BF_ORACLE = """
+WITH e AS (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), pairs AS (
+    SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+    GROUP BY a.s, b.s
+), bf AS (
+    SELECT CAST(SUM(shared * (shared - 1) // 2) AS BIGINT) AS butterflies,
+           CAST(COUNT(*) AS BIGINT) AS sup_pairs
+    FROM pairs
+), wg AS (
+    SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges
+    FROM (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY p)
+)
+SELECT bf.butterflies, bf.sup_pairs, wg.wedges,
+       CAST((2 * 1000000 * bf.butterflies + wg.wedges) // (2 * wg.wedges)
+            AS BIGINT) AS per_wedge_micro
+FROM bf, wg
+"""
+
+
+@register("q476_butterfly_count", oracle=_BF_ORACLE)
+def q476(spark, sf_dir):
+    """Exact butterfly / wedge counts on the supplier-part graph
+    (oracle comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    e = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = e.select("p", F.col("s").alias("s1"))
+    b = e.select("p", F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, "p")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    bf = pairs.agg(
+        F.sum(F.expr("shared * (shared - 1) DIV 2")).cast("bigint").alias("butterflies"),
+        F.count("*").cast("bigint").alias("sup_pairs"),
+    )
+    wg = (
+        e.groupBy("p")
+        .agg(F.count("*").cast("bigint").alias("d"))
+        .agg(F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("wedges"))
+    )
+    return bf.crossJoin(F.broadcast(wg)).selectExpr(
+        "butterflies", "sup_pairs", "wedges",
+        "CAST((2 * 1000000 * butterflies + wedges) DIV (2 * wedges) AS BIGINT)"
+        " AS per_wedge_micro",
+    )

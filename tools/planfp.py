@@ -23,11 +23,11 @@ from mapr_db_cdc_sample_spark.plans.audit import plan_fingerprint  # noqa: E402
 from mapr_db_cdc_sample_spark.queries import load_all  # noqa: E402
 from mapr_db_cdc_sample_spark.session import get_spark  # noqa: E402
 
-# Top-20 by the round-7 final BENCH_FULL wall time. Former members
-# q253/q215/q229/q160/q400/q41 are retained as extras — a pinned
-# fingerprint stays useful even when its query drops out of the
-# top-20 (the set only grows; removal would un-gate a plan).
-TOP20 = [
+# Pinned plan-fingerprint set: top-20 by the round-7 final BENCH_FULL
+# wall time PLUS retained former members (q253/q215/q229/q160/q400/q41)
+# — a pinned fingerprint stays useful even when its query drops out of
+# the top-20 (the set only grows; removal would un-gate a plan).
+PINNED = [
     "q292_theil_sen", "q294_degree_assortativity", "q280_semantic_dedup",
     "q320_label_propagation", "q476_butterfly_count",
     "q436_substring_dup_profile", "q299_k_core", "q310_hof_suite",
@@ -48,7 +48,7 @@ def main() -> None:
     spark = get_spark("planfp")
     spark.sparkContext.setLogLevel("ERROR")
     fps = {}
-    for name in TOP20:
+    for name in PINNED:
         fps[name] = plan_fingerprint(registry[name].fn(spark, sf_dir))
         print(name, fps[name])
     with open(os.path.join(REPO, "PLAN_FP.json"), "w") as f:

@@ -292,6 +292,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
     names = bench_names(registry)
+    # Dev smoke only: bound the set so a harness change can be validated
+    # end-to-end (incl. the BENCH_FULL write + fingerprint embed) in
+    # minutes. Never set for a recorded benchmark run.
+    limit = int(os.environ.get("SPARK_GRAFT_BENCH_LIMIT", "0"))
+    if limit:
+        names = names[:limit]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -338,18 +344,33 @@ def main() -> None:
     # run: a timing shift with an UNCHANGED fingerprint is box noise; a
     # changed fingerprint is a plan regression (lost broadcast, new
     # exchange). Baseline: PLAN_FP.json (tools/planfp.py), gated by
-    # tests/test_plans.py.
+    # tests/test_plans.py. Captured in a FRESH session, pre-execution —
+    # the same context as the pytest gate: a session that has executed
+    # hundreds of plans carries runtime state (e.g. the size statistics
+    # of q294's eager localCheckpoint RDD) that can flip a join strategy
+    # in the embed while the baseline and the pytest recompute, both
+    # fresh-session, agree (round-7 verdict task 3).
     from mapr_db_cdc_sample_spark.plans.audit import plan_fingerprint
 
     top20 = sorted(timings, key=lambda n: -timings[n])[:20]
+    spark.stop()
+    spark = get_spark("bench-planfp")
+    spark.sparkContext.setLogLevel("ERROR")
     plan_fp = {n: plan_fingerprint(registry[n].fn(spark, sf_dir)) for n in top20}
 
     # Full per-query detail goes to a file; the printed line must stay
     # well under 2000 chars because the round driver keeps only the last
     # 2000 chars of stdout (BENCH_r03.json failed to parse when the line
     # with 75 queries overflowed that tail buffer).
+    # Round hygiene (round-7 verdict task 8): the driver re-runs bench.py
+    # after the round's final commit and used to overwrite the committed
+    # BENCH_FULL.json in the working tree. Set SPARK_GRAFT_BENCH_TAG=r8 to
+    # write a round-stamped BENCH_FULL_r8.json the driver's plain
+    # invocation won't touch; the untagged default stays BENCH_FULL.json.
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "")
+    full_name = f"BENCH_FULL_{tag}.json" if tag else "BENCH_FULL.json"
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+    with open(os.path.join(here, full_name), "w") as f:
         json.dump(
             {"metric": "headline_query_set_total", "value": total,
              "unit": "sec", "queries": timings, "sf": sf_val,

@@ -41,7 +41,7 @@ _CC_ORACLE = _LSH_PAIRS_ORACLE.replace(
     """, pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands_capped a JOIN bands_capped b ON a.band = b.band AND a.doc_id < b.doc_id
-), und AS (
+), und AS MATERIALIZED (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION SELECT doc_b, doc_a FROM pairs
 ), walk(node, label) AS (

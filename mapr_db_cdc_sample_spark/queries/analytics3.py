@@ -670,7 +670,7 @@ WITH RECURSIVE sims AS (
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) > 0.3
-), und AS (
+), und AS MATERIALIZED (
     SELECT vec_a AS src, vec_b AS dst FROM sims
     UNION SELECT vec_b, vec_a FROM sims
 ), walk(node, label) AS (
@@ -2448,7 +2448,7 @@ def q309(spark, sf_dir):
 # scale factor); the oracle is a DuckDB recursive CTE stepping rn+1.
 # Init: l_1 = x_1, b_1 = x_2 - x_1 (textbook), emitted from t = 2.
 _HOLT_ORACLE = _DAILY_CTE + """
-, idx AS (
+, idx AS MATERIALIZED (
     SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
 ), rec AS (
     WITH RECURSIVE r(rn, l, b) AS (

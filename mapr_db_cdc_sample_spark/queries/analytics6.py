@@ -2966,7 +2966,7 @@ def q455(spark, sf_dir):
 # ONE applyInPandas group over the |days| aggregate (calendar-bounded
 # at every SF). Progressive rounding is the cross-engine contract.
 _HW_ORACLE = _DAILY_CTE + """
-, idx AS (
+, idx AS MATERIALIZED (
     SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
 ), w7 AS (
     SELECT rn, cents FROM idx WHERE rn <= 7

@@ -5,8 +5,16 @@ inherits another's codegen/metaspace state, and record per-query
 median/min/max across passes. A single-run bench cannot distinguish
 shared-box noise from a plan regression; the cross-pass spread can.
 
-Usage: python tools/variance.py [sf_dir] [passes]
-Writes BENCH_VARIANCE_r7.json at the repo root.
+Usage: python tools/variance.py [sf_dir] [passes] [set]
+  set = common30 (default) | heavy | all
+Writes BENCH_VARIANCE{_$SPARK_GRAFT_BENCH_TAG}.json at the repo root.
+
+The HEAVY_TAIL set exists to adjudicate driver-run-vs-builder-run
+divergences on the iterative lane (round-7 verdict task 2: the driver
+measured q320 at 43.4 s and q83 at 5.6 s where the builder's same-code
+runs gave 7.4 s / 1.9 s): a 3-pass fresh-session median either
+reproduces the slow number (a real plan/perf problem) or bounds it as
+shared-box noise.
 """
 
 from __future__ import annotations
@@ -36,19 +44,32 @@ COMMON30 = [
 ]
 
 
+# Iterative/grouped-map queries whose driver-run timings diverged from
+# builder-run timings (round-7 verdict task 2) — adjudicated by 3-pass
+# fresh-session medians.
+HEAVY_TAIL = [
+    "q320_label_propagation", "q83_kmeans",
+    "q328_dynamic_partition_overwrite", "q215_srp_lsh_cosine",
+    "q298_link_prediction", "q330_hitrate_popularity",
+]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     passes = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    which = sys.argv[3] if len(sys.argv) > 3 else "common30"
+    names = {"common30": COMMON30, "heavy": HEAVY_TAIL,
+             "all": COMMON30 + HEAVY_TAIL}[which]
     registry = load_all()
 
-    per_pass: dict[str, list[float]] = {n: [] for n in COMMON30}
+    per_pass: dict[str, list[float]] = {n: [] for n in names}
     for p in range(passes):
         spark = get_spark(f"variance-p{p}")
         spark.sparkContext.setLogLevel("ERROR")
         registry["q01_scan_count"].fn(spark, sf_dir).write.format(
             "noop"
         ).mode("overwrite").save()
-        for name in COMMON30:
+        for name in names:
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -73,10 +94,13 @@ def main() -> None:
     summary = {
         "sf_dir": sf_dir,
         "passes": passes,
+        "set": which,
         "total_median": round(sum(v["median"] for v in out.values()), 3),
         "queries": out,
     }
-    with open(os.path.join(REPO, "BENCH_VARIANCE_r7.json"), "w") as f:
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "")
+    fname = f"BENCH_VARIANCE_{tag}.json" if tag else "BENCH_VARIANCE.json"
+    with open(os.path.join(REPO, fname), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps({k: v["median"] for k, v in out.items()}))
     print("total_median", summary["total_median"])

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_tables
 from . import register
+from .analytics3 import _DAILY_CTE, _daily_cents
 
 # ---------- q480: Welch's unequal-variance t-test (click vs purchase)
 
@@ -419,4 +420,386 @@ def q483(spark, sf_dir):
             ).alias("contrib_r6"),
         )
         .orderBy("d")
+    )
+
+
+# ---------- q484: CUSUM changepoint (daily revenue)
+
+# Page's cumulative-sum scan for a level shift: S_k = sum_{i<=k}
+# (n*x_i - T) in SUM-SCALED integers (multiplying by n clears the mean
+# without division — S_k = n * sum_scaled deviation, exact). The
+# changepoint is argmax |S_k| with the EARLIEST day as tiebreaker. The
+# only window runs over the calendar-bounded daily frame (the q206
+# rule: volume collapses in a map-side day aggregate first).
+_CUSUM_ORACLE = _DAILY_CTE + """
+, tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS t
+    FROM daily
+), s AS (
+    SELECT day,
+           SUM(cents * tot.n - tot.t) OVER (ORDER BY day) AS sk
+    FROM daily, tot
+)
+SELECT day AS cp_day,
+       CAST(ABS(sk) AS BIGINT) AS s_abs,
+       CAST(CASE WHEN sk > 0 THEN 1 WHEN sk < 0 THEN -1 ELSE 0 END AS INT)
+           AS s_sign,
+       (SELECT CAST(n AS BIGINT) FROM tot) AS n_days
+FROM s ORDER BY ABS(sk) DESC, day ASC LIMIT 1
+"""
+
+
+@register("q484_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def q484(spark, sf_dir):
+    """CUSUM argmax |S_k| in sum-scaled exact integers (oracle comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("t"),
+    )
+    s = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n",
+            F.sum(F.col("cents") * F.col("n") - F.col("t"))
+            .over(Window.orderBy("day"))
+            .alias("sk"),
+        )
+    )
+    return (
+        s.select(
+            F.col("day").alias("cp_day"),
+            F.abs(F.col("sk")).cast("bigint").alias("s_abs"),
+            F.when(F.col("sk") > 0, 1)
+            .when(F.col("sk") < 0, -1)
+            .otherwise(0)
+            .cast("int")
+            .alias("s_sign"),
+            F.col("n").cast("bigint").alias("n_days"),
+        )
+        .orderBy(F.col("s_abs").desc(), F.col("cp_day").asc())
+        .limit(1)
+    )
+
+
+# ---------- q485: EWMA control chart (daily revenue, alpha = 1/5)
+
+# Exponentially-weighted control recursion in integer MICRO-CENTS:
+# l_t = rhu((x_t*1e6 + 4*l_{t-1}) / 5), l_1 = x_1*1e6 (positive
+# operands, so rhu is (2p+5) DIV 10 with no shift). The residual
+# d_t = x_t*1e6 - l_{t-1} is emitted from day 2; a day breaches when
+# |d_t| * n_emitted > 3 * sum|d| (exact integer cross-multiply — no
+# division at the decision boundary). Sequential state cannot
+# parallelize across time: Spark folds ONE applyInPandas group over the
+# calendar-bounded daily aggregate; the oracle steps a recursive CTE
+# over a MATERIALIZED day index (the q456 lesson: without
+# MATERIALIZED, DuckDB re-evaluates the parquet scan per step).
+_EWMA_ORACLE = _DAILY_CTE + """
+, idx AS MATERIALIZED (
+    SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+), rec AS (
+    WITH RECURSIVE r(rn, l, d) AS (
+        SELECT 1, (SELECT cents FROM idx WHERE rn = 1) * 1000000,
+               CAST(NULL AS BIGINT)
+        UNION ALL
+        SELECT r.rn + 1,
+               (2 * (i.cents * 1000000 + 4 * r.l) + 5) // 10,
+               i.cents * 1000000 - r.l
+        FROM r JOIN idx i ON i.rn = r.rn + 1
+    )
+    SELECT * FROM r WHERE d IS NOT NULL
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ABS(d)) AS BIGINT) AS sad
+    FROM rec
+)
+SELECT i.day, i.cents, CAST(rec.d AS BIGINT) AS resid_micro,
+       CAST(CASE WHEN CAST(ABS(rec.d) AS HUGEINT) * tot.n
+                      > 3 * CAST(tot.sad AS HUGEINT)
+                 THEN 1 ELSE 0 END AS INT) AS breach
+FROM rec JOIN idx i ON i.rn = rec.rn, tot
+ORDER BY i.day
+"""
+
+
+@register("q485_ewma_control", oracle=_EWMA_ORACLE)
+def q485(spark, sf_dir):
+    """EWMA residual chart in exact integer micro-cents (oracle
+    comment). Python ints reproduce the rhu bit-for-bit — the q308/q456
+    grouped-map lane for sequential state."""
+    import pandas as pd
+
+    daily = _daily_cents(spark, sf_dir)
+
+    def ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"day": pdf["day"][:0], "cents": pdf["cents"][:0],
+                 "resid_micro": pdf["cents"][:0]}
+            )
+        cents = [int(c) for c in pdf["cents"]]
+        days = list(pdf["day"])
+        l = cents[0] * 10**6
+        out = []
+        for t in range(1, len(cents)):
+            x = cents[t] * 10**6
+            out.append((days[t], cents[t], x - l))
+            l = (2 * (x + 4 * l) + 5) // 10
+        return pd.DataFrame(out, columns=["day", "cents", "resid_micro"])
+
+    rec = (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(ewma, "day timestamp_ntz, cents bigint, resid_micro bigint")
+    )
+    tot = rec.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.abs(F.col("resid_micro"))).cast("bigint").alias("sad"),
+    )
+    return (
+        rec.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "cents",
+            "resid_micro",
+            F.expr(
+                "CAST(CASE WHEN CAST(ABS(resid_micro) AS DECIMAL(38,0)) * n"
+                " > 3 * CAST(sad AS DECIMAL(38,0)) THEN 1 ELSE 0 END AS INT)"
+            ).alias("breach"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------- q486: truncated harmonic closeness (nation trade graph)
+
+# Centrality on the nation-level trade graph (edge a-b iff any order by
+# a customer in nation a ships a line from a supplier in nation b).
+# Radius-6 TRUNCATED harmonic centrality is the declared contract — the
+# bounded-radius form is the scale-correct one on large graphs, and it
+# makes the recursion exact whatever the diameter. With d <= 6 the
+# rational sum(1/d) has denominator 60 = lcm(1..6), so harmonic_micro =
+# rhu(1e6 * sum(60/d * cnt_d) / 60) is EXACT integer arithmetic. Spark
+# runs 6 frontier rounds keyed (src, node) — multi-source BFS, level
+# frames localCheckpoint'd like q253; the volume collapses to <= 625
+# node pairs before any iteration.
+_CLOSENESS_ORACLE = """
+WITH RECURSIVE e AS MATERIALIZED (
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+), und AS MATERIALIZED (
+    SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), nodes AS (
+    SELECT DISTINCT src AS node FROM und
+), walk(src, node, dist) AS (
+    SELECT node, node, 0 FROM nodes
+    UNION
+    SELECT w.src, u.dst, w.dist + 1
+    FROM walk w JOIN und u ON u.src = w.node
+    WHERE w.dist < 6
+), d AS (
+    SELECT src, node, MIN(dist) AS dist FROM walk GROUP BY src, node
+), per AS (
+    SELECT src,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_reach6,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist,
+           CAST(MAX(dist) AS BIGINT) AS ecc6,
+           CAST(SUM(CASE WHEN dist > 0 THEN 60 // dist ELSE 0 END) AS BIGINT)
+               AS h60
+    FROM d GROUP BY src
+)
+SELECT n.n_name, per.n_reach6, per.sum_dist, per.ecc6,
+       CAST((2 * 1000000 * per.h60 + 60) // 120 AS BIGINT) AS harmonic_micro
+FROM per JOIN nation n ON n.n_nationkey = per.src
+ORDER BY n.n_name
+"""
+
+
+@register("q486_harmonic_closeness", oracle=_CLOSENESS_ORACLE)
+def q486(spark, sf_dir):
+    """Radius-6 harmonic closeness by multi-source frontier BFS (oracle
+    comment)."""
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["orders"]
+        .join(t["lineitem"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
+        .join(F.broadcast(t["customer"]), t["customer"]["c_custkey"] == t["orders"]["o_custkey"])
+        .join(F.broadcast(t["supplier"]), t["supplier"]["s_suppkey"] == t["lineitem"]["l_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").cast("int").alias("src"),
+            F.col("s_nationkey").cast("int").alias("dst"),
+        )
+        .distinct()
+    )
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    dist = nodes.select(
+        F.col("node").alias("src"), F.col("node"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = dist
+    for depth in range(1, 7):
+        nxt = (
+            frontier.join(und.withColumnRenamed("src", "node"), "node")
+            .select("src", F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("src", "node"), ["src", "node"], "left_anti")
+            .select("src", "node", F.lit(depth).alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:  # bounded driver action (<= 625-row frames)
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    per = dist.groupBy("src").agg(
+        (F.count("*") - 1).cast("bigint").alias("n_reach6"),
+        F.sum("dist").cast("bigint").alias("sum_dist"),
+        F.max("dist").cast("bigint").alias("ecc6"),
+        F.sum(
+            F.when(F.col("dist") > 0, F.expr("60 DIV dist")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("h60"),
+    )
+    n = load_tables(spark, sf_dir)["nation"]
+    return (
+        per.join(
+            F.broadcast(n), n["n_nationkey"] == per["src"]
+        )
+        .select(
+            "n_name",
+            "n_reach6",
+            "sum_dist",
+            "ecc6",
+            F.expr("CAST((2 * 1000000 * h60 + 60) DIV 120 AS BIGINT)").alias(
+                "harmonic_micro"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------- q487: region modularity + conductance (weighted trade graph)
+
+# Community-quality audit: communities = regions, graph = nation-level
+# trade weighted by lineitem count (symmetric s(a,b) = c(a->b) +
+# c(b->a), a <> b). Per community: W_in, vol, cut = vol - 2*W_in, all
+# exact integers from ONE <=625-row symmetric matrix; modularity
+# contribution (4*W*W_in - vol^2) / (4*W^2) and conductance
+# cut / min(vol, 2W - vol) are each ONE signed/positive rhu micro
+# division with DECIMAL(38,0)/HUGEINT factors.
+_MODULARITY_ORACLE = """
+WITH dir AS (
+    SELECT c.c_nationkey AS a, s.s_nationkey AS b,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+    GROUP BY a, b
+), sym AS (
+    SELECT a, b, CAST(SUM(w) AS BIGINT) AS s
+    FROM (SELECT a, b, w FROM dir UNION ALL SELECT b, a, w FROM dir)
+    GROUP BY a, b
+), lab AS (
+    SELECT sym.a, sym.b, sym.s, na.n_regionkey AS ca, nb.n_regionkey AS cb
+    FROM sym
+    JOIN nation na ON na.n_nationkey = sym.a
+    JOIN nation nb ON nb.n_nationkey = sym.b
+), com AS (
+    SELECT ca AS c,
+           CAST(SUM(s) AS BIGINT) AS vol,
+           CAST(SUM(CASE WHEN ca = cb THEN s ELSE 0 END) AS BIGINT) AS win2
+    FROM lab GROUP BY ca
+), tot AS (
+    SELECT CAST(SUM(vol) AS BIGINT) AS w2 FROM com
+)
+SELECT CAST(com.c AS BIGINT) AS region,
+       CAST(com.win2 // 2 AS BIGINT) AS w_in,
+       com.vol,
+       CAST(com.vol - com.win2 AS BIGINT) AS cut,
+       CAST((2 * (1000000 * (CAST(tot.w2 AS HUGEINT) * com.win2
+                             - CAST(com.vol AS HUGEINT) * com.vol)
+                  + 1000000000 * (CAST(tot.w2 AS HUGEINT) * tot.w2))
+             + CAST(tot.w2 AS HUGEINT) * tot.w2)
+            // (2 * CAST(tot.w2 AS HUGEINT) * tot.w2) - 1000000000 AS BIGINT)
+           AS q_contrib_micro,
+       CAST((2 * 1000000 * CAST(com.vol - com.win2 AS HUGEINT)
+             + LEAST(com.vol, tot.w2 - com.vol))
+            // (2 * LEAST(com.vol, tot.w2 - com.vol)) AS BIGINT)
+           AS conductance_micro
+FROM com, tot ORDER BY region
+"""
+
+
+@register("q487_region_modularity", oracle=_MODULARITY_ORACLE)
+def q487(spark, sf_dir):
+    """Region-partition modularity contributions + conductance in exact
+    micro units (oracle comment). Note 4*W*W_in - vol^2 = w2*win2 -
+    vol^2 with w2 = 2W and win2 = 2*W_in — the oracle's identity."""
+    t = load_tables(spark, sf_dir)
+    dirw = (
+        t["orders"]
+        .join(t["lineitem"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
+        .join(F.broadcast(t["customer"]), t["customer"]["c_custkey"] == t["orders"]["o_custkey"])
+        .join(F.broadcast(t["supplier"]), t["supplier"]["s_suppkey"] == t["lineitem"]["l_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("int").alias("a"),
+            F.col("s_nationkey").cast("int").alias("b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    sym = (
+        dirw.unionByName(
+            dirw.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("bigint").alias("s"))
+    )
+    n = load_tables(spark, sf_dir)["nation"]
+    na = n.select(F.col("n_nationkey").alias("a"), F.col("n_regionkey").alias("ca"))
+    nb = n.select(F.col("n_nationkey").alias("b"), F.col("n_regionkey").alias("cb"))
+    lab = sym.join(F.broadcast(na), "a").join(F.broadcast(nb), "b")
+    com = lab.groupBy(F.col("ca").alias("c")).agg(
+        F.sum("s").cast("bigint").alias("vol"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), F.col("s")).otherwise(0))
+        .cast("bigint")
+        .alias("win2"),
+    )
+    tot = com.agg(F.sum("vol").cast("bigint").alias("w2"))
+    d38 = "DECIMAL(38,0)"
+    return (
+        com.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("c").cast("bigint").alias("region"),
+            F.expr("CAST(win2 DIV 2 AS BIGINT)").alias("w_in"),
+            "vol",
+            F.expr("CAST(vol - win2 AS BIGINT)").alias("cut"),
+            F.expr(
+                f"CAST((2 * (1000000 * (CAST(w2 AS {d38}) * win2"
+                f" - CAST(vol AS {d38}) * vol)"
+                f" + 1000000000 * (CAST(w2 AS {d38}) * w2))"
+                f" + CAST(w2 AS {d38}) * w2)"
+                f" DIV (2 * CAST(w2 AS {d38}) * w2) - 1000000000 AS BIGINT)"
+            ).alias("q_contrib_micro"),
+            F.expr(
+                f"CAST((2 * 1000000 * CAST(vol - win2 AS {d38})"
+                f" + LEAST(vol, w2 - vol))"
+                f" DIV (2 * LEAST(vol, w2 - vol)) AS BIGINT)"
+            ).alias("conductance_micro"),
+        )
+        .orderBy("region")
     )

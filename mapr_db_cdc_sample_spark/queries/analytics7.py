@@ -803,3 +803,529 @@ def q487(spark, sf_dir):
         )
         .orderBy("region")
     )
+
+
+# ---------- q488: boilerplate line detection (cross-doc repeated lines)
+
+# CCNet-style boilerplate screen reshaped for the synthetic corpus:
+# each doc's token stream is cut into NON-OVERLAPPING 10-token "lines"
+# (full lines only — both engines index identically); a line is
+# boilerplate when it occurs in >= 2 DISTINCT docs. Per-source
+# boilerplate ratio in exact micro units. The line-frequency aggregate
+# is the only shuffle that grows with volume and it is map-side
+# combinable on the line hash.
+_BOILER_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, source,
+           LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS ts
+    FROM documents
+), lines AS (
+    SELECT doc_id, source,
+           ARRAY_TO_STRING(ts[(k - 1) * 10 + 1:k * 10], ' ') AS g
+    FROM toks, LATERAL UNNEST(GENERATE_SERIES(1, LEN(ts) // 10)) t(k)
+), freq AS (
+    SELECT g FROM lines GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), per AS (
+    SELECT l.source, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(f.g) AS BIGINT) AS n_boiler
+    FROM lines l LEFT JOIN freq f ON f.g = l.g
+    GROUP BY l.source
+)
+SELECT source, n_lines, n_boiler,
+       CAST((2 * 1000000 * n_boiler + n_lines) // (2 * n_lines) AS BIGINT)
+           AS boiler_micro
+FROM per ORDER BY source
+"""
+
+
+@register("q488_boilerplate_lines", oracle=_BOILER_ORACLE)
+def q488(spark, sf_dir):
+    """Cross-doc repeated 10-token lines per source (oracle comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0).alias(
+            "ts"
+        ),
+    )
+    lines = toks.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "explode(transform(sequence(1, size(ts) DIV 10),"
+            " k -> array_join(slice(ts, (k - 1) * 10 + 1, 10), ' ')))"
+        ).alias("g"),
+    )
+    freq = (
+        lines.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    per = (
+        lines.join(freq.withColumnRenamed("g", "gb"), lines["g"] == F.col("gb"), "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.count("gb").cast("bigint").alias("n_boiler"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_lines",
+        "n_boiler",
+        F.expr(
+            "CAST((2 * 1000000 * n_boiler + n_lines) DIV (2 * n_lines) AS BIGINT)"
+        ).alias("boiler_micro"),
+    ).orderBy("source")
+
+
+# ---------- q489: PMI collocations (adjacent bigrams)
+
+# Pointwise mutual information of adjacent token pairs: PMI =
+# ln(c12 * N * N / (Nb * c1 * c2)) over exact integer counts — one LN
+# per surviving bigram (count >= 5), rounded to 6 and RANKED BY THE
+# ROUNDED value with the bigram itself as tiebreaker (the house
+# transcendental discipline). Unigram/bigram counts are map-side
+# combinable; the candidate set after the count filter is vocab².
+_PMI_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS ts
+    FROM documents
+), uni AS (
+    SELECT ts[i] AS w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks, LATERAL UNNEST(GENERATE_SERIES(1, LEN(ts))) t(i)
+    GROUP BY w
+), big AS (
+    SELECT ts[i] AS w1, ts[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+    FROM toks, LATERAL UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) t(i)
+    WHERE LEN(ts) >= 2
+    GROUP BY w1, w2
+), tot AS (
+    SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n,
+           (SELECT CAST(SUM(c12) AS BIGINT) FROM big) AS nb
+)
+SELECT b.w1, b.w2, b.c12,
+       ROUND(LN((CAST(b.c12 AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                 * CAST(tot.n AS DOUBLE))
+                / (CAST(tot.nb AS DOUBLE) * CAST(u1.c AS DOUBLE)
+                   * CAST(u2.c AS DOUBLE))), 6) AS pmi_r6
+FROM big b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2, tot
+WHERE b.c12 >= 5
+ORDER BY pmi_r6 DESC, b.w1, b.w2 LIMIT 20
+"""
+
+
+@register("q489_pmi_collocations", oracle=_PMI_ORACLE)
+def q489(spark, sf_dir):
+    """Top-20 adjacent-bigram PMI, rounded-rank discipline (oracle
+    comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0).alias(
+            "ts"
+        ),
+    )
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    big = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            F.expr(
+                "explode(transform(sequence(1, size(ts) - 1),"
+                " i -> struct(element_at(ts, i) AS w1,"
+                " element_at(ts, i + 1) AS w2)))"
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+    )
+    # Nb totals ALL bigrams — computed BEFORE the c12 >= 5 screen,
+    # matching the oracle's tot CTE
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n")).crossJoin(
+        big.agg(F.sum("c12").cast("bigint").alias("nb"))
+    )
+    big = big.filter(F.col("c12") >= 5)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(
+                "ROUND(LN((CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE)"
+                " * CAST(n AS DOUBLE))"
+                " / (CAST(nb AS DOUBLE) * CAST(c1 AS DOUBLE)"
+                " * CAST(c2 AS DOUBLE))), 6)"
+            ).alias("pmi_r6"),
+        )
+        .orderBy(F.col("pmi_r6").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+# ---------- q490: top-k vocabulary coverage curve
+
+# "How much of the token stream do the k most frequent types cover?" —
+# the tokenizer-design curve. Type counts (vocab-sized aggregate), rank
+# by (count DESC, token ASC), cumulative share at k in
+# {1,2,5,10,20,50} as exact micro integers. The only window runs over
+# the VOCAB frame (the q206 rule), never the token volume.
+_COVER_ORACLE = """
+WITH toks AS (
+    SELECT LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS ts
+    FROM documents
+), uni AS (
+    SELECT ts[i] AS w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks, LATERAL UNNEST(GENERATE_SERIES(1, LEN(ts))) t(i)
+    GROUP BY w
+), ranked AS (
+    SELECT c, SUM(c) OVER (ORDER BY c DESC, w) AS cm,
+           ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk
+    FROM uni
+), tot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni
+), ks AS (
+    SELECT * FROM (VALUES (1), (2), (5), (10), (20), (50)) AS t(k)
+)
+SELECT ks.k, CAST(MAX(r.cm) AS BIGINT) AS covered,
+       CAST((2 * 1000000 * MAX(r.cm) + tot.n) // (2 * tot.n) AS BIGINT)
+           AS cover_micro
+FROM ks JOIN ranked r ON r.rk <= ks.k, tot
+GROUP BY ks.k, tot.n ORDER BY ks.k
+"""
+
+
+@register("q490_vocab_coverage", oracle=_COVER_ORACLE)
+def q490(spark, sf_dir):
+    """Top-k type coverage of the token stream (oracle comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    uni = (
+        d.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "w")
+    ranked = uni.select(
+        F.sum("c").over(w).alias("cm"), F.row_number().over(w).alias("rk")
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    ks = spark.createDataFrame([(1,), (2,), (5,), (10,), (20,), (50,)], "k int")
+    return (
+        ks.join(ranked, ranked["rk"] <= ks["k"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n")
+        .agg(F.max("cm").cast("bigint").alias("covered"))
+        .select(
+            "k",
+            "covered",
+            F.expr(
+                "CAST((2 * 1000000 * covered + n) DIV (2 * n) AS BIGINT)"
+            ).alias("cover_micro"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------- q491: tokenizer fertility by language
+
+# Chars-per-token and tokens-per-doc by lang — the quick fertility
+# audit run before committing to a tokenizer. Exact integers: token
+# count, summed token lengths (whitespace is not counted), doc count;
+# ratios are rhu micro divisions.
+_FERT_ORACLE = """
+WITH toks AS (
+    SELECT lang, LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS ts
+    FROM documents
+), per AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(ts)) AS BIGINT) AS n_toks,
+           CAST(SUM(LIST_SUM(LIST_TRANSFORM(ts, t -> LEN(t)))) AS BIGINT)
+               AS n_chars
+    FROM toks GROUP BY lang
+)
+SELECT lang, n_docs, n_toks, n_chars,
+       CAST((2 * 1000000 * n_toks + n_docs) // (2 * n_docs) AS BIGINT)
+           AS toks_per_doc_micro,
+       CAST((2 * 1000000 * n_chars + n_toks) // (2 * n_toks) AS BIGINT)
+           AS chars_per_tok_micro
+FROM per ORDER BY lang
+"""
+
+
+@register("q491_tokenizer_fertility", oracle=_FERT_ORACLE)
+def q491(spark, sf_dir):
+    """Fertility ratios by lang in exact micro units (oracle comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "lang",
+        F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0).alias(
+            "ts"
+        ),
+    )
+    per = toks.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size("ts")).cast("bigint").alias("n_toks"),
+        F.sum(
+            F.aggregate(
+                F.transform("ts", lambda t: F.length(t).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            )
+        )
+        .cast("bigint")
+        .alias("n_chars"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_toks",
+        "n_chars",
+        F.expr(
+            "CAST((2 * 1000000 * n_toks + n_docs) DIV (2 * n_docs) AS BIGINT)"
+        ).alias("toks_per_doc_micro"),
+        F.expr(
+            "CAST((2 * 1000000 * n_chars + n_toks) DIV (2 * n_toks) AS BIGINT)"
+        ).alias("chars_per_tok_micro"),
+    ).orderBy("lang")
+
+
+# ---------- q492: hard-negative mining (cross-label max cosine)
+
+# Contrastive-training prep: for each anchor vector, the most similar
+# vector with a DIFFERENT label (the "hard negative"). Rounded-cosine
+# ranking with vec_id tiebreakers at both ranks (per-anchor pick and
+# the final top-20) — the q51/q280 cosine discipline. Scale posture:
+# label-blocked quadratic (anti-join on label), never a free cross
+# join; at fleet scale the anchor side buckets through an ANN index
+# first (q52's IVF), this query IS the exact-oracle baseline for it.
+_HARDNEG_ORACLE = """
+WITH pairs AS (
+    SELECT a.vec_id AS anchor, b.vec_id AS neg,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings a JOIN embeddings b ON a.label <> b.label
+), best AS (
+    SELECT anchor, neg, sim,
+           ROW_NUMBER() OVER (PARTITION BY anchor
+                              ORDER BY sim DESC, neg) AS rk
+    FROM pairs
+)
+SELECT anchor, neg AS hard_neg, sim
+FROM best WHERE rk = 1
+ORDER BY sim DESC, anchor LIMIT 20
+"""
+
+
+@register("q492_hard_negative_mining", oracle=_HARDNEG_ORACLE)
+def q492(spark, sf_dir):
+    """Per-anchor hardest cross-label negative, top-20 (oracle
+    comment)."""
+    from ..functions import vectors as V
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    withn = e.select(
+        "label", "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    a = withn.select(
+        F.col("label").alias("la"),
+        F.col("vec_id").alias("anchor"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("neg"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = F.round(V.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
+    pairs = (
+        a.join(b, F.col("la") != F.col("lb"))
+        .select("anchor", "neg", sim.alias("sim"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("anchor").orderBy(F.col("sim").desc(), "neg")
+    )
+    return (
+        pairs.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("anchor", F.col("neg").alias("hard_neg"), "sim")
+        .orderBy(F.col("sim").desc(), "anchor")
+        .limit(20)
+    )
+
+
+# ---------- q493: int8 quantization audit (per-dim reconstruction error)
+
+# Per-dimension min/max int8 quantization dry-run BEFORE committing an
+# embedding store to 8-bit: code = rhu(255*(v-mn)/(mx-mn)), recon = mn
+# + rhu(code*(mx-mn)/255), error = |v - recon| — ALL in exact integer
+# MILLI space (the q127 embedding-quantization recipe), so both engines
+# agree bit-for-bit with no doubles anywhere. One (row x dim) explode,
+# two map-side-combinable aggregates.
+_QUANT_ORACLE = """
+WITH vals AS (
+    SELECT t.i AS d,
+           CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS v
+    FROM embeddings, LATERAL UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)
+), rng AS (
+    SELECT d, CAST(MIN(v) AS BIGINT) AS mn, CAST(MAX(v) AS BIGINT) AS mx
+    FROM vals GROUP BY d
+), err AS (
+    SELECT v.d,
+           ABS(v.v - (r.mn + (2 * ((2 * 255 * (v.v - r.mn) + (r.mx - r.mn))
+                                   // (2 * (r.mx - r.mn))) * (r.mx - r.mn)
+                              + 255) // 510)) AS e
+    FROM vals v JOIN rng r ON r.d = v.d
+    WHERE r.mx > r.mn
+), per AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(e) AS BIGINT) AS max_err,
+           CAST(SUM(e) AS BIGINT) AS sum_err
+    FROM err GROUP BY d
+)
+SELECT CAST(per.d AS INT) AS dim, rng.mn, rng.mx, per.max_err,
+       CAST((2 * 1000000 * per.sum_err + per.n) // (2 * per.n) AS BIGINT)
+           AS mean_err_micro
+FROM per JOIN rng ON rng.d = per.d
+ORDER BY dim
+"""
+
+
+@register("q493_quantization_audit", oracle=_QUANT_ORACLE)
+def q493(spark, sf_dir):
+    """Exact-integer int8 quantization error per dim (oracle comment)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    vals = e.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
+            )
+        ).alias("d0", "v")
+    ).select((F.col("d0") + 1).alias("d"), "v")
+    rng = vals.groupBy("d").agg(
+        F.min("v").cast("bigint").alias("mn"), F.max("v").cast("bigint").alias("mx")
+    )
+    err = (
+        vals.join(F.broadcast(rng), "d")
+        .filter(F.col("mx") > F.col("mn"))
+        .select(
+            "d",
+            "mn",
+            "mx",
+            F.expr(
+                "ABS(v - (mn + (2 * ((2 * 255 * (v - mn) + (mx - mn))"
+                " DIV (2 * (mx - mn))) * (mx - mn) + 255) DIV 510))"
+            ).alias("e"),
+        )
+    )
+    per = err.groupBy("d", "mn", "mx").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("e").cast("bigint").alias("max_err"),
+        F.sum("e").cast("bigint").alias("sum_err"),
+    )
+    return per.select(
+        F.col("d").cast("int").alias("dim"),
+        "mn",
+        "mx",
+        "max_err",
+        F.expr(
+            "CAST((2 * 1000000 * sum_err + n) DIV (2 * n) AS BIGINT)"
+        ).alias("mean_err_micro"),
+    ).orderBy("dim")
+
+
+# ---------- q494: repetition screen (distinct-4-gram ratio)
+
+# Degenerate-text screen: docs whose OVERLAPPING 4-gram stream is
+# dominated by repeats (distinct/total < 1/2) get flagged; per-source
+# flag counts plus the mean ratio of already-exact per-doc micro
+# ratios. Complements q427 (unigram TTR) and q444 (cross-split
+# novelty): this one is within-doc and order-sensitive.
+_REPEAT_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, source,
+           LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS ts
+    FROM documents
+), grams AS (
+    SELECT doc_id, source, ARRAY_TO_STRING(ts[i:i + 3], ' ') AS g
+    FROM toks, LATERAL UNNEST(GENERATE_SERIES(1, LEN(ts) - 3)) t(i)
+    WHERE LEN(ts) >= 4
+), per AS (
+    SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n4,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS d4
+    FROM grams GROUP BY doc_id, source
+), ratio AS (
+    SELECT source,
+           CAST((2 * 1000000 * d4 + n4) // (2 * n4) AS BIGINT) AS r_micro
+    FROM per
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN r_micro < 500000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+       CAST((2 * SUM(r_micro) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS mean_ratio_micro
+FROM ratio GROUP BY source ORDER BY source
+"""
+
+
+@register("q494_repetition_screen", oracle=_REPEAT_ORACLE)
+def q494(spark, sf_dir):
+    """Within-doc 4-gram repetition flags per source (oracle comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0).alias(
+            "ts"
+        ),
+    )
+    grams = toks.filter(F.size("ts") >= 4).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "explode(transform(sequence(1, size(ts) - 3),"
+            " i -> array_join(slice(ts, i, 4), ' ')))"
+        ).alias("g"),
+    )
+    per = grams.groupBy("doc_id", "source").agg(
+        F.count("*").cast("bigint").alias("n4"),
+        F.count_distinct("g").cast("bigint").alias("d4"),
+    )
+    ratio = per.select(
+        "source",
+        F.expr("CAST((2 * 1000000 * d4 + n4) DIV (2 * n4) AS BIGINT)").alias(
+            "r_micro"
+        ),
+    )
+    return (
+        ratio.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("r_micro") < 500000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.expr(
+                "CAST((2 * SUM(r_micro) + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+            ).alias("mean_ratio_micro"),
+        )
+        .orderBy("source")
+    )

@@ -1329,3 +1329,551 @@ def q494(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------- q495: AR(1) autocorrelation + OU half-life (daily revenue)
+
+# Mean-reversion audit: lag-1 Pearson rho over the calendar-bounded
+# daily frame from EXACT pair moments (join rn -> rn+1, the q308
+# index), then half-life = ln 2 / (-ln rho) — both transcendentals in
+# ONE textually-parallel double expression over the same exact integer
+# moments, rounded to 6 (the house transcendental discipline).
+_AR1_ORACLE = _DAILY_CTE + """
+, idx AS (
+    SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+), pr AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(a.cents) AS BIGINT) AS sx,
+           CAST(SUM(b.cents) AS BIGINT) AS sy,
+           CAST(SUM(CAST(a.cents AS HUGEINT) * b.cents) AS HUGEINT) AS sxy,
+           CAST(SUM(CAST(a.cents AS HUGEINT) * a.cents) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(b.cents AS HUGEINT) * b.cents) AS HUGEINT) AS syy
+    FROM idx a JOIN idx b ON b.rn = a.rn + 1
+)
+SELECT m AS n_pairs,
+       ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS rho_r6,
+       CASE WHEN (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN ROUND(LN(2) / (-LN((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (SQRT(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * SQRT(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE)
+                                      * CAST(sy AS DOUBLE))))), 6)
+            ELSE NULL END AS halflife_r6
+FROM pr
+"""
+
+
+@register("q495_ar1_halflife", oracle=_AR1_ORACLE)
+def q495(spark, sf_dir):
+    """AR(1) rho + OU half-life over exact pair moments (oracle
+    comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    idx = daily.select(
+        "cents", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    a = idx.select(F.col("cents").alias("xa"), "rn")
+    b = idx.select(F.col("cents").alias("xb"), (F.col("rn") - 1).alias("rn"))
+    d38 = "DECIMAL(38,0)"
+    pr = a.join(b, "rn").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("xa").cast("bigint").alias("sx"),
+        F.sum("xb").cast("bigint").alias("sy"),
+        F.sum(F.expr(f"CAST(xa AS {d38}) * xb")).alias("sxy"),
+        F.sum(F.expr(f"CAST(xa AS {d38}) * xa")).alias("sxx"),
+        F.sum(F.expr(f"CAST(xb AS {d38}) * xb")).alias("syy"),
+    )
+    rho = (
+        "(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (SQRT(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * SQRT(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    num = (
+        "(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    return pr.select(
+        F.col("m").alias("n_pairs"),
+        F.expr(f"ROUND({rho}, 6)").alias("rho_r6"),
+        F.expr(
+            f"CASE WHEN {num} > 0"
+            f" THEN ROUND(LN(2) / (-LN({rho})), 6) ELSE NULL END"
+        ).alias("halflife_r6"),
+    )
+
+
+# ---------- q496: gains/lift deciles (click spend -> purchase)
+
+# Uplift-model-free targeting baseline: score users by click cents,
+# decile by UNIQUE rank (score DESC, user_id), report per-decile
+# conversion lift and cumulative gains in exact micro units. The rank
+# window runs over the per-user aggregate — volume collapses first
+# (the q463 user-frame posture).
+_GAINS_ORACLE = """
+WITH peru AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                         THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS score,
+           CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS conv
+    FROM events GROUP BY user_id
+), ranked AS (
+    SELECT score, conv,
+           ROW_NUMBER() OVER (ORDER BY score DESC, user_id) - 1 AS r,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM peru
+), dec AS (
+    SELECT CAST(r * 10 // n + 1 AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_u,
+           CAST(SUM(conv) AS BIGINT) AS n_conv
+    FROM ranked GROUP BY decile
+), tot AS (
+    SELECT CAST(SUM(n_u) AS BIGINT) AS n, CAST(SUM(n_conv) AS BIGINT) AS c
+    FROM dec
+)
+SELECT dec.decile, dec.n_u, dec.n_conv,
+       CAST((2 * 1000000 * dec.n_conv * tot.n + dec.n_u * tot.c)
+            // (2 * dec.n_u * tot.c) AS BIGINT) AS lift_micro,
+       CAST((2 * 1000000 * SUM(dec.n_conv) OVER (ORDER BY dec.decile)
+             + tot.c) // (2 * tot.c) AS BIGINT) AS cum_gain_micro
+FROM dec, tot ORDER BY dec.decile
+"""
+
+
+@register("q496_gains_deciles", oracle=_GAINS_ORACLE)
+def q496(spark, sf_dir):
+    """Decile lift + cumulative gains in exact micro units (oracle
+    comment)."""
+    e = load_tables(spark, sf_dir)["events"]
+    peru = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv"),
+    )
+    wr = Window.orderBy(F.col("score").desc(), "user_id")
+    ranked = peru.select(
+        "conv",
+        (F.row_number().over(wr) - 1).alias("r"),
+        F.count("*").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).cast("bigint").alias("n"),
+    )
+    dec = ranked.groupBy(
+        F.expr("CAST(r * 10 DIV n + 1 AS BIGINT)").alias("decile")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_u"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    tot = dec.agg(
+        F.sum("n_u").cast("bigint").alias("n"),
+        F.sum("n_conv").cast("bigint").alias("c"),
+    )
+    wd = Window.orderBy("decile")
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_u",
+            "n_conv",
+            F.expr(
+                "CAST((2 * 1000000 * n_conv * n + n_u * c)"
+                " DIV (2 * n_u * c) AS BIGINT)"
+            ).alias("lift_micro"),
+            F.expr(
+                "CAST((2 * 1000000 * SUM(n_conv)"
+                " OVER (ORDER BY decile) + c) DIV (2 * c) AS BIGINT)"
+            ).alias("cum_gain_micro"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------- q497: weekday seasonality strength (eta² by dow7)
+
+# How much of daily-revenue variance the weekday explains: one-way
+# eta² = SSB/SST with groups = engine-neutral epoch-day mod 7 (the
+# q339 dow7 recipe; DAYOFWEEK numbering differs across engines). Group
+# moments are exact integers; eta² is the only double (q207), rounded
+# to 6.
+_SEASTR_ORACLE = _DAILY_CTE + """
+, d AS (
+    SELECT CAST(EPOCH_MS(CAST(day AS TIMESTAMP)) // 86400000 % 7 AS INT)
+               AS dow7,
+           cents
+    FROM daily
+), g AS (
+    SELECT dow7, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+           CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
+    FROM d GROUP BY dow7
+), t AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s,
+           CAST(SUM(q) AS HUGEINT) AS q,
+           SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS ssg
+    FROM g
+)
+SELECT n AS n_days,
+       ROUND((ssg - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)),
+             6) AS eta2_r6
+FROM t
+"""
+
+
+@register("q497_weekday_seasonality", oracle=_SEASTR_ORACLE)
+def q497(spark, sf_dir):
+    """Weekday eta² of daily revenue (oracle comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    d38 = "DECIMAL(38,0)"
+    g = daily.select(
+        F.pmod(F.unix_date(F.col("day").cast("date")), F.lit(7))
+        .cast("int")
+        .alias("dow7"),
+        "cents",
+    ).groupBy("dow7").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.expr(f"CAST(cents AS {d38}) * cents")).alias("q"),
+    )
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("s"),
+        F.sum("q").alias("q"),
+        F.sum(
+            F.expr(
+                "CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+            )
+        ).alias("ssg"),
+    )
+    return t.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            "ROUND((ssg - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+            " / CAST(n AS DOUBLE))"
+            " / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+            " / CAST(n AS DOUBLE)), 6)"
+        ).alias("eta2_r6"),
+    )
+
+
+# ---------- q498: AMS F2 sketch vs exact second moment
+
+# Alon-Matias-Szegedy self-join-size sketch, FULLY exact: 8 ±1 hash
+# estimators (md5 nibble parity of the user key — the same literal hash
+# on both engines), Z_j = sum_u c_u * sign_j(u), estimate = Z_j²,
+# median-of-8 = avg of the 4th/5th order statistics (integer DIV). The
+# relative error vs the exact F2 = sum c_u² is ONE signed micro
+# division. Everything is integer arithmetic — no doubles at all.
+_AMS_ORACLE = """
+WITH cu AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY user_id
+), signs AS (
+    SELECT t.j,
+           SUM(CASE WHEN STRPOS('0123456789abcdef',
+                               SUBSTR(MD5(CAST(cu.user_id AS VARCHAR)), t.j, 1))
+                         % 2 = 1
+                    THEN cu.c ELSE -cu.c END) AS z
+    FROM cu, LATERAL UNNEST(GENERATE_SERIES(1, 8)) t(j)
+    GROUP BY t.j
+), est AS (
+    SELECT j, CAST(z AS BIGINT) AS z,
+           CAST(CAST(z AS HUGEINT) * z AS HUGEINT) AS e,
+           ROW_NUMBER() OVER (ORDER BY CAST(z AS HUGEINT) * z, j) AS rk
+    FROM signs
+), med AS (
+    SELECT CAST((SUM(CASE WHEN rk = 4 THEN e ELSE 0 END)
+                 + SUM(CASE WHEN rk = 5 THEN e ELSE 0 END)) // 2 AS HUGEINT)
+               AS m
+    FROM est
+), f2 AS (
+    SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS f2 FROM cu
+)
+SELECT CAST(f2.f2 AS BIGINT) AS f2_exact,
+       CAST(med.m AS BIGINT) AS f2_sketch,
+       CAST((2 * (1000000 * (med.m - f2.f2) + 1000000000 * f2.f2) + f2.f2)
+            // (2 * f2.f2) - 1000000000 AS BIGINT) AS rel_err_micro
+FROM med, f2
+"""
+
+
+@register("q498_ams_f2_sketch", oracle=_AMS_ORACLE)
+def q498(spark, sf_dir):
+    """Median-of-8 AMS F2 estimate vs exact, fully integer (oracle
+    comment)."""
+    e = load_tables(spark, sf_dir)["events"]
+    cu = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("c"))
+    js = spark.createDataFrame([(j,) for j in range(1, 9)], "j int")
+    signs = (
+        cu.crossJoin(F.broadcast(js))
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN POSITION(SUBSTR(MD5(CAST(user_id AS STRING)), j, 1)"
+                    " IN '0123456789abcdef') % 2 = 1 THEN c ELSE -c END"
+                )
+            ).alias("z")
+        )
+    )
+    d38 = "DECIMAL(38,0)"
+    est = signs.select(
+        "j",
+        F.col("z").cast("bigint").alias("z"),
+        F.expr(f"CAST(z AS {d38}) * z").alias("e"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.expr(f"CAST(z AS {d38}) * z"), "j")),
+    )
+    med = est.agg(
+        F.expr(
+            "CAST((SUM(CASE WHEN rk = 4 THEN e ELSE 0 END)"
+            " + SUM(CASE WHEN rk = 5 THEN e ELSE 0 END)) DIV 2 AS DECIMAL(38,0))"
+        ).alias("m")
+    )
+    f2 = cu.agg(F.expr(f"CAST(SUM(CAST(c AS {d38}) * c) AS {d38})").alias("f2"))
+    return med.crossJoin(F.broadcast(f2)).select(
+        F.expr("CAST(f2 AS BIGINT)").alias("f2_exact"),
+        F.expr("CAST(m AS BIGINT)").alias("f2_sketch"),
+        F.expr(
+            "CAST((2 * (1000000 * (m - f2) + 1000000000 * f2) + f2)"
+            " DIV (2 * f2) - 1000000000 AS BIGINT)"
+        ).alias("rel_err_micro"),
+    )
+
+
+# ---------- q499: differentially-private counts (seeded Laplace)
+
+# The eps=1 Laplace mechanism with HASH-SEEDED noise so the release is
+# reproducible across engines and runs: u in [0,1) from the first 8
+# md5 hex digits of the group key, noise = -sign(u-1/2) *
+# ln(1 - 2|u-1/2|). True counts are exact integers; the noisy release
+# is the only double (textually parallel inverse-CDF), rounded to 6.
+# A real deployment swaps the seeded hash for calibrated randomness —
+# the Spark-side plumbing (per-group noise, sensitivity-1 counts) is
+# the deliverable.
+_DP_ORACLE = """
+WITH g AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+), u AS (
+    SELECT event_type, n,
+           CAST(('0x' || SUBSTR(MD5(event_type), 1, 8))::BIGINT AS DOUBLE)
+               / 4294967296.0 AS u
+    FROM g
+)
+SELECT event_type, n AS true_n,
+       ROUND(CAST(n AS DOUBLE)
+             - (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+               * LN(1.0 - 2.0 * ABS(u - 0.5)), 6) AS noisy_r6
+FROM u ORDER BY event_type
+"""
+
+
+@register("q499_dp_laplace_counts", oracle=_DP_ORACLE)
+def q499(spark, sf_dir):
+    """Seeded-Laplace DP count release (oracle comment)."""
+    e = load_tables(spark, sf_dir)["events"]
+    g = e.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    u = g.select(
+        "event_type",
+        "n",
+        (
+            F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10)
+            .cast("double")
+            / 4294967296.0
+        ).alias("u"),
+    )
+    return u.select(
+        "event_type",
+        F.col("n").alias("true_n"),
+        F.expr(
+            "ROUND(CAST(n AS DOUBLE)"
+            " - (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)"
+            " * LN(1.0 - 2.0 * ABS(u - 0.5)), 6)"
+        ).alias("noisy_r6"),
+    ).orderBy("event_type")
+
+
+# ---------- q500: cross-table consistency-rule scorecard
+
+# The referential/value-rule audit a pipeline runs before training
+# ingestion: five declared rules, each an exact count pair
+# (checked, violations) + rhu micro rate, UNION'd into one scorecard.
+# Each rule is a scan-local aggregate or a broadcast/shuffle anti-join
+# — no rule sorts volume.
+_RULES_ORACLE = """
+WITH r1 AS (
+    SELECT 'lineitem_orphan' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_viol
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+), r2 AS (
+    SELECT 'ship_before_order' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_viol
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), r3 AS (
+    SELECT 'nonpositive_price' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_viol
+    FROM orders
+), r4 AS (
+    SELECT 'discount_range' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_viol
+    FROM lineitem
+), r5 AS (
+    SELECT 'customer_orphan' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_viol
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+), allr AS (
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+    UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5
+)
+SELECT rule, n_checked, n_viol,
+       CAST((2 * 1000000 * n_viol + n_checked) // (2 * n_checked) AS BIGINT)
+           AS viol_micro
+FROM allr ORDER BY rule
+"""
+
+
+@register("q500_consistency_rules", oracle=_RULES_ORACLE)
+def q500(spark, sf_dir):
+    """Five-rule integrity scorecard (oracle comment)."""
+    t = load_tables(spark, sf_dir)
+    l, o, c = t["lineitem"], t["orders"], t["customer"]
+    r1 = (
+        l.join(o.select("o_orderkey"), l["l_orderkey"] == o["o_orderkey"], "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_checked"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_viol"),
+        )
+        .select(F.lit("lineitem_orphan").alias("rule"), "n_checked", "n_viol")
+    )
+    r2 = (
+        l.join(o.select("o_orderkey", "o_orderdate"), l["l_orderkey"] == o["o_orderkey"])
+        .agg(
+            F.count("*").cast("bigint").alias("n_checked"),
+            F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_viol"),
+        )
+        .select(F.lit("ship_before_order").alias("rule"), "n_checked", "n_viol")
+    )
+    r3 = o.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_viol"),
+    ).select(F.lit("nonpositive_price").alias("rule"), "n_checked", "n_viol")
+    r4 = l.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_viol"),
+    ).select(F.lit("discount_range").alias("rule"), "n_checked", "n_viol")
+    r5 = (
+        o.join(F.broadcast(c.select("c_custkey")), o["o_custkey"] == c["c_custkey"], "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_checked"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_viol"),
+        )
+        .select(F.lit("customer_orphan").alias("rule"), "n_checked", "n_viol")
+    )
+    allr = r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
+    return allr.select(
+        "rule",
+        "n_checked",
+        "n_viol",
+        F.expr(
+            "CAST((2 * 1000000 * n_viol + n_checked) DIV (2 * n_checked) AS BIGINT)"
+        ).alias("viol_micro"),
+    ).orderBy("rule")
+
+
+# ---------- q501: inter-arrival magnitude histogram
+
+# Per-user inter-event gaps in whole seconds, bucketed by DECIMAL
+# magnitude (digit count of the gap — engine-neutral integer bucketing;
+# log-scale buckets without a transcendental), per event_type of the
+# LATER event. The lag window is user-partitioned (never global), gaps
+# of 0 land in bucket 1.
+_ARRIVAL_ORACLE = """
+WITH ev AS (
+    SELECT user_id, event_type,
+           CAST(EPOCH_MS(ts) // 1000 AS BIGINT) AS es, event_id
+    FROM events
+), gaps AS (
+    SELECT event_type,
+           es - LAG(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+               AS gap
+    FROM ev
+)
+SELECT event_type, CAST(LEN(CAST(gap AS VARCHAR)) AS BIGINT) AS magnitude,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(gap) AS BIGINT) AS min_gap,
+       CAST(MAX(gap) AS BIGINT) AS max_gap
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY event_type, magnitude ORDER BY event_type, magnitude
+"""
+
+
+@register("q501_interarrival_histogram", oracle=_ARRIVAL_ORACLE)
+def q501(spark, sf_dir):
+    """Digit-count bucketed inter-arrival histogram (oracle comment)."""
+    e = load_tables(spark, sf_dir)["events"]
+    ev = e.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint").alias("es"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    gaps = ev.select(
+        "event_type", (F.col("es") - F.lag("es").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return (
+        gaps.groupBy(
+            "event_type",
+            F.length(F.col("gap").cast("string")).cast("bigint").alias("magnitude"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("gap").cast("bigint").alias("min_gap"),
+            F.max("gap").cast("bigint").alias("max_gap"),
+        )
+        .orderBy("event_type", "magnitude")
+    )

@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 from ..io import load_tables
 from . import register
+from ..operators import banding as B
+from .analytics import _CC_ORACLE
 from .analytics3 import _DAILY_CTE, _daily_cents
 
 # ---------- q480: Welch's unequal-variance t-test (click vs purchase)
@@ -1877,3 +1879,636 @@ def q501(spark, sf_dir):
         )
         .orderBy("event_type", "magnitude")
     )
+
+
+# ---------- q502: Hurst exponent by rescaled range (R/S)
+
+# Long-memory audit of daily revenue. Non-overlapping blocks of the
+# PRESENT-day index (declared contract: gaps closed by rank, not
+# calendar) at sizes 8/16/32/64; per block the cumulative deviation is
+# kept MEAN-CLEARED IN INTEGERS by scaling with m (dev_k = m*cum_k -
+# k*S), so R_scaled = max-min is exact and R/S = R_scaled /
+# sqrt(m*q - S²) is ONE per-block double, rounded to integer MICRO
+# per the explicit-ROUND rule; block means are then exact integer rhu.
+# The Hurst slope regresses ln(mean R/S) on ln m over the FOUR pivoted
+# points in one fixed-order expression — no double is ever summed
+# across a row stream.
+_HURST_ORACLE = _DAILY_CTE + """
+, idx AS (
+    SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+), ms AS (
+    SELECT * FROM (VALUES (8), (16), (32), (64)) AS t(m)
+), cells AS (
+    SELECT ms.m, (idx.rn - 1) // ms.m AS blk, idx.rn, idx.cents,
+           SUM(idx.cents) OVER (PARTITION BY ms.m, (idx.rn - 1) // ms.m
+                                ORDER BY idx.rn) AS cum,
+           ROW_NUMBER() OVER (PARTITION BY ms.m, (idx.rn - 1) // ms.m
+                              ORDER BY idx.rn) AS k,
+           SUM(idx.cents) OVER (PARTITION BY ms.m, (idx.rn - 1) // ms.m)
+               AS sblk
+    FROM ms, idx
+), blocks AS (
+    SELECT m, blk, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS s,
+           CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q,
+           CAST(MAX(m * cum - k * sblk) AS HUGEINT) AS devmax,
+           CAST(MIN(m * cum - k * sblk) AS HUGEINT) AS devmin
+    FROM cells GROUP BY m, blk
+), rs AS (
+    SELECT m,
+           CAST(ROUND(1000000.0 * CAST(devmax - devmin AS DOUBLE)
+                      / SQRT(CAST(m AS DOUBLE) * CAST(q AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 0)
+                AS BIGINT) AS rs_micro
+    FROM blocks
+    WHERE n = m AND CAST(m AS HUGEINT) * q > CAST(s AS HUGEINT) * s
+), per AS (
+    SELECT m, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST((2 * SUM(rs_micro) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS mean_rs_micro
+    FROM rs GROUP BY m
+), pv AS (
+    SELECT MAX(CASE WHEN m = 8 THEN mean_rs_micro END) AS y8,
+           MAX(CASE WHEN m = 16 THEN mean_rs_micro END) AS y16,
+           MAX(CASE WHEN m = 32 THEN mean_rs_micro END) AS y32,
+           MAX(CASE WHEN m = 64 THEN mean_rs_micro END) AS y64
+    FROM per
+)
+SELECT per.m, per.n_blocks, per.mean_rs_micro,
+       ROUND((
+         (LN(8.0)  - (LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0)) / 4.0)
+           * LN(CAST(pv.y8 AS DOUBLE) / 1000000.0)
+         + (LN(16.0) - (LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0)) / 4.0)
+           * LN(CAST(pv.y16 AS DOUBLE) / 1000000.0)
+         + (LN(32.0) - (LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0)) / 4.0)
+           * LN(CAST(pv.y32 AS DOUBLE) / 1000000.0)
+         + (LN(64.0) - (LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0)) / 4.0)
+           * LN(CAST(pv.y64 AS DOUBLE) / 1000000.0)
+       ) / (
+         (LN(8.0)  - (LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0)) / 4.0)
+           * (LN(8.0)  - (LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0)) / 4.0)
+         + (LN(16.0) - (LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0)) / 4.0)
+           * (LN(16.0) - (LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0)) / 4.0)
+         + (LN(32.0) - (LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0)) / 4.0)
+           * (LN(32.0) - (LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0)) / 4.0)
+         + (LN(64.0) - (LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0)) / 4.0)
+           * (LN(64.0) - (LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0)) / 4.0)
+       ), 6) AS hurst_r6
+FROM per, pv ORDER BY per.m
+"""
+
+
+@register("q502_hurst_exponent", oracle=_HURST_ORACLE)
+def q502(spark, sf_dir):
+    """R/S Hurst slope over 4 pivoted block sizes (oracle comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    idx = daily.select(
+        "cents", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    ms = spark.createDataFrame([(8,), (16,), (32,), (64,)], "m int")
+    cells = (
+        F.broadcast(ms)
+        .join(idx)
+        .select(
+            "m",
+            F.expr("(rn - 1) DIV m").alias("blk"),
+            "rn",
+            "cents",
+        )
+    )
+    wb = Window.partitionBy("m", "blk")
+    wo = wb.orderBy("rn")
+    d38 = "DECIMAL(38,0)"
+    withc = cells.select(
+        "m",
+        "blk",
+        "cents",
+        F.sum("cents").over(wo).alias("cum"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("cents").over(wb).alias("sblk"),
+    )
+    blocks = withc.groupBy("m", "blk").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.expr(f"CAST(cents AS {d38}) * cents")).alias("q"),
+        F.max(F.expr(f"CAST(m * cum - k * sblk AS {d38})")).alias("devmax"),
+        F.min(F.expr(f"CAST(m * cum - k * sblk AS {d38})")).alias("devmin"),
+    )
+    rs = blocks.filter(
+        (F.col("n") == F.col("m"))
+        & (F.expr(f"CAST(m AS {d38}) * q > CAST(s AS {d38}) * s"))
+    ).select(
+        "m",
+        F.expr(
+            "CAST(ROUND(1000000.0 * CAST(devmax - devmin AS DOUBLE)"
+            " / SQRT(CAST(m AS DOUBLE) * CAST(q AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 0) AS BIGINT)"
+        ).alias("rs_micro"),
+    )
+    per = rs.groupBy("m").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.expr(
+            "CAST((2 * SUM(rs_micro) + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("mean_rs_micro"),
+    )
+    pv = per.agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("mean_rs_micro"))).alias(f"y{m}")
+            for m in (8, 16, 32, 64)
+        ]
+    )
+    xbar = "(LN(8.0) + LN(16.0) + LN(32.0) + LN(64.0)) / 4.0"
+    num = " + ".join(
+        f"(LN({m}.0) - {xbar}) * LN(CAST(y{m} AS DOUBLE) / 1000000.0)"
+        for m in (8, 16, 32, 64)
+    )
+    den = " + ".join(
+        f"(LN({m}.0) - {xbar}) * (LN({m}.0) - {xbar})" for m in (8, 16, 32, 64)
+    )
+    return (
+        per.crossJoin(F.broadcast(pv))
+        .select(
+            "m",
+            "n_blocks",
+            "mean_rs_micro",
+            F.expr(f"ROUND(({num}) / ({den}), 6)").alias("hurst_r6"),
+        )
+        .orderBy("m")
+    )
+
+
+# ---------- q503: McNemar's paired test (clicked in H1 vs H2)
+
+# Paired binary before/after: did each user click in the first vs
+# second half of the GLOBAL observation window (boundary = integer
+# midpoint of min/max epoch-seconds — exact)? Only the discordant
+# cells matter: chi² = (b-c)²/(b+c), reported as exact rhu micro.
+_MCNEMAR_ORACLE = """
+WITH ev AS (
+    SELECT user_id, event_type, CAST(EPOCH_MS(ts) // 1000 AS BIGINT) AS es
+    FROM events
+), bound AS (
+    SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM ev
+), peru AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click' AND es <= bound.mid
+                    THEN 1 ELSE 0 END) AS h1,
+           MAX(CASE WHEN event_type = 'click' AND es > bound.mid
+                    THEN 1 ELSE 0 END) AS h2
+    FROM ev, bound GROUP BY user_id, bound.mid
+), cells AS (
+    SELECT CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS b,
+           CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM peru
+)
+SELECT n_users, b, c,
+       CAST(CASE WHEN b + c > 0
+                 THEN (2 * 1000000 * (b - c) * (b - c) + (b + c))
+                      // (2 * (b + c))
+                 ELSE 0 END AS BIGINT) AS chi2_micro
+FROM cells
+"""
+
+
+@register("q503_mcnemar_paired", oracle=_MCNEMAR_ORACLE)
+def q503(spark, sf_dir):
+    """McNemar discordant-pair chi² in exact micro units (oracle
+    comment)."""
+    e = load_tables(spark, sf_dir)["events"]
+    ev = e.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint").alias("es"),
+    )
+    bound = ev.agg(
+        F.expr("(MIN(es) + MAX(es)) DIV 2").alias("mid")
+    )
+    peru = (
+        ev.crossJoin(F.broadcast(bound))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("es") <= F.col("mid")),
+                    1,
+                ).otherwise(0)
+            ).alias("h1"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("es") > F.col("mid")),
+                    1,
+                ).otherwise(0)
+            ).alias("h2"),
+        )
+    )
+    cells = peru.agg(
+        F.sum(F.when((F.col("h1") == 1) & (F.col("h2") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("h1") == 0) & (F.col("h2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.count("*").cast("bigint").alias("n_users"),
+    )
+    return cells.select(
+        "n_users",
+        "b",
+        "c",
+        F.expr(
+            "CAST(CASE WHEN b + c > 0 THEN"
+            " (2 * 1000000 * (b - c) * (b - c) + (b + c)) DIV (2 * (b + c))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("chi2_micro"),
+    )
+
+
+# ---------- q504: Friedman test + Kendall's W (weekday ranks by week)
+
+# Blocked rank tests: blocks = COMPLETE epoch-weeks (all 7 present
+# days), treatments = dow7, measure = daily cents. Within-block ranks
+# are UNIQUE by the declared (cents, dow7) tiebreak, so rank sums are
+# exact integers: Friedman chi² = (12*SR2 - 3*m²*k*(k+1)²) /
+# (m*k*(k+1)) and Kendall W = (12*SR2 - 3*m²*k*(k+1)²) /
+# (m²*k*(k²-1)) share one numerator — two exact rhu micro divisions.
+_FRIEDMAN_ORACLE = _DAILY_CTE + """
+, d AS (
+    SELECT CAST(EPOCH_MS(CAST(day AS TIMESTAMP)) // 86400000 AS BIGINT) AS ed,
+           cents
+    FROM daily
+), wk AS (
+    SELECT ed // 7 AS week, CAST(ed % 7 AS INT) AS dow7, cents FROM d
+), full_weeks AS (
+    SELECT week FROM wk GROUP BY week HAVING COUNT(*) = 7
+), ranked AS (
+    SELECT w.week, w.dow7,
+           ROW_NUMBER() OVER (PARTITION BY w.week
+                              ORDER BY w.cents, w.dow7) AS r
+    FROM wk w JOIN full_weeks f ON f.week = w.week
+), rsum AS (
+    SELECT dow7, CAST(SUM(r) AS BIGINT) AS rj FROM ranked GROUP BY dow7
+), m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m FROM full_weeks
+), s AS (
+    SELECT CAST(SUM(CAST(rj AS HUGEINT) * rj) AS HUGEINT) AS sr2 FROM rsum
+)
+SELECT m.m AS n_weeks, CAST(s.sr2 AS BIGINT) AS sum_r2,
+       CAST((2 * (1000000 * (12 * s.sr2 - 3 * CAST(m.m AS HUGEINT) * m.m * 7 * 64)
+                  + 1000000000 * (m.m * 56))
+             + m.m * 56) // (2 * m.m * 56) - 1000000000 AS BIGINT)
+           AS friedman_micro,
+       CAST((2 * (1000000 * (12 * s.sr2 - 3 * CAST(m.m AS HUGEINT) * m.m * 7 * 64)
+                  + 1000000000 * (CAST(m.m AS HUGEINT) * m.m * 336))
+             + CAST(m.m AS HUGEINT) * m.m * 336)
+            // (2 * CAST(m.m AS HUGEINT) * m.m * 336) - 1000000000 AS BIGINT)
+           AS kendall_w_micro
+FROM m, s
+"""
+
+
+@register("q504_friedman_kendall_w", oracle=_FRIEDMAN_ORACLE)
+def q504(spark, sf_dir):
+    """Friedman chi² + Kendall W over complete weekday blocks (oracle
+    comment; k=7: k+1=8, k(k+1)²=448 -> 3k(k+1)²=1344; the oracle
+    folds constants: m*k*(k+1)=56m, m²k(k²-1)=336m²)."""
+    daily = _daily_cents(spark, sf_dir)
+    d = daily.select(
+        F.unix_date(F.col("day").cast("date")).cast("bigint").alias("ed"), "cents"
+    )
+    wk = d.select(
+        F.expr("ed DIV 7").alias("week"),
+        F.pmod(F.col("ed"), F.lit(7)).cast("int").alias("dow7"),
+        "cents",
+    )
+    full_weeks = wk.groupBy("week").count().filter(F.col("count") == 7).select("week")
+    ranked = wk.join(full_weeks, "week").select(
+        "week",
+        "dow7",
+        F.row_number()
+        .over(Window.partitionBy("week").orderBy("cents", "dow7"))
+        .alias("r"),
+    )
+    rsum = ranked.groupBy("dow7").agg(F.sum("r").cast("bigint").alias("rj"))
+    d38 = "DECIMAL(38,0)"
+    m = full_weeks.agg(F.count("*").cast("bigint").alias("m"))
+    s = rsum.agg(F.expr(f"CAST(SUM(CAST(rj AS {d38}) * rj) AS {d38})").alias("sr2"))
+    return (
+        m.crossJoin(s)
+        .select(
+            F.col("m").alias("n_weeks"),
+            F.expr("CAST(sr2 AS BIGINT)").alias("sum_r2"),
+            F.expr(
+                f"CAST((2 * (1000000 * (12 * sr2 - 3 * CAST(m AS {d38}) * m * 7 * 64)"
+                " + 1000000000 * (m * 56))"
+                " + m * 56) DIV (2 * m * 56) - 1000000000 AS BIGINT)"
+            ).alias("friedman_micro"),
+            F.expr(
+                f"CAST((2 * (1000000 * (12 * sr2 - 3 * CAST(m AS {d38}) * m * 7 * 64)"
+                f" + 1000000000 * (CAST(m AS {d38}) * m * 336))"
+                f" + CAST(m AS {d38}) * m * 336)"
+                f" DIV (2 * CAST(m AS {d38}) * m * 336) - 1000000000 AS BIGINT)"
+            ).alias("kendall_w_micro"),
+        )
+    )
+
+
+# ---------- q505: Cochran's Q (did-user-do-type across event types)
+
+# The k-treatment binary extension of McNemar: blocks = users,
+# treatments = the 4 canonical event types, x = user emitted that type
+# at least once. Q = (k-1) * (k*sum C_j² - N²) / (k*N - sum R_i²) —
+# every term an exact integer aggregate, ONE rhu micro division.
+_COCHRANQ_ORACLE = """
+WITH peru AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x1,
+           MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x2,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x3,
+           MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS x4
+    FROM events GROUP BY user_id
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(x1) AS BIGINT) AS c1, CAST(SUM(x2) AS BIGINT) AS c2,
+           CAST(SUM(x3) AS BIGINT) AS c3, CAST(SUM(x4) AS BIGINT) AS c4,
+           CAST(SUM(x1 + x2 + x3 + x4) AS BIGINT) AS nn,
+           CAST(SUM((x1 + x2 + x3 + x4) * (x1 + x2 + x3 + x4)) AS BIGINT)
+               AS sr2
+    FROM peru
+)
+SELECT n_users, nn AS n_successes,
+       CAST(CASE WHEN 4 * nn - sr2 > 0 THEN
+            (2 * (1000000 * 3 * (4 * (CAST(c1 AS HUGEINT) * c1
+                                      + CAST(c2 AS HUGEINT) * c2
+                                      + CAST(c3 AS HUGEINT) * c3
+                                      + CAST(c4 AS HUGEINT) * c4)
+                                 - CAST(nn AS HUGEINT) * nn))
+             + (4 * nn - sr2)) // (2 * (4 * nn - sr2))
+            ELSE 0 END AS BIGINT) AS q_micro
+FROM agg
+"""
+
+
+@register("q505_cochran_q", oracle=_COCHRANQ_ORACLE)
+def q505(spark, sf_dir):
+    """Cochran's Q in exact micro units (oracle comment)."""
+    e = load_tables(spark, sf_dir)["events"]
+    peru = e.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"x{i}")
+            for i, t in enumerate(("click", "view", "purchase", "signup"), 1)
+        ]
+    )
+    t = sum(F.col(f"x{i}") for i in range(1, 5))
+    agg = peru.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        *[F.sum(f"x{i}").cast("bigint").alias(f"c{i}") for i in range(1, 5)],
+        F.sum(t).cast("bigint").alias("nn"),
+        F.sum(t * t).cast("bigint").alias("sr2"),
+    )
+    d38 = "DECIMAL(38,0)"
+    return agg.select(
+        "n_users",
+        F.col("nn").alias("n_successes"),
+        F.expr(
+            "CAST(CASE WHEN 4 * nn - sr2 > 0 THEN"
+            f" (2 * (1000000 * 3 * (4 * (CAST(c1 AS {d38}) * c1"
+            f" + CAST(c2 AS {d38}) * c2 + CAST(c3 AS {d38}) * c3"
+            f" + CAST(c4 AS {d38}) * c4) - CAST(nn AS {d38}) * nn))"
+            " + (4 * nn - sr2)) DIV (2 * (4 * nn - sr2))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("q_micro"),
+    )
+
+
+# ---------- q506: perceptual-hash collision groups (multimodal aHash)
+
+# aHash over the DOCUMENTED fake decode (operators/multimodal.py): the
+# 32 md5 nibbles of the payload stand in for an 8x4 pixel grid; bit_i =
+# 1 iff 32*nibble_i > sum(nibbles) (exact integer mean threshold). The
+# 32-bit hash is exact integer arithmetic on both engines; collision
+# groups (>= 2 docs sharing a hash) rank by (n_docs DESC, ahash).
+# A real deployment swaps the md5 grid for decoded pixels — the
+# hashing, grouping, and ranking plumbing is the deliverable.
+_AHASH_ORACLE = """
+WITH nib AS (
+    SELECT doc_id,
+           STRPOS('0123456789abcdef', SUBSTR(MD5(text), t.i, 1)) - 1 AS v,
+           t.i AS i
+    FROM documents, LATERAL UNNEST(GENERATE_SERIES(1, 32)) t(i)
+), tot AS (
+    SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sv FROM nib GROUP BY doc_id
+), hashed AS (
+    SELECT n.doc_id,
+           CAST(SUM(CASE WHEN 32 * n.v > t.sv
+                         THEN CAST(1 AS BIGINT) << (n.i - 1)
+                         ELSE 0 END) AS BIGINT) AS ahash
+    FROM nib n JOIN tot t ON t.doc_id = n.doc_id
+    GROUP BY n.doc_id
+), agg AS (
+    SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM hashed GROUP BY ahash
+)
+SELECT ahash, n_docs, min_doc
+FROM agg WHERE n_docs >= 2
+ORDER BY n_docs DESC, ahash LIMIT 20
+"""
+
+
+@register("q506_perceptual_ahash", oracle=_AHASH_ORACLE)
+def q506(spark, sf_dir):
+    """aHash collision groups over the md5-nibble fake decode (oracle
+    comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    nib = (
+        d.select("doc_id", F.md5("text").alias("h"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(split(substr(h, 1, 32), '(?!^)'),"
+                    " c -> instr('0123456789abcdef', c) - 1)"
+                )
+            ).alias("i0", "v"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "v")
+    )
+    tot = nib.groupBy("doc_id").agg(F.sum("v").cast("bigint").alias("sv"))
+    hashed = (
+        nib.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN 32 * v > sv THEN SHIFTLEFT(CAST(1 AS BIGINT), i - 1)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("bit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit").cast("bigint").alias("ahash"))
+    )
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "ahash")
+        .limit(20)
+    )
+
+
+# ---------- q507: Mann-Whitney U + rank-biserial effect size
+
+# Two-sample rank test (click vs purchase values) over the q423 tied-
+# rank machinery: DOUBLED average ranks r2 from the value histogram
+# keep everything integer; U1*2 = sum(c1*r2) - n1*(n1+1) and the
+# rank-biserial r = 1 - 2U/(n1*n2) = (n1*n2 - 2*U1)/(n1*n2) is ONE
+# signed rhu micro division (x2 scale folds away).
+_MWU_ORACLE = """
+WITH v AS (
+    SELECT event_type AS g,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events WHERE event_type IN ('click', 'purchase')
+), hist AS (
+    SELECT g, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY g, c
+), ties AS (
+    SELECT c, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY c
+), ranked AS (
+    SELECT c,
+           (2 * (COALESCE(SUM(n) OVER (ORDER BY c
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + 1) + n - 1) AS r2
+    FROM ties
+), agg AS (
+    SELECT CAST(SUM(CASE WHEN h.g = 'click' THEN h.cnt ELSE 0 END) AS BIGINT)
+               AS n1,
+           CAST(SUM(CASE WHEN h.g = 'purchase' THEN h.cnt ELSE 0 END) AS BIGINT)
+               AS n2,
+           CAST(SUM(CASE WHEN h.g = 'click'
+                         THEN CAST(h.cnt AS HUGEINT) * r.r2 ELSE 0 END)
+                AS HUGEINT) AS sr2
+    FROM hist h JOIN ranked r ON r.c = h.c
+)
+SELECT n1, n2,
+       CAST(sr2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST((2 * (1000000 * (2 * CAST(n1 AS HUGEINT) * n2
+                             - (sr2 - CAST(n1 AS HUGEINT) * (n1 + 1)))
+                  + 1000000000 * (2 * CAST(n1 AS HUGEINT) * n2))
+             + 2 * CAST(n1 AS HUGEINT) * n2)
+            // (2 * (2 * CAST(n1 AS HUGEINT) * n2)) - 1000000000 AS BIGINT)
+           AS rank_biserial_micro
+FROM agg
+"""
+
+
+@register("q507_mann_whitney_u", oracle=_MWU_ORACLE)
+def q507(spark, sf_dir):
+    """Mann-Whitney U (doubled, exact) + rank-biserial micro (oracle
+    comment)."""
+    e = load_tables(spark, sf_dir)["events"]
+    v = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("event_type").alias("g"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    hist = v.groupBy("g", "c").agg(F.count("*").cast("bigint").alias("cnt"))
+    ties = hist.groupBy("c").agg(F.sum("cnt").cast("bigint").alias("n"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = ties.select(
+        "c",
+        (2 * (F.coalesce(F.sum("n").over(w), F.lit(0)) + 1) + F.col("n") - 1).alias(
+            "r2"
+        ),
+    )
+    d38 = "DECIMAL(38,0)"
+    agg = (
+        hist.join(ranked, "c")
+        .agg(
+            F.sum(F.when(F.col("g") == "click", F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("g") == "purchase", F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n2"),
+            F.sum(
+                F.when(
+                    F.col("g") == "click",
+                    F.expr(f"CAST(cnt AS {d38}) * r2"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("sr2"),
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.expr(f"CAST(sr2 - CAST(n1 AS {d38}) * (n1 + 1) AS BIGINT)").alias(
+            "u1_x2"
+        ),
+        F.expr(
+            f"CAST((2 * (1000000 * (2 * CAST(n1 AS {d38}) * n2"
+            f" - (sr2 - CAST(n1 AS {d38}) * (n1 + 1)))"
+            f" + 1000000000 * (2 * CAST(n1 AS {d38}) * n2))"
+            f" + 2 * CAST(n1 AS {d38}) * n2)"
+            f" DIV (2 * (2 * CAST(n1 AS {d38}) * n2)) - 1000000000 AS BIGINT)"
+        ).alias("rank_biserial_micro"),
+    )
+
+
+# ---------- q508: duplicate-cluster size histogram
+
+# The shape of the dedup problem, not its members: component sizes from
+# the q152 connected-components pipeline histogrammed (size ->
+# n_clusters), plus the singleton row (docs with NO candidate pair) so
+# the histogram partitions the whole corpus. Spark reuses the pointer-
+# doubling CC operator; the oracle reuses the recursive min-label walk
+# over the MATERIALIZED candidate-edge set.
+_CLUSTHIST_ORACLE = _CC_ORACLE.replace(
+    """SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM cc GROUP BY component ORDER BY component""",
+    """, sizes AS (
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS sz FROM cc GROUP BY component
+), hist AS (
+    SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY sz
+), singles AS (
+    SELECT CAST(1 AS BIGINT) AS cluster_size,
+           CAST((SELECT COUNT(*) FROM documents)
+                - (SELECT COUNT(*) FROM cc) AS BIGINT) AS n_clusters
+)
+SELECT * FROM hist UNION ALL SELECT * FROM singles
+ORDER BY cluster_size""",
+)
+
+
+@register("q508_dup_cluster_histogram", oracle=_CLUSTHIST_ORACLE)
+def q508(spark, sf_dir):
+    """Cluster-size histogram of the LSH dup graph + singleton row
+    (oracle comment)."""
+    from ..operators.dedup_pipeline import connected_components
+    from .llm import _minhash_corpus
+
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = (
+        B.candidate_pairs(_minhash_corpus(d))
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    cc = connected_components(pairs)  # operator expects (doc_a, doc_b)
+    sizes = cc.groupBy("component").agg(F.count("*").cast("bigint").alias("sz"))
+    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").cast("bigint").alias("n_clusters")
+    )
+    n_docs = d.agg(F.count("*").cast("bigint").alias("nd"))
+    n_cc = cc.agg(F.count("*").cast("bigint").alias("nc"))
+    singles = (
+        n_docs.crossJoin(n_cc)
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("nd") - F.col("nc")).cast("bigint").alias("n_clusters"),
+        )
+    )
+    return hist.unionByName(singles).orderBy("cluster_size")

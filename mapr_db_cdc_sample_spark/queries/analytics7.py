@@ -2512,3 +2512,541 @@ def q508(spark, sf_dir):
         )
     )
     return hist.unionByName(singles).orderBy("cluster_size")
+
+
+# ---------- q509: per-dimension uniformity KS audit (embeddings)
+
+# Feature-store QA: per embedding dimension, the exact KS distance
+# between the empirical CDF of the milli-quantized values and the
+# UNIFORM law on that dim's own [min, max]. Cross-multiplied integers
+# make the sup exact: at value v with cumulative count c (of n) and
+# multiplicity k, D+ = c*(mx-mn) - n*(v-mn), D- = n*(v-mn) -
+# (c-k)*(mx-mn); d_micro = rhu(1e6 * max / (n*(mx-mn))). ONE explode,
+# per-dim windows over value histograms — nothing global.
+_UNIKS_ORACLE = """
+WITH vals AS (
+    SELECT t.i AS d,
+           CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS v
+    FROM embeddings, LATERAL UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)
+), hist AS (
+    SELECT d, v, CAST(COUNT(*) AS BIGINT) AS k FROM vals GROUP BY d, v
+), cum AS (
+    SELECT d, v, k, SUM(k) OVER (PARTITION BY d ORDER BY v) AS c,
+           MIN(v) OVER (PARTITION BY d) AS mn,
+           MAX(v) OVER (PARTITION BY d) AS mx,
+           SUM(k) OVER (PARTITION BY d) AS n
+    FROM hist
+), dev AS (
+    SELECT d, n, mx, mn,
+           GREATEST(c * (mx - mn) - n * (v - mn),
+                    n * (v - mn) - (c - k) * (mx - mn)) AS num
+    FROM cum WHERE mx > mn
+), top AS (
+    SELECT d, CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(num) AS BIGINT) AS num,
+           CAST(MAX(mx) AS BIGINT) AS mx, CAST(MIN(mn) AS BIGINT) AS mn
+    FROM dev GROUP BY d
+)
+SELECT CAST(d AS INT) AS dim, n,
+       CAST((2 * 1000000 * num + n * (mx - mn)) // (2 * n * (mx - mn))
+            AS BIGINT) AS ks_micro
+FROM top ORDER BY dim
+"""
+
+
+@register("q509_uniformity_ks", oracle=_UNIKS_ORACLE)
+def q509(spark, sf_dir):
+    """Exact per-dim KS distance vs uniform[min,max] (oracle comment)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    vals = e.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
+            )
+        ).alias("d0", "v")
+    ).select((F.col("d0") + 1).alias("d"), "v")
+    hist = vals.groupBy("d", "v").agg(F.count("*").cast("bigint").alias("k"))
+    wd = Window.partitionBy("d")
+    wo = wd.orderBy("v")
+    cum = hist.select(
+        "d",
+        "v",
+        "k",
+        F.sum("k").over(wo).alias("c"),
+        F.min("v").over(wd).alias("mn"),
+        F.max("v").over(wd).alias("mx"),
+        F.sum("k").over(wd).alias("n"),
+    )
+    dev = cum.filter(F.col("mx") > F.col("mn")).select(
+        "d",
+        "n",
+        "mx",
+        "mn",
+        F.greatest(
+            F.expr("c * (mx - mn) - n * (v - mn)"),
+            F.expr("n * (v - mn) - (c - k) * (mx - mn)"),
+        ).alias("num"),
+    )
+    top = dev.groupBy("d").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("num").cast("bigint").alias("num"),
+        F.max("mx").cast("bigint").alias("mx"),
+        F.min("mn").cast("bigint").alias("mn"),
+    )
+    return top.select(
+        F.col("d").cast("int").alias("dim"),
+        "n",
+        F.expr(
+            "CAST((2 * 1000000 * num + n * (mx - mn)) DIV (2 * n * (mx - mn))"
+            " AS BIGINT)"
+        ).alias("ks_micro"),
+    ).orderBy("dim")
+
+
+# ---------- q510: point-biserial leakage/importance scan
+
+# Pre-training leakage screen: correlation of five per-user candidate
+# features (type counts + spend cents) with the binary purchase target,
+# each r from exact integer moments in ONE textually-parallel double
+# (q207), reported as a 5-row feature table via an identical literal
+# unpivot on both engines.
+_PBS_ORACLE = """
+WITH peru AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS f2,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS f3,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS f4,
+           CAST(COUNT(*) AS BIGINT) AS f5,
+           CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events GROUP BY user_id
+), m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS qy,
+           CAST(SUM(f1) AS BIGINT) AS s1,
+           CAST(SUM(CAST(f1 AS HUGEINT) * f1) AS HUGEINT) AS q1,
+           CAST(SUM(f1 * y) AS BIGINT) AS x1,
+           CAST(SUM(f2) AS BIGINT) AS s2,
+           CAST(SUM(CAST(f2 AS HUGEINT) * f2) AS HUGEINT) AS q2,
+           CAST(SUM(f2 * y) AS BIGINT) AS x2,
+           CAST(SUM(f3) AS BIGINT) AS s3,
+           CAST(SUM(CAST(f3 AS HUGEINT) * f3) AS HUGEINT) AS q3,
+           CAST(SUM(f3 * y) AS BIGINT) AS x3,
+           CAST(SUM(f4) AS BIGINT) AS s4,
+           CAST(SUM(CAST(f4 AS HUGEINT) * f4) AS HUGEINT) AS q4,
+           CAST(SUM(f4 * y) AS BIGINT) AS x4,
+           CAST(SUM(f5) AS BIGINT) AS s5,
+           CAST(SUM(CAST(f5 AS HUGEINT) * f5) AS HUGEINT) AS q5,
+           CAST(SUM(f5 * y) AS BIGINT) AS x5
+    FROM peru
+), un AS (
+    SELECT 'f1_clicks' AS feature, s1 AS s, q1 AS q, x1 AS x, n, sy, qy FROM m
+    UNION ALL
+    SELECT 'f2_views', s2, q2, x2, n, sy, qy FROM m
+    UNION ALL
+    SELECT 'f3_signups', s3, q3, x3, n, sy, qy FROM m
+    UNION ALL
+    SELECT 'f4_spend_cents', s4, q4, x4, n, sy, qy FROM m
+    UNION ALL
+    SELECT 'f5_n_events', s5, q5, x5, n, sy, qy FROM m
+)
+SELECT feature,
+       CASE WHEN CAST(n AS HUGEINT) * q > CAST(s AS HUGEINT) * s
+                 AND n * qy > sy * sy
+            THEN ROUND((CAST(n AS DOUBLE) * CAST(x AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(qy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+            ELSE NULL END AS r_r6
+FROM un ORDER BY feature
+"""
+
+
+@register("q510_leakage_scan", oracle=_PBS_ORACLE)
+def q510(spark, sf_dir):
+    """Point-biserial r per candidate feature (oracle comment)."""
+    e = load_tables(spark, sf_dir)["events"]
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    peru = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .cast("bigint")
+        .alias("f3"),
+        F.sum(cents).cast("bigint").alias("f4"),
+        F.count("*").cast("bigint").alias("f5"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    d38 = "DECIMAL(38,0)"
+    m = peru.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("qy"),
+        *[
+            a
+            for i in range(1, 6)
+            for a in (
+                F.sum(f"f{i}").cast("bigint").alias(f"s{i}"),
+                F.sum(F.expr(f"CAST(f{i} AS {d38}) * f{i}")).alias(f"q{i}"),
+                F.sum(F.col(f"f{i}") * F.col("y")).cast("bigint").alias(f"x{i}"),
+            )
+        ],
+    )
+    names = {
+        1: "f1_clicks",
+        2: "f2_views",
+        3: "f3_signups",
+        4: "f4_spend_cents",
+        5: "f5_n_events",
+    }
+    un = None
+    for i, nm in names.items():
+        row = m.select(
+            F.lit(nm).alias("feature"),
+            F.col(f"s{i}").alias("s"),
+            F.col(f"q{i}").alias("q"),
+            F.col(f"x{i}").alias("x"),
+            "n",
+            "sy",
+            "qy",
+        )
+        un = row if un is None else un.unionByName(row)
+    return un.select(
+        "feature",
+        F.expr(
+            "CASE WHEN CAST(n AS DECIMAL(38,0)) * q > CAST(s AS DECIMAL(38,0)) * s"
+            " AND n * qy > sy * sy THEN"
+            " ROUND((CAST(n AS DOUBLE) * CAST(x AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (SQRT(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+            " * SQRT(CAST(n AS DOUBLE) * CAST(qy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+            " ELSE NULL END"
+        ).alias("r_r6"),
+    ).orderBy("feature")
+
+
+# ---------- q511: hash-fold split audit (target-rate parity)
+
+# Train/val split QA: users land in 5 folds by md5 (the house
+# deterministic splitter); the audit checks conversion-rate parity —
+# per fold the exact micro rate plus its absolute deviation from the
+# global micro rate (difference of already-exact micros, so the
+# comparison itself is exact).
+_FOLD_ORACLE = """
+WITH peru AS (
+    SELECT user_id,
+           CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS conv,
+           ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 5
+               AS fold
+    FROM events GROUP BY user_id
+), per AS (
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(conv) AS BIGINT) AS n_conv
+    FROM peru GROUP BY fold
+), tot AS (
+    SELECT CAST(SUM(n_users) AS BIGINT) AS n, CAST(SUM(n_conv) AS BIGINT) AS c
+    FROM per
+)
+SELECT CAST(per.fold AS INT) AS fold, per.n_users, per.n_conv,
+       CAST((2 * 1000000 * per.n_conv + per.n_users) // (2 * per.n_users)
+            AS BIGINT) AS rate_micro,
+       CAST(ABS((2 * 1000000 * per.n_conv + per.n_users) // (2 * per.n_users)
+                - (2 * 1000000 * tot.c + tot.n) // (2 * tot.n)) AS BIGINT)
+           AS dev_micro
+FROM per, tot ORDER BY fold
+"""
+
+
+@register("q511_split_parity_audit", oracle=_FOLD_ORACLE)
+def q511(spark, sf_dir):
+    """md5-fold conversion parity audit (oracle comment)."""
+    e = load_tables(spark, sf_dir)["events"]
+    peru = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv")
+    ).select(
+        "conv",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 5
+        ).alias("fold"),
+    )
+    per = peru.groupBy("fold").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    tot = per.agg(
+        F.sum("n_users").cast("bigint").alias("n"),
+        F.sum("n_conv").cast("bigint").alias("c"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            "n_users",
+            "n_conv",
+            F.expr(
+                "CAST((2 * 1000000 * n_conv + n_users) DIV (2 * n_users)"
+                " AS BIGINT)"
+            ).alias("rate_micro"),
+            F.expr(
+                "CAST(ABS((2 * 1000000 * n_conv + n_users) DIV (2 * n_users)"
+                " - (2 * 1000000 * c + n) DIV (2 * n)) AS BIGINT)"
+            ).alias("dev_micro"),
+        )
+        .orderBy("fold")
+    )
+
+
+# ---------- q512: kNN label-noise audit (k=5 cosine neighbors)
+
+# Mislabeled-example screen: each vector's 5 nearest neighbors by
+# rounded cosine (vec_id tiebreak, the q286 ranking discipline); noise
+# = fraction of those neighbors carrying a DIFFERENT label, averaged
+# per label in exact micro units. Scale posture: the all-pairs stage is
+# the exact baseline an ANN index replaces; everything after the top-5
+# pick is integer counting.
+_KNNNOISE_ORACLE = """
+WITH pairs AS (
+    SELECT a.vec_id AS va, a.label AS la, b.label AS lb,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS sim,
+           b.vec_id AS vb
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), top5 AS (
+    SELECT va, la, lb,
+           ROW_NUMBER() OVER (PARTITION BY va ORDER BY sim DESC, vb) AS rk
+    FROM pairs
+), noise AS (
+    SELECT va, la,
+           CAST(SUM(CASE WHEN lb <> la THEN 1 ELSE 0 END) AS BIGINT) AS mism
+    FROM top5 WHERE rk <= 5 GROUP BY va, la
+)
+SELECT CAST(la AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(mism) AS BIGINT) AS n_mismatch,
+       CAST((2 * 1000000 * SUM(mism) + 5 * COUNT(*)) // (2 * 5 * COUNT(*))
+            AS BIGINT) AS noise_micro
+FROM noise GROUP BY la ORDER BY label
+"""
+
+
+@register("q512_knn_label_noise", oracle=_KNNNOISE_ORACLE)
+def q512(spark, sf_dir):
+    """k=5 neighbor label-disagreement per label (oracle comment)."""
+    from ..functions import vectors as V
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    withn = e.select(
+        "label", "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    a = withn.select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = F.round(V.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
+    pairs = a.join(b, F.col("va") != F.col("vb")).select(
+        "va", "la", "lb", sim.alias("sim"), "vb"
+    )
+    top5 = pairs.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("va").orderBy(F.col("sim").desc(), "vb")
+        ),
+    ).filter(F.col("rk") <= 5)
+    noise = top5.groupBy("va", "la").agg(
+        F.sum(F.when(F.col("lb") != F.col("la"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("mism")
+    )
+    return (
+        noise.groupBy(F.col("la").cast("int").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("mism").cast("bigint").alias("n_mismatch"),
+            F.expr(
+                "CAST((2 * 1000000 * SUM(mism) + 5 * COUNT(*))"
+                " DIV (2 * 5 * COUNT(*)) AS BIGINT)"
+            ).alias("noise_micro"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------- q513: grouped ship-latency quantile table (exact)
+
+# Exact p50/p90/p99 of order-to-ship days per priority WITHOUT a global
+# sort: per-group day-latency histogram + cumulative counts, the
+# (n-1)*q/100 positional split, and the house floor-truncated linear
+# interpolation in integer MILLI-DAYS. The quantile literals join in;
+# every pick is MIN-over-threshold on the cumulative frame.
+_LATQ_ORACLE = """
+WITH lat AS (
+    SELECT o.o_orderpriority AS grp,
+           CAST(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), hist AS (
+    SELECT grp, d, CAST(COUNT(*) AS BIGINT) AS k FROM lat GROUP BY grp, d
+), cum AS (
+    SELECT grp, d, SUM(k) OVER (PARTITION BY grp ORDER BY d) AS c,
+           SUM(k) OVER (PARTITION BY grp) AS n
+    FROM hist
+), qs AS (
+    SELECT * FROM (VALUES (50), (90), (99)) AS t(q)
+), pos AS (
+    SELECT DISTINCT cum.grp, cum.n, qs.q,
+           (cum.n - 1) * qs.q // 100 AS lo,
+           (cum.n - 1) * qs.q % 100 AS frac
+    FROM cum, qs
+), picks AS (
+    SELECT p.grp, p.q, p.n, p.frac,
+           (SELECT MIN(c2.d) FROM cum c2
+            WHERE c2.grp = p.grp AND c2.c >= p.lo + 1) AS vlo,
+           (SELECT MIN(c3.d) FROM cum c3
+            WHERE c3.grp = p.grp AND c3.c >= p.lo + 2) AS vhi
+    FROM pos p
+)
+SELECT grp, CAST(q AS INT) AS q, n,
+       CAST(vlo * 1000 + (COALESCE(vhi, vlo) - vlo) * frac * 1000 // 100
+            AS BIGINT) AS latency_milli
+FROM picks ORDER BY grp, q
+"""
+
+
+@register("q513_latency_quantiles", oracle=_LATQ_ORACLE)
+def q513(spark, sf_dir):
+    """Exact grouped p50/p90/p99 with floor-trunc interpolation (oracle
+    comment)."""
+    t = load_tables(spark, sf_dir)
+    lat = (
+        t["lineitem"]
+        .join(t["orders"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    hist = lat.groupBy("grp", "d").agg(F.count("*").cast("bigint").alias("k"))
+    wg = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        "d",
+        F.sum("k").over(wg.orderBy("d")).alias("c"),
+        F.sum("k").over(wg).alias("n"),
+    )
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q int")
+    pos = (
+        cum.select("grp", "n")
+        .distinct()
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "grp",
+            "n",
+            "q",
+            F.expr("(n - 1) * q DIV 100").alias("lo"),
+            F.expr("(n - 1) * q % 100").alias("frac"),
+        )
+    )
+    vlo = (
+        pos.join(cum.select("grp", "d", "c"), "grp")
+        .filter(F.col("c") >= F.col("lo") + 1)
+        .groupBy("grp", "q", "n", "frac", "lo")
+        .agg(F.min("d").alias("vlo"))
+    )
+    vhi = (
+        pos.join(cum.select("grp", F.col("d").alias("d2"), F.col("c").alias("c2")), "grp")
+        .filter(F.col("c2") >= F.col("lo") + 2)
+        .groupBy("grp", "q")
+        .agg(F.min("d2").alias("vhi"))
+    )
+    picks = vlo.join(vhi, ["grp", "q"], "left")
+    return picks.select(
+        "grp",
+        F.col("q").cast("int").alias("q"),
+        "n",
+        F.expr(
+            "CAST(vlo * 1000 + (COALESCE(vhi, vlo) - vlo) * frac * 1000 DIV 100"
+            " AS BIGINT)"
+        ).alias("latency_milli"),
+    ).orderBy("grp", "q")
+
+
+# ---------- q514: Gumbel top-k weighted sampling (deterministic)
+
+# Weighted sampling WITHOUT replacement via the Gumbel-max trick, made
+# reproducible with md5-seeded uniforms (u from the first 8 hex digits,
+# +0.5 so u is never 0): key = ln(w) - ln(-ln(u)), w = n_chars. Top-10
+# by ROUNDED key with doc_id tiebreak (the transcendental-ranking
+# discipline). This is the deterministic twin of the data-mixing
+# sampler a curriculum pipeline runs per epoch.
+_GUMBEL_ORACLE = """
+WITH u AS (
+    SELECT doc_id, n_chars,
+           (CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 AS DOUBLE) + 0.5) / 4294967296.0 AS u
+    FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars,
+       ROUND(LN(CAST(n_chars AS DOUBLE)) - LN(-LN(u)), 6) AS key_r6
+FROM u ORDER BY key_r6 DESC, doc_id LIMIT 10
+"""
+
+
+@register("q514_gumbel_topk", oracle=_GUMBEL_ORACLE)
+def q514(spark, sf_dir):
+    """Seeded Gumbel top-10 weighted sample (oracle comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    u = d.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "n_chars",
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+                ).cast("double")
+                + 0.5
+            )
+            / 4294967296.0
+        ).alias("u"),
+    )
+    return (
+        u.select(
+            "doc_id",
+            "n_chars",
+            F.expr(
+                "ROUND(LN(CAST(n_chars AS DOUBLE)) - LN(-LN(u)), 6)"
+            ).alias("key_r6"),
+        )
+        .orderBy(F.col("key_r6").desc(), "doc_id")
+        .limit(10)
+    )

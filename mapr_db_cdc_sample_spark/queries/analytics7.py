@@ -3050,3 +3050,524 @@ def q514(spark, sf_dir):
         .orderBy(F.col("key_r6").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------- q515: trimmed + winsorized means (robust location)
+
+# Robust location per priority WITHOUT sorting rows: the value
+# histogram's cumulative ranks give each value's covered rank span
+# [c-k+1, c]; the 5%-trimmed sum takes max(0, overlap with
+# [kcut+1, n-kcut]) per value — exact integer overlap arithmetic — and
+# the winsorized sum adds kcut copies of the two clamp values (the
+# rank-(kcut+1) and rank-(n-kcut) order statistics, MIN-over-threshold
+# picks). kcut = n*5 DIV 100 is the declared floor contract.
+_TRIM_ORACLE = """
+WITH v AS (
+    SELECT o_orderpriority AS grp,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM orders
+), hist AS (
+    SELECT grp, c, CAST(COUNT(*) AS BIGINT) AS k FROM v GROUP BY grp, c
+), cum AS (
+    SELECT grp, c, k, SUM(k) OVER (PARTITION BY grp ORDER BY c) AS cm,
+           SUM(k) OVER (PARTITION BY grp) AS n
+    FROM hist
+), kc AS (
+    SELECT grp, MAX(n) AS n, MAX(n) * 5 // 100 AS kcut FROM cum GROUP BY grp
+), tr AS (
+    SELECT cum.grp, kc.n, kc.kcut,
+           CAST(SUM(cum.c * GREATEST(0,
+                LEAST(cum.cm, kc.n - kc.kcut)
+                - GREATEST(cum.cm - cum.k + 1, kc.kcut + 1) + 1)) AS BIGINT)
+               AS tsum
+    FROM cum JOIN kc ON kc.grp = cum.grp
+    GROUP BY cum.grp, kc.n, kc.kcut
+), clamps AS (
+    SELECT kc.grp,
+           (SELECT MIN(c2.c) FROM cum c2
+            WHERE c2.grp = kc.grp AND c2.cm >= kc.kcut + 1) AS vlo,
+           (SELECT MIN(c3.c) FROM cum c3
+            WHERE c3.grp = kc.grp AND c3.cm >= kc.n - kc.kcut) AS vhi
+    FROM kc
+)
+SELECT tr.grp, tr.n, tr.kcut,
+       CAST((2 * 1000 * tr.tsum + (tr.n - 2 * tr.kcut))
+            // (2 * (tr.n - 2 * tr.kcut)) AS BIGINT) AS trimmed_mean_milli,
+       CAST((2 * 1000 * (tr.tsum + tr.kcut * (cl.vlo + cl.vhi)) + tr.n)
+            // (2 * tr.n) AS BIGINT) AS winsor_mean_milli
+FROM tr JOIN clamps cl ON cl.grp = tr.grp
+ORDER BY tr.grp
+"""
+
+
+@register("q515_trimmed_winsorized", oracle=_TRIM_ORACLE)
+def q515(spark, sf_dir):
+    """Exact 5% trimmed + winsorized means per group (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    hist = v.groupBy("grp", "c").agg(F.count("*").cast("bigint").alias("k"))
+    wg = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        "c",
+        "k",
+        F.sum("k").over(wg.orderBy("c")).alias("cm"),
+        F.sum("k").over(wg).alias("n"),
+    )
+    kc = cum.groupBy("grp").agg(
+        F.max("n").alias("n"), F.expr("MAX(n) * 5 DIV 100").alias("kcut")
+    )
+    tr = (
+        cum.join(kc.select("grp", F.col("n").alias("n2"), "kcut"), "grp")
+        .groupBy("grp", "n2", "kcut")
+        .agg(
+            F.sum(
+                F.expr(
+                    "c * GREATEST(0, LEAST(cm, n2 - kcut)"
+                    " - GREATEST(cm - k + 1, kcut + 1) + 1)"
+                )
+            )
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    vlo = (
+        cum.join(kc.select("grp", "kcut"), "grp")
+        .filter(F.col("cm") >= F.col("kcut") + 1)
+        .groupBy("grp")
+        .agg(F.min("c").alias("vlo"))
+    )
+    vhi = (
+        cum.join(kc.select("grp", F.col("n").alias("n3"), "kcut"), "grp")
+        .filter(F.col("cm") >= F.col("n3") - F.col("kcut"))
+        .groupBy("grp")
+        .agg(F.min("c").alias("vhi"))
+    )
+    return (
+        tr.join(vlo, "grp")
+        .join(vhi, "grp")
+        .select(
+            "grp",
+            F.col("n2").alias("n"),
+            "kcut",
+            F.expr(
+                "CAST((2 * 1000 * tsum + (n2 - 2 * kcut))"
+                " DIV (2 * (n2 - 2 * kcut)) AS BIGINT)"
+            ).alias("trimmed_mean_milli"),
+            F.expr(
+                "CAST((2 * 1000 * (tsum + kcut * (vlo + vhi)) + n2)"
+                " DIV (2 * n2) AS BIGINT)"
+            ).alias("winsor_mean_milli"),
+        )
+        .orderBy("grp")
+    )
+
+
+# ---------- q516: Tukey-fence outlier audit (per priority)
+
+# Box-plot fences from exact order statistics: q1/q3 via the q513
+# floor-truncated positional interpolation in MILLI-CENTS; the 1.5*IQR
+# fences stay integer by working at DOUBLED milli scale (2*q1 - 3*iqr),
+# and each value compares as 2000*c against the fence — no doubles
+# anywhere.
+_TUKEY_ORACLE = """
+WITH v AS (
+    SELECT o_orderpriority AS grp,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM orders
+), hist AS (
+    SELECT grp, c, CAST(COUNT(*) AS BIGINT) AS k FROM v GROUP BY grp, c
+), cum AS (
+    SELECT grp, c, SUM(k) OVER (PARTITION BY grp ORDER BY c) AS cm,
+           SUM(k) OVER (PARTITION BY grp) AS n
+    FROM hist
+), pos AS (
+    SELECT DISTINCT grp, n,
+           (n - 1) * 25 // 100 AS lo1, (n - 1) * 25 % 100 AS f1,
+           (n - 1) * 75 // 100 AS lo3, (n - 1) * 75 % 100 AS f3
+    FROM cum
+), qv AS (
+    SELECT p.grp, p.n,
+           (SELECT MIN(c2.c) FROM cum c2
+            WHERE c2.grp = p.grp AND c2.cm >= p.lo1 + 1) AS q1lo,
+           (SELECT MIN(c2.c) FROM cum c2
+            WHERE c2.grp = p.grp AND c2.cm >= p.lo1 + 2) AS q1hi,
+           (SELECT MIN(c2.c) FROM cum c2
+            WHERE c2.grp = p.grp AND c2.cm >= p.lo3 + 1) AS q3lo,
+           (SELECT MIN(c2.c) FROM cum c2
+            WHERE c2.grp = p.grp AND c2.cm >= p.lo3 + 2) AS q3hi,
+           p.f1, p.f3
+    FROM pos p
+), qq AS (
+    SELECT grp, n,
+           q1lo * 1000 + (COALESCE(q1hi, q1lo) - q1lo) * f1 * 1000 // 100
+               AS q1m,
+           q3lo * 1000 + (COALESCE(q3hi, q3lo) - q3lo) * f3 * 1000 // 100
+               AS q3m
+    FROM qv
+)
+SELECT qq.grp, qq.n,
+       CAST(qq.q1m AS BIGINT) AS q1_milli, CAST(qq.q3m AS BIGINT) AS q3_milli,
+       CAST(SUM(CASE WHEN 2000 * h.c * h.k2 > 0
+                     AND 2000 * h.c < 5 * qq.q1m - 3 * qq.q3m
+                     THEN h.k2 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN 2000 * h.c > 5 * qq.q3m - 3 * qq.q1m
+                     THEN h.k2 ELSE 0 END) AS BIGINT) AS n_high
+FROM qq JOIN (SELECT grp, c, CAST(COUNT(*) AS BIGINT) AS k2
+              FROM v GROUP BY grp, c) h ON h.grp = qq.grp
+GROUP BY qq.grp, qq.n, qq.q1m, qq.q3m
+ORDER BY qq.grp
+"""
+
+
+@register("q516_tukey_outliers", oracle=_TUKEY_ORACLE)
+def q516(spark, sf_dir):
+    """Tukey 1.5*IQR outlier counts from exact quartiles (oracle
+    comment; fences at doubled-milli scale: low = 5*q1-3*q3, high =
+    5*q3-3*q1)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    hist = v.groupBy("grp", "c").agg(F.count("*").cast("bigint").alias("k"))
+    wg = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        "c",
+        F.sum("k").over(wg.orderBy("c")).alias("cm"),
+        F.sum("k").over(wg).alias("n"),
+    )
+    pos = cum.select(
+        "grp",
+        "n",
+        F.expr("(n - 1) * 25 DIV 100").alias("lo1"),
+        F.expr("(n - 1) * 25 % 100").alias("f1"),
+        F.expr("(n - 1) * 75 DIV 100").alias("lo3"),
+        F.expr("(n - 1) * 75 % 100").alias("f3"),
+    ).distinct()
+
+    def pick(name, lo_col, off):
+        return (
+            pos.select("grp", lo_col)
+            .join(cum.select("grp", "c", "cm"), "grp")
+            .filter(F.col("cm") >= F.col(lo_col) + off)
+            .groupBy("grp")
+            .agg(F.min("c").alias(name))
+        )
+
+    qq = (
+        pos.join(pick("q1lo", "lo1", 1), "grp")
+        .join(pick("q1hi", "lo1", 2), "grp", "left")
+        .join(pick("q3lo", "lo3", 1), "grp")
+        .join(pick("q3hi", "lo3", 2), "grp", "left")
+        .select(
+            "grp",
+            "n",
+            F.expr(
+                "q1lo * 1000 + (COALESCE(q1hi, q1lo) - q1lo) * f1 * 1000 DIV 100"
+            ).alias("q1m"),
+            F.expr(
+                "q3lo * 1000 + (COALESCE(q3hi, q3lo) - q3lo) * f3 * 1000 DIV 100"
+            ).alias("q3m"),
+        )
+    )
+    h = v.groupBy("grp", "c").agg(F.count("*").cast("bigint").alias("k2"))
+    return (
+        qq.join(h, "grp")
+        .groupBy("grp", "n", "q1m", "q3m")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("2000 * c * k2 > 0 AND 2000 * c < 5 * q1m - 3 * q3m"),
+                    F.col("k2"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(
+                F.when(F.expr("2000 * c > 5 * q3m - 3 * q1m"), F.col("k2")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_high"),
+        )
+        .select(
+            "grp",
+            "n",
+            F.col("q1m").cast("bigint").alias("q1_milli"),
+            F.col("q3m").cast("bigint").alias("q3_milli"),
+            "n_low",
+            "n_high",
+        )
+        .orderBy("grp")
+    )
+
+
+# ---------- q517: partition-skew what-if (hash fanout simulator)
+
+# Capacity planning for the shuffle: how imbalanced would user-keyed
+# partitions be at P = 32/64/128? Bucket by the md5 integer (the house
+# deterministic hash), report the max bucket and the imbalance ratio
+# max*P/total in exact micro units per P. The aggregate is map-side
+# combinable on (P, bucket).
+_SKEWIF_ORACLE = """
+WITH keyed AS (
+    SELECT ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM events
+), ps AS (
+    SELECT * FROM (VALUES (32), (64), (128)) AS t(p)
+), buckets AS (
+    SELECT ps.p, keyed.h % ps.p AS b, CAST(COUNT(*) AS BIGINT) AS n
+    FROM keyed, ps GROUP BY ps.p, b
+), per AS (
+    SELECT p, CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(n) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM buckets GROUP BY p
+)
+SELECT CAST(p AS INT) AS p, n_buckets, max_bucket, total,
+       CAST((2 * 1000000 * max_bucket * p + total) // (2 * total) AS BIGINT)
+           AS imbalance_micro
+FROM per ORDER BY p
+"""
+
+
+@register("q517_partition_skew_whatif", oracle=_SKEWIF_ORACLE)
+def q517(spark, sf_dir):
+    """Hash-partition imbalance at P=32/64/128 (oracle comment)."""
+    e = load_tables(spark, sf_dir)["events"]
+    keyed = e.select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    ps = spark.createDataFrame([(32,), (64,), (128,)], "p int")
+    buckets = (
+        keyed.crossJoin(F.broadcast(ps))
+        .groupBy("p", F.expr("h % p").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    per = buckets.groupBy("p").agg(
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+    )
+    return per.select(
+        F.col("p").cast("int").alias("p"),
+        "n_buckets",
+        "max_bucket",
+        "total",
+        F.expr(
+            "CAST((2 * 1000000 * max_bucket * p + total) DIV (2 * total)"
+            " AS BIGINT)"
+        ).alias("imbalance_micro"),
+    ).orderBy("p")
+
+
+# ---------- q518: categorical column entropy profile
+
+# Data-catalog profiling: Shannon entropy per declared column using
+# PER-TERM micro-rounded integers — each category contributes
+# round(1e6 * c * ln c) BEFORE the sum, so the cross-engine sum is
+# integer-exact and H_micro = round(1e6 ln n) - rhu(sum_term / n)
+# carries no float-order dependence (tighter than the q474 few-cell
+# double-sum precedent; this profile can have thousands of cells at
+# fleet scale).
+_COLENT_ORACLE = """
+WITH src AS (
+    SELECT o_orderstatus AS v, 'o_orderstatus' AS col FROM orders
+    UNION ALL
+    SELECT o_orderpriority, 'o_orderpriority' FROM orders
+    UNION ALL
+    SELECT CAST(YEAR(o_orderdate) AS VARCHAR), 'order_year' FROM orders
+), cat AS (
+    SELECT col, v, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY col, v
+), terms AS (
+    SELECT col, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(1000000 * c * LN(CAST(c AS DOUBLE)), 0)
+                         AS BIGINT)) AS BIGINT) AS sum_term
+    FROM cat GROUP BY col
+)
+SELECT col, n_distinct, n,
+       CAST(CAST(ROUND(1000000 * LN(CAST(n AS DOUBLE)), 0) AS BIGINT)
+            - (2 * sum_term + n) // (2 * n) AS BIGINT) AS entropy_micro
+FROM terms ORDER BY col
+"""
+
+
+@register("q518_column_entropy_profile", oracle=_COLENT_ORACLE)
+def q518(spark, sf_dir):
+    """Per-column entropy with per-term micro rounding (oracle
+    comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    src = (
+        o.select(F.col("o_orderstatus").alias("v"), F.lit("o_orderstatus").alias("col"))
+        .unionByName(
+            o.select(
+                F.col("o_orderpriority").alias("v"),
+                F.lit("o_orderpriority").alias("col"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.year("o_orderdate").cast("string").alias("v"),
+                F.lit("order_year").alias("col"),
+            )
+        )
+    )
+    cat = src.groupBy("col", "v").agg(F.count("*").cast("bigint").alias("c"))
+    terms = cat.groupBy("col").agg(
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(1000000 * c * LN(CAST(c AS DOUBLE)), 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("sum_term"),
+    )
+    return terms.select(
+        "col",
+        "n_distinct",
+        "n",
+        F.expr(
+            "CAST(CAST(ROUND(1000000 * LN(CAST(n AS DOUBLE)), 0) AS BIGINT)"
+            " - (2 * sum_term + n) DIV (2 * n) AS BIGINT)"
+        ).alias("entropy_micro"),
+    ).orderBy("col")
+
+
+# ---------- q519: overdispersion audit (daily counts per event type)
+
+# Poisson-ness check before count modeling: index of dispersion
+# D = s²/mean = (w*Σx² - S²) / (S*(w-1)) over per-type daily counts —
+# exact rhu micro (all positive), plus the chi² form (w-1)*D. Days
+# with zero events for a type simply don't appear — the PRESENT-day
+# contract, declared.
+_OVERD_ORACLE = """
+WITH d AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY event_type, day
+), m AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS w,
+           CAST(SUM(x) AS BIGINT) AS s,
+           CAST(SUM(x * x) AS BIGINT) AS q
+    FROM d GROUP BY event_type
+)
+SELECT event_type, w AS n_days, s AS n_events,
+       CAST((2 * 1000000 * (w * q - s * s) + s * (w - 1))
+            // (2 * s * (w - 1)) AS BIGINT) AS dispersion_micro
+FROM m WHERE w > 1 AND s > 0 ORDER BY event_type
+"""
+
+
+@register("q519_overdispersion", oracle=_OVERD_ORACLE)
+def q519(spark, sf_dir):
+    """Index of dispersion per event type, exact micro (oracle
+    comment)."""
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    m = d.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("w"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    return (
+        m.filter((F.col("w") > 1) & (F.col("s") > 0))
+        .select(
+            "event_type",
+            F.col("w").alias("n_days"),
+            F.col("s").alias("n_events"),
+            F.expr(
+                "CAST((2 * 1000000 * (w * q - s * s) + s * (w - 1))"
+                " DIV (2 * s * (w - 1)) AS BIGINT)"
+            ).alias("dispersion_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------- q520: XYZ demand-variability classification
+
+# The forecastability side of ABC (q409): per part, weekly demand CV²
+# = w*(w*Σq² - S²) / ((w-1)*S²) over PRESENT epoch-weeks, exact micro;
+# classes X (< 0.25e6), Y (< 1e6), Z otherwise. Parts with < 2 weeks
+# of demand are UNCLASSIFIED (reported as their own row). One
+# (part, week) aggregate, one per-part aggregate — both map-side
+# combinable.
+_XYZ_ORACLE = """
+WITH wk AS (
+    SELECT l_partkey AS part,
+           CAST(DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                AS BIGINT) // 7 AS week,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem GROUP BY part, week
+), per AS (
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(q) AS BIGINT) AS s,
+           CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS qq
+    FROM wk GROUP BY part
+), cls AS (
+    SELECT part,
+           CASE WHEN w < 2 OR s = 0 THEN 'U'
+                WHEN (2 * 1000000 * w * (w * qq - CAST(s AS HUGEINT) * s)
+                      + (w - 1) * CAST(s AS HUGEINT) * s)
+                     // (2 * (w - 1) * CAST(s AS HUGEINT) * s) < 250000
+                THEN 'X'
+                WHEN (2 * 1000000 * w * (w * qq - CAST(s AS HUGEINT) * s)
+                      + (w - 1) * CAST(s AS HUGEINT) * s)
+                     // (2 * (w - 1) * CAST(s AS HUGEINT) * s) < 1000000
+                THEN 'Y'
+                ELSE 'Z' END AS xyz
+    FROM per
+)
+SELECT xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM cls GROUP BY xyz ORDER BY xyz
+"""
+
+
+@register("q520_xyz_classification", oracle=_XYZ_ORACLE)
+def q520(spark, sf_dir):
+    """XYZ variability classes from exact weekly CV² (oracle comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    wk = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.expr(
+            "CAST(DATEDIFF(CAST(l_shipdate AS DATE), DATE '1970-01-01')"
+            " AS BIGINT) DIV 7"
+        ).alias("week"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    d38 = "DECIMAL(38,0)"
+    per = wk.groupBy("part").agg(
+        F.count("*").cast("bigint").alias("w"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.expr(f"CAST(q AS {d38}) * q")).alias("qq"),
+    )
+    cv2 = (
+        f"(2 * 1000000 * w * (w * qq - CAST(s AS {d38}) * s)"
+        f" + (w - 1) * CAST(s AS {d38}) * s)"
+        f" DIV (2 * (w - 1) * CAST(s AS {d38}) * s)"
+    )
+    cls = per.select(
+        F.expr(
+            f"CASE WHEN w < 2 OR s = 0 THEN 'U'"
+            f" WHEN {cv2} < 250000 THEN 'X'"
+            f" WHEN {cv2} < 1000000 THEN 'Y'"
+            f" ELSE 'Z' END"
+        ).alias("xyz")
+    )
+    return (
+        cls.groupBy("xyz")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+        .orderBy("xyz")
+    )

@@ -3571,3 +3571,346 @@ def q520(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_parts"))
         .orderBy("xyz")
     )
+
+
+# ---------- q521: Syntetos-Boylan intermittency quadrants (SBC)
+
+# Forecast-method router for demand series: ADI (mean inter-demand
+# interval = week span / demand weeks) x CV² quadrants — smooth /
+# erratic / intermittent / lumpy at the published 1.32 / 0.49 cutoffs,
+# both compared in exact micro (ADI_micro vs 1_320_000, CV²_micro vs
+# 490_000). Same exact integer moments as q520; the quadrant label is
+# pure integer comparison.
+_SBC_ORACLE = """
+WITH wk AS (
+    SELECT l_partkey AS part,
+           CAST(DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                AS BIGINT) // 7 AS week,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem GROUP BY part, week
+), per AS (
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(q) AS BIGINT) AS s,
+           CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS qq,
+           CAST(MAX(week) - MIN(week) + 1 AS BIGINT) AS span
+    FROM wk GROUP BY part
+), cls AS (
+    SELECT part,
+           CASE WHEN w < 2 OR s = 0 THEN 'U'
+                WHEN (2 * 1000000 * span + w) // (2 * w) < 1320000
+                     AND (2 * 1000000 * w * (w * qq - CAST(s AS HUGEINT) * s)
+                          + (w - 1) * CAST(s AS HUGEINT) * s)
+                         // (2 * (w - 1) * CAST(s AS HUGEINT) * s) < 490000
+                THEN 'smooth'
+                WHEN (2 * 1000000 * span + w) // (2 * w) < 1320000
+                THEN 'erratic'
+                WHEN (2 * 1000000 * w * (w * qq - CAST(s AS HUGEINT) * s)
+                      + (w - 1) * CAST(s AS HUGEINT) * s)
+                     // (2 * (w - 1) * CAST(s AS HUGEINT) * s) < 490000
+                THEN 'intermittent'
+                ELSE 'lumpy' END AS sbc
+    FROM per
+)
+SELECT sbc, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM cls GROUP BY sbc ORDER BY sbc
+"""
+
+
+@register("q521_sbc_intermittency", oracle=_SBC_ORACLE)
+def q521(spark, sf_dir):
+    """SBC demand quadrants in exact micro comparisons (oracle
+    comment)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    wk = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.expr(
+            "CAST(DATEDIFF(CAST(l_shipdate AS DATE), DATE '1970-01-01')"
+            " AS BIGINT) DIV 7"
+        ).alias("week"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    d38 = "DECIMAL(38,0)"
+    per = wk.groupBy("part").agg(
+        F.count("*").cast("bigint").alias("w"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.expr(f"CAST(q AS {d38}) * q")).alias("qq"),
+        (F.max("week") - F.min("week") + 1).cast("bigint").alias("span"),
+    )
+    adi = "(2 * 1000000 * span + w) DIV (2 * w)"
+    cv2 = (
+        f"(2 * 1000000 * w * (w * qq - CAST(s AS {d38}) * s)"
+        f" + (w - 1) * CAST(s AS {d38}) * s)"
+        f" DIV (2 * (w - 1) * CAST(s AS {d38}) * s)"
+    )
+    cls = per.select(
+        F.expr(
+            f"CASE WHEN w < 2 OR s = 0 THEN 'U'"
+            f" WHEN {adi} < 1320000 AND {cv2} < 490000 THEN 'smooth'"
+            f" WHEN {adi} < 1320000 THEN 'erratic'"
+            f" WHEN {cv2} < 490000 THEN 'intermittent'"
+            f" ELSE 'lumpy' END"
+        ).alias("sbc")
+    )
+    return (
+        cls.groupBy("sbc")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+        .orderBy("sbc")
+    )
+
+
+# ---------- q522: energy distance (click vs purchase values)
+
+# Distribution distance WITHOUT pairs: every pairwise |u - v| sum
+# collapses to ONE pass over the merged value histogram via
+# sum_{i,j}|x_i - y_j| = sum_gaps g_k * (FX_k*(m - FY_k) +
+# FY_k*(n - FX_k)) — cumulative counts against the next-value gap. The
+# same identity with (X, X) and (Y, Y) gives the within terms, so
+# energy = 2A - B - C is exact integer milli-cents end-to-end. The
+# merged histogram is value-dimension sized; nothing quadratic ever
+# materializes (the q229/q476 pairs-free discipline).
+_ENERGY_ORACLE = """
+WITH v AS (
+    SELECT event_type AS g,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events WHERE event_type IN ('click', 'purchase')
+), hist AS (
+    SELECT c, CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS kx,
+           CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ky
+    FROM v GROUP BY c
+), cum AS (
+    SELECT c, SUM(kx) OVER (ORDER BY c) AS fx, SUM(ky) OVER (ORDER BY c) AS fy,
+           LEAD(c) OVER (ORDER BY c) AS cnext,
+           SUM(kx) OVER () AS n, SUM(ky) OVER () AS m
+    FROM hist
+), sums AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(m) AS BIGINT) AS m,
+           CAST(SUM(CAST(cnext - c AS HUGEINT)
+                    * (fx * m - fx * fy + fy * n - fy * fx)) AS HUGEINT) AS sxy,
+           CAST(SUM(CAST(cnext - c AS HUGEINT)
+                    * (2 * fx * (n - fx))) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(cnext - c AS HUGEINT)
+                    * (2 * fy * (m - fy))) AS HUGEINT) AS syy
+    FROM cum WHERE cnext IS NOT NULL
+)
+SELECT n, m,
+       CAST((2 * 1000 * sxy + CAST(n AS HUGEINT) * m)
+            // (2 * CAST(n AS HUGEINT) * m) AS BIGINT) AS a_milli,
+       CAST((2 * 1000 * sxx + CAST(n AS HUGEINT) * n)
+            // (2 * CAST(n AS HUGEINT) * n) AS BIGINT) AS b_milli,
+       CAST((2 * 1000 * syy + CAST(m AS HUGEINT) * m)
+            // (2 * CAST(m AS HUGEINT) * m) AS BIGINT) AS c_milli,
+       CAST(2 * ((2 * 1000 * sxy + CAST(n AS HUGEINT) * m)
+                 // (2 * CAST(n AS HUGEINT) * m))
+            - ((2 * 1000 * sxx + CAST(n AS HUGEINT) * n)
+               // (2 * CAST(n AS HUGEINT) * n))
+            - ((2 * 1000 * syy + CAST(m AS HUGEINT) * m)
+               // (2 * CAST(m AS HUGEINT) * m)) AS BIGINT) AS energy_milli
+FROM sums
+"""
+
+
+@register("q522_energy_distance", oracle=_ENERGY_ORACLE)
+def q522(spark, sf_dir):
+    """Pairs-free exact energy distance in milli-cents (oracle
+    comment; sxy uses fx*(m-fy) + fy*(n-fx) expanded over the cum frame's
+    window totals n/m)."""
+    e = load_tables(spark, sf_dir)["events"]
+    v = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("event_type").alias("g"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    hist = v.groupBy("c").agg(
+        F.sum(F.when(F.col("g") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("kx"),
+        F.sum(F.when(F.col("g") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ky"),
+    )
+    wo = Window.orderBy("c")
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        "c",
+        F.sum("kx").over(wo).alias("fx"),
+        F.sum("ky").over(wo).alias("fy"),
+        F.lead("c").over(wo).alias("cnext"),
+        F.sum("kx").over(wall).alias("n"),
+        F.sum("ky").over(wall).alias("m"),
+    )
+    d38 = "DECIMAL(38,0)"
+    sums = cum.filter(F.col("cnext").isNotNull()).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("m").cast("bigint").alias("m"),
+        F.sum(
+            F.expr(
+                f"CAST(cnext - c AS {d38}) * (fx * m - fx * fy + fy * n - fy * fx)"
+            )
+        ).alias("sxy"),
+        F.sum(F.expr(f"CAST(cnext - c AS {d38}) * (2 * fx * (n - fx))")).alias(
+            "sxx"
+        ),
+        F.sum(F.expr(f"CAST(cnext - c AS {d38}) * (2 * fy * (m - fy))")).alias(
+            "syy"
+        ),
+    )
+    a = f"(2 * 1000 * sxy + CAST(n AS {d38}) * m) DIV (2 * CAST(n AS {d38}) * m)"
+    b = f"(2 * 1000 * sxx + CAST(n AS {d38}) * n) DIV (2 * CAST(n AS {d38}) * n)"
+    cc = f"(2 * 1000 * syy + CAST(m AS {d38}) * m) DIV (2 * CAST(m AS {d38}) * m)"
+    return sums.select(
+        "n",
+        "m",
+        F.expr(f"CAST({a} AS BIGINT)").alias("a_milli"),
+        F.expr(f"CAST({b} AS BIGINT)").alias("b_milli"),
+        F.expr(f"CAST({cc} AS BIGINT)").alias("c_milli"),
+        F.expr(f"CAST(2 * ({a}) - ({b}) - ({cc}) AS BIGINT)").alias("energy_milli"),
+    )
+
+
+# ---------- q523: sampling-weights effective sample size audit
+
+# Before weighted sampling (q514's Gumbel or mixture weights): the
+# Kish effective sample size ESS = (Σw)²/Σw² and the max single-doc
+# share — both exact rhu (milli/micro) over integer n_chars weights.
+# A low ESS or a fat max share means the "weighted epoch" is really a
+# handful of documents.
+_ESS_ORACLE = """
+WITH w AS (
+    SELECT CAST(n_chars AS BIGINT) AS w FROM documents WHERE n_chars > 0
+), m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS s,
+           CAST(SUM(CAST(w AS HUGEINT) * w) AS HUGEINT) AS q,
+           CAST(MAX(w) AS BIGINT) AS wmax
+    FROM w
+)
+SELECT n, s AS sum_w,
+       CAST((2 * 1000 * CAST(s AS HUGEINT) * s + q) // (2 * q) AS BIGINT)
+           AS ess_milli,
+       CAST((2 * 1000000 * wmax + s) // (2 * s) AS BIGINT) AS max_share_micro
+FROM m
+"""
+
+
+@register("q523_ess_weights_audit", oracle=_ESS_ORACLE)
+def q523(spark, sf_dir):
+    """Kish ESS + max weight share, exact (oracle comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    d38 = "DECIMAL(38,0)"
+    m = d.filter(F.col("n_chars") > 0).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum(F.expr(f"CAST(n_chars AS {d38}) * n_chars")).alias("q"),
+        F.max("n_chars").cast("bigint").alias("wmax"),
+    )
+    return m.select(
+        "n",
+        F.col("s").alias("sum_w"),
+        F.expr(
+            f"CAST((2 * 1000 * CAST(s AS {d38}) * s + q) DIV (2 * q) AS BIGINT)"
+        ).alias("ess_milli"),
+        F.expr(
+            "CAST((2 * 1000000 * wmax + s) DIV (2 * s) AS BIGINT)"
+        ).alias("max_share_micro"),
+    )
+
+
+# ---------- q524: serial-correlation audit (Durbin-Watson + PACF(2))
+
+# Residual-independence check on daily revenue in KILO-DOLLAR-scale
+# integer deviations from the rhu mean (declared contract — the coarse
+# unit keeps Q² and its |pacf| <= 1 shift inside 128-bit at every SF):
+# DW = Σ(d_t - d_{t-1})² / Σd² and the lag-2 partial autocorrelation by
+# Durbin-Levinson, phi22 = (P2*Q - P1²)/(Q² - P1²) with P_k =
+# Σ d_t d_{t-k}, Q = Σd² — every quantity one exact signed rhu micro
+# division (shift 2e6, valid because |phi22| <= 1).
+_SERIAL_ORACLE = _DAILY_CTE + """
+, mu AS (
+    SELECT (2 * SUM(cents) + COUNT(*)) // (2 * COUNT(*)) AS m FROM daily
+), idx AS MATERIALIZED (
+    SELECT (cents - mu.m) // 100000 AS d,
+           ROW_NUMBER() OVER (ORDER BY day) AS rn
+    FROM daily, mu
+), mom AS (
+    SELECT CAST(SUM(CAST(a.d AS HUGEINT) * a.d) AS HUGEINT) AS qq,
+           CAST(SUM(CASE WHEN b1.d IS NOT NULL
+                         THEN CAST(a.d AS HUGEINT) * b1.d ELSE 0 END)
+                AS HUGEINT) AS p1,
+           CAST(SUM(CASE WHEN b2.d IS NOT NULL
+                         THEN CAST(a.d AS HUGEINT) * b2.d ELSE 0 END)
+                AS HUGEINT) AS p2,
+           CAST(SUM(CASE WHEN b1.d IS NOT NULL
+                         THEN CAST(a.d - b1.d AS HUGEINT) * (a.d - b1.d)
+                         ELSE 0 END) AS HUGEINT) AS sdiff,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM idx a
+    LEFT JOIN idx b1 ON b1.rn = a.rn - 1
+    LEFT JOIN idx b2 ON b2.rn = a.rn - 2
+)
+SELECT n,
+       CAST((2 * 1000000 * sdiff + qq) // (2 * qq) AS BIGINT) AS dw_micro,
+       CAST((2 * (1000000 * (p2 * qq - p1 * p1)
+                  + 2000000 * (qq * qq - p1 * p1))
+             + (qq * qq - p1 * p1)) // (2 * (qq * qq - p1 * p1))
+            - 2000000 AS BIGINT) AS pacf2_micro
+FROM mom
+"""
+
+
+@register("q524_serial_correlation", oracle=_SERIAL_ORACLE)
+def q524(spark, sf_dir):
+    """Durbin-Watson + Durbin-Levinson PACF(2), exact micro (oracle
+    comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    mu = daily.agg(
+        F.expr("(2 * SUM(cents) + COUNT(*)) DIV (2 * COUNT(*))").alias("m")
+    )
+    idx = (
+        daily.crossJoin(F.broadcast(mu))
+        .select(
+            F.expr("(cents - m) DIV 100000").alias("d"),
+            F.row_number().over(Window.orderBy("day")).alias("rn"),
+        )
+        .localCheckpoint()
+    )
+    a = idx.select(F.col("d").alias("da"), "rn")
+    b1 = idx.select(F.col("d").alias("d1"), (F.col("rn") + 1).alias("rn"))
+    b2 = idx.select(F.col("d").alias("d2"), (F.col("rn") + 2).alias("rn"))
+    d38 = "DECIMAL(38,0)"
+    mom = (
+        a.join(b1, "rn", "left")
+        .join(b2, "rn", "left")
+        .agg(
+            F.sum(F.expr(f"CAST(da AS {d38}) * da")).alias("qq"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN d1 IS NOT NULL THEN CAST(da AS {d38}) * d1"
+                    f" ELSE CAST(0 AS {d38}) END"
+                )
+            ).alias("p1"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN d2 IS NOT NULL THEN CAST(da AS {d38}) * d2"
+                    f" ELSE CAST(0 AS {d38}) END"
+                )
+            ).alias("p2"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN d1 IS NOT NULL"
+                    f" THEN CAST(da - d1 AS {d38}) * (da - d1)"
+                    f" ELSE CAST(0 AS {d38}) END"
+                )
+            ).alias("sdiff"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    return mom.select(
+        "n",
+        F.expr("CAST((2 * 1000000 * sdiff + qq) DIV (2 * qq) AS BIGINT)").alias(
+            "dw_micro"
+        ),
+        F.expr(
+            "CAST((2 * (1000000 * (p2 * qq - p1 * p1)"
+            " + 2000000 * (qq * qq - p1 * p1))"
+            " + (qq * qq - p1 * p1)) DIV (2 * (qq * qq - p1 * p1))"
+            " - 2000000 AS BIGINT)"
+        ).alias("pacf2_micro"),
+    )

@@ -1293,22 +1293,53 @@ def q292(spark, sf_dir):
     )
     a = idx.select(F.col("cents").alias("ca"), F.col("i").alias("ia"))
     b = idx.select(F.col("cents").alias("cb"), F.col("i").alias("ib"))
-    d38 = "decimal(38,0)"
+    # BIGINT throughout: floor((2e6*dc + di) / (2*di)) == the oracle's
+    # shifted form, but via the PMOD floor-division identity instead of a
+    # positive shift — the shift needed DECIMAL(38,0) operands, which
+    # kept the 2.9M-pair stage out of cheap codegen arithmetic (measured
+    # 3.9s -> 0.5s for the pair+slope stage at sf0.01)
     p = a.join(b, F.col("ib") > F.col("ia")).select(
-        (F.col("cb").cast(d38) - F.col("ca").cast(d38)).alias("dc"),
-        (F.col("ib").cast(d38) - F.col("ia").cast(d38)).alias("di"),
+        (F.col("cb") - F.col("ca")).alias("dc"),
+        (F.col("ib") - F.col("ia")).alias("di"),
     )
     s = p.select(
         F.expr(
-            "CAST((2 * (dc + 10000000000 * di) * 1000000 + di) DIV (2 * di)"
-            " - 10000000000 * 1000000 AS BIGINT)"
+            "CAST((2000000 * dc + di - PMOD(2000000 * dc + di, 2 * di))"
+            " DIV (2 * di) AS BIGINT)"
         ).alias("slope_micro")
     )
-    return s.agg(
-        F.count("*").cast("bigint").alias("n_pairs"),
-        F.floor(F.expr("percentile(slope_micro, 0.5)")).cast("bigint").alias(
-            "ts_slope_micro"
-        ),
+    # exact floor-interpolated median WITHOUT `percentile` (which
+    # single-threads a 2.9M-value sort-merge on the driver side and
+    # dominated the query at ~10s of 13s): two-pass order statistics
+    # over the slope histogram (q447 recipe) — the only single-partition
+    # window runs over DISTINCT slopes, and lo/hi ranks come from two
+    # filtered MIN aggregates. floor((lo+hi)/2) uses a positive shift
+    # (slopes are signed; Spark DIV truncates toward zero, not floor).
+    hist = s.groupBy("slope_micro").agg(F.count("*").cast("bigint").alias("k"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        "slope_micro",
+        F.sum("k").over(Window.orderBy("slope_micro")).alias("cm"),
+        F.sum("k").over(wall).alias("n"),
+    )
+    # ONE aggregate picks both order statistics and n — a filtered-MIN
+    # per rank; three separate branches would re-run the 2.9M-pair build
+    # per branch (measured: 30s vs ~6s at sf0.01)
+    picks = cum.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.min(
+            F.when(F.col("cm") >= F.expr("(n + 1) DIV 2"), F.col("slope_micro"))
+        ).alias("vlo"),
+        F.min(
+            F.when(F.col("cm") >= F.expr("n DIV 2 + 1"), F.col("slope_micro"))
+        ).alias("vhi"),
+    )
+    return picks.select(
+        "n_pairs",
+        F.expr(
+            "CAST((vlo + vhi + 2 * 100000000000000000) DIV 2"
+            " - 100000000000000000 AS BIGINT)"
+        ).alias("ts_slope_micro"),
     )
 
 

@@ -3914,3 +3914,577 @@ def q524(spark, sf_dir):
             " - 2000000 AS BIGINT)"
         ).alias("pacf2_micro"),
     )
+
+
+# ---------- q525: tail-dependence audit (revenue x order-count)
+
+# Do extreme-revenue days coincide with extreme-volume days? Empirical
+# upper-tail dependence: thresholds = exact ceil(0.95n) order
+# statistics of each daily series (cumulative histograms, no sort);
+# lambda_U = P(y > qy | x > qx) as one exact rhu micro over joint
+# exceedance counts.
+_TAILDEP_ORACLE = """
+WITH daily AS (
+    SELECT o_orderdate AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS x,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM orders GROUP BY day
+), n AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
+), qx AS (
+    SELECT MIN(x) AS v FROM (
+        SELECT x, SUM(1) OVER (ORDER BY x) AS cm FROM daily
+    ), n WHERE cm >= (95 * n.n + 99) // 100
+), qy AS (
+    SELECT MIN(y) AS v FROM (
+        SELECT y, SUM(1) OVER (ORDER BY y) AS cm FROM daily
+    ), n WHERE cm >= (95 * n.n + 99) // 100
+), exc AS (
+    SELECT CAST(SUM(CASE WHEN d.x > qx.v THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+           CAST(SUM(CASE WHEN d.x > qx.v AND d.y > qy.v THEN 1 ELSE 0 END)
+                AS BIGINT) AS nj
+    FROM daily d, qx, qy
+)
+SELECT n.n AS n_days, qx.v AS qx_cents, qy.v AS qy_orders, exc.nx, exc.nj,
+       CAST(CASE WHEN exc.nx > 0
+                 THEN (2 * 1000000 * exc.nj + exc.nx) // (2 * exc.nx)
+                 ELSE 0 END AS BIGINT) AS lambda_micro
+FROM n, qx, qy, exc
+"""
+
+
+@register("q525_tail_dependence", oracle=_TAILDEP_ORACLE)
+def q525(spark, sf_dir):
+    """Upper-tail dependence of daily (revenue, volume) (oracle
+    comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x"),
+        F.count("*").cast("bigint").alias("y"),
+    )
+    n = daily.agg(F.count("*").cast("bigint").alias("n"))
+
+    def q95(col):
+        cm = daily.select(
+            col, F.sum(F.lit(1)).over(Window.orderBy(col)).alias("cm")
+        )
+        return (
+            cm.crossJoin(F.broadcast(n))
+            .filter(F.col("cm") >= F.expr("(95 * n + 99) DIV 100"))
+            .agg(F.min(col).alias("v"))
+        )
+
+    qx = q95("x").withColumnRenamed("v", "qxv")
+    qy = q95("y").withColumnRenamed("v", "qyv")
+    exc = (
+        daily.crossJoin(F.broadcast(qx))
+        .crossJoin(F.broadcast(qy))
+        .agg(
+            F.sum(F.when(F.col("x") > F.col("qxv"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nx"),
+            F.sum(
+                F.when(
+                    (F.col("x") > F.col("qxv")) & (F.col("y") > F.col("qyv")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("nj"),
+        )
+    )
+    return (
+        n.crossJoin(qx)
+        .crossJoin(qy)
+        .crossJoin(exc)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("qxv").alias("qx_cents"),
+            F.col("qyv").alias("qy_orders"),
+            "nx",
+            "nj",
+            F.expr(
+                "CAST(CASE WHEN nx > 0 THEN (2 * 1000000 * nj + nx) DIV (2 * nx)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("lambda_micro"),
+        )
+    )
+
+
+# ---------- q526: Burrows' Delta stylometry (source similarity)
+
+# Authorship-attribution distance between sources: per-mille-micro
+# relative frequencies of the TOP-20 corpus words (count DESC, word
+# tiebreak), z-scored ACROSS sources per word; Delta(s1,s2) = mean of
+# per-word |z1-z2|. Each per-word term is micro-rounded BEFORE the
+# 20-term sum (the q518 per-term discipline — the only double is ONE
+# |f1-f2|/sqrt(var) per term over exact integer frequencies). Top-10
+# most similar pairs.
+_BURROWS_ORACLE = """
+WITH toks AS (
+    SELECT source, LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)
+               AS ts
+    FROM documents
+), uni AS (
+    SELECT source, ts[i] AS w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks, LATERAL UNNEST(GENERATE_SERIES(1, LEN(ts))) t(i)
+    GROUP BY source, w
+), stot AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS tok FROM uni GROUP BY source
+), top AS (
+    SELECT w FROM (
+        SELECT w, SUM(c) AS tc FROM uni GROUP BY w
+        ORDER BY tc DESC, w LIMIT 20
+    )
+), f AS (
+    SELECT s.source, t.w,
+           CAST((2 * 1000000000 * COALESCE(u.c, 0) + s.tok) // (2 * s.tok)
+                AS BIGINT) AS fm
+    FROM stot s CROSS JOIN top t
+    LEFT JOIN uni u ON u.source = s.source AND u.w = t.w
+), wstat AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(fm) AS BIGINT) AS s,
+           CAST(SUM(CAST(fm AS HUGEINT) * fm) AS HUGEINT) AS q
+    FROM f GROUP BY w
+), terms AS (
+    SELECT a.source AS s1, b.source AS s2,
+           CAST(ROUND(1000000.0 * ABS(a.fm - b.fm)
+                      / SQRT((CAST(ws.m AS DOUBLE) * CAST(ws.q AS DOUBLE)
+                              - CAST(ws.s AS DOUBLE) * CAST(ws.s AS DOUBLE))
+                             / (CAST(ws.m AS DOUBLE) * CAST(ws.m AS DOUBLE))),
+                      0) AS BIGINT) AS zd
+    FROM f a JOIN f b ON a.w = b.w AND a.source < b.source
+    JOIN wstat ws ON ws.w = a.w
+    WHERE CAST(ws.m AS HUGEINT) * ws.q > CAST(ws.s AS HUGEINT) * ws.s
+), delta AS (
+    SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST((2 * SUM(zd) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS delta_micro
+    FROM terms GROUP BY s1, s2
+)
+SELECT s1, s2, n_terms, delta_micro
+FROM delta ORDER BY delta_micro, s1, s2 LIMIT 10
+"""
+
+
+@register("q526_burrows_delta", oracle=_BURROWS_ORACLE)
+def q526(spark, sf_dir):
+    """Top-10 most stylometrically similar source pairs (oracle
+    comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    uni = (
+        d.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    stot = uni.groupBy("source").agg(F.sum("c").cast("bigint").alias("tok"))
+    top = (
+        uni.groupBy("w")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), "w")
+        .limit(20)
+        .select("w")
+    )
+    f = (
+        stot.crossJoin(F.broadcast(top))
+        .join(uni, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "CAST((2 * 1000000000 * COALESCE(c, 0) + tok) DIV (2 * tok)"
+                " AS BIGINT)"
+            ).alias("fm"),
+        )
+    )
+    d38 = "DECIMAL(38,0)"
+    wstat = f.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("fm").cast("bigint").alias("s"),
+        F.sum(F.expr(f"CAST(fm AS {d38}) * fm")).alias("q"),
+    )
+    a = f.select(F.col("source").alias("s1"), "w", F.col("fm").alias("f1"))
+    b = f.select(F.col("source").alias("s2"), "w", F.col("fm").alias("f2"))
+    terms = (
+        a.join(b, "w")
+        .filter(F.col("s1") < F.col("s2"))
+        .join(F.broadcast(wstat), "w")
+        .filter(F.expr(f"CAST(m AS {d38}) * q > CAST(s AS {d38}) * s"))
+        .select(
+            "s1",
+            "s2",
+            F.expr(
+                "CAST(ROUND(1000000.0 * ABS(f1 - f2)"
+                " / SQRT((CAST(m AS DOUBLE) * CAST(q AS DOUBLE)"
+                " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+                " / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE))), 0) AS BIGINT)"
+            ).alias("zd"),
+        )
+    )
+    delta = terms.groupBy("s1", "s2").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.expr(
+            "CAST((2 * SUM(zd) + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("delta_micro"),
+    )
+    return delta.orderBy("delta_micro", "s1", "s2").limit(10)
+
+
+# ---------- q527: segmented-OLS changepoint (broken stick)
+
+# Structural-break search: for every candidate break k, the two-segment
+# OLS SSE from PREFIX-SUM moments (one window pass over the daily
+# frame; suffix = total - prefix), SSE as textually-parallel doubles
+# over exact integer moments, argmin by (ROUND(sse,3), k). The
+# candidate scan is day-dimension sized — never row volume.
+_SEGOLS_ORACLE = _DAILY_CTE + """
+, idx AS (
+    SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS i, day FROM daily
+), pre AS (
+    SELECT i, day,
+           SUM(i) OVER w AS sx, SUM(cents) OVER w AS sy,
+           SUM(CAST(i AS HUGEINT) * i) OVER w AS sxx,
+           SUM(CAST(i AS HUGEINT) * cents) OVER w AS sxy,
+           SUM(CAST(cents AS HUGEINT) * cents) OVER w AS syy
+    FROM idx WINDOW w AS (ORDER BY i)
+), tot AS (
+    SELECT MAX(i) AS n, MAX(sx) AS tx, MAX(sy) AS ty, MAX(sxx) AS txx,
+           MAX(sxy) AS txy, MAX(syy) AS tyy
+    FROM pre
+), cand AS (
+    SELECT p.i AS k, p.day,
+           ROUND(
+             (CAST(p.syy AS DOUBLE)
+              - (CAST(p.sy AS DOUBLE) * CAST(p.sy AS DOUBLE)) / CAST(p.i AS DOUBLE)
+              - (CAST(p.sxy AS DOUBLE)
+                 - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE) / CAST(p.i AS DOUBLE))
+                * (CAST(p.sxy AS DOUBLE)
+                   - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE) / CAST(p.i AS DOUBLE))
+                / (CAST(p.sxx AS DOUBLE)
+                   - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE) / CAST(p.i AS DOUBLE)))
+             + (CAST(t.tyy - p.syy AS DOUBLE)
+                - (CAST(t.ty - p.sy AS DOUBLE) * CAST(t.ty - p.sy AS DOUBLE))
+                  / CAST(t.n - p.i AS DOUBLE)
+                - (CAST(t.txy - p.sxy AS DOUBLE)
+                   - CAST(t.tx - p.sx AS DOUBLE) * CAST(t.ty - p.sy AS DOUBLE)
+                     / CAST(t.n - p.i AS DOUBLE))
+                  * (CAST(t.txy - p.sxy AS DOUBLE)
+                     - CAST(t.tx - p.sx AS DOUBLE) * CAST(t.ty - p.sy AS DOUBLE)
+                       / CAST(t.n - p.i AS DOUBLE))
+                  / (CAST(t.txx - p.sxx AS DOUBLE)
+                     - CAST(t.tx - p.sx AS DOUBLE) * CAST(t.tx - p.sx AS DOUBLE)
+                       / CAST(t.n - p.i AS DOUBLE))), 3) AS sse_r3
+    FROM pre p, tot t
+    WHERE p.i >= 2 AND p.i <= t.n - 2
+)
+SELECT CAST(k AS BIGINT) AS k_break, day AS break_day, sse_r3
+FROM cand ORDER BY sse_r3, k LIMIT 1
+"""
+
+
+@register("q527_segmented_ols_break", oracle=_SEGOLS_ORACLE)
+def q527(spark, sf_dir):
+    """Two-segment OLS break by prefix-moment SSE argmin (oracle
+    comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    d38 = "DECIMAL(38,0)"
+    idx = daily.select(
+        "cents", F.row_number().over(Window.orderBy("day")).alias("i"), "day"
+    )
+    w = Window.orderBy("i")
+    pre = idx.select(
+        "i",
+        "day",
+        F.sum("i").over(w).alias("sx"),
+        F.sum("cents").over(w).alias("sy"),
+        F.sum(F.expr(f"CAST(i AS {d38}) * i")).over(w).alias("sxx"),
+        F.sum(F.expr(f"CAST(i AS {d38}) * cents")).over(w).alias("sxy"),
+        F.sum(F.expr(f"CAST(cents AS {d38}) * cents")).over(w).alias("syy"),
+    )
+    tot = pre.agg(
+        F.max("i").alias("n"),
+        F.max("sx").alias("tx"),
+        F.max("sy").alias("ty"),
+        F.max("sxx").alias("txx"),
+        F.max("sxy").alias("txy"),
+        F.max("syy").alias("tyy"),
+    )
+
+    def sse(syy, sy, nn, sxy, sx, sxx):
+        return (
+            f"(CAST({syy} AS DOUBLE)"
+            f" - (CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE)) / CAST({nn} AS DOUBLE)"
+            f" - (CAST({sxy} AS DOUBLE)"
+            f" - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE) / CAST({nn} AS DOUBLE))"
+            f" * (CAST({sxy} AS DOUBLE)"
+            f" - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE) / CAST({nn} AS DOUBLE))"
+            f" / (CAST({sxx} AS DOUBLE)"
+            f" - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE) / CAST({nn} AS DOUBLE)))"
+        )
+
+    s1 = sse("syy", "sy", "i", "sxy", "sx", "sxx")
+    s2 = sse("(tyy - syy)", "(ty - sy)", "(n - i)", "(txy - sxy)",
+             "(tx - sx)", "(txx - sxx)")
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter((F.col("i") >= 2) & (F.col("i") <= F.col("n") - 2))
+        .select(
+            F.col("i").alias("k"),
+            "day",
+            F.expr(f"ROUND({s1} + {s2}, 3)").alias("sse_r3"),
+        )
+    )
+    return (
+        cand.select(
+            F.col("k").cast("bigint").alias("k_break"),
+            F.col("day").alias("break_day"),
+            "sse_r3",
+        )
+        .orderBy("sse_r3", "k_break")
+        .limit(1)
+    )
+
+
+# ---------- q528: price-ending audit (psychological pricing)
+
+# The forensic sibling of q483's Benford: distribution of the last two
+# digits of order cents. Exact counts, exact rhu micro shares, top-10
+# endings by (count DESC, ending).
+_ENDING_ORACLE = """
+WITH v AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 100
+               AS ending
+    FROM orders
+), h AS (
+    SELECT ending, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY ending
+), t AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS tot FROM h
+)
+SELECT h.ending, h.n,
+       CAST((2 * 1000000 * h.n + t.tot) // (2 * t.tot) AS BIGINT)
+           AS share_micro
+FROM h, t ORDER BY h.n DESC, h.ending LIMIT 10
+"""
+
+
+@register("q528_price_ending_audit", oracle=_ENDING_ORACLE)
+def q528(spark, sf_dir):
+    """Top-10 cent endings with exact shares (oracle comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    h = (
+        o.select(
+            (
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+                % 100
+            ).alias("ending")
+        )
+        .groupBy("ending")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    t = h.agg(F.sum("n").cast("bigint").alias("tot"))
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "ending",
+            "n",
+            F.expr(
+                "CAST((2 * 1000000 * n + tot) DIV (2 * tot) AS BIGINT)"
+            ).alias("share_micro"),
+        )
+        .orderBy(F.col("n").desc(), "ending")
+        .limit(10)
+    )
+
+
+# ---------- q529: monthly Gini concentration trend
+
+# Inequality of order values per month via the q522 pairs-free
+# identity: sum_{i,j}|x_i - x_j| = 2 * sum_gaps g * F * (n - F), so
+# Gini = G / (n * S) with G = sum g*F*(n-F) — exact rhu micro per
+# month, no pairs, windows partitioned by month over value histograms.
+_GINITREND_ORACLE = """
+WITH v AS (
+    SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS month,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM orders
+), hist AS (
+    SELECT month, c, CAST(COUNT(*) AS BIGINT) AS k FROM v GROUP BY month, c
+), cum AS (
+    SELECT month, c, SUM(k) OVER (PARTITION BY month ORDER BY c) AS f,
+           LEAD(c) OVER (PARTITION BY month ORDER BY c) AS cnext,
+           SUM(k) OVER (PARTITION BY month) AS n,
+           SUM(k * c) OVER (PARTITION BY month) AS s
+    FROM hist
+), g AS (
+    SELECT month, CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(s) AS BIGINT) AS s,
+           CAST(SUM(CASE WHEN cnext IS NOT NULL
+                         THEN CAST(cnext - c AS HUGEINT) * f * (n - f)
+                         ELSE 0 END) AS HUGEINT) AS gg
+    FROM cum GROUP BY month
+)
+SELECT month, n AS n_orders,
+       CAST((2 * 1000000 * gg + CAST(n AS HUGEINT) * s)
+            // (2 * CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_micro
+FROM g WHERE s > 0 ORDER BY month
+"""
+
+
+@register("q529_monthly_gini", oracle=_GINITREND_ORACLE)
+def q529(spark, sf_dir):
+    """Per-month exact Gini via the pairs-free identity (oracle
+    comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    v = o.select(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    hist = v.groupBy("month", "c").agg(F.count("*").cast("bigint").alias("k"))
+    wm = Window.partitionBy("month")
+    wo = wm.orderBy("c")
+    cum = hist.select(
+        "month",
+        "c",
+        F.sum("k").over(wo).alias("f"),
+        F.lead("c").over(wo).alias("cnext"),
+        F.sum("k").over(wm).alias("n"),
+        F.sum(F.col("k") * F.col("c")).over(wm).alias("s"),
+    )
+    d38 = "DECIMAL(38,0)"
+    g = cum.groupBy("month").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("s").cast("bigint").alias("s"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN cnext IS NOT NULL"
+                f" THEN CAST(cnext - c AS {d38}) * f * (n - f)"
+                f" ELSE CAST(0 AS {d38}) END"
+            )
+        ).alias("gg"),
+    )
+    return (
+        g.filter(F.col("s") > 0)
+        .select(
+            "month",
+            F.col("n").alias("n_orders"),
+            F.expr(
+                f"CAST((2 * 1000000 * gg + CAST(n AS {d38}) * s)"
+                f" DIV (2 * CAST(n AS {d38}) * s) AS BIGINT)"
+            ).alias("gini_micro"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------- q530: regression-to-the-mean audit (H1 deciles -> H2)
+
+# Winner's-curse check: decile users by FIRST-half click spend (unique
+# rank, q496 posture), then compare each decile's second-half spend to
+# its first-half spend — the top decile's ratio sinking toward the
+# global ratio is the textbook effect. Split = exact integer midpoint
+# of the global window (q503); ratios exact rhu micro.
+_RTM_ORACLE = """
+WITH ev AS (
+    SELECT user_id, event_type, CAST(EPOCH_MS(ts) // 1000 AS BIGINT) AS es,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events
+), bound AS (
+    SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM ev
+), peru AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' AND es <= bound.mid
+                         THEN c ELSE 0 END) AS BIGINT) AS h1,
+           CAST(SUM(CASE WHEN event_type = 'click' AND es > bound.mid
+                         THEN c ELSE 0 END) AS BIGINT) AS h2
+    FROM ev, bound GROUP BY user_id, bound.mid
+), ranked AS (
+    SELECT h1, h2,
+           ROW_NUMBER() OVER (ORDER BY h1 DESC, user_id) - 1 AS r,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM peru
+), dec AS (
+    SELECT CAST(r * 10 // n + 1 AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_u,
+           CAST(SUM(h1) AS BIGINT) AS h1_sum, CAST(SUM(h2) AS BIGINT) AS h2_sum
+    FROM ranked GROUP BY decile
+)
+SELECT decile, n_u, h1_sum, h2_sum,
+       CAST(CASE WHEN h1_sum > 0
+                 THEN (2 * 1000000 * h2_sum + h1_sum) // (2 * h1_sum)
+                 ELSE NULL END AS BIGINT) AS ratio_micro
+FROM dec ORDER BY decile
+"""
+
+
+@register("q530_regression_to_mean", oracle=_RTM_ORACLE)
+def q530(spark, sf_dir):
+    """H1-decile to H2 spend ratios (oracle comment)."""
+    e = load_tables(spark, sf_dir)["events"]
+    ev = e.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint").alias("es"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    bound = ev.agg(F.expr("(MIN(es) + MAX(es)) DIV 2").alias("mid"))
+    peru = (
+        ev.crossJoin(F.broadcast(bound))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("es") <= F.col("mid")),
+                    F.col("c"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("h1"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("es") > F.col("mid")),
+                    F.col("c"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("h2"),
+        )
+    )
+    wr = Window.orderBy(F.col("h1").desc(), "user_id")
+    ranked = peru.select(
+        "h1",
+        "h2",
+        (F.row_number().over(wr) - 1).alias("r"),
+        F.count("*")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("n"),
+    )
+    dec = ranked.groupBy(
+        F.expr("CAST(r * 10 DIV n + 1 AS BIGINT)").alias("decile")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_u"),
+        F.sum("h1").cast("bigint").alias("h1_sum"),
+        F.sum("h2").cast("bigint").alias("h2_sum"),
+    )
+    return dec.select(
+        "decile",
+        "n_u",
+        "h1_sum",
+        "h2_sum",
+        F.expr(
+            "CAST(CASE WHEN h1_sum > 0"
+            " THEN (2 * 1000000 * h2_sum + h1_sum) DIV (2 * h1_sum)"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("ratio_micro"),
+    ).orderBy("decile")

@@ -4488,3 +4488,453 @@ def q530(spark, sf_dir):
             " ELSE NULL END AS BIGINT)"
         ).alias("ratio_micro"),
     ).orderBy("decile")
+
+
+# ---------- q531: Neyman allocation (stratified sampling design)
+
+# Optimal allocation of a 1000-unit sample across priority strata:
+# n_h proportional to N_h * S_h. Per-stratum std is the ONLY double,
+# explicitly ROUND(0)ed to integer cents (house rule) so the weights
+# are integers; the allocation itself is the largest-remainder method
+# (q314 apportionment discipline): floor quotas + remainders ranked
+# (remainder DESC, stratum) — fully integer-deterministic.
+_NEYMAN_ORACLE = """
+WITH m AS (
+    SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS s,
+           CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS HUGEINT) AS q
+    FROM orders GROUP BY grp
+), w AS (
+    SELECT grp, n,
+           CAST(ROUND(SQRT((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 0)
+                AS BIGINT) AS sd
+    FROM m WHERE n > 1
+), tot AS (
+    SELECT CAST(SUM(CAST(n AS HUGEINT) * sd) AS HUGEINT) AS tw FROM w
+), quota AS (
+    SELECT w.grp, w.n, w.sd,
+           CAST(1000 * CAST(w.n AS HUGEINT) * w.sd // tot.tw AS BIGINT) AS fl,
+           CAST(1000 * CAST(w.n AS HUGEINT) * w.sd % tot.tw AS BIGINT) AS rem
+    FROM w, tot
+), ranked AS (
+    SELECT grp, n, sd, fl,
+           ROW_NUMBER() OVER (ORDER BY rem DESC, grp) AS rk,
+           CAST(1000 - SUM(fl) OVER () AS BIGINT) AS leftover
+    FROM quota
+)
+SELECT grp, n AS n_h, sd AS sd_cents,
+       CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc
+FROM ranked ORDER BY grp
+"""
+
+
+@register("q531_neyman_allocation", oracle=_NEYMAN_ORACLE)
+def q531(spark, sf_dir):
+    """Largest-remainder Neyman allocation of 1000 samples (oracle
+    comment)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    d38 = "DECIMAL(38,0)"
+    m = o.select(F.col("o_orderpriority").alias("grp"), cents.alias("c")).groupBy(
+        "grp"
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.expr(f"CAST(c AS {d38}) * c")).alias("q"),
+    )
+    w = m.filter(F.col("n") > 1).select(
+        "grp",
+        "n",
+        F.expr(
+            "CAST(ROUND(SQRT((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 0) AS BIGINT)"
+        ).alias("sd"),
+    )
+    tot = w.agg(F.sum(F.expr(f"CAST(n AS {d38}) * sd")).alias("tw"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "n",
+        "sd",
+        F.expr(f"CAST(1000 * CAST(n AS {d38}) * sd DIV tw AS BIGINT)").alias("fl"),
+        F.expr(f"CAST(1000 * CAST(n AS {d38}) * sd % tw AS BIGINT)").alias("rem"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = quota.select(
+        "grp",
+        "n",
+        "sd",
+        "fl",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), "grp")).alias("rk"),
+        (F.lit(1000) - F.sum("fl").over(wall)).cast("bigint").alias("leftover"),
+    )
+    return ranked.select(
+        "grp",
+        F.col("n").alias("n_h"),
+        F.col("sd").alias("sd_cents"),
+        F.expr(
+            "CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("alloc"),
+    ).orderBy("grp")
+
+
+# ---------- q532: hourly load curve + peak-to-average ratio
+
+# Capacity planning: events per hour-of-day (floor'd epoch seconds mod
+# 86400 — engine-neutral, no timezone surface), exact shares, and the
+# peak-to-average ratio max*24/total as one rhu micro repeated per row.
+_LOAD_ORACLE = """
+WITH h AS (
+    SELECT (CAST(EPOCH_MS(ts) // 1000 AS BIGINT) % 86400) // 3600 AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY hour
+), t AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(MAX(n) AS BIGINT) AS mx FROM h
+)
+SELECT CAST(h.hour AS INT) AS hour, h.n,
+       CAST((2 * 1000000 * h.n + t.tot) // (2 * t.tot) AS BIGINT)
+           AS share_micro,
+       CAST((2 * 1000000 * t.mx * 24 + t.tot) // (2 * t.tot) AS BIGINT)
+           AS par_micro
+FROM h, t ORDER BY hour
+"""
+
+
+@register("q532_hourly_load_curve", oracle=_LOAD_ORACLE)
+def q532(spark, sf_dir):
+    """Hour-of-day load curve with PAR (oracle comment)."""
+    e = load_tables(spark, sf_dir)["events"]
+    h = e.select(
+        F.expr(
+            "CAST((CAST(unix_timestamp(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+            " % 86400) DIV 3600 AS BIGINT)"
+        ).alias("hour")
+    ).groupBy("hour").agg(F.count("*").cast("bigint").alias("n"))
+    t = h.agg(
+        F.sum("n").cast("bigint").alias("tot"), F.max("n").cast("bigint").alias("mx")
+    )
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            F.col("hour").cast("int").alias("hour"),
+            "n",
+            F.expr(
+                "CAST((2 * 1000000 * n + tot) DIV (2 * tot) AS BIGINT)"
+            ).alias("share_micro"),
+            F.expr(
+                "CAST((2 * 1000000 * mx * 24 + tot) DIV (2 * tot) AS BIGINT)"
+            ).alias("par_micro"),
+        )
+        .orderBy("hour")
+    )
+
+
+# ---------- q533: Markov stationary distribution (power iteration)
+
+# Long-run event-type mix from the per-user transition chain over the
+# FULL 5-type alphabet (click/error/purchase/signup/view — dropping a
+# type would leak stationary mass every step): row-normalized
+# transition probs in exact rhu micro, then 20 power-iteration steps
+# with PER-STEP rhu micro rounding (the declared contract — both
+# engines step identical integer vectors; Spark folds Python ints in
+# one grouped map, the oracle steps a recursive CTE over the
+# MATERIALIZED 25-cell matrix).
+_STATIONARY_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+    FROM events
+), tc AS (
+    SELECT event_type AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS c
+    FROM seq WHERE nxt IS NOT NULL GROUP BY a, b
+), rows_ AS (
+    SELECT a, CAST(SUM(c) AS BIGINT) AS rn FROM tc GROUP BY a
+), types AS (
+    SELECT * FROM (VALUES ('click', 1), ('error', 2), ('purchase', 3),
+                          ('signup', 4), ('view', 5)) AS t(ty, ix)
+), tm AS MATERIALIZED (
+    SELECT ta.ix AS i, tb.ix AS j,
+           CAST((2 * 1000000 * COALESCE(tc.c, 0) + r.rn) // (2 * r.rn)
+                AS BIGINT) AS p
+    FROM types ta CROSS JOIN types tb
+    JOIN rows_ r ON r.a = ta.ty
+    LEFT JOIN tc ON tc.a = ta.ty AND tc.b = tb.ty
+), rec AS (
+    WITH RECURSIVE it(step, v1, v2, v3, v4, v5) AS (
+        SELECT 0, CAST(200000 AS BIGINT), CAST(200000 AS BIGINT),
+               CAST(200000 AS BIGINT), CAST(200000 AS BIGINT),
+               CAST(200000 AS BIGINT)
+        UNION ALL
+        SELECT step + 1,
+           CAST((2 * (it.v1 * (SELECT p FROM tm WHERE i = 1 AND j = 1)
+                      + it.v2 * (SELECT p FROM tm WHERE i = 2 AND j = 1)
+                      + it.v3 * (SELECT p FROM tm WHERE i = 3 AND j = 1)
+                      + it.v4 * (SELECT p FROM tm WHERE i = 4 AND j = 1)
+                      + it.v5 * (SELECT p FROM tm WHERE i = 5 AND j = 1))
+                 + 1000000) // 2000000 AS BIGINT),
+           CAST((2 * (it.v1 * (SELECT p FROM tm WHERE i = 1 AND j = 2)
+                      + it.v2 * (SELECT p FROM tm WHERE i = 2 AND j = 2)
+                      + it.v3 * (SELECT p FROM tm WHERE i = 3 AND j = 2)
+                      + it.v4 * (SELECT p FROM tm WHERE i = 4 AND j = 2)
+                      + it.v5 * (SELECT p FROM tm WHERE i = 5 AND j = 2))
+                 + 1000000) // 2000000 AS BIGINT),
+           CAST((2 * (it.v1 * (SELECT p FROM tm WHERE i = 1 AND j = 3)
+                      + it.v2 * (SELECT p FROM tm WHERE i = 2 AND j = 3)
+                      + it.v3 * (SELECT p FROM tm WHERE i = 3 AND j = 3)
+                      + it.v4 * (SELECT p FROM tm WHERE i = 4 AND j = 3)
+                      + it.v5 * (SELECT p FROM tm WHERE i = 5 AND j = 3))
+                 + 1000000) // 2000000 AS BIGINT),
+           CAST((2 * (it.v1 * (SELECT p FROM tm WHERE i = 1 AND j = 4)
+                      + it.v2 * (SELECT p FROM tm WHERE i = 2 AND j = 4)
+                      + it.v3 * (SELECT p FROM tm WHERE i = 3 AND j = 4)
+                      + it.v4 * (SELECT p FROM tm WHERE i = 4 AND j = 4)
+                      + it.v5 * (SELECT p FROM tm WHERE i = 5 AND j = 4))
+                 + 1000000) // 2000000 AS BIGINT),
+           CAST((2 * (it.v1 * (SELECT p FROM tm WHERE i = 1 AND j = 5)
+                      + it.v2 * (SELECT p FROM tm WHERE i = 2 AND j = 5)
+                      + it.v3 * (SELECT p FROM tm WHERE i = 3 AND j = 5)
+                      + it.v4 * (SELECT p FROM tm WHERE i = 4 AND j = 5)
+                      + it.v5 * (SELECT p FROM tm WHERE i = 5 AND j = 5))
+                 + 1000000) // 2000000 AS BIGINT)
+        FROM it WHERE step < 20
+    )
+    SELECT * FROM it WHERE step = 20
+)
+SELECT t.ty AS event_type,
+       CASE t.ix WHEN 1 THEN rec.v1 WHEN 2 THEN rec.v2
+                 WHEN 3 THEN rec.v3 WHEN 4 THEN rec.v4
+                 ELSE rec.v5 END AS stationary_micro
+FROM types t, rec ORDER BY event_type
+"""
+
+
+@register("q533_markov_stationary", oracle=_STATIONARY_ORACLE)
+def q533(spark, sf_dir):
+    """20-step power iteration in exact integer micro (oracle
+    comment)."""
+    import pandas as pd
+
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", F.lead("event_type").over(w).alias("nxt"))
+    tc = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    rows_ = tc.groupBy("a").agg(F.sum("c").cast("bigint").alias("rn"))
+    types = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("purchase", 3), ("signup", 4),
+         ("view", 5)],
+        "ty string, ix int",
+    )
+    ta = types.select(F.col("ty").alias("a"), F.col("ix").alias("i"))
+    tb = types.select(F.col("ty").alias("b"), F.col("ix").alias("j"))
+    # every frame here is <= 25 rows — broadcast both join sides so the
+    # 5x5 matrix assembly never shuffles (a bare crossJoin of two
+    # 32-partition frames produced a 1024-task cartesian stage)
+    tm = (
+        ta.join(F.broadcast(rows_), "a")
+        .crossJoin(F.broadcast(tb))
+        .join(F.broadcast(tc), ["a", "b"], "left")
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "CAST((2 * 1000000 * COALESCE(c, 0) + rn) DIV (2 * rn) AS BIGINT)"
+            ).alias("p"),
+        )
+    )
+
+    def power(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        p = {(int(r.i), int(r.j)): int(r.p) for r in pdf.itertuples()}
+        v = [200000] * 5
+        for _ in range(20):
+            v = [
+                (2 * sum(v[i] * p.get((i + 1, j + 1), 0) for i in range(5))
+                 + 1000000) // 2000000
+                for j in range(5)
+            ]
+        names = {1: "click", 2: "error", 3: "purchase", 4: "signup", 5: "view"}
+        return pd.DataFrame(
+            {"event_type": [names[j + 1] for j in range(5)],
+             "stationary_micro": v}
+        )
+
+    return (
+        tm.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(power, "event_type string, stationary_micro bigint")
+        .orderBy("event_type")
+    )
+
+
+# ---------- q534: cache hit-rate curve (static LFU)
+
+# Working-set economics: if a cache pinned the TOP-C users by total
+# event count (the static-LFU / stationary-optimal policy), what
+# fraction of the event stream hits? C in {10, 100, 1000}; the top-C
+# cut uses the UNIQUE (count DESC, user_id) rank; hit rates exact rhu
+# micro. One user aggregate, one rank window over the user frame.
+_CACHE_ORACLE = """
+WITH cu AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+), ranked AS (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rk FROM cu
+), t AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS tot FROM cu
+), cs AS (
+    SELECT * FROM (VALUES (10), (100), (1000)) AS t(cap)
+)
+SELECT cs.cap,
+       CAST(SUM(CASE WHEN r.rk <= cs.cap THEN r.c ELSE 0 END) AS BIGINT)
+           AS hits,
+       CAST((2 * 1000000 * SUM(CASE WHEN r.rk <= cs.cap THEN r.c ELSE 0 END)
+             + t.tot) // (2 * t.tot) AS BIGINT) AS hit_micro
+FROM cs, ranked r, t
+GROUP BY cs.cap, t.tot ORDER BY cs.cap
+"""
+
+
+@register("q534_cache_hit_curve", oracle=_CACHE_ORACLE)
+def q534(spark, sf_dir):
+    """Static-LFU hit-rate at cache sizes 10/100/1000 (oracle
+    comment)."""
+    e = load_tables(spark, sf_dir)["events"]
+    cu = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("c"))
+    ranked = cu.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), "user_id")).alias("rk"),
+    )
+    t = cu.agg(F.sum("c").cast("bigint").alias("tot"))
+    cs = spark.createDataFrame([(10,), (100,), (1000,)], "cap int")
+    return (
+        ranked.crossJoin(F.broadcast(cs))
+        .crossJoin(F.broadcast(t))
+        .groupBy("cap", "tot")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("cap"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("hits")
+        )
+        .select(
+            "cap",
+            "hits",
+            F.expr(
+                "CAST((2 * 1000000 * hits + tot) DIV (2 * tot) AS BIGINT)"
+            ).alias("hit_micro"),
+        )
+        .orderBy("cap")
+    )
+
+
+# ---------- q535: binned mutual information (length x lexical richness)
+
+# Feature-dependency screen for continuous pairs: decile-bin doc
+# length and per-doc distinct-token ratio (both by UNIQUE rank), then
+# MI over the 10x10 grid with PER-CELL micro-rounded n_ij *
+# ln(n_ij*N/(r_i*c_j)) terms before the integer sum (the q477/q518
+# per-term discipline); MI_micro = rhu(sum_term / N) with a signed
+# floor-safe split.
+_BINMI_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, n_chars,
+           LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS ts
+    FROM documents
+), per AS (
+    SELECT doc_id, n_chars,
+           LEN(LIST_DISTINCT(ts)) * 1000000 // GREATEST(LEN(ts), 1) AS ttr
+    FROM toks
+), ranked AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rl,
+           ROW_NUMBER() OVER (ORDER BY ttr, doc_id) - 1 AS rt,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM per
+), cells AS (
+    SELECT rl * 10 // n AS bx, rt * 10 // n AS by,
+           CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(n) AS BIGINT) AS n
+    FROM ranked GROUP BY bx, by
+), marg AS (
+    SELECT c.bx, c.by, c.k, c.n,
+           CAST(SUM(c.k) OVER (PARTITION BY c.bx) AS BIGINT) AS r,
+           CAST(SUM(c.k) OVER (PARTITION BY c.by) AS BIGINT) AS cl
+    FROM cells c
+), terms AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(1000000 * k *
+                LN(CAST(k AS DOUBLE) * CAST(n AS DOUBLE)
+                   / (CAST(r AS DOUBLE) * CAST(cl AS DOUBLE))), 0) AS BIGINT))
+                AS BIGINT) AS sum_term
+    FROM marg
+)
+SELECT n AS n_docs,
+       CAST(CASE WHEN sum_term >= 0
+                 THEN (2 * sum_term + n) // (2 * n)
+                 ELSE -((2 * (-sum_term) + n) // (2 * n)) END AS BIGINT)
+           AS mi_micro
+FROM terms
+"""
+
+
+@register("q535_binned_mutual_information", oracle=_BINMI_ORACLE)
+def q535(spark, sf_dir):
+    """Decile-binned MI with per-cell micro rounding (oracle comment)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        "n_chars",
+        F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0).alias(
+            "ts"
+        ),
+    )
+    per = toks.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "size(array_distinct(ts)) * 1000000 DIV GREATEST(size(ts), 1)"
+        ).alias("ttr"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = per.select(
+        (F.row_number().over(Window.orderBy("n_chars", "doc_id")) - 1).alias("rl"),
+        (F.row_number().over(Window.orderBy("ttr", "doc_id")) - 1).alias("rt"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+    )
+    cells = ranked.groupBy(
+        F.expr("rl * 10 DIV n").alias("bx"), F.expr("rt * 10 DIV n").alias("by")
+    ).agg(F.count("*").cast("bigint").alias("k"), F.max("n").cast("bigint").alias("n"))
+    marg = cells.select(
+        "bx",
+        "by",
+        "k",
+        "n",
+        F.sum("k").over(Window.partitionBy("bx")).cast("bigint").alias("r"),
+        F.sum("k").over(Window.partitionBy("by")).cast("bigint").alias("cl"),
+    )
+    terms = marg.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(1000000 * k * LN(CAST(k AS DOUBLE)"
+                " * CAST(n AS DOUBLE)"
+                " / (CAST(r AS DOUBLE) * CAST(cl AS DOUBLE))), 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("sum_term"),
+    )
+    return terms.select(
+        F.col("n").alias("n_docs"),
+        F.expr(
+            "CAST(CASE WHEN sum_term >= 0 THEN (2 * sum_term + n) DIV (2 * n)"
+            " ELSE -((2 * (-sum_term) + n) DIV (2 * n)) END AS BIGINT)"
+        ).alias("mi_micro"),
+    )

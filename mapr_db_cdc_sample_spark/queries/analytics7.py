@@ -4938,3 +4938,273 @@ def q535(spark, sf_dir):
             " ELSE -((2 * (-sum_term) + n) DIV (2 * n)) END AS BIGINT)"
         ).alias("mi_micro"),
     )
+
+
+# ---------- q536: Dickey-Fuller unit-root screen (no constant-trend)
+
+# Is daily revenue mean-reverting or a random walk? Regress
+# delta_t = x_t - x_{t-1} on x_{t-1} (the zero-drift DF form): gamma =
+# Sxy_c/Sxx_c and its t-stat from exact pair moments — both
+# textually-parallel q207 doubles over integer sums, ROUND(6). A
+# t below ~-2.9 rejects the unit root.
+_DF_ORACLE = _DAILY_CTE + """
+, idx AS (
+    SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+), pr AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(a.cents) AS BIGINT) AS sx,
+           CAST(SUM(b.cents - a.cents) AS BIGINT) AS sy,
+           CAST(SUM(CAST(a.cents AS HUGEINT) * (b.cents - a.cents)) AS HUGEINT)
+               AS sxy,
+           CAST(SUM(CAST(a.cents AS HUGEINT) * a.cents) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(b.cents - a.cents AS HUGEINT) * (b.cents - a.cents))
+                AS HUGEINT) AS syy
+    FROM idx a JOIN idx b ON b.rn = a.rn + 1
+)
+SELECT m AS n_pairs,
+       ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gamma_r6,
+       ROUND(((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             / SQRT(((CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     - ((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                       * ((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+                    / CAST(m - 2 AS DOUBLE)
+                    * (CAST(m AS DOUBLE)
+                       / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))), 6)
+           AS t_stat_r6
+FROM pr
+"""
+
+
+@register("q536_dickey_fuller", oracle=_DF_ORACLE)
+def q536(spark, sf_dir):
+    """Zero-drift DF gamma + t-stat from exact pair moments (oracle
+    comment; t = gamma / sqrt((Syy_c/Sxx_c - gamma²)/(m-2) * m/Sxx_c),
+    the simple-regression SE identity on mean-cleared moments)."""
+    daily = _daily_cents(spark, sf_dir)
+    idx = daily.select(
+        "cents", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    a = idx.select(F.col("cents").alias("xa"), "rn")
+    b = idx.select(F.col("cents").alias("xb"), (F.col("rn") - 1).alias("rn"))
+    d38 = "DECIMAL(38,0)"
+    pr = a.join(b, "rn").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("xa").cast("bigint").alias("sx"),
+        F.sum(F.col("xb") - F.col("xa")).cast("bigint").alias("sy"),
+        F.sum(F.expr(f"CAST(xa AS {d38}) * (xb - xa)")).alias("sxy"),
+        F.sum(F.expr(f"CAST(xa AS {d38}) * xa")).alias("sxx"),
+        F.sum(F.expr(f"CAST(xb - xa AS {d38}) * (xb - xa)")).alias("syy"),
+    )
+    num = (
+        "(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    den = (
+        "(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    gamma = f"{num} / {den}"
+    return pr.select(
+        F.col("m").alias("n_pairs"),
+        F.expr(f"ROUND({gamma}, 6)").alias("gamma_r6"),
+        F.expr(
+            f"ROUND(({gamma})"
+            f" / SQRT(((CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)"
+            f" - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / {den}"
+            f" - ({gamma}) * ({gamma})) / CAST(m - 2 AS DOUBLE)"
+            f" * (CAST(m AS DOUBLE) / {den})), 6)"
+        ).alias("t_stat_r6"),
+    )
+
+
+# ---------- q537: direct standardization (weekday-adjusted conversion)
+
+# Fair comparison of per-source conversion when weekday mixes differ:
+# standardized rate = sum_h W_h * r_h / W with the GLOBAL weekday event
+# mix as the standard population — r_h exact per (source, dow7), the
+# weighted combination one exact rhu micro per source (num = sum over
+# 7 strata of W_h*c_h*1e6 cross-multiplied onto a common denominator
+# by integer arithmetic: sum_h W_h * rhu-free c_h/n_h folds as
+# sum(W_h*c_h*D/n_h) with per-stratum exact rhu micro terms summed —
+# declared per-stratum-rounded contract, the q518 per-term discipline).
+_STDZ_ORACLE = """
+WITH ev AS (
+    SELECT source,
+           CAST(EPOCH_MS(ts) // 1000 AS BIGINT) // 86400 % 7 AS dow7,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+    FROM events e
+    JOIN documents d ON d.doc_id = e.user_id % (SELECT COUNT(*) FROM documents)
+), strata AS (
+    SELECT source, dow7, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(conv) AS BIGINT) AS c
+    FROM ev GROUP BY source, dow7
+), std AS (
+    SELECT dow7, CAST(SUM(n) AS BIGINT) AS w FROM strata GROUP BY dow7
+), wtot AS (
+    SELECT CAST(SUM(w) AS BIGINT) AS tw FROM std
+), terms AS (
+    SELECT s.source,
+           CAST(SUM(CAST(std.w AS HUGEINT)
+                    * ((2 * 1000000 * s.c + s.n) // (2 * s.n))) AS HUGEINT)
+               AS num
+    FROM strata s JOIN std ON std.dow7 = s.dow7
+    GROUP BY s.source
+)
+SELECT t.source,
+       CAST((2 * t.num + wtot.tw) // (2 * wtot.tw) AS BIGINT)
+           AS std_rate_micro
+FROM terms t, wtot ORDER BY t.source
+"""
+
+
+@register("q537_direct_standardization", oracle=_STDZ_ORACLE)
+def q537(spark, sf_dir):
+    """Weekday-standardized conversion per source (oracle comment; the
+    events->documents attach is the declared synthetic cohort join:
+    source of doc_id = user_id mod |documents|)."""
+    e = load_tables(spark, sf_dir)["events"]
+    d = load_tables(spark, sf_dir)["documents"]
+    nd = d.agg(F.count("*").cast("bigint").alias("ndocs"))
+    ev = (
+        e.crossJoin(F.broadcast(nd))
+        .join(
+            F.broadcast(d.select("doc_id", "source")),
+            F.col("doc_id") == F.expr("user_id % ndocs"),
+        )
+        .select(
+            "source",
+            F.expr(
+                "CAST(unix_timestamp(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+                " DIV 86400 % 7"
+            ).alias("dow7"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+        )
+    )
+    strata = ev.groupBy("source", "dow7").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )
+    std = strata.groupBy("dow7").agg(F.sum("n").cast("bigint").alias("w"))
+    wtot = std.agg(F.sum("w").cast("bigint").alias("tw"))
+    d38 = "DECIMAL(38,0)"
+    terms = (
+        strata.join(F.broadcast(std), "dow7")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(w AS {d38}) * ((2 * 1000000 * c + n) DIV (2 * n))"
+                )
+            ).alias("num")
+        )
+    )
+    return (
+        terms.crossJoin(F.broadcast(wtot))
+        .select(
+            "source",
+            F.expr(
+                "CAST((2 * num + tw) DIV (2 * tw) AS BIGINT)"
+            ).alias("std_rate_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------- q538: Kupiec POF backtest of the historical VaR
+
+# Does the 95% historical VaR actually get breached ~5% of the time?
+# Threshold = exact floor(0.05n)+1-th smallest daily revenue change
+# (order statistic, no sort); x = breach count; the proportion-of-
+# failures likelihood ratio LR = -2 ln[(1-p)^(n-x) p^x / ((1-x/n)^(n-x)
+# (x/n)^x)] expands to pure ln terms over exact integers — ONE
+# textually-parallel double, ROUND(6).
+_KUPIEC_ORACLE = _DAILY_CTE + """
+, idx AS (
+    SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+), chg AS (
+    SELECT b.cents - a.cents AS d
+    FROM idx a JOIN idx b ON b.rn = a.rn + 1
+), cnt AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM chg
+), thr AS (
+    SELECT MIN(d) AS v FROM (
+        SELECT d, ROW_NUMBER() OVER (ORDER BY d, 1) AS rk FROM chg
+    ), cnt WHERE rk >= cnt.n * 5 // 100 + 1
+), x AS (
+    SELECT CAST(SUM(CASE WHEN chg.d < thr.v THEN 1 ELSE 0 END) AS BIGINT)
+               AS x
+    FROM chg, thr
+)
+SELECT cnt.n, thr.v AS var_cents, x.x AS n_breaches,
+       ROUND(-2.0 * (CAST(cnt.n - x.x AS DOUBLE) * LN(0.95)
+                     + CAST(x.x AS DOUBLE) * LN(0.05)
+                     - CAST(cnt.n - x.x AS DOUBLE)
+                       * LN(1.0 - CAST(x.x AS DOUBLE) / CAST(cnt.n AS DOUBLE))
+                     - CAST(x.x AS DOUBLE)
+                       * LN(CAST(x.x AS DOUBLE) / CAST(cnt.n AS DOUBLE))), 6)
+           AS lr_pof_r6
+FROM cnt, thr, x
+"""
+
+
+@register("q538_kupiec_backtest", oracle=_KUPIEC_ORACLE)
+def q538(spark, sf_dir):
+    """Kupiec proportion-of-failures LR for the 5% historical VaR
+    (oracle comment)."""
+    daily = _daily_cents(spark, sf_dir)
+    idx = daily.select(
+        "cents", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    a = idx.select(F.col("cents").alias("xa"), "rn")
+    b = idx.select(F.col("cents").alias("xb"), (F.col("rn") - 1).alias("rn"))
+    chg = a.join(b, "rn").select((F.col("xb") - F.col("xa")).alias("d"))
+    cnt = chg.agg(F.count("*").cast("bigint").alias("n"))
+    ranked = chg.select(
+        "d", F.row_number().over(Window.orderBy("d")).alias("rk")
+    )
+    thr = (
+        ranked.crossJoin(F.broadcast(cnt))
+        .filter(F.col("rk") >= F.expr("n * 5 DIV 100 + 1"))
+        .agg(F.min("d").alias("v"))
+    )
+    x = (
+        chg.crossJoin(F.broadcast(thr))
+        .agg(
+            F.sum(F.when(F.col("d") < F.col("v"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    return (
+        cnt.crossJoin(thr)
+        .crossJoin(x)
+        .select(
+            "n",
+            F.col("v").alias("var_cents"),
+            F.col("x").alias("n_breaches"),
+            F.expr(
+                "ROUND(-2.0 * (CAST(n - x AS DOUBLE) * LN(0.95)"
+                " + CAST(x AS DOUBLE) * LN(0.05)"
+                " - CAST(n - x AS DOUBLE)"
+                " * LN(1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))"
+                " - CAST(x AS DOUBLE)"
+                " * LN(CAST(x AS DOUBLE) / CAST(n AS DOUBLE))), 6)"
+            ).alias("lr_pof_r6"),
+        )
+    )

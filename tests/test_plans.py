@@ -809,3 +809,53 @@ def test_consistent_hash_broadcast_interval_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q446_consistent_hash_rebalance")
     assert count_nodes(plan, "BroadcastHashJoin") >= 2, plan_nodes(plan)
     assert not has(plan, "BroadcastNestedLoopJoin"), plan_nodes(plan)
+
+
+def test_benford_expectation_broadcasts(spark, sf_dir):
+    """q483: the 9-row expectation table joins as a broadcast; the scan
+    aggregates into <= 9 groups map-side — no SortMergeJoin anywhere."""
+    plan = _plan(spark, sf_dir, "q483_benford_audit")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1, plan_nodes(plan)
+    assert not has(plan, "SortMergeJoin"), plan_nodes(plan)
+
+
+def test_modularity_dims_broadcast(spark, sf_dir):
+    """q487: customer/supplier dimensions broadcast into the fact join;
+    the nation-matrix stage never sorts volume."""
+    plan = _plan(spark, sf_dir, "q487_region_modularity")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 2, plan_nodes(plan)
+
+
+def test_energy_distance_has_no_join(spark, sf_dir):
+    """q522: the pairs-free identity means NO join node at all — one
+    scan, one histogram aggregate, windows, one final aggregate."""
+    plan = _plan(spark, sf_dir, "q522_energy_distance")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                 "CartesianProduct"):
+        assert not has(plan, node), plan_nodes(plan)
+
+
+def test_quantization_audit_range_broadcasts(spark, sf_dir):
+    """q493: the 64-row per-dim range frame reaches the error pass as a
+    broadcast, not a shuffle join."""
+    plan = _plan(spark, sf_dir, "q493_quantization_audit")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1, plan_nodes(plan)
+    assert not has(plan, "SortMergeJoin"), plan_nodes(plan)
+
+
+def test_markov_matrix_assembly_broadcasts(spark, sf_dir):
+    """q533: the 5x5 matrix assembly is all-broadcast (a bare crossJoin
+    of two 32-partition frames once produced a 1024-task cartesian)."""
+    plan = _plan(spark, sf_dir, "q533_markov_stationary")
+    assert not has(plan, "SortMergeJoin"), plan_nodes(plan)
+    # cartesian of the two literal frames is fine ONLY if broadcast
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1, plan_nodes(plan)
+
+
+def test_theil_sen_pair_stage_stays_bigint(spark, sf_dir):
+    """q292 rework: no DecimalType arithmetic in the pair stage — the
+    plan must not contain a decimal(38,0) cast in its projections, and
+    the exact `percentile` aggregate is gone."""
+    plan = _plan(spark, sf_dir, "q292_theil_sen")
+    assert "percentile(" not in plan, "exact percentile agg reappeared"
+    assert "decimal(38,0)" not in plan, "decimal pair arithmetic reappeared"

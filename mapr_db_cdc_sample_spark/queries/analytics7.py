@@ -698,9 +698,12 @@ def q486(spark, sf_dir):
 # exact integers from ONE <=625-row symmetric matrix; modularity
 # contribution (4*W*W_in - vol^2) / (4*W^2) and conductance
 # cut / min(vol, 2W - vol) are each ONE signed/positive rhu micro
-# division with DECIMAL(38,0)/HUGEINT factors.
+# division with DECIMAL(38,0)/HUGEINT factors. The oracle's CTE chain
+# is MATERIALIZED end-to-end: multi-referenced CTE chains re-inline
+# EXPONENTIALLY in DuckDB (dir re-evaluated 8+ times -> 511s at sf0.1;
+# materialized: 0.2s).
 _MODULARITY_ORACLE = """
-WITH dir AS (
+WITH dir AS MATERIALIZED (
     SELECT c.c_nationkey AS a, s.s_nationkey AS b,
            CAST(COUNT(*) AS BIGINT) AS w
     FROM orders o
@@ -709,11 +712,11 @@ WITH dir AS (
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     WHERE c.c_nationkey <> s.s_nationkey
     GROUP BY a, b
-), sym AS (
+), sym AS MATERIALIZED (
     SELECT a, b, CAST(SUM(w) AS BIGINT) AS s
     FROM (SELECT a, b, w FROM dir UNION ALL SELECT b, a, w FROM dir)
     GROUP BY a, b
-), lab AS (
+), lab AS MATERIALIZED (
     SELECT sym.a, sym.b, sym.s, na.n_regionkey AS ca, nb.n_regionkey AS cb
     FROM sym
     JOIN nation na ON na.n_nationkey = sym.a
@@ -1140,36 +1143,15 @@ ORDER BY sim DESC, anchor LIMIT 20
 def q492(spark, sf_dir):
     """Per-anchor hardest cross-label negative, top-20 (oracle
     comment)."""
-    from ..functions import vectors as V
+    from ..operators.similarity import knn_block_topk
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    withn = e.select(
-        "label", "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
-    )
-    a = withn.select(
-        F.col("label").alias("la"),
-        F.col("vec_id").alias("anchor"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = withn.select(
-        F.col("label").alias("lb"),
-        F.col("vec_id").alias("neg"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    sim = F.round(V.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
-    pairs = (
-        a.join(b, F.col("la") != F.col("lb"))
-        .select("anchor", "neg", sim.alias("sim"))
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("anchor").orderBy(F.col("sim").desc(), "neg")
-    )
+    # block-matmul kNN kernel: no pair frame ever materializes (the pair
+    # join shipped ~4GB of duplicated vectors through Arrow — see
+    # operators/similarity.knn_block_topk)
+    top1 = knn_block_topk(e, k=1, cross_label_only=True)
     return (
-        pairs.withColumn("rk", rk)
-        .filter(F.col("rk") == 1)
-        .select("anchor", F.col("neg").alias("hard_neg"), "sim")
+        top1.select("anchor", F.col("neighbor").alias("hard_neg"), "sim")
         .orderBy(F.col("sim").desc(), "anchor")
         .limit(20)
     )
@@ -2851,35 +2833,13 @@ FROM noise GROUP BY la ORDER BY label
 @register("q512_knn_label_noise", oracle=_KNNNOISE_ORACLE)
 def q512(spark, sf_dir):
     """k=5 neighbor label-disagreement per label (oracle comment)."""
-    from ..functions import vectors as V
+    from ..operators.similarity import knn_block_topk
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    withn = e.select(
-        "label", "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
-    )
-    a = withn.select(
-        F.col("vec_id").alias("va"),
-        F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = withn.select(
-        F.col("vec_id").alias("vb"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    sim = F.round(V.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
-    pairs = a.join(b, F.col("va") != F.col("vb")).select(
-        "va", "la", "lb", sim.alias("sim"), "vb"
-    )
-    top5 = pairs.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("va").orderBy(F.col("sim").desc(), "vb")
-        ),
-    ).filter(F.col("rk") <= 5)
-    noise = top5.groupBy("va", "la").agg(
+    top5 = knn_block_topk(e, k=5)  # block-matmul kernel (see q492)
+    noise = top5.groupBy(
+        F.col("anchor").alias("va"), F.col("la")
+    ).agg(
         F.sum(F.when(F.col("lb") != F.col("la"), 1).otherwise(0))
         .cast("bigint")
         .alias("mism")

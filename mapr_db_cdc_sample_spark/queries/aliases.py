@@ -1,4 +1,4 @@
-"""Driver-window rotation aliases (round 8: q292-q343 band).
+"""Driver-window rotation aliases (round 9: q344-q393 band).
 
 The external correctness gate hash-checks only the first 50 registry
 names in SORTED order. The round-4 additions (q135-q228, 92 oracled
@@ -24,11 +24,12 @@ Rotation history (union = externally verified coverage):
   round 5: q0135-q0186 aliases -> driver-green 50/50 (retired)
   round 6: q0187-q0236 aliases -> driver-green 50/50 (retired)
   round 7: q00237-q00291 aliases -> driver-green 50/50 (retired)
-  round 8: q00292-q00343 aliases (this file — exactly the 50 oracled
-           ids in q292-q343; q299 and q320 are rows-only by design)
-  round 9+ (planned): q344 onward in 50-oracled-id bands; the
-           never-driver-checked backlog — q344-q418 plus the round-7+
-           additions q419+ — continues through round ~11 until the
+  round 8: q00292-q00343 aliases -> driver-green 50/50 (retired)
+  round 9: q00344-q00393 aliases (this file — exactly the 50 oracled
+           ids in q344-q393; no rows-only ids in that range)
+  round 10+ (planned): q394 onward in 50-oracled-id bands; the
+           never-driver-checked backlog — q394-q418 plus the round-7+
+           additions q419+ — continues through round ~12 until the
            union covers every oracled id (each round's band is
            meanwhile judge-checkable via SWEEP_r{N}_band.json,
            produced by the driver's own range-filter invocation)
@@ -40,8 +41,8 @@ import re
 
 from . import REGISTRY, QueryDef
 
-ROTATION_LO = 292
-ROTATION_HI = 343
+ROTATION_LO = 344
+ROTATION_HI = 393
 
 
 def _rotate() -> None:

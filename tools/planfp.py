@@ -39,6 +39,11 @@ PINNED = [
     # retained former members
     "q253_bfs_hops", "q215_srp_lsh_cosine", "q229_triangle_count",
     "q160_pagerank", "q400_sql_scripting", "q41_cdc_route_fts",
+    # round-9 additions: the flagship dedup composition entered the
+    # bench top-20 in r8 but was never pinned (VERDICT r8 task 3), and
+    # the rewritten blocked kNN kernel gets a gate from birth
+    "q85_dedup_corpus", "q492_hard_negative_mining",
+    "q512_knn_label_noise",
 ]
 
 

@@ -238,7 +238,9 @@ HEADLINE = [
 ]
 
 
-def build_payload(timings: dict, names: list, total: float, sf_val) -> str:
+def build_payload(
+    timings: dict, names: list, total: float, sf_val, detail: str = "BENCH_FULL.json"
+) -> str:
     """Serialize the one-line bench summary, guaranteed under the round
     driver's 2000-char stdout tail (greedy-fill in HEADLINE order)."""
     payload = {
@@ -248,7 +250,7 @@ def build_payload(timings: dict, names: list, total: float, sf_val) -> str:
         "queries": {},
         "sf": sf_val,
         "n_queries": len(timings),
-        "detail": "BENCH_FULL.json",
+        "detail": detail,
         # r1-r3 ran without cache isolation, so queries sharing a logical
         # subplan (the LSH gram pass feeding q43/q44/q46/q85) reused each
         # other's persisted blocks and timed artificially low, while
@@ -368,6 +370,10 @@ def main() -> None:
     # write a round-stamped BENCH_FULL_r8.json the driver's plain
     # invocation won't touch; the untagged default stays BENCH_FULL.json.
     tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "")
+    if limit and not tag:
+        # A limit-N smoke run must never overwrite the committed headline
+        # artifact with partial numbers — divert to a smoke-tagged file.
+        tag = "smoke"
     full_name = f"BENCH_FULL_{tag}.json" if tag else "BENCH_FULL.json"
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, full_name), "w") as f:
@@ -381,7 +387,7 @@ def main() -> None:
     # Greedy-fill the printed queries dict in HEADLINE order (a prefix of
     # prior rounds' sets, so round-over-round common-subset comparison
     # keeps maximal overlap) until the serialized line nears the budget.
-    print(build_payload(timings, names, total, sf_val))
+    print(build_payload(timings, names, total, sf_val, detail=full_name))
     spark.stop()
 
 

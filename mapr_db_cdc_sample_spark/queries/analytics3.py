@@ -1286,7 +1286,14 @@ FROM s
 
 @register("q292_theil_sen", oracle=_THEILSEN_ORACLE)
 def q292(spark, sf_dir):
-    """Theil-Sen slope of daily revenue (oracle comment)."""
+    """Theil-Sen slope of daily revenue (oracle comment).
+
+    Precondition: ``daily`` has >= 2 rows (so >= 1 pair). On an empty
+    pair set this histogram form returns n_pairs NULL (the oracle's
+    COUNT(*) form returns 0) — every committed SF satisfies the
+    precondition by construction (lineitem always spans years of
+    shipdates), so the edge is declared rather than papered over.
+    """
     daily = _daily_cents(spark, sf_dir)
     idx = daily.select(
         "cents", F.row_number().over(Window.orderBy("day")).alias("i")

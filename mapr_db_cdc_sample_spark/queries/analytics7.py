@@ -159,23 +159,23 @@ def q480(spark, sf_dir):
 # are exact micro integers (rhu of n_j*A*1e6/N); the chi-square
 # contribution is the only double, rounded to 6.
 _MOOD_ORACLE = """
-WITH v AS (
+WITH v AS MATERIALIZED (
     SELECT o_orderpriority AS grp,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
     FROM orders
-), hist AS (
+), hist AS MATERIALIZED (
     SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY c
 ), cum AS (
     SELECT c, SUM(cnt) OVER (ORDER BY c) AS cm FROM hist
 ), med AS (
     SELECT MIN(c) AS m FROM cum
     WHERE cm >= (SELECT (SUM(cnt) + 1) // 2 FROM hist)
-), g AS (
+), g AS MATERIALIZED (
     SELECT grp, CAST(COUNT(*) AS BIGINT) AS nj,
            CAST(SUM(CASE WHEN c > (SELECT m FROM med) THEN 1 ELSE 0 END)
                 AS BIGINT) AS aj
     FROM v GROUP BY grp
-), tot AS (
+), tot AS MATERIALIZED (
     SELECT CAST(SUM(nj) AS BIGINT) AS n, CAST(SUM(aj) AS BIGINT) AS a FROM g
 )
 SELECT g.grp, g.nj, g.aj,
@@ -606,7 +606,7 @@ WITH RECURSIVE e AS MATERIALIZED (
     WHERE w.dist < 6
 ), d AS (
     SELECT src, node, MIN(dist) AS dist FROM walk GROUP BY src, node
-), per AS (
+), per AS MATERIALIZED (
     SELECT src,
            CAST(COUNT(*) - 1 AS BIGINT) AS n_reach6,
            CAST(SUM(dist) AS BIGINT) AS sum_dist,
@@ -721,12 +721,12 @@ WITH dir AS MATERIALIZED (
     FROM sym
     JOIN nation na ON na.n_nationkey = sym.a
     JOIN nation nb ON nb.n_nationkey = sym.b
-), com AS (
+), com AS MATERIALIZED (
     SELECT ca AS c,
            CAST(SUM(s) AS BIGINT) AS vol,
            CAST(SUM(CASE WHEN ca = cb THEN s ELSE 0 END) AS BIGINT) AS win2
     FROM lab GROUP BY ca
-), tot AS (
+), tot AS MATERIALIZED (
     SELECT CAST(SUM(vol) AS BIGINT) AS w2 FROM com
 )
 SELECT CAST(com.c AS BIGINT) AS region,
@@ -824,7 +824,7 @@ WITH toks AS (
     SELECT doc_id, source,
            LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS ts
     FROM documents
-), lines AS (
+), lines AS MATERIALIZED (
     SELECT doc_id, source,
            ARRAY_TO_STRING(ts[(k - 1) * 10 + 1:k * 10], ' ') AS g
     FROM toks, LATERAL UNNEST(GENERATE_SERIES(1, LEN(ts) // 10)) t(k)
@@ -895,20 +895,20 @@ def q488(spark, sf_dir):
 # transcendental discipline). Unigram/bigram counts are map-side
 # combinable; the candidate set after the count filter is vocab².
 _PMI_ORACLE = """
-WITH toks AS (
+WITH toks AS MATERIALIZED (
     SELECT doc_id,
            LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS ts
     FROM documents
-), uni AS (
+), uni AS MATERIALIZED (
     SELECT ts[i] AS w, CAST(COUNT(*) AS BIGINT) AS c
     FROM toks, LATERAL UNNEST(GENERATE_SERIES(1, LEN(ts))) t(i)
     GROUP BY w
-), big AS (
+), big AS MATERIALIZED (
     SELECT ts[i] AS w1, ts[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c12
     FROM toks, LATERAL UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) t(i)
     WHERE LEN(ts) >= 2
     GROUP BY w1, w2
-), tot AS (
+), tot AS MATERIALIZED (
     SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n,
            (SELECT CAST(SUM(c12) AS BIGINT) FROM big) AS nb
 )
@@ -993,7 +993,7 @@ _COVER_ORACLE = """
 WITH toks AS (
     SELECT LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS ts
     FROM documents
-), uni AS (
+), uni AS MATERIALIZED (
     SELECT ts[i] AS w, CAST(COUNT(*) AS BIGINT) AS c
     FROM toks, LATERAL UNNEST(GENERATE_SERIES(1, LEN(ts))) t(i)
     GROUP BY w
@@ -1001,9 +1001,9 @@ WITH toks AS (
     SELECT c, SUM(c) OVER (ORDER BY c DESC, w) AS cm,
            ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk
     FROM uni
-), tot AS (
+), tot AS MATERIALIZED (
     SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni
-), ks AS (
+), ks AS MATERIALIZED (
     SELECT * FROM (VALUES (1), (2), (5), (10), (20), (50)) AS t(k)
 )
 SELECT ks.k, CAST(MAX(r.cm) AS BIGINT) AS covered,
@@ -1166,11 +1166,11 @@ def q492(spark, sf_dir):
 # agree bit-for-bit with no doubles anywhere. One (row x dim) explode,
 # two map-side-combinable aggregates.
 _QUANT_ORACLE = """
-WITH vals AS (
+WITH vals AS MATERIALIZED (
     SELECT t.i AS d,
            CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS v
     FROM embeddings, LATERAL UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)
-), rng AS (
+), rng AS MATERIALIZED (
     SELECT d, CAST(MIN(v) AS BIGINT) AS mn, CAST(MAX(v) AS BIGINT) AS mx
     FROM vals GROUP BY d
 ), err AS (
@@ -1180,7 +1180,7 @@ WITH vals AS (
                               + 255) // 510)) AS e
     FROM vals v JOIN rng r ON r.d = v.d
     WHERE r.mx > r.mn
-), per AS (
+), per AS MATERIALIZED (
     SELECT d, CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(e) AS BIGINT) AS max_err,
            CAST(SUM(e) AS BIGINT) AS sum_err
     FROM err GROUP BY d
@@ -1418,12 +1418,12 @@ WITH peru AS (
            ROW_NUMBER() OVER (ORDER BY score DESC, user_id) - 1 AS r,
            CAST(COUNT(*) OVER () AS BIGINT) AS n
     FROM peru
-), dec AS (
+), dec AS MATERIALIZED (
     SELECT CAST(r * 10 // n + 1 AS BIGINT) AS decile,
            CAST(COUNT(*) AS BIGINT) AS n_u,
            CAST(SUM(conv) AS BIGINT) AS n_conv
     FROM ranked GROUP BY decile
-), tot AS (
+), tot AS MATERIALIZED (
     SELECT CAST(SUM(n_u) AS BIGINT) AS n, CAST(SUM(n_conv) AS BIGINT) AS c
     FROM dec
 )
@@ -1569,7 +1569,7 @@ def q497(spark, sf_dir):
 # relative error vs the exact F2 = sum c_u² is ONE signed micro
 # division. Everything is integer arithmetic — no doubles at all.
 _AMS_ORACLE = """
-WITH cu AS (
+WITH cu AS MATERIALIZED (
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
     FROM events GROUP BY user_id
 ), signs AS (
@@ -1585,12 +1585,12 @@ WITH cu AS (
            CAST(CAST(z AS HUGEINT) * z AS HUGEINT) AS e,
            ROW_NUMBER() OVER (ORDER BY CAST(z AS HUGEINT) * z, j) AS rk
     FROM signs
-), med AS (
+), med AS MATERIALIZED (
     SELECT CAST((SUM(CASE WHEN rk = 4 THEN e ELSE 0 END)
                  + SUM(CASE WHEN rk = 5 THEN e ELSE 0 END)) // 2 AS HUGEINT)
                AS m
     FROM est
-), f2 AS (
+), f2 AS MATERIALIZED (
     SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS f2 FROM cu
 )
 SELECT CAST(f2.f2 AS BIGINT) AS f2_exact,
@@ -1660,7 +1660,7 @@ _DP_ORACLE = """
 WITH g AS (
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY event_type
-), u AS (
+), u AS MATERIALIZED (
     SELECT event_type, n,
            CAST(('0x' || SUBSTR(MD5(event_type), 1, 8))::BIGINT AS DOUBLE)
                / 4294967296.0 AS u
@@ -2026,10 +2026,10 @@ def q502(spark, sf_dir):
 # midpoint of min/max epoch-seconds — exact)? Only the discordant
 # cells matter: chi² = (b-c)²/(b+c), reported as exact rhu micro.
 _MCNEMAR_ORACLE = """
-WITH ev AS (
+WITH ev AS MATERIALIZED (
     SELECT user_id, event_type, CAST(EPOCH_MS(ts) // 1000 AS BIGINT) AS es
     FROM events
-), bound AS (
+), bound AS MATERIALIZED (
     SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM ev
 ), peru AS (
     SELECT user_id,
@@ -2274,7 +2274,7 @@ def q505(spark, sf_dir):
 # A real deployment swaps the md5 grid for decoded pixels — the
 # hashing, grouping, and ranking plumbing is the deliverable.
 _AHASH_ORACLE = """
-WITH nib AS (
+WITH nib AS MATERIALIZED (
     SELECT doc_id,
            STRPOS('0123456789abcdef', SUBSTR(MD5(text), t.i, 1)) - 1 AS v,
            t.i AS i
@@ -2354,7 +2354,7 @@ WITH v AS (
     SELECT event_type AS g,
            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
     FROM events WHERE event_type IN ('click', 'purchase')
-), hist AS (
+), hist AS MATERIALIZED (
     SELECT g, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY g, c
 ), ties AS (
     SELECT c, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY c
@@ -2607,7 +2607,7 @@ WITH peru AS (
            CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                 AS BIGINT) AS y
     FROM events GROUP BY user_id
-), m AS (
+), m AS MATERIALIZED (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS qy,
            CAST(SUM(f1) AS BIGINT) AS s1,
@@ -2737,11 +2737,11 @@ WITH peru AS (
            ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 5
                AS fold
     FROM events GROUP BY user_id
-), per AS (
+), per AS MATERIALIZED (
     SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(SUM(conv) AS BIGINT) AS n_conv
     FROM peru GROUP BY fold
-), tot AS (
+), tot AS MATERIALIZED (
     SELECT CAST(SUM(n_users) AS BIGINT) AS n, CAST(SUM(n_conv) AS BIGINT) AS c
     FROM per
 )
@@ -2873,11 +2873,11 @@ WITH lat AS (
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 ), hist AS (
     SELECT grp, d, CAST(COUNT(*) AS BIGINT) AS k FROM lat GROUP BY grp, d
-), cum AS (
+), cum AS MATERIALIZED (
     SELECT grp, d, SUM(k) OVER (PARTITION BY grp ORDER BY d) AS c,
            SUM(k) OVER (PARTITION BY grp) AS n
     FROM hist
-), qs AS (
+), qs AS MATERIALIZED (
     SELECT * FROM (VALUES (50), (90), (99)) AS t(q)
 ), pos AS (
     SELECT DISTINCT cum.grp, cum.n, qs.q,
@@ -2970,7 +2970,7 @@ def q513(spark, sf_dir):
 # discipline). This is the deterministic twin of the data-mixing
 # sampler a curriculum pipeline runs per epoch.
 _GUMBEL_ORACLE = """
-WITH u AS (
+WITH u AS MATERIALIZED (
     SELECT doc_id, n_chars,
            (CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                  AS DOUBLE) + 0.5) / 4294967296.0 AS u
@@ -3028,13 +3028,13 @@ WITH v AS (
     FROM orders
 ), hist AS (
     SELECT grp, c, CAST(COUNT(*) AS BIGINT) AS k FROM v GROUP BY grp, c
-), cum AS (
+), cum AS MATERIALIZED (
     SELECT grp, c, k, SUM(k) OVER (PARTITION BY grp ORDER BY c) AS cm,
            SUM(k) OVER (PARTITION BY grp) AS n
     FROM hist
-), kc AS (
+), kc AS MATERIALIZED (
     SELECT grp, MAX(n) AS n, MAX(n) * 5 // 100 AS kcut FROM cum GROUP BY grp
-), tr AS (
+), tr AS MATERIALIZED (
     SELECT cum.grp, kc.n, kc.kcut,
            CAST(SUM(cum.c * GREATEST(0,
                 LEAST(cum.cm, kc.n - kc.kcut)
@@ -3136,13 +3136,13 @@ def q515(spark, sf_dir):
 # and each value compares as 2000*c against the fence — no doubles
 # anywhere.
 _TUKEY_ORACLE = """
-WITH v AS (
+WITH v AS MATERIALIZED (
     SELECT o_orderpriority AS grp,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
     FROM orders
 ), hist AS (
     SELECT grp, c, CAST(COUNT(*) AS BIGINT) AS k FROM v GROUP BY grp, c
-), cum AS (
+), cum AS MATERIALIZED (
     SELECT grp, c, SUM(k) OVER (PARTITION BY grp ORDER BY c) AS cm,
            SUM(k) OVER (PARTITION BY grp) AS n
     FROM hist
@@ -3163,7 +3163,7 @@ WITH v AS (
             WHERE c2.grp = p.grp AND c2.cm >= p.lo3 + 2) AS q3hi,
            p.f1, p.f3
     FROM pos p
-), qq AS (
+), qq AS MATERIALIZED (
     SELECT grp, n,
            q1lo * 1000 + (COALESCE(q1hi, q1lo) - q1lo) * f1 * 1000 // 100
                AS q1m,
@@ -3278,10 +3278,10 @@ def q516(spark, sf_dir):
 # max*P/total in exact micro units per P. The aggregate is map-side
 # combinable on (P, bucket).
 _SKEWIF_ORACLE = """
-WITH keyed AS (
+WITH keyed AS MATERIALIZED (
     SELECT ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
     FROM events
-), ps AS (
+), ps AS MATERIALIZED (
     SELECT * FROM (VALUES (32), (64), (128)) AS t(p)
 ), buckets AS (
     SELECT ps.p, keyed.h % ps.p AS b, CAST(COUNT(*) AS BIGINT) AS n
@@ -3734,7 +3734,7 @@ def q522(spark, sf_dir):
 # A low ESS or a fat max share means the "weighted epoch" is really a
 # handful of documents.
 _ESS_ORACLE = """
-WITH w AS (
+WITH w AS MATERIALIZED (
     SELECT CAST(n_chars AS BIGINT) AS w FROM documents WHERE n_chars > 0
 ), m AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS s,
@@ -3884,23 +3884,23 @@ def q524(spark, sf_dir):
 # lambda_U = P(y > qy | x > qx) as one exact rhu micro over joint
 # exceedance counts.
 _TAILDEP_ORACLE = """
-WITH daily AS (
+WITH daily AS MATERIALIZED (
     SELECT o_orderdate AS day,
            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS x,
            CAST(COUNT(*) AS BIGINT) AS y
     FROM orders GROUP BY day
-), n AS (
+), n AS MATERIALIZED (
     SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
-), qx AS (
+), qx AS MATERIALIZED (
     SELECT MIN(x) AS v FROM (
         SELECT x, SUM(1) OVER (ORDER BY x) AS cm FROM daily
     ), n WHERE cm >= (95 * n.n + 99) // 100
-), qy AS (
+), qy AS MATERIALIZED (
     SELECT MIN(y) AS v FROM (
         SELECT y, SUM(1) OVER (ORDER BY y) AS cm FROM daily
     ), n WHERE cm >= (95 * n.n + 99) // 100
-), exc AS (
+), exc AS MATERIALIZED (
     SELECT CAST(SUM(CASE WHEN d.x > qx.v THEN 1 ELSE 0 END) AS BIGINT) AS nx,
            CAST(SUM(CASE WHEN d.x > qx.v AND d.y > qy.v THEN 1 ELSE 0 END)
                 AS BIGINT) AS nj
@@ -3987,7 +3987,7 @@ WITH toks AS (
     SELECT source, LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)
                AS ts
     FROM documents
-), uni AS (
+), uni AS MATERIALIZED (
     SELECT source, ts[i] AS w, CAST(COUNT(*) AS BIGINT) AS c
     FROM toks, LATERAL UNNEST(GENERATE_SERIES(1, LEN(ts))) t(i)
     GROUP BY source, w
@@ -3998,7 +3998,7 @@ WITH toks AS (
         SELECT w, SUM(c) AS tc FROM uni GROUP BY w
         ORDER BY tc DESC, w LIMIT 20
     )
-), f AS (
+), f AS MATERIALIZED (
     SELECT s.source, t.w,
            CAST((2 * 1000000000 * COALESCE(u.c, 0) + s.tok) // (2 * s.tok)
                 AS BIGINT) AS fm
@@ -4222,9 +4222,9 @@ WITH v AS (
     SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 100
                AS ending
     FROM orders
-), h AS (
+), h AS MATERIALIZED (
     SELECT ending, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY ending
-), t AS (
+), t AS MATERIALIZED (
     SELECT CAST(SUM(n) AS BIGINT) AS tot FROM h
 )
 SELECT h.ending, h.n,
@@ -4355,11 +4355,11 @@ def q529(spark, sf_dir):
 # global ratio is the textbook effect. Split = exact integer midpoint
 # of the global window (q503); ratios exact rhu micro.
 _RTM_ORACLE = """
-WITH ev AS (
+WITH ev AS MATERIALIZED (
     SELECT user_id, event_type, CAST(EPOCH_MS(ts) // 1000 AS BIGINT) AS es,
            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
     FROM events
-), bound AS (
+), bound AS MATERIALIZED (
     SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM ev
 ), peru AS (
     SELECT user_id,
@@ -4468,14 +4468,14 @@ WITH m AS (
                     * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS HUGEINT) AS q
     FROM orders GROUP BY grp
-), w AS (
+), w AS MATERIALIZED (
     SELECT grp, n,
            CAST(ROUND(SQRT((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
                            / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 0)
                 AS BIGINT) AS sd
     FROM m WHERE n > 1
-), tot AS (
+), tot AS MATERIALIZED (
     SELECT CAST(SUM(CAST(n AS HUGEINT) * sd) AS HUGEINT) AS tw FROM w
 ), quota AS (
     SELECT w.grp, w.n, w.sd,
@@ -4551,11 +4551,11 @@ def q531(spark, sf_dir):
 # 86400 — engine-neutral, no timezone surface), exact shares, and the
 # peak-to-average ratio max*24/total as one rhu micro repeated per row.
 _LOAD_ORACLE = """
-WITH h AS (
+WITH h AS MATERIALIZED (
     SELECT (CAST(EPOCH_MS(ts) // 1000 AS BIGINT) % 86400) // 3600 AS hour,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY hour
-), t AS (
+), t AS MATERIALIZED (
     SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(MAX(n) AS BIGINT) AS mx FROM h
 )
 SELECT CAST(h.hour AS INT) AS hour, h.n,
@@ -4612,22 +4612,27 @@ WITH seq AS (
            LEAD(event_type) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS nxt
     FROM events
-), tc AS (
+), tc AS MATERIALIZED (
     SELECT event_type AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS c
     FROM seq WHERE nxt IS NOT NULL GROUP BY a, b
 ), rows_ AS (
     SELECT a, CAST(SUM(c) AS BIGINT) AS rn FROM tc GROUP BY a
-), types AS (
+), types AS MATERIALIZED (
     SELECT * FROM (VALUES ('click', 1), ('error', 2), ('purchase', 3),
                           ('signup', 4), ('view', 5)) AS t(ty, ix)
 ), tm AS MATERIALIZED (
+    -- LEFT join so a type with ZERO outgoing transitions still owns its
+    -- 5 cells (p=0): an inner join would drop them and the recursive
+    -- step's scalar subqueries would NULL-poison the whole vector while
+    -- the Spark side's p.get((i,j), 0) silently leaked the mass — both
+    -- engines now agree by construction on that edge.
     SELECT ta.ix AS i, tb.ix AS j,
-           CAST((2 * 1000000 * COALESCE(tc.c, 0) + r.rn) // (2 * r.rn)
-                AS BIGINT) AS p
+           CAST(COALESCE((2 * 1000000 * COALESCE(tc.c, 0) + r.rn)
+                         // (2 * r.rn), 0) AS BIGINT) AS p
     FROM types ta CROSS JOIN types tb
-    JOIN rows_ r ON r.a = ta.ty
+    LEFT JOIN rows_ r ON r.a = ta.ty
     LEFT JOIN tc ON tc.a = ta.ty AND tc.b = tb.ty
-), rec AS (
+), rec AS MATERIALIZED (
     WITH RECURSIVE it(step, v1, v2, v3, v4, v5) AS (
         SELECT 0, CAST(200000 AS BIGINT), CAST(200000 AS BIGINT),
                CAST(200000 AS BIGINT), CAST(200000 AS BIGINT),
@@ -4702,14 +4707,18 @@ def q533(spark, sf_dir):
     # 5x5 matrix assembly never shuffles (a bare crossJoin of two
     # 32-partition frames produced a 1024-task cartesian stage)
     tm = (
-        ta.join(F.broadcast(rows_), "a")
+        ta.join(F.broadcast(rows_), "a", "left")
         .crossJoin(F.broadcast(tb))
         .join(F.broadcast(tc), ["a", "b"], "left")
         .select(
             "i",
             "j",
+            # COALESCE twice: missing (a,b) cell -> c=0; missing source row
+            # (type with no outgoing transitions) -> whole expr NULL -> p=0,
+            # mirroring the oracle's LEFT-join construction exactly
             F.expr(
-                "CAST((2 * 1000000 * COALESCE(c, 0) + rn) DIV (2 * rn) AS BIGINT)"
+                "CAST(COALESCE((2 * 1000000 * COALESCE(c, 0) + rn)"
+                " DIV (2 * rn), 0) AS BIGINT)"
             ).alias("p"),
         )
     )
@@ -4745,13 +4754,13 @@ def q533(spark, sf_dir):
 # cut uses the UNIQUE (count DESC, user_id) rank; hit rates exact rhu
 # micro. One user aggregate, one rank window over the user frame.
 _CACHE_ORACLE = """
-WITH cu AS (
+WITH cu AS MATERIALIZED (
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
 ), ranked AS (
     SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rk FROM cu
-), t AS (
+), t AS MATERIALIZED (
     SELECT CAST(SUM(c) AS BIGINT) AS tot FROM cu
-), cs AS (
+), cs AS MATERIALIZED (
     SELECT * FROM (VALUES (10), (100), (1000)) AS t(cap)
 )
 SELECT cs.cap,
@@ -5010,13 +5019,13 @@ WITH ev AS (
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
     FROM events e
     JOIN documents d ON d.doc_id = e.user_id % (SELECT COUNT(*) FROM documents)
-), strata AS (
+), strata AS MATERIALIZED (
     SELECT source, dow7, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(conv) AS BIGINT) AS c
     FROM ev GROUP BY source, dow7
-), std AS (
+), std AS MATERIALIZED (
     SELECT dow7, CAST(SUM(n) AS BIGINT) AS w FROM strata GROUP BY dow7
-), wtot AS (
+), wtot AS MATERIALIZED (
     SELECT CAST(SUM(w) AS BIGINT) AS tw FROM std
 ), terms AS (
     SELECT s.source,

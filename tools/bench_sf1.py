@@ -1,0 +1,122 @@
+"""Scale rehearsal: run the most expensive queries at sf0.1 AND the
+local sf1 slice (tools/make_sf1.py, 10x) and record the scaling ratio.
+
+Round-8 verdict task 5: the 100 TB posture claims rested on plan shape;
+this measures one decade of actual scaling. A query whose time grows
+~linearly (ratio ~<= 12-15x at 10x data on a fixed 32-thread box,
+allowing for reduced per-task overhead amortization) is behaving; a
+ratio far above that flags a super-linear step (quadratic candidate
+volume, driver choke, spill).
+
+Writes BENCH_SF1.json: per-query {sf0.1, sf1, ratio} + notes.
+
+Usage: python tools/bench_sf1.py [query ...]   (default: the pinned set)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mapr_db_cdc_sample_spark.queries import load_all  # noqa: E402
+from mapr_db_cdc_sample_spark.session import get_spark  # noqa: E402
+
+# top-20 of BENCH_FULL_r8 + the iterative/graph family + the kNN kernel
+# (q492/q512) the round-8 verdict flagged, deduped
+QUERIES = [
+    "q280_semantic_dedup",
+    "q320_label_propagation",
+    "q436_substring_dup_profile",
+    "q215_srp_lsh_cosine",
+    "q292_theil_sen",
+    "q253_bfs_hops",
+    "q298_link_prediction",
+    "q324_fs_linkage",
+    "q299_k_core",
+    "q461_rwr_proximity",
+    "q53_minhash_lsh_ml",
+    "q310_hof_suite",
+    "q59_grouped_map",
+    "q338_linear_interpolation",
+    "q408_triad_census",
+    "q286_knn_graph",
+    "q85_dedup_corpus",
+    "q160_pagerank",
+    "q328_dynamic_partition_overwrite",
+    "q476_butterfly_count",
+    "q486_harmonic_closeness",
+    "q508_dup_cluster_histogram",
+    "q492_hard_negative_mining",
+    "q512_knn_label_noise",
+]
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".localdata/sf1"
+)
+
+
+def run_set(registry, sf_dir: str, names: list[str]) -> dict[str, float]:
+    spark = get_spark("bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def go(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    go(registry["q01_scan_count"].fn(spark, sf_dir))  # warm
+    out = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            go(registry[name].fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 2)
+        print(f"  {name}: {out[name]}s", flush=True)
+        spark.catalog.clearCache()
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    names = sys.argv[1:] or QUERIES
+    registry = load_all()
+    if not os.path.exists(os.path.join(SF1, "lineitem.parquet")):
+        sys.exit("run tools/make_sf1.py first")
+    print("== sf0.1 ==", flush=True)
+    t01 = run_set(registry, SF01, names)
+    print("== sf1 ==", flush=True)
+    t1 = run_set(registry, SF1, names)
+    rows = {
+        n: {
+            "sf0.1_s": t01[n],
+            "sf1_s": t1[n],
+            "ratio": round(t1[n] / max(t01[n], 1e-9), 1),
+        }
+        for n in names
+    }
+    payload = {
+        "metric": "sf1_scale_rehearsal",
+        "rep": 10,
+        "note": (
+            "local sf1 slice = tools/make_sf1.py 10x key-strided upsample of "
+            "sf0.1 (word-shuffled doc reps, dim-permuted embedding reps so "
+            "dedup/ANN candidate volume scales linearly); fixed local[32] "
+            "box, min-of-2; ratio ~<=15 at 10x data = scaling linearly"
+        ),
+        "queries": rows,
+        "total_sf0.1_s": round(sum(t01.values()), 1),
+        "total_sf1_s": round(sum(t1.values()), 1),
+    }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_SF1.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({n: rows[n]["ratio"] for n in names}))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,7 @@ def load_all() -> dict[str, QueryDef]:
     from . import analytics5  # noqa: F401
     from . import analytics6  # noqa: F401
     from . import analytics7  # noqa: F401
+    from . import analytics8  # noqa: F401
 
     # must come last: clones the current rotation band's oracled entries
     # under window-sorted names so the external gate verifies that band

@@ -2548,12 +2548,15 @@ def q566(spark, sf_dir):
 # ---------- q567: winnowing-style fingerprint collision groups
 
 # Plagiarism/copy screen without doc x doc pairs: hash word 4-grams
-# with the repo md5 anchor, keep positions that are the MINIMUM of
-# their symmetric 7-gram-position window (the declared winnowing-style
-# local-min selection — any 4 consecutive positions contain a window
-# minimum, so coverage is guaranteed while only ~2/w of grams survive),
-# then group the SELECTED fingerprints across docs. Candidate volume is
-# fingerprint types, never pairs.
+# with the repo md5 anchor, then TRUE Schleimer winnowing (window w=4):
+# every full window of 4 consecutive gram positions selects its minimum
+# hash, rightmost on ties — so every window is covered BY CONSTRUCTION
+# (the guarantee the fingerprint rests on; a local-min variant left
+# ~4% of windows uncovered on monotone hash runs). The window min is a
+# frame aggregate; the argmax-position needs the anchor's min per frame
+# row, which SQL window aggregates cannot express — one doc-banded
+# range join resolves it. Selected fingerprints group across docs;
+# candidate volume is fingerprint types, never pairs.
 _WINNOW_ORACLE = """
 WITH toks AS (
     SELECT doc_id,
@@ -2566,15 +2569,24 @@ WITH toks AS (
            ARRAY_TO_STRING(ts[i:i+3], ' ') AS g
     FROM toks, LATERAL UNNEST(GENERATE_SERIES(1, LEN(ts) - 3)) t(i)
     WHERE LEN(ts) >= 4
+), starts AS MATERIALIZED (
+    SELECT doc_id, i AS s,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+           COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS k
+    FROM grams
 ), sel AS MATERIALIZED (
-    SELECT doc_id, h, g FROM (
-        SELECT doc_id, h, g,
-               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mh
-        FROM grams
-    ) WHERE h = mh
+    SELECT st.doc_id, MAX(g2.i) AS pos
+    FROM starts st
+    JOIN grams g2 ON g2.doc_id = st.doc_id
+                 AND g2.i BETWEEN st.s AND st.s + 3 AND g2.h = st.mh
+    WHERE st.k = 4
+    GROUP BY st.doc_id, st.s
 ), fp AS (
-    SELECT DISTINCT doc_id, h, g FROM sel
+    SELECT DISTINCT s.doc_id, g2.g
+    FROM (SELECT DISTINCT doc_id, pos FROM sel) s
+    JOIN grams g2 ON g2.doc_id = s.doc_id AND g2.i = s.pos
 )
 SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM fp GROUP BY g HAVING COUNT(*) >= 2
@@ -2584,8 +2596,8 @@ ORDER BY n_docs DESC, gram LIMIT 20
 
 @register("q567_winnowing_fingerprints", oracle=_WINNOW_ORACLE)
 def q567(spark, sf_dir):
-    """Local-min winnowing fingerprints -> cross-doc collision groups
-    (oracle comment)."""
+    """True-winnowing fingerprints (rightmost window min) -> cross-doc
+    collision groups (oracle comment)."""
     d = load_tables(spark, sf_dir)["documents"]
     toks = d.select(
         "doc_id",
@@ -2607,15 +2619,39 @@ def q567(spark, sf_dir):
         "g",
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
     )
-    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 3)
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    starts = grams.select(
+        "doc_id",
+        F.col("i").alias("s"),
+        F.min("h").over(w).alias("mh"),
+        F.count("*").over(w).alias("k"),
+    ).filter(F.col("k") == 4)
+    g2 = grams.select(
+        F.col("doc_id").alias("d2"), F.col("i").alias("i2"),
+        F.col("h").alias("h2"), F.col("g").alias("g2"),
+    )
     sel = (
-        grams.withColumn("mh", F.min("h").over(w))
-        .filter(F.col("h") == F.col("mh"))
-        .select("doc_id", "h", "g")
+        starts.join(
+            g2,
+            (F.col("d2") == F.col("doc_id"))
+            & F.col("i2").between(F.col("s"), F.col("s") + 3)
+            & (F.col("h2") == F.col("mh")),
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.max("i2").alias("pos"))
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    fp = (
+        sel.join(
+            g2,
+            (F.col("d2") == F.col("doc_id")) & (F.col("i2") == F.col("pos")),
+        )
+        .select("doc_id", F.col("g2").alias("g"))
         .distinct()
     )
     return (
-        sel.groupBy(F.col("g").alias("gram"))
+        fp.groupBy(F.col("g").alias("gram"))
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.col("n_docs").desc(), "gram")

@@ -176,7 +176,8 @@ def test_truss_support_consistent_with_triangles(spark, sf_dir):
     rows = _run(spark, sf_dir, "q564_truss_support")
     e, _ = _part_graph(spark, sf_dir)
     (tri,) = triangle_count(e).collect()
-    assert sum(r.support * r.n_edges for r in rows) == 3 * tri[0]
+    assert sum(r.support * r.n_edges for r in rows) == 3 * tri["n_triangles"]
+    assert sum(r.n_edges for r in rows) == tri["n_edges"]
 
 
 def test_theil_decomposition_additive(spark, sf_dir):
@@ -189,46 +190,39 @@ def test_theil_decomposition_additive(spark, sf_dir):
 
 
 def test_winnowing_window_coverage(spark, sf_dir):
-    # every run of 4 consecutive gram positions must contain at least
-    # one selected (local-min) position — the guarantee the fingerprint
-    # rests on
-    from pyspark.sql import Window
+    # TRUE winnowing: every FULL window of 4 consecutive gram positions
+    # must contain at least one selected position — recompute the
+    # selected set independently in Python and check coverage + that
+    # each window's rightmost-min is selected
     from pyspark.sql import functions as F
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
-    toks = d.select(
-        "doc_id",
-        F.filter(F.split(F.lower("text"), " "), lambda x: F.length(x) > 0).alias(
-            "ts"
-        ),
-    ).filter(F.size("ts") >= 8)
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("ts") - 4),
-                lambda i: F.array_join(F.slice("ts", i + 1, 4), " "),
-            )
-        ).alias("i", "g"),
-    ).select(
-        "doc_id",
-        "i",
-        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 3)
-    sel = grams.withColumn("mh", F.min("h").over(w)).withColumn(
-        "is_sel", (F.col("h") == F.col("mh")).cast("int")
-    )
-    w4 = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
-    cov = (
-        sel.withColumn("win_sel", F.sum("is_sel").over(w4))
-        .withColumn(
-            "full",
-            F.count("*").over(w4) == 4,
+    toks = (
+        d.select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), " "), lambda x: F.length(x) > 0
+            ).alias("ts"),
         )
-        .filter(F.col("full") & (F.col("win_sel") == 0))
+        .filter(F.size("ts") >= 8)
+        .collect()
     )
-    assert cov.count() == 0
+    import hashlib
+
+    for row in toks:
+        ts = row.ts
+        grams = [" ".join(ts[i : i + 4]) for i in range(len(ts) - 3)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        sel = set()
+        for s in range(len(hs) - 3):
+            win = hs[s : s + 4]
+            m = min(win)
+            # rightmost position achieving the min
+            pos = s + max(j for j in range(4) if win[j] == m)
+            sel.add(pos)
+        # every full window covered
+        for s in range(len(hs) - 3):
+            assert any(p in sel for p in range(s, s + 4))
 
 
 def test_expected_shortfall_below_var(spark, sf_dir):

@@ -1100,8 +1100,8 @@ _NW_ORACLE = _DAILY_CTE + """
 SELECT (SELECT n FROM m) AS n,
        g0_6 // 6 AS g0_d2,
        g0_6 + tail_6 AS lrv6_d2,
-       CAST((2 * 1000000 * (g0_6 + tail_6) + g0_6) // (2 * g0_6) AS BIGINT)
-           AS ratio_micro
+       CAST((2 * 1000000 * (CAST(g0_6 AS HUGEINT) + tail_6) + g0_6)
+            // (2 * CAST(g0_6 AS HUGEINT)) AS BIGINT) AS ratio_micro
 FROM comb
 """
 
@@ -1161,8 +1161,8 @@ def q550(spark, sf_dir):
         F.expr("g0_6 DIV 6").alias("g0_d2"),
         (F.col("g0_6") + F.col("tail_6")).alias("lrv6_d2"),
         F.expr(
-            "CAST((2 * 1000000 * (g0_6 + tail_6) + g0_6) DIV (2 * g0_6)"
-            " AS BIGINT)"
+            "CAST((2 * 1000000 * (CAST(g0_6 AS DECIMAL(38,0)) + tail_6)"
+            " + g0_6) DIV (2 * CAST(g0_6 AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("ratio_micro"),
     )
 
@@ -3840,7 +3840,7 @@ WITH o AS (
     FROM o
 )
 SELECT est.n_sampled, truth.n, est.ht_cents, truth.true_cents,
-       CAST((((2 * (1000000 * (est.ht_cents - truth.true_cents)) + (truth.true_cents))) - ((((2 * (1000000 * (est.ht_cents - truth.true_cents)) + (truth.true_cents))) % ((2 * (truth.true_cents)))) + ((2 * (truth.true_cents)))) % ((2 * (truth.true_cents)))) // ((2 * (truth.true_cents))) AS BIGINT) AS rel_err_micro
+       CAST((((2 * (1000000 * (CAST(est.ht_cents AS HUGEINT) - truth.true_cents)) + (truth.true_cents))) - ((((2 * (1000000 * (CAST(est.ht_cents AS HUGEINT) - truth.true_cents)) + (truth.true_cents))) % ((2 * (truth.true_cents)))) + ((2 * (truth.true_cents)))) % ((2 * (truth.true_cents)))) // ((2 * (truth.true_cents))) AS BIGINT) AS rel_err_micro
 FROM est, truth
 """
 
@@ -3881,8 +3881,8 @@ def q579(spark, sf_dir):
         "ht_cents",
         "true_cents",
         F.expr(
-            "CAST((2 * 1000000 * (ht_cents - true_cents) + true_cents"
-            " - PMOD(2 * 1000000 * (ht_cents - true_cents) + true_cents,"
+            "CAST((2 * 1000000 * (CAST(ht_cents AS DECIMAL(38,0)) - true_cents) + true_cents"
+            " - PMOD(2 * 1000000 * (CAST(ht_cents AS DECIMAL(38,0)) - true_cents) + true_cents,"
             " 2 * true_cents)) DIV (2 * true_cents) AS BIGINT)"
         ).alias("rel_err_micro"),
     )
@@ -4218,7 +4218,8 @@ WITH base AS (
     FROM test GROUP BY dec
 ), terms AS (
     SELECT dec,
-           CAST((2 * 1000000 * (obs * 1000 - em) * (obs * 1000 - em) * n
+           CAST((2 * 1000000 * CAST(obs * 1000 - em AS HUGEINT)
+                 * (obs * 1000 - em) * n
                  + CAST(em AS HUGEINT) * (n * 1000 - em))
                 // (2 * CAST(em AS HUGEINT) * (n * 1000 - em)) AS BIGINT)
                AS t_u
@@ -4271,7 +4272,8 @@ def q583(spark, sf_dir):
     )
     terms = per.select(
         F.expr(
-            "CAST((2 * 1000000 * (obs * 1000 - em) * (obs * 1000 - em) * n"
+            "CAST((2 * 1000000 * CAST(obs * 1000 - em AS DECIMAL(38,0))"
+            " * (obs * 1000 - em) * n"
             " + CAST(em AS DECIMAL(38,0)) * (n * 1000 - em))"
             " DIV (2 * CAST(em AS DECIMAL(38,0)) * (n * 1000 - em)) AS BIGINT)"
         ).alias("t_u")

@@ -73,6 +73,7 @@ def knn_block_topk(
     k: int,
     cross_label_only: bool = False,
     block_size: int = KNN_BLOCK_SIZE,
+    metric: str = "cosine_r4",
 ) -> DataFrame:
     """Exact brute-force kNN as (anchor, la, neighbor, lb, sim) top-k
     rows per anchor — DISTRIBUTED block-nested-loop form.
@@ -86,6 +87,13 @@ def knn_block_topk(
     then (sim DESC, neighbor id ASC) — is a total order, every global
     top-k row is inside its own cell's top-k, so the reduce is exact and
     the hashes match the all-pairs SQL twins (q492/q512) unchanged.
+
+    ``metric`` selects the scoring contract: ``cosine_r4`` (default)
+    ranks by round(cosine, 4) DESC then neighbor id — the q492/q512
+    twins; ``sqeuclid_milli`` quantizes vectors to integer MILLI inside
+    the cell and ranks by the EXACT int64 squared euclidean distance
+    ASC then neighbor id (dot products <= ~2e13 stay exact in int64 and
+    in the double-typed `sim` column) — the q576 LOF twin.
 
     Scale posture: no driver collect, no O(dataset) closure/broadcast —
     the round-8 form shipped the FULL vector table in every task closure
@@ -137,11 +145,20 @@ def knn_block_topk(
         c_mat = np.vstack(
             c_pd["embedding"].map(lambda x: np.asarray(x, dtype=np.float64))
         )
-        a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
-        c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
-        sims = np.round(
-            (a_mat @ c_mat.T) / (a_nrm[:, None] * c_nrm[None, :]), 4
-        )
+        if metric == "sqeuclid_milli":
+            qa = np.round(a_mat * 1000).astype(np.int64)
+            qc = np.round(c_mat * 1000).astype(np.int64)
+            sims = (
+                (qa * qa).sum(axis=1)[:, None]
+                + (qc * qc).sum(axis=1)[None, :]
+                - 2 * (qa @ qc.T)
+            ).astype(np.float64)
+        else:
+            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            sims = np.round(
+                (a_mat @ c_mat.T) / (a_nrm[:, None] * c_nrm[None, :]), 4
+            )
         out = {"anchor": [], "la": [], "neighbor": [], "lb": [], "sim": []}
         for i in range(len(a_ids)):
             mask = c_ids != a_ids[i]
@@ -150,7 +167,10 @@ def knn_block_topk(
             cand_ids = c_ids[mask]
             cand_lab = c_lab[mask]
             cand_sim = sims[i][mask]
-            order = np.lexsort((cand_ids, -cand_sim))[:k]
+            if metric == "sqeuclid_milli":
+                order = np.lexsort((cand_ids, cand_sim))[:k]
+            else:
+                order = np.lexsort((cand_ids, -cand_sim))[:k]
             out["anchor"].extend([a_ids[i]] * len(order))
             out["la"].extend([a_lab[i]] * len(order))
             out["neighbor"].extend(cand_ids[order])
@@ -165,9 +185,12 @@ def knn_block_topk(
     )
     if nb == 1:
         return per_cell
-    w = Window.partitionBy("anchor").orderBy(
-        F.col("sim").desc(), F.col("neighbor")
+    order = (
+        [F.col("sim").asc(), F.col("neighbor")]
+        if metric == "sqeuclid_milli"
+        else [F.col("sim").desc(), F.col("neighbor")]
     )
+    w = Window.partitionBy("anchor").orderBy(*order)
     return (
         per_cell.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)

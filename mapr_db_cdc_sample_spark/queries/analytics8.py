@@ -2379,7 +2379,7 @@ def q563(spark, sf_dir):
 # edges; the oracle proves the same multiset with the id-ordered triple
 # join.
 _TRUSS_ORACLE = _PARTG_CTE + """
-, tri AS (
+, tri AS MATERIALIZED (
     SELECT e1.u AS a, e1.v AS b, e2.v AS c
     FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
               JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v

@@ -159,8 +159,14 @@ def upsample_embeddings(con, rep: int, out_dir: str) -> int:
         else:
             # fixed per-rep dim permutation + alternating sign flips:
             # norm-preserving, intra-rep geometry identical, cross-rep
-            # cosines scrambled
-            perm = np.roll(rng_perm, i * 7) if i % 2 else rng_perm[::-1].copy()
+            # cosines scrambled. The roll amount i*7 is distinct mod 64
+            # for every rep (and even reps additionally reverse), so no
+            # two reps share a transform — the round-9 form gave reps 2
+            # and 8 byte-identical (perm, signs), silently doubling
+            # dedup/ANN candidate volume for that pair.
+            perm = np.roll(rng_perm, i * 7)
+            if i % 2 == 0:
+                perm = perm[::-1].copy()
             signs = np.where((np.arange(dim) + i) % 3 == 0, -1.0, 1.0).astype(
                 np.float32
             )

@@ -68,10 +68,51 @@ def pairwise_cosine_udf():
 KNN_BLOCK_SIZE = 4096
 
 
+def _block_grid(embeddings: DataFrame, block_size: int, per_label: bool):
+    """Shared (anchor-block × candidate-block) grid for the blocked
+    similarity kernels: every vector is hashed into one of nb blocks and
+    replicated across the other side's blocks, so each group holds one
+    bounded cell. With ``per_label`` the label joins the group key (cells
+    never cross labels) and nb is sized from the LARGEST label
+    population; otherwise from n. Returns (unioned frame, keys, nb)."""
+    if per_label:
+        mx = (
+            embeddings.groupBy("label").count().agg(F.max("count")).head()[0]
+            or 0
+        )
+        nb = max(1, -(-int(mx) // block_size))
+        keys = ["label", "a_blk", "c_blk"]
+    else:
+        n = embeddings.count()
+        nb = max(1, -(-n // block_size))  # ceil; same for both sides
+        keys = ["a_blk", "c_blk"]
+    base = embeddings.select("vec_id", "label", "embedding")
+    grid = F.explode(F.sequence(F.lit(0), F.lit(nb - 1)))
+    blk = F.pmod(F.hash("vec_id"), F.lit(nb))  # deterministic murmur3
+    anchors = base.select(
+        blk.alias("a_blk"),
+        grid.alias("c_blk"),
+        F.lit(1).alias("is_anchor"),
+        "vec_id",
+        "label",
+        "embedding",
+    )
+    cands = base.select(
+        grid.alias("a_blk"),
+        blk.alias("c_blk"),
+        F.lit(0).alias("is_anchor"),
+        "vec_id",
+        "label",
+        "embedding",
+    )
+    return anchors.unionByName(cands), keys, nb
+
+
 def knn_block_topk(
     embeddings: DataFrame,
     k: int,
     cross_label_only: bool = False,
+    same_label_only: bool = False,
     block_size: int = KNN_BLOCK_SIZE,
     metric: str = "cosine_r4",
 ) -> DataFrame:
@@ -101,29 +142,17 @@ def knn_block_topk(
     vector rows into the grid plus n·B_c·k scored rows out of it, and
     per-task memory is bounded by ``block_size`` regardless of n. At
     fleet scale an IVF/LSH index (q52/q135) replaces this exact
-    baseline; this kernel is the recall oracle for it."""
-    n = embeddings.count()
-    nb = max(1, -(-n // block_size))  # ceil; same for both sides
+    baseline; this kernel is the recall oracle for it.
 
-    base = embeddings.select("vec_id", "label", "embedding")
-    grid = F.explode(F.sequence(F.lit(0), F.lit(nb - 1)))
-    blk = F.pmod(F.hash("vec_id"), F.lit(nb))  # deterministic murmur3
-    anchors = base.select(
-        blk.alias("a_blk"),
-        grid.alias("c_blk"),
-        F.lit(1).alias("is_anchor"),
-        "vec_id",
-        "label",
-        "embedding",
-    )
-    cands = base.select(
-        grid.alias("a_blk"),
-        blk.alias("c_blk"),
-        F.lit(0).alias("is_anchor"),
-        "vec_id",
-        "label",
-        "embedding",
-    )
+    ``same_label_only`` restricts anchors and candidates to the SAME
+    label (the q286 graph contract, the complement of
+    ``cross_label_only``): the label joins the grid key, so each cell
+    holds one label's block pair and the matmul never crosses labels —
+    per-cell work drops from n² to Σ n_label², and ``nb`` is sized from
+    the LARGEST label population rather than n."""
+    if cross_label_only and same_label_only:
+        raise ValueError("cross_label_only and same_label_only are exclusive")
+    gridded, keys, nb = _block_grid(embeddings, block_size, same_label_only)
     out_schema = (
         "anchor bigint, la bigint, neighbor bigint, lb bigint, sim double"
     )
@@ -168,6 +197,8 @@ def knn_block_topk(
             mask = c_ids != a_ids[i]
             if cross_label_only:
                 mask &= c_lab != a_lab[i]
+            elif same_label_only:
+                mask &= c_lab == a_lab[i]
             cand_ids = c_ids[mask]
             cand_lab = c_lab[mask]
             cand_sim = sims[i][mask]
@@ -182,12 +213,9 @@ def knn_block_topk(
             out["sim"].extend(cand_sim[order])
         return pd.DataFrame(out)
 
-    per_cell = (
-        anchors.unionByName(cands)
-        .groupBy("a_blk", "c_blk")
-        .applyInPandas(cell, out_schema)
-    )
+    per_cell = gridded.groupBy(*keys).applyInPandas(cell, out_schema)
     if nb == 1:
+        # single candidate block: each cell's top-k IS the global top-k
         return per_cell
     order = (
         [F.col("sim").asc(), F.col("neighbor")]
@@ -200,3 +228,56 @@ def knn_block_topk(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def sim_block_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    same_label_only: bool = True,
+    block_size: int = KNN_BLOCK_SIZE,
+) -> DataFrame:
+    """All pairs (vec_a < vec_b, sim) with round(cosine, 4) > threshold
+    — the thresholded sibling of knn_block_topk, same distributed
+    block-nested-loop grid. The q51/q280 near-dup pair stage ran as a
+    row-expanded same-label self-join, materializing Σ n_label² pair
+    ROWS through the shuffle (12.7x at 10x data, BENCH_SF1 r9 — one
+    decade from the q286 cliff); here each cell is one bounded NumPy
+    matmul and only the pairs ABOVE threshold (output-proportional)
+    ever become rows. A pair (u, v) with u < v is emitted exactly once
+    — by the single cell (blk(u), blk(v)) whose anchor side holds u —
+    so no cross-cell dedup is needed. Pair set and round(4) sims are
+    identical to the self-join's, so the unchanged all-pairs oracles
+    keep proving exactness at every SF."""
+    gridded, keys, _nb = _block_grid(embeddings, block_size, same_label_only)
+    out_schema = "vec_a bigint, vec_b bigint, sim double"
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        a_pd = pdf[pdf["is_anchor"] == 1]
+        c_pd = pdf[pdf["is_anchor"] == 0]
+        if a_pd.empty or c_pd.empty:
+            return pd.DataFrame({c: [] for c in ("vec_a", "vec_b", "sim")})
+        a_ids = a_pd["vec_id"].to_numpy(dtype=np.int64)
+        a_lab = a_pd["label"].to_numpy(dtype=np.int64)
+        a_mat = np.vstack(
+            a_pd["embedding"].map(lambda x: np.asarray(x, dtype=np.float64))
+        )
+        c_ids = c_pd["vec_id"].to_numpy(dtype=np.int64)
+        c_lab = c_pd["label"].to_numpy(dtype=np.int64)
+        c_mat = np.vstack(
+            c_pd["embedding"].map(lambda x: np.asarray(x, dtype=np.float64))
+        )
+        a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+        c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
+        sims = np.round(
+            (a_mat @ c_mat.T) / (a_nrm[:, None] * c_nrm[None, :]), 4
+        )
+        ii, jj = np.nonzero(sims > threshold)
+        keep = a_ids[ii] < c_ids[jj]
+        if same_label_only:
+            keep &= a_lab[ii] == c_lab[jj]
+        ii, jj = ii[keep], jj[keep]
+        return pd.DataFrame(
+            {"vec_a": a_ids[ii], "vec_b": c_ids[jj], "sim": sims[ii, jj]}
+        )
+
+    return gridded.groupBy(*keys).applyInPandas(cell, out_schema)

@@ -156,6 +156,11 @@ def plan_fingerprint(df: DataFrame) -> str:
     s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
     s = re.sub(r"size=\S+", "size=", s)
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    # shuffle partition COUNTS are box/input tuning (AQE initial
+    # partition num scales with deployment), not plan shape — a lost
+    # broadcast or a new exchange still changes the fingerprint
+    s = re.sub(r"partitioning\(([^)]*), \d+\)", r"partitioning(\1, )", s)
+    s = re.sub(r"REPARTITION_BY_NUM\(\d+\)", "REPARTITION_BY_NUM()", s)
     s = re.sub(r"cachedrdd-\d+", "cachedrdd-", s)
     s = re.sub(r"[ \t]+", " ", s)
     return hashlib.md5(s.encode()).hexdigest()[:16]

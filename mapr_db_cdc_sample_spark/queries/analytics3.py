@@ -945,37 +945,28 @@ FROM r WHERE rank <= 5 ORDER BY vec_a, rank
 
 @register("q286_knn_graph", oracle=_KNN_ORACLE)
 def q286(spark, sf_dir):
-    """Bucketed k-NN graph, k=5 (oracle comment). Norms precomputed per
-    vector so the pair stage folds only the dot product."""
-    from ..functions import vectors as V
+    """Same-label k-NN graph, k=5, via the distributed block-matmul
+    kernel (operators/similarity.knn_block_topk, same_label_only):
+    each (label × anchor-block × candidate-block) cell is one NumPy
+    matmul bounded by KNN_BLOCK_SIZE, so per-task memory and pair
+    volume stay bounded as labels densify — the row-expanded
+    same-label join this replaced materialized Σ n_label² pair ROWS
+    through the shuffle (measured 90x at 10x data, BENCH_SF1 r9).
+    Ranking contract identical (round(cos,4) DESC, vec_b ASC), so the
+    unchanged all-pairs oracle proves the kernel exact."""
+    from ..operators.similarity import knn_block_topk
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    withn = e.select(
-        "label", "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
-    )
-    a = withn.select(
-        "label",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = withn.select(
-        "label",
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    sim = F.round(V.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
-    pairs = (
-        a.join(b, ["label"])
-        .where(F.col("vec_a") != F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("sim"))
-    )
-    w = Window.partitionBy("vec_a").orderBy(F.col("sim").desc(), "vec_b")
+    topk = knn_block_topk(e, k=5, same_label_only=True)
+    w = Window.partitionBy("anchor").orderBy(F.col("sim").desc(), "neighbor")
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("vec_a", F.col("rank").cast("int"), "vec_b", "sim")
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("anchor").alias("vec_a"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("neighbor").alias("vec_b"),
+            "sim",
+        )
         .orderBy("vec_a", "rank")
     )
 
@@ -3691,44 +3682,145 @@ def _q324_candidates(p):
     )
 
 
+def _q324_score(l: str, r: str):
+    """The four-field Fellegi-Sunter log-odds sum over prefixed column
+    pairs — evaluated INSIDE each candidate pass, where both sides'
+    fields are already on the row, so no join-back is ever needed."""
+    return (
+        F.when(F.col(f"{l}.brand") == F.col(f"{r}.brand"), 1386294).otherwise(-693147)
+        + F.when(
+            F.abs(F.col(f"{l}.sz") - F.col(f"{r}.sz")) <= 2, 1098612
+        ).otherwise(-510826)
+        + F.when(
+            F.levenshtein(F.col(f"{l}.name"), F.col(f"{r}.name")) <= 2, 2079442
+        ).otherwise(-223144)
+        + F.when(
+            F.abs(F.col(f"{l}.cents") - F.col(f"{r}.cents")) * 20
+            <= F.least(F.col(f"{l}.cents"), F.col(f"{r}.cents")),
+            916291,
+        ).otherwise(-356675)
+    ).cast("bigint")
+
+
+def _q324_scored_topk(p, k=50):
+    """The three q324 candidate passes with IN-PASS scoring and per-pass
+    local top-k — the round-10 scale fix for BENCH_SF1 r9's 134x.
+
+    The round-7 decomposition (_q324_candidates) is lossless but
+    materialized every candidate pair through a cross-pass
+    dropDuplicates shuffle plus two join-backs for scoring; with the
+    fixed attribute vocabulary, within-pass block density ∝ n makes
+    that pair stream ∝ n², and the shuffles paid ~n² rows. Here each
+    pass (a) carries both sides' scoring fields on the joined row, so
+    the score is computed where the pair is born, and (b) is
+    duplicate-free BY CONSTRUCTION (brand/name passes emit a.pk < b.pk
+    through unique join paths; the price pass's only duplicate source
+    — the symmetric off=0 probe — is cut by (off > 0) OR (x.pk <
+    y.pk)), so each pass can be pruned to its own top-k with a
+    TakeOrdered (per-partition heap + driver merge of k rows, NO
+    shuffle of the pair stream).
+
+    Exactness of the prune: the final answer is the global top-k
+    distinct positive pairs under the total order (score DESC, a, b).
+    Every such pair appears in >= 1 pass; within that pass the pairs
+    ordered ahead of it are a subset of the < k pairs ordered ahead of
+    it globally (passes are duplicate-free), so it survives the pass's
+    local top-k. The pair stream still flows through the three joins,
+    but only 3k rows ever reach a shuffle. The unchanged full-block
+    oracle proves all of this at every SF via the hash gate."""
+    keep = ["pk", "typ", "szb", "name", "brand", "sz", "cents"]
+    a = p.select(*keep).alias("a")
+    b = p.select(*keep).alias("b")
+
+    def topk(scored):
+        return (
+            scored.where(F.col("score_micro") > 0)
+            .orderBy(F.col("score_micro").desc(), "a", "b")
+            .limit(k)
+        )
+
+    pass_brand = topk(
+        a.join(
+            b,
+            (F.col("a.typ") == F.col("b.typ"))
+            & (F.col("a.szb") == F.col("b.szb"))
+            & (F.col("a.brand") == F.col("b.brand"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        ).select(
+            F.col("a.pk").alias("a"),
+            F.col("b.pk").alias("b"),
+            _q324_score("a", "b").alias("score_micro"),
+        )
+    )
+
+    names = p.select("name").distinct()
+    name_pairs = (
+        names.select(F.col("name").alias("nm1"))
+        .crossJoin(F.broadcast(names.select(F.col("name").alias("nm2"))))
+        .where(F.levenshtein(F.col("nm1"), F.col("nm2")) <= 2)
+    )
+    pass_name = topk(
+        a.join(F.broadcast(name_pairs), F.col("a.name") == F.col("nm1"))
+        .join(
+            b,
+            (F.col("b.name") == F.col("nm2"))
+            & (F.col("a.typ") == F.col("b.typ"))
+            & (F.col("a.szb") == F.col("b.szb"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(
+            F.col("a.pk").alias("a"),
+            F.col("b.pk").alias("b"),
+            _q324_score("a", "b").alias("score_micro"),
+        )
+    )
+
+    pb = F.floor(F.lit(20.0) * F.log2(F.col("cents").cast("double"))).cast("int")
+    x = p.select(*keep, pb.alias("pb")).alias("x")
+    y = (
+        p.select(*keep, pb.alias("pb"))
+        .withColumn("off", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
+        .withColumn("pb_probe", F.col("pb") + F.col("off"))
+        .alias("y")
+    )
+    pass_price = topk(
+        x.join(
+            y,
+            (F.col("x.typ") == F.col("y.typ"))
+            & (F.col("x.szb") == F.col("y.szb"))
+            & (F.col("x.pb") == F.col("y.pb_probe"))
+            & (F.col("x.pk") != F.col("y.pk")),
+        )
+        .where(
+            # off=0 matches both directions of a pair; keep one. off>0
+            # pairs are direction-unique already (pb strictly differs).
+            ((F.col("off") > 0) | (F.col("x.pk") < F.col("y.pk")))
+            & (F.abs(F.col("x.sz") - F.col("y.sz")) <= 2)
+            & (
+                F.abs(F.col("x.cents") - F.col("y.cents")) * 20
+                <= F.least(F.col("x.cents"), F.col("y.cents"))
+            )
+        )
+        .select(
+            F.least(F.col("x.pk"), F.col("y.pk")).alias("a"),
+            F.greatest(F.col("x.pk"), F.col("y.pk")).alias("b"),
+            _q324_score("x", "y").alias("score_micro"),
+        )
+    )
+    return pass_brand.unionByName(pass_name).unionByName(pass_price)
+
+
 @register("q324_fs_linkage", oracle=_FS_ORACLE)
 def q324(spark, sf_dir):
     """Fellegi-Sunter linkage with integer-literal log-odds (oracle
-    comment); candidates from the lossless multi-pass band in
-    _q324_candidates, never the full (typ, szb) block product."""
+    comment); candidates from the duplicate-free scored passes in
+    _q324_scored_topk — never the full (typ, szb) block product, and
+    never an n²-row shuffle: each pass reduces to its local top-50 via
+    TakeOrdered before the 150-row union/dedup/final sort."""
     p = _q324_parts(spark, sf_dir)
-    cand = _q324_candidates(p)
-    pa = p.select(
-        F.col("pk").alias("a"),
-        F.col("name").alias("a_name"),
-        F.col("brand").alias("a_brand"),
-        F.col("sz").alias("a_sz"),
-        F.col("cents").alias("a_cents"),
-    )
-    pb_ = p.select(
-        F.col("pk").alias("b"),
-        F.col("name").alias("b_name"),
-        F.col("brand").alias("b_brand"),
-        F.col("sz").alias("b_sz"),
-        F.col("cents").alias("b_cents"),
-    )
-    score = (
-        F.when(F.col("a_brand") == F.col("b_brand"), 1386294).otherwise(-693147)
-        + F.when(F.abs(F.col("a_sz") - F.col("b_sz")) <= 2, 1098612).otherwise(-510826)
-        + F.when(
-            F.levenshtein(F.col("a_name"), F.col("b_name")) <= 2, 2079442
-        ).otherwise(-223144)
-        + F.when(
-            F.abs(F.col("a_cents") - F.col("b_cents")) * 20
-            <= F.least(F.col("a_cents"), F.col("b_cents")),
-            916291,
-        ).otherwise(-356675)
-    )
     return (
-        cand.join(pa, "a")
-        .join(pb_, "b")
-        .select("a", "b", score.cast("bigint").alias("score_micro"))
-        .where(F.col("score_micro") > 0)
+        _q324_scored_topk(p, 50)
+        .dropDuplicates(["a", "b"])
         .orderBy(F.col("score_micro").desc(), "a", "b")
         .limit(50)
     )

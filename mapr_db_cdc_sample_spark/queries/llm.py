@@ -531,32 +531,17 @@ WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 @register("q51_embedding_neardup", oracle=_NEARDUP_ORACLE)
 def q51(spark, sf_dir):
     """Embedding-cosine near-dup: all-pairs WITHIN a bucket (label = the
-    coarse quantizer stand-in), threshold on rounded sim. Scale: bucket
-    first (IVF/LSH), quadratic only within buckets — never a global
-    crossJoin."""
+    coarse quantizer stand-in), threshold on rounded sim, via the
+    distributed block-matmul kernel (operators/similarity.
+    sim_block_pairs): each (label × block × block) cell is one bounded
+    NumPy matmul and only above-threshold pairs become rows — the
+    row-expanded same-label self-join this replaced shuffled Σ n_label²
+    pair rows (12.7x at 10x data through q280, BENCH_SF1 r9). Pair set
+    and round(4) sims identical; oracle unchanged."""
+    from ..operators.similarity import sim_block_pairs
+
     e = load_tables(spark, sf_dir)["embeddings"]
-    # norms precomputed per VECTOR (linear) so the quadratic within-bucket
-    # stage folds only the dot product per pair, not three aggregates
-    withn = e.select("label", "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm"))
-    a = withn.select(
-        "label",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = withn.select(
-        "label",
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    sim = F.round(V.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
-    return (
-        a.join(b, ["label"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("sim"))
-        .where(F.col("sim") > 0.3)
-    )
+    return sim_block_pairs(e, threshold=0.3, same_label_only=True)
 
 
 _IVF_ORACLE = """

@@ -24,6 +24,15 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Shuffle width scales with INPUT, not the pinned 32: AQE starts
+    # every shuffle at 256 partitions and coalesces down (parallelism-
+    # first, so small SFs still land at ~core-count). The fixed 32 made
+    # q436's linear (shingle, doc) collapse spill at 10x data
+    # (BENCH_SF1 r9: 20x). On a real cluster this is the conf to raise
+    # further; plan fingerprints normalize partition counts away.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_INITIAL", "256"
+    ),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Small dims (region/nation/supplier) must broadcast; 64 MB is safe on
     # executors with >=4 GB and removes shuffles from every dim join.

@@ -48,6 +48,11 @@ PINNED = [
     # when rewired onto it — a lost kernel plan would silently regress
     # 8x) plus the heaviest new additions
     "q576_lof_outliers", "q564_truss_support", "q572_participation_ratio",
+    # round-10: the distributed Gram stage feeding q276 (whose own
+    # return value is a driver-local relation, so q275 carries the
+    # pinnable plan) — pinned while adjudicating the r9 q276 timing
+    # anomaly, and the thresholded block-pair kernel now under q51/q280
+    "q275_gram_matrix", "q51_embedding_neardup",
 ]
 
 

@@ -138,7 +138,7 @@ def q153(spark, sf_dir):
 # division/sqrt of identical inputs is identical. z is rounded to 4 before
 # the threshold comparison so the cut is on the rounded value.
 _ZSCORE_ORACLE = """
-WITH cents AS (
+WITH cents AS MATERIALIZED (
     SELECT l_returnflag AS flag,
            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
     FROM lineitem
@@ -1166,15 +1166,15 @@ def q168(spark, sf_dir):
 # accumulate the ROUNDED terms in DECIMAL(18,6) — order-free and
 # engine-identical (the repo's standard transcendental-sum recipe, q108).
 _MI_ORACLE = """
-WITH cells AS (
+WITH cells AS MATERIALIZED (
     SELECT event_type AS etype, DAYOFWEEK(CAST(ts AS DATE)) AS dow,
            CAST(COUNT(*) AS BIGINT) AS c
     FROM events GROUP BY 1, 2
 ), tot AS (
     SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
-), px AS (
+), px AS MATERIALIZED (
     SELECT etype, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY etype
-), py AS (
+), py AS MATERIALIZED (
     SELECT dow, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY dow
 ), terms AS (
     SELECT cells.etype, cells.dow,
@@ -1747,7 +1747,7 @@ WITH seq AS (
     SELECT event_type AS cur,
            LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
     FROM events
-), pairs AS (
+), pairs AS MATERIALIZED (
     SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c
     FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
 ), totals AS (
@@ -1981,13 +1981,13 @@ def q184(spark, sf_dir):
 # recipe with a different statistic. Completes the dependence toolkit
 # (q168 corr, q169 MI, q185 chi2).
 _CHI2_ORACLE = """
-WITH cells AS (
+WITH cells AS MATERIALIZED (
     SELECT event_type AS etype, DAYOFWEEK(CAST(ts AS DATE)) AS dow,
            CAST(COUNT(*) AS BIGINT) AS o
     FROM events GROUP BY 1, 2
 ), tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
-px AS (SELECT etype, CAST(SUM(o) AS BIGINT) AS rx FROM cells GROUP BY etype),
-py AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ry FROM cells GROUP BY dow),
+px AS MATERIALIZED (SELECT etype, CAST(SUM(o) AS BIGINT) AS rx FROM cells GROUP BY etype),
+py AS MATERIALIZED (SELECT dow, CAST(SUM(o) AS BIGINT) AS ry FROM cells GROUP BY dow),
 terms AS (
     SELECT cells.etype,
            ROUND(POWER(o - CAST(rx AS DOUBLE) * ry / n, 2) / (CAST(rx AS DOUBLE) * ry / n), 6) AS t
@@ -2112,7 +2112,7 @@ def q186(spark, sf_dir):
 # ----------------- q187: Pareto 80/20 revenue contribution per nation
 
 _PARETO_ORACLE = """
-WITH rev AS (
+WITH rev AS MATERIALIZED (
     SELECT n.n_name AS nation,
            CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
     FROM orders o
@@ -2628,11 +2628,11 @@ def q194(spark, sf_dir):
 # --------------------- q195: min-max feature scaling per group
 
 _MINMAX_ORACLE = """
-WITH c AS (
+WITH c AS MATERIALIZED (
     SELECT l_returnflag AS flag, l_orderkey * 10 + l_linenumber AS uid,
            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
     FROM lineitem WHERE l_orderkey % 20 = 0
-), b AS (
+), b AS MATERIALIZED (
     SELECT flag, CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi
     FROM c GROUP BY flag
 )
@@ -2844,10 +2844,10 @@ def q198(spark, sf_dir):
 # ~4-7 lines): pair expansion inside each order, then cosine from exact
 # integer co-occurrence counts. The classic item-item similarity build.
 _COOC_ORACLE = """
-WITH baskets AS (
+WITH baskets AS MATERIALIZED (
     SELECT DISTINCT l_orderkey AS ord, l_partkey AS item
     FROM lineitem WHERE l_orderkey % 10 = 0
-), item_n AS (
+), item_n AS MATERIALIZED (
     SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM baskets GROUP BY item
 ), pairs AS (
     SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS cooc
@@ -2910,7 +2910,7 @@ def q199(spark, sf_dir):
 # encoding that avoids target leakage. Exact integer sums broadcast per
 # category; one IEEE division per row, ROUNDed(6).
 _TARGET_ENC_ORACLE = """
-WITH rows_ AS (
+WITH rows_ AS MATERIALIZED (
     SELECT o_orderkey, o_orderpriority AS cat,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
     FROM orders WHERE o_orderkey % 10 = 0
@@ -3102,11 +3102,11 @@ WITH canon AS (
                     + CASE WHEN event_id % 1000 = 0 THEN 1 ELSE 0 END AS VARCHAR)
            ), 1, 15))::BIGINT AS h
     FROM events
-), a AS (
+), a AS MATERIALIZED (
     SELECT bucket, CAST(SUM(h) AS DECIMAL(38,0)) AS fp,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM canon GROUP BY bucket
-), b AS (
+), b AS MATERIALIZED (
     SELECT bucket, CAST(SUM(h) AS DECIMAL(38,0)) AS fp,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM replica GROUP BY bucket
@@ -3212,7 +3212,7 @@ def q204(spark, sf_dir):
 # the brute-force property test in tests/test_properties.py caught the
 # starts-first ordering over-counting by one at such touch points.
 _CONCURRENCY_ORACLE = """
-WITH sessions AS (
+WITH sessions AS MATERIALIZED (
     SELECT user_id, CAST(ts AS DATE) AS day,
            MIN(EPOCH_US(ts)) AS t0, MAX(EPOCH_US(ts)) AS t1
     FROM events GROUP BY user_id, CAST(ts AS DATE)
@@ -3285,7 +3285,7 @@ WITH scored AS (
 ), ranked AS (
     SELECT label, NTILE(10) OVER (ORDER BY score DESC, event_id) AS decile
     FROM scored
-), per_dec AS (
+), per_dec AS MATERIALIZED (
     SELECT decile, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS pos
     FROM ranked GROUP BY decile
 ), tot AS (
@@ -3412,7 +3412,7 @@ def q207(spark, sf_dir):
 # ONE pinned ordering (t, delta ASC, user_id) carried through both
 # (ends before starts at ties — see q205's comment).
 _COVERAGE_ORACLE = """
-WITH sessions AS (
+WITH sessions AS MATERIALIZED (
     SELECT user_id, CAST(ts AS DATE) AS day,
            MIN(EPOCH_US(ts)) AS t0, MAX(EPOCH_US(ts)) + 1 AS t1
     FROM events GROUP BY user_id, CAST(ts AS DATE)
@@ -3497,16 +3497,16 @@ def q208(spark, sf_dir):
 # comparison |x - med| * 10000 > 14826 * mad (k=1.4826 scaled to avoid
 # any division).
 _MAD_ORACLE = """
-WITH c AS (
+WITH c AS MATERIALIZED (
     SELECT l_returnflag AS flag,
            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
     FROM lineitem WHERE l_orderkey % 10 = 0
-), med AS (
+), med AS MATERIALIZED (
     SELECT flag, CAST(FLOOR(QUANTILE_CONT(v, 0.5)) AS BIGINT) AS m FROM c GROUP BY flag
-), dev AS (
+), dev AS MATERIALIZED (
     SELECT c.flag, c.v, ABS(c.v - med.m) AS d, med.m
     FROM c JOIN med ON c.flag = med.flag
-), mad AS (
+), mad AS MATERIALIZED (
     SELECT flag, CAST(FLOOR(QUANTILE_CONT(d, 0.5)) AS BIGINT) AS mad_v FROM dev GROUP BY flag
 )
 SELECT dev.flag AS flag,
@@ -3749,7 +3749,7 @@ def q213(spark, sf_dir):
 # ----------------------- q214: winsorization (clip at p05/p95)
 
 _WINSOR_ORACLE = """
-WITH c AS (
+WITH c AS MATERIALIZED (
     SELECT l_returnflag AS flag,
            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
     FROM lineitem WHERE l_orderkey % 10 = 0
@@ -4184,11 +4184,11 @@ def q218(spark, sf_dir):
 # ------------------- q219: null-safe join (<=> / IS NOT DISTINCT FROM)
 
 _NULLSAFE_ORACLE = """
-WITH a AS (
+WITH a AS MATERIALIZED (
     SELECT CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id % 20 END AS k,
            CAST(COUNT(*) AS BIGINT) AS na
     FROM events WHERE event_id % 2 = 0 GROUP BY 1
-), b AS (
+), b AS MATERIALIZED (
     SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id % 20 END AS k,
            CAST(COUNT(*) AS BIGINT) AS nb
     FROM events WHERE event_id % 2 = 1 GROUP BY 1
@@ -4328,11 +4328,11 @@ def q221(spark, sf_dir):
 # ------------------ q222: order backlog over time (opened vs shipped)
 
 _BACKLOG_ORACLE = """
-WITH opened AS (
+WITH opened AS MATERIALIZED (
     SELECT CAST(DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
            CAST(COUNT(*) AS BIGINT) AS n_open
     FROM orders GROUP BY 1
-), shipped AS (
+), shipped AS MATERIALIZED (
     SELECT CAST(DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS d,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_ship
     FROM lineitem GROUP BY 1
@@ -4571,10 +4571,10 @@ WITH windows AS (
            CASE WHEN CAST(ts AS DATE) < DATE '2024-01-08' THEN 'early'
                 WHEN CAST(ts AS DATE) >= DATE '2024-01-24' THEN 'late' END AS w
     FROM events
-), counts AS (
+), counts AS MATERIALIZED (
     SELECT w, event_type, CAST(COUNT(*) AS BIGINT) AS c
     FROM windows WHERE w IS NOT NULL GROUP BY w, event_type
-), tot AS (
+), tot AS MATERIALIZED (
     SELECT w, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY w
 ), probs AS (
     SELECT counts.event_type,
@@ -4706,10 +4706,10 @@ def q228(spark, sf_dir):
 # the naive a<b<c three-way self-join — same count, quadratic in max
 # degree, fine at oracle scale.
 _TRIANGLE_ORACLE = """
-WITH li AS (
+WITH li AS MATERIALIZED (
     SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
     FROM lineitem WHERE l_partkey % 2 = 0
-), e AS (
+), e AS MATERIALIZED (
     SELECT DISTINCT a.p AS u, b.p AS v
     FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
 )
@@ -4885,13 +4885,13 @@ def q231(spark, sf_dir):
 _TFIDF_ORACLE = """
 WITH toks AS (
     SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term FROM documents
-), tf AS (
+), tf AS MATERIALIZED (
     SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
     FROM toks WHERE LENGTH(term) > 0 AND term NOT IN ('the', 'a', 'of', 'and', 'to')
     GROUP BY doc_id, term
-), df AS (
+), df AS MATERIALIZED (
     SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
-), nd AS (
+), nd AS MATERIALIZED (
     SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
 ), scored AS (
     SELECT t.doc_id, t.term,
@@ -4956,7 +4956,7 @@ def q232(spark, sf_dir):
 # threshold. dow is epoch-day mod 7 (engine-neutral; DAYOFWEEK
 # numbering differs between engines).
 _SEASONAL_ORACLE = """
-WITH daily AS (
+WITH daily AS MATERIALIZED (
     SELECT event_type, CAST(ts AS DATE) AS day,
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
     FROM events GROUP BY event_type, CAST(ts AS DATE)
@@ -5034,7 +5034,7 @@ _BENFORD_ORACLE = """
 WITH digits AS (
     SELECT CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
     FROM orders
-), obs AS (
+), obs AS MATERIALIZED (
     SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
 ), tot AS (
     SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs
@@ -5429,7 +5429,7 @@ def q239(spark, sf_dir):
 # integer day buckets from epoch micros; the cumulative window runs
 # over |buckets| rows.
 _SURVIVAL_ORACLE = """
-WITH clicks AS (
+WITH clicks AS MATERIALIZED (
     SELECT user_id, MIN(EPOCH_US(ts)) AS tc
     FROM events WHERE event_type = 'click' GROUP BY user_id
 ), conv AS (
@@ -5514,7 +5514,7 @@ WITH scored AS (
     FROM events
 ), ranked AS (
     SELECT label, NTILE(10) OVER (ORDER BY score, event_id) AS bin FROM scored
-), per_bin AS (
+), per_bin AS MATERIALIZED (
     SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS pos
     FROM ranked GROUP BY bin
 ), tot AS (
@@ -5631,7 +5631,7 @@ def q242(spark, sf_dir):
 # shift-invariant and M2 = n*s2 - s1^2 stays exact BIGINT (~4e13 at
 # sf0.1; DECIMAL(38,0) if vectors ever reach ~1e8 rows).
 _DIM_PROFILE_ORACLE = """
-WITH q AS (
+WITH q AS MATERIALIZED (
     SELECT LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 2000) AS v
     FROM embeddings
 ), dims AS (
@@ -5692,7 +5692,7 @@ def q244(spark, sf_dir):
 # deterministically from the dimension itself (every 10th key changes
 # balance, every 100th key arrives as a brand-new key).
 _SCD1_ORACLE = """
-WITH dim AS (
+WITH dim AS MATERIALIZED (
     SELECT c_custkey AS k,
            CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
     FROM customer
@@ -5763,7 +5763,7 @@ def q245(spark, sf_dir):
 # lossless; the `patched` flag marks which days were touched on both
 # sides.
 _LATE_PATCH_ORACLE = """
-WITH ev AS (
+WITH ev AS MATERIALIZED (
     SELECT CAST(ts AS DATE) AS day, event_id,
            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
     FROM events
@@ -5819,7 +5819,7 @@ def q246(spark, sf_dir):
 # bound filters after; never a time-range cross product. event_id a<b
 # canonicalizes the pair.
 _DOUBLE_CHARGE_ORACLE = """
-WITH p AS (
+WITH p AS MATERIALIZED (
     SELECT user_id, event_id, EPOCH_US(ts) AS t,
            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
     FROM events WHERE event_type = 'purchase'

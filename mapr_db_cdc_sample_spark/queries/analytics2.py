@@ -39,7 +39,7 @@ from .llm import _BANDS_CTE, _MINHASH_CTE, _minhash_corpus
 # event_month) join is a shuffle-range-join per event, while this form is
 # a single partitioned window pass over snapshots+events together.
 _PIT_ORACLE = """
-WITH o AS (
+WITH o AS MATERIALIZED (
     SELECT o_orderkey, o_custkey,
            CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT) AS mi,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
@@ -153,7 +153,7 @@ def q249(spark, sf_dir):
 # not |names|^2 (round-5 verdict #2). The oracle stays the naive
 # all-pairs definition, which is exactly what the banding must equal.
 _FUZZY_ORACLE = """
-WITH d AS (SELECT DISTINCT p_name FROM part),
+WITH d AS MATERIALIZED (SELECT DISTINCT p_name FROM part),
 p AS (
     SELECT a.p_name AS name, b.p_name AS cand,
            levenshtein(a.p_name, b.p_name) AS dist
@@ -248,13 +248,13 @@ def q251(spark, sf_dir):
 # rows, built once and broadcast; the fact side is one posexplode +
 # groupBy(vec_id) — no all-pairs, no Python.
 _RP_ORACLE = """
-WITH dims AS (
+WITH dims AS MATERIALIZED (
     SELECT DISTINCT UNNEST(range(0, len(embedding))) AS i FROM embeddings
 ), signs AS (
     SELECT d.i, j.j,
            1 - 2 * (ASCII(SUBSTR(MD5(d.i || '_' || j.j), 1, 1)) % 2) AS s
     FROM dims d, (SELECT UNNEST(range(0, 8)) AS j) j
-), e AS (
+), e AS MATERIALIZED (
     SELECT m.vec_id, d.i,
            CAST(CAST(m.embedding[CAST(d.i AS INT) + 1] AS DOUBLE)
                 AS DECIMAL(18,9)) AS v
@@ -470,7 +470,7 @@ def q253(spark, sf_dir):
 # IVF/LSH (q52/q135) first; this exact linear form is the recall oracle
 # for that path, same contract as q38.
 _HARDNEG_ORACLE = """
-WITH q AS (
+WITH q AS MATERIALIZED (
     SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qe
     FROM embeddings WHERE vec_id % 1000 = 0
 ), s AS (
@@ -656,7 +656,7 @@ WITH s AS (
            CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS g
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
-), v AS (
+), v AS MATERIALIZED (
     SELECT cents,
            CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
            CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
@@ -665,7 +665,7 @@ WITH s AS (
     SELECT CAST(SUM(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
            CAST(SUM(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
     FROM v
-), t AS (
+), t AS MATERIALIZED (
     SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM v
 )
 SELECT t.n1, t.n2,
@@ -744,7 +744,7 @@ def q257(spark, sf_dir):
 # both engines add in region-key order. Everything fact-sized is a
 # single hash aggregate; windows touch 5 rows.
 _ANOVA_ORACLE = """
-WITH s AS (
+WITH s AS MATERIALIZED (
     SELECT n.n_regionkey AS rk,
            CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
     FROM orders o
@@ -755,7 +755,7 @@ WITH s AS (
            CAST(SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
                 AS DECIMAL(38,0)) AS qg
     FROM s GROUP BY rk
-), t AS (
+), t AS MATERIALIZED (
     SELECT rk, ng, sg, qg,
            SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)
                OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cum_t
@@ -979,10 +979,10 @@ def q259(spark, sf_dir):
 # purchase/click collisions sort with the purchase AFTER the click
 # (kind tiebreak), matching the oracle's strict p.t > c.t on both sides.
 _ABANDON_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
     SELECT user_id, event_id, EPOCH_US(ts) AS t, event_type
     FROM events WHERE event_type IN ('click', 'purchase')
-), c AS (
+), c AS MATERIALIZED (
     SELECT user_id, t FROM e WHERE event_type = 'click'
 ), a AS (
     SELECT c.user_id,
@@ -1066,7 +1066,7 @@ def q261(spark, sf_dir):
 # 100 TB the candidate frame is |users| x 8 and the anti-join shuffles
 # on (user, item) — no per-item fan-out, no rejection loop.
 _NEGSAMPLE_ORACLE = """
-WITH inter AS (
+WITH inter AS MATERIALIZED (
     SELECT DISTINCT user_id,
            CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS item
     FROM events WHERE event_type = 'purchase'
@@ -1156,7 +1156,7 @@ WITH toks AS (
     FROM toks
 ), x AS (
     SELECT source, ('0x' || SUBSTR(MD5(UNNEST(sg)), 1, 15))::BIGINT AS h FROM sh
-), sig AS (
+), sig AS MATERIALIZED (
     SELECT source,
            {mins}
     FROM x GROUP BY source

@@ -588,7 +588,7 @@ _KN_ORACLE = """
 WITH toks AS (
     SELECT LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS l
     FROM documents
-), bg AS (
+), bg AS MATERIALIZED (
     SELECT l[CAST(i AS INT)] AS w1, l[CAST(i AS INT) + 1] AS w2, COUNT(*) AS c
     FROM toks, UNNEST(range(1, GREATEST(LEN(l), 1))) r(i)
     GROUP BY 1, 2
@@ -598,7 +598,7 @@ WITH toks AS (
            COUNT(*)  OVER (PARTITION BY w1) AS n1fwd,
            COUNT(*)  OVER (PARTITION BY w2) AS n1bwd
     FROM bg
-), t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS types FROM bg)
+), t AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS types FROM bg)
 SELECT w1, w2, CAST(c AS BIGINT) AS n,
        CAST((2 * (GREATEST(4 * CAST(c AS HUGEINT) - 3, 0) * types
                   + 3 * CAST(n1fwd AS HUGEINT) * CAST(n1bwd AS HUGEINT)) * 1000000
@@ -677,7 +677,7 @@ WITH RECURSIVE sims AS (
     SELECT DISTINCT src, src FROM und
     UNION
     SELECT u.dst, w.label FROM walk w JOIN und u ON u.src = w.node
-), cc AS (
+), cc AS MATERIALIZED (
     SELECT node AS vec_id, MIN(label) AS rep FROM walk GROUP BY node
 )
 SELECT e.vec_id,
@@ -737,7 +737,7 @@ WITH q AS (
                 AS BIGINT) AS score
     FROM documents
     WHERE LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) > 0
-), r AS (
+), r AS MATERIALIZED (
     SELECT source, doc_id, score,
            ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rb,
            ROW_NUMBER() OVER (PARTITION BY source ORDER BY score ASC, doc_id) AS rw
@@ -1355,13 +1355,13 @@ WITH tok AS (
     SELECT source,
            UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
     FROM documents
-), st AS (
+), st AS MATERIALIZED (
     SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY source, term
 ), s AS (
     SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source
-), t AS (
+), t AS MATERIALIZED (
     SELECT term, SUM(c_st) AS c_t FROM st GROUP BY term
-), n AS (SELECT SUM(c_st) AS big_n FROM st
+), n AS MATERIALIZED (SELECT SUM(c_st) AS big_n FROM st
 ), lifted AS (
     SELECT st.source, st.term, st.c_st,
            CAST((2 * CAST(st.c_st AS HUGEINT) * big_n * 1000000
@@ -1585,36 +1585,36 @@ def q296(spark, sf_dir):
 # shuffles are the token-count groupBys. Argmax by (score DESC, lang)
 # row_number, so ties (measure-zero) break identically on both engines.
 _NB_ORACLE = """
-WITH tok AS (
+WITH tok AS MATERIALIZED (
     SELECT doc_id, lang,
            UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
     FROM documents
-), train AS (
+), train AS MATERIALIZED (
     SELECT * FROM tok WHERE doc_id % 5 <> 0
-), ct AS (
+), ct AS MATERIALIZED (
     SELECT lang, term, COUNT(*) AS c FROM train GROUP BY lang, term
-), tot AS (
+), tot AS MATERIALIZED (
     SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM ct GROUP BY lang
-), voc AS (
+), voc AS MATERIALIZED (
     SELECT COUNT(DISTINCT term) AS v FROM train
-), priors AS (
+), priors AS MATERIALIZED (
     SELECT lang, COUNT(*) AS n_docs FROM documents
     WHERE doc_id % 5 <> 0 GROUP BY lang
 ), ntr AS (
     SELECT CAST(SUM(n_docs) AS BIGINT) AS n_train FROM priors
-), lp AS (
+), lp AS MATERIALIZED (
     SELECT ct.lang, ct.term,
            CAST(ROUND(LN(CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE))
                       * 1000000) AS BIGINT) AS lp_micro
     FROM ct JOIN tot USING (lang), voc
-), lc AS (
+), lc AS MATERIALIZED (
     SELECT p.lang,
            CAST(ROUND(LN(CAST(1 AS DOUBLE) / CAST(tot + v AS DOUBLE))
                       * 1000000) AS BIGINT) AS lp0_micro,
            CAST(ROUND(LN(CAST(n_docs AS DOUBLE) / CAST(n_train AS DOUBLE))
                       * 1000000) AS BIGINT) AS prior_micro
     FROM priors p JOIN tot USING (lang), voc, ntr
-), tf AS (
+), tf AS MATERIALIZED (
     SELECT doc_id, lang AS true_lang, term, COUNT(*) AS tf
     FROM tok WHERE doc_id % 5 = 0 GROUP BY doc_id, lang, term
 ), sc AS (
@@ -1625,7 +1625,7 @@ WITH tok AS (
     FROM tf CROSS JOIN lc
     LEFT JOIN lp ON lp.term = tf.term AND lp.lang = lc.lang
     GROUP BY tf.doc_id, tf.true_lang, lc.lang, lc.prior_micro
-), p AS (
+), p AS MATERIALIZED (
     SELECT doc_id, true_lang, lang AS pred_lang, score_micro,
            ROW_NUMBER() OVER (PARTITION BY doc_id
                               ORDER BY score_micro DESC, lang) AS rn
@@ -1728,25 +1728,25 @@ def q297(spark, sf_dir):
 # whole stage is linear in |nodes|. Existing edges are removed by a
 # left-anti join; top-30 under a unique (score DESC, a, b) order.
 _RA_ORACLE = """
-WITH pr AS (
+WITH pr AS MATERIALIZED (
     SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), e AS (
+), e AS MATERIALIZED (
     SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
     FROM pr x JOIN pr y
       ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-), adj AS (
+), adj AS MATERIALIZED (
     SELECT a AS node, b AS nbr FROM e
     UNION ALL
     SELECT b AS node, a AS nbr FROM e
-), deg AS (
+), deg AS MATERIALIZED (
     SELECT node, COUNT(*) AS d FROM adj GROUP BY node
-), z AS (
+), z AS MATERIALIZED (
     SELECT adj.node AS mid, adj.nbr, deg.d
     FROM adj JOIN deg ON deg.node = adj.node WHERE deg.d <= 64
 ), w AS (
     SELECT p.nbr AS a, q.nbr AS b, p.d AS d
     FROM z p JOIN z q ON p.mid = q.mid AND p.nbr < q.nbr
-), s AS (
+), s AS MATERIALIZED (
     SELECT a, b,
            CAST(SUM((2 * 1000000 + d) // (2 * d)) AS BIGINT) AS ra_micro,
            CAST(COUNT(*) AS BIGINT) AS common_n
@@ -1885,20 +1885,20 @@ def q300(spark, sf_dir):
 # common factor first) and reported as positive round-half-up micro
 # units, so both engines agree bit-for-bit with no double division.
 _STUMP_ORACLE = """
-WITH o AS (
+WITH o AS MATERIALIZED (
     SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
     FROM orders
-), mm AS (
+), mm AS MATERIALIZED (
     SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM o
 ), b AS (
     SELECT LEAST(((cents - lo) * 64) // (hi - lo + 1), 63) AS bucket, pos
     FROM o, mm
-), g AS (
+), g AS MATERIALIZED (
     SELECT bucket, COUNT(*) AS cnt, SUM(pos) AS p FROM b GROUP BY bucket
 ), t AS (
     SELECT CAST(SUM(cnt) AS HUGEINT) AS n, CAST(SUM(p) AS HUGEINT) AS bigp FROM g
-), grid AS (
+), grid AS MATERIALIZED (
     SELECT UNNEST(range(0, 63)) AS bucket
 ), cum AS (
     SELECT grid.bucket,
@@ -2164,19 +2164,19 @@ def q304(spark, sf_dir):
 # trims the hapax tail. At 100 TB the (term, doc) frame shuffles once
 # on term — the same profile as the TF-IDF/BM25 queries.
 _INVIDX_ORACLE = """
-WITH td AS (
+WITH td AS MATERIALIZED (
     SELECT DISTINCT term, doc_id FROM (
         SELECT doc_id,
                UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
         FROM documents
     )
-), dfr AS (
+), dfr AS MATERIALIZED (
     SELECT term, COUNT(*) AS doc_freq FROM td GROUP BY term
 ), r AS (
     SELECT term, doc_id,
            ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
     FROM td
-), post AS (
+), post AS MATERIALIZED (
     SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
     FROM r WHERE rn <= 20 GROUP BY term
 )
@@ -2323,7 +2323,7 @@ def q306(spark, sf_dir):
 # scoring is a broadcast of k=|labels| centroid arrays against the
 # corpus — n x k rows, never n x n.
 _SILH_ORACLE = """
-WITH q AS (
+WITH q AS MATERIALIZED (
     SELECT vec_id, label,
            LIST_TRANSFORM(embedding,
                           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 2000) AS v
@@ -2334,9 +2334,9 @@ WITH q AS (
     SELECT label, dim,
            (2 * CAST(SUM(x) AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS c
     FROM dims GROUP BY label, dim
-), carr AS (
+), carr AS MATERIALIZED (
     SELECT label AS clabel, LIST(c ORDER BY dim) AS cv FROM cent GROUP BY label
-), d2 AS (
+), d2 AS MATERIALIZED (
     SELECT q.vec_id, q.label, carr.clabel,
            LIST_SUM(LIST_TRANSFORM(range(1, 65),
                                    i -> (q.v[i] - carr.cv[i]) * (q.v[i] - carr.cv[i]))) AS d2
@@ -2429,7 +2429,7 @@ def q307(spark, sf_dir):
 # identical value-derived column aliases. Input to the transpose is the
 # 3-row aggregate — reshape happens on a dimension-sized frame.
 _TRANSPOSE_ORACLE = """
-WITH g AS (
+WITH g AS MATERIALIZED (
     SELECT l_returnflag AS flag,
            CAST(COUNT(*) AS BIGINT) AS n_items,
            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
@@ -2564,7 +2564,7 @@ def q308(spark, sf_dir):
 # reproduce from the token list directly. All lambdas run inside
 # whole-stage codegen — no Python.
 _HOF_ORACLE = """
-WITH w AS (
+WITH w AS MATERIALIZED (
     SELECT doc_id,
            LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS w
     FROM documents
@@ -2685,12 +2685,12 @@ def q311(spark, sf_dir):
 # double; ROUND(,6) is belt-and-braces. The fact table is touched by
 # ONE map-side-combinable pair count; everything after is O(values²).
 _SPEARMAN_ORACLE = """
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
     SELECT CAST(l_quantity AS BIGINT) AS q,
            CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS BIGINT) AS d,
            COUNT(*) AS cnt
     FROM lineitem GROUP BY 1, 2
-), n AS (
+), n AS MATERIALIZED (
     SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM pairs
 ), qh AS (
     SELECT q, SUM(cnt) AS c FROM pairs GROUP BY q
@@ -2768,14 +2768,14 @@ def q312(spark, sf_dir):
 # rounding of proportional shares does not have. This is the
 # deterministic version of the mixture-weight sampling step (q100).
 _APPORTION_ORACLE = """
-WITH tc AS (
+WITH tc AS MATERIALIZED (
     SELECT source,
            CAST(SUM(LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)))
                 AS BIGINT) AS tokens
     FROM documents GROUP BY source
-), t AS (
+), t AS MATERIALIZED (
     SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM tc
-), base AS (
+), base AS MATERIALIZED (
     SELECT source, tokens,
            (1000000 * tokens) // total AS fl,
            (1000000 * tokens) % total AS rem
@@ -2950,7 +2950,7 @@ def q315(spark, sf_dir):
 # shuffle-dependent row order inside the group cannot change the
 # answer. Guard: magnitudes stay < 2^63 up to ~1e8 rows/label.
 _SCATTER_ORACLE = """
-WITH q AS (
+WITH q AS MATERIALIZED (
     SELECT label,
            LIST_TRANSFORM(embedding, x -> CAST(TRUNC(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
     FROM embeddings
@@ -3253,18 +3253,25 @@ def q319(spark, sf_dir):
 # similarity graph with 5 synchronous LPA rounds (operators/lpa.py —
 # fixed round count, majority vote, min-label ties, clamped seeds).
 # The graph is label-blind: vectors bucket by the sign pattern of
-# their first 6 components (an SRP hash — 64 buckets), and each node
-# keeps its top-3 rounded-cosine neighbors WITHIN its bucket
-# (WindowGroupLimit pushes the k=3 cut into the shuffle), so the pair
-# stage is quadratic only inside buckets — the q51/q280 posture. A
-# fixpoint with per-round aggregation is not SQL-expressible, so this
-# is rows-only; the propagation semantics have a Python property twin
-# and the graph stage reuses machinery oracled via q215/q286.
+# their first max(6, ceil(log2(n/32))) components (an SRP hash —
+# bucket WIDTH scales with n so expected bucket population stays ~32;
+# the fixed 6-bit hash of rounds 8-9 made within-bucket pairs ∝ n²,
+# the dominant term in BENCH_SF1 r9's 26x), and each node keeps its
+# top-3 rounded-cosine neighbors WITHIN its bucket (WindowGroupLimit
+# pushes the k=3 cut into the shuffle), so the pair stage is quadratic
+# only inside constant-size buckets — the q51/q280 posture. A fixpoint
+# with per-round aggregation is not SQL-expressible, so this is
+# rows-only; the propagation semantics have a Python property twin and
+# the graph stage reuses machinery oracled via q215/q286. At the test
+# SFs (n <= 2000) the adaptive width stays 6 bits, so the twin-checked
+# graph is unchanged.
 @register("q320_label_propagation", tags=("iterative",))
 def q320(spark, sf_dir):
     """5-round LPA over an SRP-bucketed top-3 neighbor graph (see
-    comment)."""
+    comment; bucket bits ∝ log n)."""
     e = load_tables(spark, sf_dir)["embeddings"]
+    n = e.count()
+    bits = max(6, int((max(n, 1) + 31) // 32 - 1).bit_length())
     withb = e.select(
         "vec_id",
         "label",
@@ -3273,7 +3280,7 @@ def q320(spark, sf_dir):
         F.concat(
             *[
                 (F.element_at("embedding", i + 1) >= 0).cast("int").cast("string")
-                for i in range(6)
+                for i in range(bits)
             ]
         ).alias("bkt"),
     )
@@ -3324,7 +3331,7 @@ WITH tok AS (
     SELECT doc_id,
            UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
     FROM documents
-), t AS (
+), t AS MATERIALIZED (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(COUNT(DISTINCT term) AS BIGINT) AS vocab_size
     FROM tok
@@ -3387,11 +3394,11 @@ WITH tok AS (
     SELECT source,
            UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
     FROM documents
-), st AS (
+), st AS MATERIALIZED (
     SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY source, term
-), s AS (
+), s AS MATERIALIZED (
     SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY source
-), t AS (
+), t AS MATERIALIZED (
     SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY term
 ), n AS (
     SELECT CAST(SUM(c_st) AS BIGINT) AS big_n FROM st
@@ -3551,7 +3558,7 @@ def q323(spark, sf_dir):
 # price within 5% (all-integer cents test). Top-50 by (score DESC,
 # a, b); threshold 0 drops clear non-matches early.
 _FS_ORACLE = """
-WITH p AS (
+WITH p AS MATERIALIZED (
     SELECT p_partkey AS pk, p_name AS name, p_brand AS brand, p_type AS typ,
            p_size AS sz,
            CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
@@ -3894,13 +3901,13 @@ def q325(spark, sf_dir):
 # round-half-up micro units, |sources|^2 output — the TYPE-frame
 # posture throughout.
 _WJACC_ORACLE = """
-WITH st AS (
+WITH st AS MATERIALIZED (
     SELECT source, term, COUNT(*) AS c FROM (
         SELECT source,
                UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
         FROM documents
     ) GROUP BY source, term
-), tot AS (
+), tot AS MATERIALIZED (
     SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY source
 ), shared AS (
     SELECT a.source AS src_a, b.source AS src_b,
@@ -3973,12 +3980,12 @@ WITH daily AS (
            COUNT(*) FILTER (event_type = 'purchase') AS conv,
            COUNT(*) FILTER (event_type <> 'purchase') AS other
     FROM events GROUP BY 1
-), walk AS (
+), walk AS MATERIALIZED (
     SELECT day,
            SUM(conv * 182322 - other * 68993)
                OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS llr
     FROM daily
-), crossed AS (
+), crossed AS MATERIALIZED (
     SELECT day, llr,
            CASE WHEN llr >= 2944439 THEN 'accept_h1'
                 WHEN llr <= -2944439 THEN 'accept_h0' END AS decision,
@@ -4181,7 +4188,7 @@ def q329(spark, sf_dir):
 # on the interaction side. Integer end-to-end; the only wide ops are
 # one user-window for the holdout and one item-count aggregate.
 _HITRATE_ORACLE = """
-WITH ev AS (
+WITH ev AS MATERIALIZED (
     SELECT event_id, user_id, ts,
            CAST(json_extract(props, '$.k') AS INT) AS item
     FROM events
@@ -4190,12 +4197,12 @@ WITH ev AS (
            ROW_NUMBER() OVER (PARTITION BY user_id
                               ORDER BY ts DESC, event_id DESC) AS rn
     FROM ev
-), holdout AS (
+), holdout AS MATERIALIZED (
     SELECT event_id, user_id, item FROM ho WHERE rn = 1
 ), train AS (
     SELECT item FROM ev
     WHERE event_id NOT IN (SELECT event_id FROM holdout)
-), pop AS (
+), pop AS MATERIALIZED (
     SELECT item, COUNT(*) AS cnt FROM train GROUP BY item
     ORDER BY cnt DESC, item LIMIT 10
 )

@@ -29,7 +29,7 @@ from .analytics3 import _DAILY_CTE, _daily_cents
 # transitions whose FROM-state never occurred in training are dropped
 # on both engines (no model row to join).
 _MARKOV_EVAL_ORACLE = """
-WITH seq AS (
+WITH seq AS MATERIALIZED (
     SELECT user_id, event_type AS prev,
            LEAD(event_type) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS nxt
@@ -297,7 +297,7 @@ def q334(spark, sf_dir):
 # to the user frame first; the K=100 expansion happens on that
 # dimension-sized frame.
 _PERM_ORACLE = """
-WITH peruser AS (
+WITH peruser AS MATERIALIZED (
     SELECT user_id,
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                AS cents
@@ -525,7 +525,7 @@ WITH flows AS (
                           ORDER BY l_shipdate, l_orderkey, l_linenumber, qty, cents
                           ROWS UNBOUNDED PRECEDING) AS hi
     FROM flows
-), iv AS (
+), iv AS MATERIALIZED (
     SELECT part, is_receipt, qty, cents, hi, hi - qty AS lo FROM seq
 ), matched AS (
     SELECT r.part,
@@ -626,7 +626,7 @@ def q337(spark, sf_dir):
 # user-ordered window pass each way. Edges (before first / after last
 # observation) stay NULL-free by emitting only interior hours.
 _INTERP_ORACLE = """
-WITH hourly AS (
+WITH hourly AS MATERIALIZED (
     SELECT user_id, date_trunc('hour', ts) AS h,
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                AS cents
@@ -793,13 +793,13 @@ WITH tc AS (
            CAST(SUM(LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)))
                 AS BIGINT) AS tokens
     FROM documents GROUP BY source
-), sc AS (
+), sc AS MATERIALIZED (
     SELECT source, tokens,
            CAST(ROUND(POW(CAST(tokens AS DOUBLE), 0.7) * 1000000) AS BIGINT) AS w_micro
     FROM tc
-), t AS (
+), t AS MATERIALIZED (
     SELECT CAST(SUM(w_micro) AS HUGEINT) AS total FROM sc
-), base AS (
+), base AS MATERIALIZED (
     SELECT source, tokens, w_micro,
            CAST((1000000 * CAST(w_micro AS HUGEINT)) // total AS BIGINT) AS fl,
            CAST((1000000 * CAST(w_micro AS HUGEINT)) % total AS HUGEINT) AS rem
@@ -876,11 +876,11 @@ def q340(spark, sf_dir):
 # frame. Integer counts; the first month reports churn vs an empty
 # predecessor.
 _CHURN_ORACLE = """
-WITH um AS (
+WITH um AS MATERIALIZED (
     SELECT DISTINCT user_id, strftime(ts, '%Y-%m') AS m FROM events
-), months AS (
+), months AS MATERIALIZED (
     SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS mi FROM (SELECT DISTINCT m FROM um)
-), labeled AS (
+), labeled AS MATERIALIZED (
     SELECT um.user_id, mo.mi FROM um JOIN months mo USING (m)
 ), pairs AS (
     SELECT COALESCE(c.mi, p.mi + 1) AS mi,
@@ -961,7 +961,7 @@ WITH fan AS (
     SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_lines
     FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey
-), h AS (
+), h AS MATERIALIZED (
     SELECT n_lines, COUNT(*) AS n_orders FROM fan GROUP BY n_lines
 ), t AS (
     SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM h
@@ -1569,12 +1569,12 @@ WITH dt AS (
            CAST(COUNT(*) AS BIGINT) AS vocab_cum
     FROM cps c JOIN firsts f ON f.first_doc <= c.thr_doc
     GROUP BY c.i, c.tokens_cum
-), pts AS (
+), pts AS MATERIALIZED (
     SELECT i, tokens_cum, vocab_cum,
            CAST(ROUND(LN(CAST(tokens_cum AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
            CAST(ROUND(LN(CAST(vocab_cum AS DOUBLE)) * 1000000) AS BIGINT) AS ly
     FROM vc WHERE tokens_cum > 0 AND vocab_cum > 0
-), m AS (
+), m AS MATERIALIZED (
     SELECT CAST(COUNT(*) AS HUGEINT) AS n,
            CAST(SUM(lx) AS HUGEINT) AS sx, CAST(SUM(ly) AS HUGEINT) AS sy,
            CAST(SUM(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx,
@@ -1756,20 +1756,20 @@ def q353(spark, sf_dir):
 # classic broadcast dims), every share an exact round-half-up micro
 # rational. The orders->customer join carries the only wide shuffle.
 _GEO_ORACLE = """
-WITH rev AS (
+WITH rev AS MATERIALIZED (
     SELECT c.c_nationkey,
            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS cents
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY c.c_nationkey
-), nat AS (
+), nat AS MATERIALIZED (
     SELECT r.r_name AS region, n.n_name AS nation, rev.cents
     FROM rev
     JOIN nation n ON n.n_nationkey = rev.c_nationkey
     JOIN region r ON r.r_regionkey = n.n_regionkey
-), reg AS (
+), reg AS MATERIALIZED (
     SELECT region, CAST(SUM(cents) AS BIGINT) AS region_cents FROM nat GROUP BY region
-), tot AS (
+), tot AS MATERIALIZED (
     SELECT CAST(SUM(cents) AS BIGINT) AS world_cents FROM nat
 )
 SELECT nat.region, nat.nation, nat.cents,
@@ -2049,14 +2049,14 @@ def q357(spark, sf_dir):
 # line table collapses to (source, line-hash) TYPE-frame counts; the
 # per-doc share is one join back on the hash — never doc x doc.
 _BOILER_ORACLE = """
-WITH lines_ AS (
+WITH lines_ AS MATERIALIZED (
     SELECT doc_id, source,
            MD5(TRIM(l)) AS lh
     FROM (
         SELECT doc_id, source, UNNEST(STRING_SPLIT(text, '. ')) AS l
         FROM documents
     ) WHERE LENGTH(TRIM(l)) >= 20
-), lc AS (
+), lc AS MATERIALIZED (
     SELECT source, lh, COUNT(DISTINCT doc_id) AS ndocs
     FROM lines_ GROUP BY source, lh
 ), flagged AS (
@@ -2272,7 +2272,7 @@ WITH ev AS (
     SELECT CAST(json_extract(props, '$.k') AS INT) AS item,
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS buy
     FROM events
-), per AS (
+), per AS MATERIALIZED (
     SELECT item, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(buy) AS HUGEINT) AS k
     FROM ev GROUP BY item
 ), tot AS (
@@ -2423,7 +2423,7 @@ WITH pts AS (
                                    ROWS UNBOUNDED PRECEDING) AS cc,
            SUM(c) OVER (PARTITION BY cohort) AS n
     FROM h
-), dec AS (
+), dec AS MATERIALIZED (
     SELECT d.d, c.cohort, MIN(c.v) AS qv
     FROM range(1, 10) d(d) JOIN cum c ON c.cc >= (c.n * d.d + 9) // 10
     GROUP BY d.d, c.cohort
@@ -2491,7 +2491,7 @@ def q364(spark, sf_dir):
 # value buckets by lot age (ship-year), exact cents via the q337
 # DIV unit cost.
 _AGING_ORACLE = """
-WITH flows AS (
+WITH flows AS MATERIALIZED (
     SELECT l_partkey AS part,
            l_linenumber % 2 = 0 AS is_receipt,
            CAST(l_quantity AS BIGINT) AS qty,
@@ -2590,7 +2590,7 @@ WITH wk AS (
     FROM events WHERE event_type = 'purchase'
       AND (CAST(ts AS DATE) - DATE '1970-01-01') // 7 IN (2818, 2819)
     GROUP BY 1, 2
-), r AS (
+), r AS MATERIALIZED (
     SELECT item, week, c,
            ROW_NUMBER() OVER (PARTITION BY week ORDER BY c DESC, item) AS rnk
     FROM wk

@@ -110,7 +110,7 @@ def q367(spark, sf_dir):
 # positive), then the mean of the ROUNDED addends — the documented
 # sum-of-rounded-terms contract that keeps both engines bit-equal.
 _AP_ORACLE = """
-WITH scored AS (
+WITH scored AS MATERIALIZED (
     SELECT event_id,
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score
@@ -208,7 +208,7 @@ WITH scored AS (
     SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score
     FROM events
-), hist AS (
+), hist AS MATERIALIZED (
     SELECT score, COUNT(*) AS n, SUM(label) AS npos FROM scored GROUP BY score
 ), tot AS (
     SELECT CAST(SUM(npos) AS BIGINT) AS np FROM hist
@@ -279,7 +279,7 @@ def q369(spark, sf_dir):
 # agree). Cells flow through ONE conditional-aggregation pass — no
 # early/late self-join.
 _JSD_ORACLE = """
-WITH cells AS (
+WITH cells AS MATERIALIZED (
     SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS item,
            CAST(COUNT(*) FILTER (CAST(ts AS DATE) < DATE '2024-01-08')
                 AS BIGINT) AS cp,
@@ -289,7 +289,7 @@ WITH cells AS (
     WHERE CAST(ts AS DATE) < DATE '2024-01-08'
        OR CAST(ts AS DATE) >= DATE '2024-01-24'
     GROUP BY 1, 2
-), tot AS (
+), tot AS MATERIALIZED (
     SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq
     FROM cells
 ), lp AS (
@@ -403,7 +403,7 @@ def q370(spark, sf_dir):
 # documented frame), so ~3M integer sign comparisons, never data^2.
 # tau is signed: positive-shift round-half-up micro units.
 _KENDALL_ORACLE = """
-WITH d AS (
+WITH d AS MATERIALIZED (
     SELECT o_orderdate AS day,
            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS cents,
@@ -481,7 +481,7 @@ def q371(spark, sf_dir):
 # epsilon; skipping keeps the arithmetic exact and both engines
 # identical).
 _PSI_ORACLE = """
-WITH ref AS (
+WITH ref AS MATERIALIZED (
     SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price
     FROM orders WHERE o_orderdate < DATE '1998-01-01'
 ), cur AS (
@@ -497,18 +497,18 @@ WITH ref AS (
                         AND 1 PRECEDING) AS cum_before
     FROM hist
 ), nref AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM ref
-), ranks AS (
+), ranks AS MATERIALIZED (
     SELECT k, CAST(CEIL(k * nr / 10.0) AS BIGINT) AS r FROM nref,
          (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS k)
-), edges AS (
+), edges AS MATERIALIZED (
     SELECT DISTINCT c.price AS e
     FROM cumh c JOIN ranks ON COALESCE(c.cum_before, 0) < ranks.r
                           AND ranks.r <= c.cum
-), rbin AS (
+), rbin AS MATERIALIZED (
     SELECT 1 + (SELECT COUNT(*) FROM edges WHERE e < price) AS bin,
            COUNT(*) AS c_ref
     FROM ref GROUP BY 1
-), cbin AS (
+), cbin AS MATERIALIZED (
     SELECT 1 + (SELECT COUNT(*) FROM edges WHERE e < price) AS bin,
            COUNT(*) AS c_cur
     FROM cur GROUP BY 1
@@ -696,7 +696,7 @@ WITH li AS (
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1999-01-01'
-), by_year AS (
+), by_year AS MATERIALIZED (
     SELECT brand, yr, CAST(SUM(qty) AS BIGINT) AS q,
            CAST((2 * SUM(CAST(rev_cbp AS HUGEINT)) + 10000) // 20000 AS BIGINT) AS r
     FROM li GROUP BY brand, yr
@@ -794,12 +794,12 @@ def q374(spark, sf_dir):
 # pairs); the scale path for the same semantics is the IVF/LSH family
 # (q52/q135/q54).
 _HAMMING_ORACLE = """
-WITH v AS (
+WITH v AS MATERIALIZED (
     SELECT vec_id,
            LIST_TRANSFORM(embedding,
                           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
     FROM embeddings
-), q AS (
+), q AS MATERIALIZED (
     SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 5
 ), p AS (
     SELECT qid, b.vec_id AS bid,
@@ -813,22 +813,22 @@ WITH v AS (
                 i -> CASE WHEN (qv[i] > 0) <> (b.v[i] > 0) THEN 1 ELSE 0 END))
                 AS BIGINT) AS ham
     FROM q, v b WHERE b.vec_id <> qid
-), pc AS (
+), pc AS MATERIALIZED (
     SELECT qid, bid, ham,
            ROUND(CAST(dot AS DOUBLE)
                  / (SQRT(CAST(nq AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))), 4) AS cos4
     FROM p WHERE nq > 0 AND nb > 0
-), tc AS (
+), tc AS MATERIALIZED (
     SELECT qid, bid FROM (
         SELECT qid, bid,
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos4 DESC, bid) AS rn
         FROM pc) WHERE rn <= 10
-), th AS (
+), th AS MATERIALIZED (
     SELECT qid, bid FROM (
         SELECT qid, bid,
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, bid) AS rn
         FROM pc) WHERE rn <= 10
-), ov AS (
+), ov AS MATERIALIZED (
     SELECT tc.qid, CAST(COUNT(*) AS BIGINT) AS c
     FROM tc JOIN th ON tc.qid = th.qid AND tc.bid = th.bid GROUP BY tc.qid
 )
@@ -931,7 +931,7 @@ def q375(spark, sf_dir):
 # whole point of the sketch), so the final answer is exact and
 # partitioning-independent — hence oracle-hashable against plain SQL.
 _MG_ORACLE = """
-WITH keyed AS (
+WITH keyed AS MATERIALIZED (
     SELECT CASE WHEN event_type = 'purchase'
                 THEN 'purchase:' ||
                      CAST(CAST(json_extract(props, '$.k') AS INT) AS VARCHAR)
@@ -1215,17 +1215,17 @@ def q379(spark, sf_dir):
 # oracle proves the oriented enumeration finds the identical triangle
 # set.
 _CLUSTERING_ORACLE = """
-WITH li AS (
+WITH li AS MATERIALIZED (
     SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
     FROM lineitem WHERE l_partkey % 2 = 0
-), e AS (
+), e AS MATERIALIZED (
     SELECT DISTINCT a.p AS u, b.p AS v
     FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
-), deg AS (
+), deg AS MATERIALIZED (
     SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         SELECT u AS node FROM e UNION ALL SELECT v FROM e
     ) GROUP BY node
-), tri AS (
+), tri AS MATERIALIZED (
     SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
         SELECT UNNEST([e1.u, e1.v, e2.v]) AS node
         FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
@@ -1533,7 +1533,7 @@ def q384(spark, sf_dir):
 # rejected. The K-expansion happens on the (type, user) frame, never
 # the fact table.
 _BH_ORACLE = """
-WITH per AS (
+WITH per AS MATERIALIZED (
     SELECT event_type, user_id,
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                AS cents
@@ -1567,7 +1567,7 @@ WITH per AS (
            ) AS BIGINT) AS n_extreme
     FROM perm p JOIN obs o ON o.event_type = p.event_type
     GROUP BY o.event_type
-), ranked AS (
+), ranked AS MATERIALIZED (
     SELECT event_type, n_extreme,
            ROW_NUMBER() OVER (ORDER BY n_extreme, event_type) AS i
     FROM ext
@@ -1787,7 +1787,7 @@ def q386(spark, sf_dir):
 # engines). The n-divisors of the two centroids cancel inside the
 # cosine, so no division happens before the final rounding.
 _CDRIFT_ORACLE = """
-WITH v AS (
+WITH v AS MATERIALIZED (
     SELECT vec_id, label,
            LIST_TRANSFORM(embedding,
                           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
@@ -1797,7 +1797,7 @@ WITH v AS (
            CASE WHEN vec_id < (SELECT MAX(vec_id) + 1 FROM v) / 2
                 THEN 0 ELSE 1 END AS h
     FROM v
-), sums AS (
+), sums AS MATERIALIZED (
     SELECT label, h, i,
            CAST(SUM(v[i]) AS HUGEINT) AS s, CAST(COUNT(*) AS HUGEINT) AS n
     FROM half, (SELECT UNNEST(range(1, 65)) AS i)
@@ -1897,13 +1897,13 @@ WITH pts AS (
            CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x,
            CAST(l.l_quantity AS BIGINT) AS y
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-), g AS (
+), g AS MATERIALIZED (
     SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n,
            CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
            SUM(CAST(x AS HUGEINT) * y) AS sxy,
            SUM(CAST(x AS HUGEINT) * x) AS sxx
     FROM pts GROUP BY brand
-), gsig AS (
+), gsig AS MATERIALIZED (
     SELECT CAST(COUNT(*) FILTER (n * sxy - sx * sy > 0) AS BIGINT) AS n_pos,
            CAST(COUNT(*) FILTER (n * sxy - sx * sy < 0) AS BIGINT) AS n_neg,
            CAST(COUNT(*) FILTER (n * sxy - sx * sy = 0) AS BIGINT) AS n_zero
@@ -2240,7 +2240,7 @@ WITH stacked AS (
     UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
     UNION ALL SELECT 'l_quantity', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
         FROM lineitem
-), vc AS (
+), vc AS MATERIALIZED (
     SELECT feature, val, CAST(COUNT(*) AS BIGINT) AS c
     FROM stacked GROUP BY feature, val
 ), top1 AS (
@@ -2456,10 +2456,10 @@ def q393(spark, sf_dir):
 # QUERY contract is integrity under any fixed salt). sha256 parity
 # across engines is q353's established lane.
 _PSEUDO_ORACLE = """
-WITH ch AS (
+WITH ch AS MATERIALIZED (
     SELECT c_custkey, SHA256('pepper:' || CAST(c_custkey AS VARCHAR)) AS tok
     FROM customer
-), oh AS (
+), oh AS MATERIALIZED (
     SELECT o_custkey, SHA256('pepper:' || CAST(o_custkey AS VARCHAR)) AS tok
     FROM orders
 )
@@ -2656,7 +2656,7 @@ WITH t AS (
                 WHEN s_de >= s_fr THEN 'de'
                 ELSE 'fr' END AS lang_pred
     FROM scores WHERE n_tok > 0
-), cm AS (
+), cm AS MATERIALIZED (
     SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS c FROM pred GROUP BY 1, 2
 ), classes AS (SELECT DISTINCT lang FROM cm
 ), per_class AS (
@@ -2842,19 +2842,19 @@ WITH tok AS (
     SELECT doc_id,
            UNNEST(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS term
     FROM documents
-), tf AS (
+), tf AS MATERIALIZED (
     SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
     FROM tok GROUP BY doc_id, term
-), df AS (
+), df AS MATERIALIZED (
     SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
 ), nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf
-), w AS (
+), w AS MATERIALIZED (
     SELECT tf.doc_id, tf.term,
            tf.tf * CAST(ROUND(LN(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT)
                AS w
     FROM tf JOIN df USING (term), nn
     WHERE df.df <= 25
-), norms AS (
+), norms AS MATERIALIZED (
     SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS nrm FROM w GROUP BY doc_id
 ), dots AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -3229,12 +3229,12 @@ def q404(spark, sf_dir):
 # single-item supports are a broadcast dim. Top-15 rules by
 # (lift_micro DESC, a, b).
 _ASSOC_ORACLE = """
-WITH b AS (
+WITH b AS MATERIALIZED (
     SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
-), n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM b
-), s1 AS (
+), n AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM b
+), s1 AS MATERIALIZED (
     SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY item
-), s2 AS (
+), s2 AS MATERIALIZED (
     SELECT x.item AS a, y.item AS bb, CAST(COUNT(*) AS BIGINT) AS sab
     FROM b x JOIN b y ON x.ok = y.ok AND x.item <> y.item
     GROUP BY x.item, y.item HAVING COUNT(*) >= 40
@@ -3312,7 +3312,7 @@ WITH li AS (
            CAST(l.l_quantity AS BIGINT) AS qty
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1999-01-01'
-), per AS (
+), per AS MATERIALIZED (
     SELECT part, yr, SUM(rev_cbp) AS r, CAST(SUM(qty) AS HUGEINT) AS q
     FROM li GROUP BY part, yr
 ), wide AS (
@@ -3421,7 +3421,7 @@ def q406(spark, sf_dir):
 # every count exact. The diagonal is retention-in-class; the
 # below-diagonal mass is the downgrade alarm.
 _MIGRATION_ORACLE = """
-WITH spend AS (
+WITH spend AS MATERIALIZED (
     SELECT o_custkey AS cust,
            CAST(YEAR(o_orderdate) AS INT) AS yr,
            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
@@ -3445,7 +3445,7 @@ WITH spend AS (
         SELECT yr, CAST(CEIL(k * n / 4.0) AS BIGINT) AS r
         FROM nn, (SELECT UNNEST(GENERATE_SERIES(1, 3)) AS k)
     ) t ON t.yr = c.yr AND c.cb < t.r AND t.r <= c.cum
-), seg AS (
+), seg AS MATERIALIZED (
     SELECT s.cust, s.yr,
            1 + (SELECT COUNT(*) FROM edges e
                 WHERE e.yr = s.yr AND e.e < s.cents) AS seg
@@ -3544,21 +3544,21 @@ def q407(spark, sf_dir):
 # operators/triangles.triangle_count; everything else is one degree
 # aggregate.
 _TRIAD_ORACLE = """
-WITH li AS (
+WITH li AS MATERIALIZED (
     SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
     FROM lineitem WHERE l_partkey % 2 = 0
-), e AS (
+), e AS MATERIALIZED (
     SELECT DISTINCT a.p AS u, b.p AS v
     FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
-), deg AS (
+), deg AS MATERIALIZED (
     SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         SELECT u AS node FROM e UNION ALL SELECT v FROM e
     ) GROUP BY node
-), w AS (
+), w AS MATERIALIZED (
     SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS wedges,
            CAST(COUNT(*) AS BIGINT) AS n_nodes
     FROM deg
-), tri AS (
+), tri AS MATERIALIZED (
     SELECT CAST(COUNT(*) AS BIGINT) AS t
     FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
               JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
@@ -3625,7 +3625,7 @@ def q408(spark, sf_dir):
 # the scale path routes candidate generation through IVF/LSH
 # (q52/q135/q54) exactly as q254 documents.
 _MNN_ORACLE = """
-WITH v AS (
+WITH v AS MATERIALIZED (
     SELECT vec_id,
            LIST_TRANSFORM(embedding,
                           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
@@ -3639,7 +3639,7 @@ WITH v AS (
            CAST(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> b.v[i] * b.v[i]))
                 AS BIGINT) AS nb
     FROM v a JOIN v b ON a.vec_id <> b.vec_id
-), nn AS (
+), nn AS MATERIALIZED (
     SELECT src, dst FROM (
         SELECT src, dst,
                ROW_NUMBER() OVER (PARTITION BY src ORDER BY
@@ -3903,7 +3903,7 @@ WITH tok AS (
     FROM documents
 ), tf AS (
     SELECT term, CAST(COUNT(*) AS BIGINT) AS r FROM tok GROUP BY term
-), fof AS (
+), fof AS MATERIALIZED (
     SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tf GROUP BY r
 ), tot AS (
     SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
@@ -4191,7 +4191,7 @@ def q416(spark, sf_dir):
 # rate the same way, and the skill score 1 - BS/BS_ref is a micro
 # ratio of those two integer sums. Users with week-1-3 activity only.
 _BRIER_ORACLE = """
-WITH u AS (
+WITH u AS MATERIALIZED (
     SELECT user_id,
            CAST(COUNT(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-28' THEN 1 END)
                 AS BIGINT) AS n,
@@ -4200,7 +4200,7 @@ WITH u AS (
            MAX(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-28'
                AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
     FROM events GROUP BY user_id HAVING n > 0
-), tot AS (
+), tot AS MATERIALIZED (
     SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(y) AS BIGINT) AS ybar_num
     FROM u
 ), terms AS (

@@ -142,7 +142,7 @@ def q421(spark, sf_dir):
 # per-round normalized micro scores — stated, not needed at any tested
 # SF (a2 < 2^40).
 _HITS_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
     SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
 ), a1 AS (
     SELECT p, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY p
@@ -190,7 +190,7 @@ WITH v AS (
     SELECT o_orderpriority AS grp,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
     FROM orders
-), hist AS (
+), hist AS MATERIALIZED (
     SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY grp, cents
 ), ties AS (
     SELECT cents, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY cents
@@ -200,10 +200,10 @@ WITH v AS (
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
            + n - 1 AS r2
     FROM ties
-), rsums AS (
+), rsums AS MATERIALIZED (
     SELECT grp, CAST(SUM(c * r2) AS BIGINT) AS r2sum, CAST(SUM(c) AS BIGINT) AS nj
     FROM hist JOIN ranked USING (cents) GROUP BY grp
-), tot AS (
+), tot AS MATERIALIZED (
     SELECT CAST(SUM(nj) AS BIGINT) AS n FROM rsums
 ), s AS (
     SELECT CAST(SUM((2 * r2sum::HUGEINT * r2sum + 4 * nj) // (8 * nj))
@@ -279,7 +279,7 @@ WITH g AS (
     SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
     FROM events
-), agg AS (
+), agg AS MATERIALIZED (
     SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
            CAST(SUM(cents * cents) AS BIGINT) AS q
     FROM g GROUP BY grp
@@ -519,7 +519,7 @@ def q427(spark, sf_dir):
 # round-half-up micro ratios (the contract fixes this two-stage
 # rounding, making it engine-exact — both operands positive).
 _FCERR_ORACLE = """
-WITH daily AS (
+WITH daily AS MATERIALIZED (
     SELECT CAST(o_orderdate AS DATE) AS day,
            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS cents
@@ -587,16 +587,16 @@ def q428(spark, sf_dir):
 # and broadcastable; m = 4096 keeps the measured FPR nonzero at the
 # tested SFs.
 _BLOOM_ORACLE = """
-WITH members AS (
+WITH members AS MATERIALIZED (
     SELECT DISTINCT MD5(text) AS k FROM documents WHERE source = 'src0'
-), probes AS (
+), probes AS MATERIALIZED (
     SELECT DISTINCT MD5(text) AS k FROM documents WHERE source = 'src1'
     AND MD5(text) NOT IN (SELECT k FROM members)
-), bits AS (
+), bits AS MATERIALIZED (
     SELECT DISTINCT ('0x' || SUBSTR(MD5(CAST(i AS VARCHAR) || ':' || k), 1, 15))::BIGINT
                     % 4096 AS pos
     FROM members, range(0, 3) t(i)
-), ppos AS (
+), ppos AS MATERIALIZED (
     SELECT k, ('0x' || SUBSTR(MD5(CAST(i AS VARCHAR) || ':' || k), 1, 15))::BIGINT
               % 4096 AS pos
     FROM probes, range(0, 3) t(i)
@@ -671,10 +671,10 @@ _BIGRAM_ORACLE = """
 WITH t AS (
     SELECT doc_id, LIST_FILTER(STR_SPLIT(LOWER(text), ' '), x -> LEN(x) > 0) AS tk
     FROM documents
-), pr AS (
+), pr AS MATERIALIZED (
     SELECT UNNEST(list_transform(range(1, LEN(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS pr
     FROM t WHERE LEN(tk) >= 2
-), bg AS (
+), bg AS MATERIALIZED (
     SELECT SPLIT_PART(pr, ' ', 1) AS w1, SPLIT_PART(pr, ' ', 2) AS w2,
            CAST(COUNT(*) AS BIGINT) AS c
     FROM pr GROUP BY w1, w2
@@ -917,27 +917,27 @@ def q433(spark, sf_dir):
 # constant factor 2 cancels in the F ratio. The final F is the q207
 # double discipline over exact integer moments (n_j, sum z, sum z^2).
 _BROWN_FORSYTHE_ORACLE = """
-WITH v AS (
+WITH v AS MATERIALIZED (
     SELECT event_type AS grp,
            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
     FROM events
-), hist AS (
+), hist AS MATERIALIZED (
     SELECT grp, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY grp, c
-), cum AS (
+), cum AS MATERIALIZED (
     SELECT grp, c, cnt,
            COALESCE(SUM(cnt) OVER (PARTITION BY grp ORDER BY c
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
     FROM hist
-), sz AS (
+), sz AS MATERIALIZED (
     SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY grp
-), med AS (
+), med AS MATERIALIZED (
     SELECT cum.grp,
            MAX(CASE WHEN (sz.n + 1) // 2 BETWEEN cb + 1 AND cb + cnt
                     THEN c END)
            + MAX(CASE WHEN (sz.n + 2) // 2 BETWEEN cb + 1 AND cb + cnt
                       THEN c END) AS m2
     FROM cum JOIN sz ON cum.grp = sz.grp GROUP BY cum.grp
-), z AS (
+), z AS MATERIALIZED (
     SELECT v.grp, ABS(2 * v.c - med.m2) AS z
     FROM v JOIN med ON v.grp = med.grp
 ), ag AS (
@@ -1048,20 +1048,20 @@ def q434(spark, sf_dir):
 # quadratic in |months| only — the series is a calendar-bounded
 # aggregate frame (the q292 theil-sen rule), never event-volume.
 _MK_ORACLE = """
-WITH m AS (
+WITH m AS MATERIALIZED (
     SELECT o_orderpriority AS grp, strftime(o_orderdate, '%Y-%m') AS mon,
            CAST(COUNT(*) AS BIGINT) AS x
     FROM orders GROUP BY grp, mon
-), s AS (
+), s AS MATERIALIZED (
     SELECT a.grp,
            CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
                          ELSE 0 END) AS BIGINT) AS s
     FROM m a JOIN m b ON a.grp = b.grp AND a.mon < b.mon GROUP BY a.grp
-), ties AS (
+), ties AS MATERIALIZED (
     SELECT grp, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
     FROM (SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS t FROM m GROUP BY grp, x)
     GROUP BY grp
-), nn AS (
+), nn AS MATERIALIZED (
     SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY grp
 )
 SELECT nn.grp, nn.n, s.s,
@@ -1157,15 +1157,15 @@ _SUBDUP_ORACLE = """
 WITH pos AS (
     SELECT doc_id, text, UNNEST(GENERATE_SERIES(1, LEN(text) - 19)) AS i
     FROM documents WHERE LEN(text) >= 20
-), sh AS (
+), sh AS MATERIALIZED (
     SELECT doc_id, SUBSTR(text, i, 20) AS g FROM pos
-), du AS (
+), du AS MATERIALIZED (
     SELECT g FROM (
         SELECT g, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY g
     ) WHERE nd >= 2
-), npos AS (
+), npos AS MATERIALIZED (
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos FROM sh GROUP BY doc_id
-), ndup AS (
+), ndup AS MATERIALIZED (
     SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
     FROM sh JOIN du ON sh.g = du.g GROUP BY sh.doc_id
 )
@@ -1242,11 +1242,11 @@ WITH b AS (
     SELECT o_orderpriority AS pri, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
            o_orderstatus AS st
     FROM orders
-), cls AS (
+), cls AS MATERIALIZED (
     SELECT pri, yr, st, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY pri, yr, st
-), csz AS (
+), csz AS MATERIALIZED (
     SELECT pri, yr, CAST(SUM(c) AS BIGINT) AS n FROM cls GROUP BY pri, yr
-), gd AS (
+), gd AS MATERIALIZED (
     SELECT st, CAST(SUM(c) AS BIGINT) AS g FROM cls GROUP BY st
 ), tot AS (
     SELECT CAST(SUM(g) AS BIGINT) AS big FROM gd
@@ -1411,12 +1411,12 @@ def q438(spark, sf_dir):
 _CCF_ORACLE = """
 WITH e AS (
     SELECT CAST(ts AS DATE) AS day, event_type FROM events
-), x AS (
+), x AS MATERIALIZED (
     SELECT day - DATE '2024-01-01' AS t,
            CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS x,
            CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS y
     FROM e GROUP BY 1
-), l AS (
+), l AS MATERIALIZED (
     SELECT UNNEST(GENERATE_SERIES(-7, 7)) AS lag
 ), p AS (
     SELECT l.lag, a.x AS x, b.y AS y
@@ -1497,21 +1497,21 @@ def q439(spark, sf_dir):
 # changepoint month are exact; only the final significance
 # p = min(1, 2*exp(-6K^2/(n^3+n^2))) is a rounded transcendental.
 _PETTITT_ORACLE = """
-WITH m AS (
+WITH m AS MATERIALIZED (
     SELECT o_orderpriority AS grp, strftime(o_orderdate, '%Y-%m') AS mon,
            CAST(COUNT(*) AS BIGINT) AS x
     FROM orders GROUP BY grp, mon
 ), h AS (
     SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS c FROM m GROUP BY grp, x
-), rk AS (
+), rk AS MATERIALIZED (
     SELECT grp, x,
            2 * (COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY x
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
            + c - 1 AS r2
     FROM h
-), mm AS (
+), mm AS MATERIALIZED (
     SELECT m.grp, m.mon, rk.r2 FROM m JOIN rk ON m.grp = rk.grp AND m.x = rk.x
-), nn AS (
+), nn AS MATERIALIZED (
     SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY grp
 ), u AS (
     SELECT mm.grp, mon,
@@ -1601,7 +1601,7 @@ def q440(spark, sf_dir):
 # is |V| * avg_len, never |V|^2 — the SymSpell inversion of the oracle's
 # quadratic cross join, which is the whole point at dictionary scale.
 _SYMSPELL_ORACLE = """
-WITH v AS (
+WITH v AS MATERIALIZED (
     SELECT DISTINCT LOWER(tok) AS t FROM (
         SELECT UNNEST(STR_SPLIT(p_name, ' ')) AS tok FROM part
         UNION ALL SELECT p_brand FROM part
@@ -1670,7 +1670,7 @@ WITH u AS (
     FROM events GROUP BY user_id HAVING n > 0
 ), conf AS (
     SELECT y, (2 * 1000000 * k + n) // (2 * n) AS conf_mi FROM u
-), bins AS (
+), bins AS MATERIALIZED (
     SELECT LEAST(conf_mi // 100000, 9) AS bin, CAST(COUNT(*) AS BIGINT) AS n_b,
            CAST(SUM(y) AS BIGINT) AS pos, CAST(SUM(conf_mi) AS BIGINT) AS confsum
     FROM conf GROUP BY bin
@@ -1804,7 +1804,7 @@ WITH toks AS (
            ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS split,
            LIST_FILTER(STR_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS ts
     FROM documents
-), grams AS (
+), grams AS MATERIALIZED (
     SELECT doc_id, split,
            ARRAY_TO_STRING(ts[i:i+7], ' ') AS g
     FROM toks, LATERAL UNNEST(GENERATE_SERIES(1, LEN(ts) - 7)) t(i)
@@ -1888,12 +1888,12 @@ WITH scored AS (
 ), per_bin AS (
     SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS pos
     FROM ranked GROUP BY bin
-), cum AS (
+), cum AS MATERIALIZED (
     SELECT bin, n, pos,
            SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
            SUM(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
     FROM per_bin
-), frac AS (
+), frac AS MATERIALIZED (
     SELECT j.bin AS j, k.bin AS k,
            CAST(k.cp - j.cp + j.pos AS DOUBLE)
                / CAST(k.cn - j.cn + j.n AS DOUBLE) AS f
@@ -1902,7 +1902,7 @@ WITH scored AS (
     SELECT b.bin, frac.j, MIN(frac.f) AS mn
     FROM cum b JOIN frac ON frac.j <= b.bin AND frac.k >= b.bin
     GROUP BY b.bin, frac.j
-), iso AS (
+), iso AS MATERIALIZED (
     SELECT bin, MAX(mn) AS iso_f FROM inner_min GROUP BY bin
 )
 SELECT CAST(c.bin AS INT) AS bin, c.n, c.pos,
@@ -1983,37 +1983,37 @@ def q445(spark, sf_dir):
 # ring array searched per row — the ring is always tiny, the keys are
 # not).
 _CHASH_ORACLE = """
-WITH ks AS (
+WITH ks AS MATERIALIZED (
     SELECT o_orderkey AS k,
            ('0x' || SUBSTR(MD5('k' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
                AS kh
     FROM orders
-), ring AS (
+), ring AS MATERIALIZED (
     SELECT n.n, v.v,
            ('0x' || SUBSTR(MD5('node' || CAST(n.n AS VARCHAR) || ':'
                 || CAST(v.v AS VARCHAR)), 1, 8))::BIGINT AS h
     FROM (SELECT UNNEST(GENERATE_SERIES(0, 4)) AS n) n,
          (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS v) v
-), asg AS (
+), asg AS MATERIALIZED (
     SELECT ks.k,
            COALESCE(MIN(CASE WHEN r.n <= 3 AND r.h >= ks.kh THEN r.h END),
                     MIN(CASE WHEN r.n <= 3 THEN r.h END)) AS ha,
            COALESCE(MIN(CASE WHEN r.h >= ks.kh THEN r.h END), MIN(r.h)) AS hb
     FROM ks CROSS JOIN ring r GROUP BY ks.k, ks.kh
-), fin AS (
+), fin AS MATERIALIZED (
     SELECT asg.k,
            MIN(CASE WHEN r.h = asg.ha AND r.n <= 3 THEN r.n END) AS na,
            MIN(CASE WHEN r.h = asg.hb THEN r.n END) AS nb
     FROM asg CROSS JOIN ring r GROUP BY asg.k, asg.ha, asg.hb
-), mv AS (
+), mv AS MATERIALIZED (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
            CAST(COUNT(CASE WHEN na <> nb THEN 1 END) AS BIGINT) AS n_moved
     FROM fin
-), bc AS (
+), bc AS MATERIALIZED (
     SELECT na AS node, CAST(COUNT(*) AS BIGINT) AS c FROM fin GROUP BY na
-), ac AS (
+), ac AS MATERIALIZED (
     SELECT nb AS node, CAST(COUNT(*) AS BIGINT) AS c FROM fin GROUP BY nb
-), grid AS (
+), grid AS MATERIALIZED (
     SELECT UNNEST(GENERATE_SERIES(0, 4)) AS node
 )
 SELECT CAST(grid.node AS BIGINT) AS node,
@@ -2170,14 +2170,14 @@ _MED2P_ORACLE = """
 WITH v AS (
     SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
     FROM lineitem
-), h AS (
+), h AS MATERIALIZED (
     SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY c
 ), cum AS (
     SELECT c, cnt,
            COALESCE(SUM(cnt) OVER (ORDER BY c
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
     FROM h
-), nn AS (
+), nn AS MATERIALIZED (
     SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h
 )
 SELECT nn.n,
@@ -2379,7 +2379,7 @@ def q449(spark, sf_dir):
 # event-time frame on the Spark side (progressive rounding IS the
 # cross-engine contract).
 _KM_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
     SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events
 ), ends AS (
     SELECT MAX(day) AS obs_end FROM e
@@ -2399,10 +2399,10 @@ WITH e AS (
            CAST(SUM(n_all) OVER (ORDER BY d DESC ROWS UNBOUNDED PRECEDING)
                 AS BIGINT) AS n_t
     FROM cnt
-), et AS (
+), et AS MATERIALIZED (
     SELECT d, d_t, n_t, ROW_NUMBER() OVER (ORDER BY d) AS rn
     FROM risk WHERE d_t > 0
-), rec AS (
+), rec AS MATERIALIZED (
     WITH RECURSIVE r(rn, s) AS (
         SELECT 0, CAST(1000000 AS BIGINT)
         UNION ALL
@@ -2480,7 +2480,7 @@ def q450(spark, sf_dir):
 # lookup. At corpus scale the CDF table is vocab-sized and broadcast;
 # pair volume is window x tokens, collapsed before any join.
 _SKIPGRAM_ORACLE = """
-WITH toks AS (
+WITH toks AS MATERIALIZED (
     SELECT doc_id, ts[t.i] AS tok, t.i
     FROM (
         SELECT doc_id,
@@ -2491,20 +2491,20 @@ WITH toks AS (
     SELECT a.tok AS w, b.tok AS c
     FROM toks a JOIN toks b
       ON a.doc_id = b.doc_id AND ABS(a.i - b.i) BETWEEN 1 AND 2
-), pc AS (
+), pc AS MATERIALIZED (
     SELECT w, c, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY w, c
-), uni AS (
+), uni AS MATERIALIZED (
     SELECT tok, CAST(ROUND(POWER(CAST(COUNT(*) AS DOUBLE), 0.75) * 1000, 0)
                 AS BIGINT) AS w75
     FROM toks GROUP BY tok
-), cdf AS (
+), cdf AS MATERIALIZED (
     SELECT tok, w75,
            COALESCE(SUM(w75) OVER (ORDER BY tok
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
     FROM uni
-), tot AS (
+), tot AS MATERIALIZED (
     SELECT CAST(SUM(w75) AS BIGINT) AS big FROM uni
-), draws AS (
+), draws AS MATERIALIZED (
     SELECT pc.w, pc.c, pc.n_pairs, d.i AS draw,
            ('0x' || SUBSTR(MD5(pc.w || ':' || pc.c || ':'
                 || CAST(d.i AS VARCHAR)), 1, 12))::BIGINT % tot.big AS pos
@@ -2595,7 +2595,7 @@ def q451(spark, sf_dir):
 # ROUNDED d2 (the CLAUDE rank-by-rounded rule) with VALUE-column
 # tiebreaks (lineitem has full duplicate rows).
 _MAHA_ORACLE = """
-WITH v AS (
+WITH v AS MATERIALIZED (
     SELECT l_orderkey AS okey, l_linenumber AS line,
            CAST(l_quantity AS BIGINT) AS x,
            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
@@ -2607,7 +2607,7 @@ WITH v AS (
            CAST(SUM(x * y) AS BIGINT) AS sxy,
            CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
     FROM v
-), sc AS (
+), sc AS MATERIALIZED (
     SELECT n, sx, sy,
            CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS cxx,
            CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cxy,
@@ -2815,18 +2815,18 @@ WITH v AS (
                 THEN 1 ELSE 0 END AS treat,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
     FROM orders
-), h AS (
+), h AS MATERIALIZED (
     SELECT treat, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY treat, c
-), cum AS (
+), cum AS MATERIALIZED (
     SELECT treat, c, cnt,
            COALESCE(SUM(cnt) OVER (PARTITION BY treat ORDER BY c
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
     FROM h
-), sz AS (
+), sz AS MATERIALIZED (
     SELECT treat, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY treat
-), grid AS (
+), grid AS MATERIALIZED (
     SELECT UNNEST(GENERATE_SERIES(1, 9)) AS d
-), pick AS (
+), pick AS MATERIALIZED (
     SELECT grid.d, cum.treat,
            MAX(CASE WHEN GREATEST(LEAST((sz.n + 1) * grid.d // 10, sz.n), 1)
                          BETWEEN cb + 1 AND cb + cnt
@@ -3275,7 +3275,7 @@ def q458(spark, sf_dir):
 # the q425 posture) — then profile each part's tenure: months on
 # board, first/last month, best rank. Exact integers end-to-end.
 _LEADER_ORACLE = """
-WITH m AS (
+WITH m AS MATERIALIZED (
     SELECT strftime(l_shipdate, '%Y-%m') AS mon, l_partkey AS part,
            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS rev
@@ -3336,10 +3336,10 @@ def q459(spark, sf_dir):
 # rule) that catches any boundary-handling bug in either lane. All
 # micro divisions are positive round-half-up in HUGEINT/DECIMAL(38,0).
 _LITTLE_ORACLE = """
-WITH iv AS (
+WITH iv AS MATERIALIZED (
     SELECT user_id, EPOCH_US(MIN(ts)) AS a, EPOCH_US(MAX(ts)) AS b
     FROM events GROUP BY user_id
-), win AS (
+), win AS MATERIALIZED (
     SELECT CAST(MIN(a) AS BIGINT) AS w0, CAST(MAX(b) AS BIGINT) AS w1,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(b - a) AS BIGINT) AS sum_dur
@@ -3353,7 +3353,7 @@ WITH iv AS (
     SELECT t, SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc,
            LEAD(t) OVER (ORDER BY t) AS nt
     FROM per_t
-), integ AS (
+), integ AS MATERIALIZED (
     SELECT CAST(SUM(conc * (nt - t)) AS BIGINT) AS area
     FROM sw WHERE nt IS NOT NULL
 )
@@ -3434,28 +3434,28 @@ def q460(spark, sf_dir):
 # the seed is the min partkey among max-co-degree parts
 # (engine-deterministic). Top-20 by (score DESC, part).
 _RWR_ORACLE = """
-WITH ip AS (
+WITH ip AS MATERIALIZED (
     SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-), e AS (
+), e AS MATERIALIZED (
     SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
     FROM ip a JOIN ip b ON a.o = b.o AND a.p <> b.p
     GROUP BY a.p, b.p
-), deg AS (
+), deg AS MATERIALIZED (
     SELECT u, CAST(SUM(w) AS BIGINT) AS dw FROM e GROUP BY u
-), seed AS (
+), seed AS MATERIALIZED (
     SELECT MIN(u) AS s FROM deg
     WHERE dw = (SELECT MAX(dw) FROM deg)
-), p0 AS (
+), p0 AS MATERIALIZED (
     SELECT deg.u AS v, CASE WHEN deg.u = seed.s THEN 1000000 ELSE 0 END AS p
     FROM deg, seed
-), p1 AS (
+), p1 AS MATERIALIZED (
     SELECT e.v,
            CAST(SUM((2 * 85 * p0.p * e.w + 100 * deg.dw) // (2 * 100 * deg.dw))
                 AS BIGINT)
            + MAX(CASE WHEN e.v = seed.s THEN 150000 ELSE 0 END) AS p
     FROM e JOIN p0 ON p0.v = e.u JOIN deg ON deg.u = e.u, seed
     GROUP BY e.v, seed.s
-), p2 AS (
+), p2 AS MATERIALIZED (
     SELECT e.v,
            CAST(SUM((2 * 85 * p1.p * e.w + 100 * deg.dw) // (2 * 100 * deg.dw))
                 AS BIGINT)
@@ -3536,28 +3536,28 @@ def q461(spark, sf_dir):
 # the merged cumulative frame. Only days with a full 7-day history
 # report.
 _ROLLP_ORACLE = """
-WITH h AS (
+WITH h AS MATERIALIZED (
     SELECT o_orderdate AS day,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM orders GROUP BY day, c
-), lim AS (
+), lim AS MATERIALIZED (
     SELECT MIN(day) AS d0 FROM h
 ), sh AS (
     SELECT h.day + TO_DAYS(CAST(g.o AS INT)) AS tday, h.c, h.cnt
     FROM h, (SELECT UNNEST(GENERATE_SERIES(0, 6)) AS o) g
-), m AS (
+), m AS MATERIALIZED (
     SELECT tday, c, CAST(SUM(cnt) AS BIGINT) AS cnt FROM sh GROUP BY tday, c
-), valid AS (
+), valid AS MATERIALIZED (
     SELECT m.* FROM m, lim
     WHERE m.tday >= lim.d0 + TO_DAYS(6)
       AND m.tday <= (SELECT MAX(day) FROM h)
-), cum AS (
+), cum AS MATERIALIZED (
     SELECT tday, c, cnt,
            COALESCE(SUM(cnt) OVER (PARTITION BY tday ORDER BY c
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
     FROM valid
-), nn AS (
+), nn AS MATERIALIZED (
     SELECT tday, CAST(SUM(cnt) AS BIGINT) AS n FROM valid GROUP BY tday
 )
 SELECT cum.tday AS day, nn.n,
@@ -3636,11 +3636,11 @@ def q462(spark, sf_dir):
 # cents, and the accumulation is one ordered window per cohort over
 # the (cohort, age) aggregate frame.
 _LTV_ORACLE = """
-WITH fo AS (
+WITH fo AS MATERIALIZED (
     SELECT o_custkey AS cust,
            MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) AS m0
     FROM orders GROUP BY cust
-), rev AS (
+), rev AS MATERIALIZED (
     SELECT fo.m0,
            (YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate)) - fo.m0 AS age,
            CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
@@ -3648,7 +3648,7 @@ WITH fo AS (
     FROM orders o JOIN fo ON o.o_custkey = fo.cust
     WHERE (YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate)) - fo.m0 <= 5
     GROUP BY fo.m0, age
-), sz AS (
+), sz AS MATERIALIZED (
     SELECT m0, CAST(COUNT(*) AS BIGINT) AS n_cust FROM fo GROUP BY m0
 )
 SELECT CAST(rev.m0 AS BIGINT) AS cohort_month, sz.n_cust,
@@ -3704,17 +3704,17 @@ def q463(spark, sf_dir):
 # cents. The resulting histogram bins by integer DIV — edges
 # engine-exact by construction.
 _FD_ORACLE = """
-WITH v AS (
+WITH v AS MATERIALIZED (
     SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
     FROM orders
-), h AS (
+), h AS MATERIALIZED (
     SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY c
 ), cum AS (
     SELECT c, cnt,
            COALESCE(SUM(cnt) OVER (ORDER BY c
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
     FROM h
-), nn AS (
+), nn AS MATERIALIZED (
     SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(MIN(c) AS BIGINT) AS cmin
     FROM h
 ), qr AS (
@@ -3723,7 +3723,7 @@ WITH v AS (
            MAX(CASE WHEN (75 * nn.n + 99) // 100 BETWEEN cb + 1 AND cb + cnt
                     THEN c END) AS q3
     FROM cum, nn
-), w AS (
+), w AS MATERIALIZED (
     SELECT CAST((2 * 2 * (q3 - q1) * 1000000
                  + CAST(ROUND(POWER(CAST(nn.n AS DOUBLE), CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)) * 1000000, 0)
                         AS BIGINT))
@@ -3809,7 +3809,7 @@ def q464(spark, sf_dir):
 # algorithms; the hint surface itself is the API under test). The
 # oracle replays one join three times with lane literals.
 _HINTS_ORACLE = """
-WITH j AS (
+WITH j AS MATERIALIZED (
     SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS rev_cents
@@ -3864,7 +3864,7 @@ def q465(spark, sf_dir):
 # where the logged arm HAPPENS to match the policy — the unbiased
 # subset under uniform logging. Exact integers end-to-end.
 _REPLAY_ORACLE = """
-WITH base AS (
+WITH base AS MATERIALIZED (
     SELECT ('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 3
                AS arm,
            HOUR(ts) // 6 AS ctx,
@@ -3880,7 +3880,7 @@ WITH base AS (
            ROW_NUMBER() OVER (PARTITION BY ctx
                ORDER BY (2 * 1000000 * conv + n) // (2 * n) DESC, arm) AS rn
     FROM train
-), policy AS (
+), policy AS MATERIALIZED (
     SELECT ctx, arm AS best_arm, ctr_mi AS train_ctr_mi FROM scored WHERE rn = 1
 ), eval_m AS (
     SELECT b.ctx, CAST(COUNT(*) AS BIGINT) AS n_matched,
@@ -3966,10 +3966,10 @@ def q466(spark, sf_dir):
 # engines) when the pooled rate is degenerate 0/1 — true at sf0.001,
 # where every viewer converts.
 _FUNNEL_Z_ORACLE = """
-WITH v1 AS (
+WITH v1 AS MATERIALIZED (
     SELECT user_id, MIN(ts) AS t1 FROM events
     WHERE event_type = 'view' GROUP BY user_id
-), v2 AS (
+), v2 AS MATERIALIZED (
     SELECT e.user_id, MIN(e.ts) AS t2
     FROM events e JOIN v1 ON e.user_id = v1.user_id AND e.ts > v1.t1
     WHERE e.event_type = 'click' GROUP BY e.user_id
@@ -4223,11 +4223,11 @@ WITH v AS (
     SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS g,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
     FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
-), h AS (
+), h AS MATERIALIZED (
     SELECT c, CAST(COUNT(CASE WHEN g = 'a' THEN 1 END) AS BIGINT) AS ca,
            CAST(COUNT(CASE WHEN g = 'b' THEN 1 END) AS BIGINT) AS cb
     FROM v GROUP BY c
-), nn AS (
+), nn AS MATERIALIZED (
     SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM h
 ), cum AS (
     SELECT c,
@@ -4235,7 +4235,7 @@ WITH v AS (
            SUM(cb) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS fb,
            LEAD(c) OVER (ORDER BY c) AS nc
     FROM h
-), terms AS (
+), terms AS MATERIALIZED (
     SELECT CAST(SUM(CAST(ABS(fa * nn.nb - fb * nn.na) AS HUGEINT) * (nc - c))
                 AS HUGEINT) AS s
     FROM cum, nn WHERE nc IS NOT NULL
@@ -4308,7 +4308,7 @@ WITH v AS (
     SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000
                AS cell
     FROM orders
-), h AS (
+), h AS MATERIALIZED (
     SELECT cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY cell
 ), sh AS (
     SELECT h.cell + g.o AS tcell, (6 - ABS(g.o)) * h.cnt AS wcnt
@@ -4361,18 +4361,18 @@ WITH v AS (
     SELECT event_type AS grp,
            CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k
     FROM events WHERE props IS NOT NULL
-), h AS (
+), h AS MATERIALIZED (
     SELECT grp, k, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY grp, k
-), cum AS (
+), cum AS MATERIALIZED (
     SELECT grp, k, cnt,
            COALESCE(SUM(cnt) OVER (PARTITION BY grp ORDER BY k
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
     FROM h
-), ag AS (
+), ag AS MATERIALIZED (
     SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n,
            CAST(SUM(k * cnt) AS BIGINT) AS s
     FROM h GROUP BY grp
-), med AS (
+), med AS MATERIALIZED (
     SELECT cum.grp,
            MAX(CASE WHEN (ag.n + 1) // 2 BETWEEN cb + 1 AND cb + cnt THEN k END)
            + MAX(CASE WHEN (ag.n + 2) // 2 BETWEEN cb + 1 AND cb + cnt THEN k END)
@@ -4454,19 +4454,19 @@ WITH v AS (
     SELECT o_orderpriority AS a, CAST(YEAR(o_orderdate) AS BIGINT) AS b,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
     FROM orders
-), cells AS (
+), cells AS MATERIALIZED (
     SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
            CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
     FROM v GROUP BY a, b
-), ta AS (
+), ta AS MATERIALIZED (
     SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS ssq
     FROM (SELECT a, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s
           FROM cells GROUP BY a)
-), tb AS (
+), tb AS MATERIALIZED (
     SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS ssq
     FROM (SELECT b, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s
           FROM cells GROUP BY b)
-), tc AS (
+), tc AS MATERIALIZED (
     SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS ssq,
            CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS st,
            CAST(SUM(q) AS HUGEINT) AS qt,
@@ -4562,7 +4562,7 @@ def q474(spark, sf_dir):
 # (embeddings bunched in a cone); the audit runs before any ANN index
 # build. Signed micro division with positive shift.
 _ISOTROPY_ORACLE = """
-WITH q AS (
+WITH q AS MATERIALIZED (
     SELECT label,
            LIST_TRANSFORM(embedding,
                x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
@@ -4574,12 +4574,12 @@ WITH q AS (
     SELECT label, dim, CAST(SUM(x) AS BIGINT) AS sd,
            CAST(SUM(x * x) AS BIGINT) AS qd
     FROM dims GROUP BY label, dim
-), agg AS (
+), agg AS MATERIALIZED (
     SELECT label,
            CAST(SUM(sd * sd) AS BIGINT) AS cent2,
            CAST(SUM(qd) AS BIGINT) AS self2
     FROM per_dim GROUP BY label
-), nn AS (
+), nn AS MATERIALIZED (
     SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY label
 )
 SELECT nn.label, nn.n,
@@ -4642,17 +4642,17 @@ def q475(spark, sf_dir):
 # before the final combinatorial sum. Also reports wedges and the
 # butterfly density per wedge.
 _BUTTERFLY_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
     SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
 ), pairs AS (
     SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
     FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
     GROUP BY a.s, b.s
-), bf AS (
+), bf AS MATERIALIZED (
     SELECT CAST(SUM(shared * (shared - 1) // 2) AS BIGINT) AS butterflies,
            CAST(COUNT(*) AS BIGINT) AS sup_pairs
     FROM pairs
-), wg AS (
+), wg AS MATERIALIZED (
     SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges
     FROM (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY p)
 )
@@ -4705,15 +4705,15 @@ def q476(spark, sf_dir):
 # contract. Margins come from two grouped rollups of the same cell
 # aggregate.
 _GTEST_ORACLE = """
-WITH cells AS (
+WITH cells AS MATERIALIZED (
     SELECT o_orderpriority AS a, o_orderstatus AS b,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders GROUP BY a, b
-), ra AS (
+), ra AS MATERIALIZED (
     SELECT a, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY a
-), cb AS (
+), cb AS MATERIALIZED (
     SELECT b, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY b
-), nn AS (
+), nn AS MATERIALIZED (
     SELECT CAST(SUM(n) AS BIGINT) AS big FROM cells
 ), terms AS (
     SELECT CAST(ROUND(2000000 * CAST(cells.n AS DOUBLE)

@@ -653,7 +653,7 @@ WITH v AS MATERIALIZED (
     FROM orders
 ), hist AS MATERIALIZED (
     SELECT g, c, CAST(COUNT(*) AS BIGINT) AS k FROM v GROUP BY g, c
-), vals AS (
+), vals AS MATERIALIZED (
     SELECT DISTINCT c FROM hist
 ), grps AS MATERIALIZED (
     SELECT DISTINCT g FROM hist
@@ -2009,7 +2009,7 @@ _BOXCOX_ORACLE = """
 WITH y AS MATERIALIZED (
     SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
     FROM orders
-), lams AS (
+), lams AS MATERIALIZED (
     SELECT * FROM (VALUES (-1000), (-500), (0), (500), (1000)) AS t(lam)
 ), tr AS (
     SELECT lams.lam,
@@ -2300,12 +2300,12 @@ WITH e AS MATERIALIZED (
     SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
            CAST(COUNT(*) AS BIGINT) AS arcs
     FROM e GROUP BY LEAST(src, dst), GREATEST(src, dst)
-), m AS (
+), m AS MATERIALIZED (
     SELECT CAST(SUM(CASE WHEN arcs = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mut,
            CAST(SUM(CASE WHEN arcs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS asym,
            CAST(SUM(arcs) AS BIGINT) AS l_arcs
     FROM pairs
-), nn AS (
+), nn AS MATERIALIZED (
     SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
 )
 SELECT nn.n AS n_nodes, m.l_arcs, m.mut, m.asym,
@@ -3516,7 +3516,7 @@ WITH q AS MATERIALIZED (
     FROM pd
 ), kd AS MATERIALIZED (
     SELECT va, du AS kdist FROM rk WHERE r = 10
-), nb AS (
+), nb AS MATERIALIZED (
     SELECT rk.va, CAST(SUM(kq.kdist) AS BIGINT) AS skd
     FROM rk JOIN kd kq ON kq.va = rk.vb
     WHERE rk.r <= 10 GROUP BY rk.va
@@ -3576,7 +3576,7 @@ def q576(spark, sf_dir):
 # (one window vs a sequential recursion) and the standard hazard-space
 # view of the same data.
 _NA_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
     SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events
 ), ends AS (
     SELECT MAX(day) AS obs_end FROM e
@@ -3663,7 +3663,7 @@ def q577(spark, sf_dir):
 # chi^2 = (sum(d1*1e6 - E_u))^2 / (1e6 * sum V_u) — the q553 scale
 # cancellation.
 _LOGRANK_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
     SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events
 ), ends AS (
     SELECT MAX(day) AS obs_end FROM e
@@ -3808,7 +3808,7 @@ def q578(spark, sf_dir):
 # total_hat = sum y_i * 10/r — exact integer. Report the estimate, the
 # truth, and the signed relative error in rhu micro.
 _HT_ORACLE = """
-WITH o AS (
+WITH o AS MATERIALIZED (
     SELECT o_orderkey,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
            CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS r
@@ -3817,11 +3817,11 @@ WITH o AS (
     SELECT c, r FROM o
     WHERE ('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
           % 10 < r
-), est AS (
+), est AS MATERIALIZED (
     SELECT CAST(SUM(c * 10 // r) AS BIGINT) AS ht_cents,
            CAST(COUNT(*) AS BIGINT) AS n_sampled
     FROM s
-), truth AS (
+), truth AS MATERIALIZED (
     SELECT CAST(SUM(c) AS BIGINT) AS true_cents, CAST(COUNT(*) AS BIGINT) AS n
     FROM o
 )
@@ -3901,11 +3901,11 @@ WITH ranked AS (
     GROUP BY r3.ok, r3.cat
 ), peri AS (
     SELECT ok, CAST(SUM(nij * nij) AS BIGINT) AS s2 FROM cellc GROUP BY ok
-), pbar AS (
+), pbar AS MATERIALIZED (
     SELECT CAST(COUNT(*) AS HUGEINT) AS n_items,
            CAST(SUM(s2) AS HUGEINT) AS ss2
     FROM peri
-), pe AS (
+), pe AS MATERIALIZED (
     SELECT CAST(SUM(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS sum_cj2,
            CAST(SUM(cj) AS HUGEINT) AS tot
     FROM (SELECT cat, CAST(SUM(nij) AS BIGINT) AS cj FROM cellc GROUP BY cat)
@@ -4181,7 +4181,7 @@ def q582(spark, sf_dir):
 # (O - E)^2 * n / (E * (n - E)) cleared to exact integers at the milli
 # scale. The statistic is the exact integer micro sum.
 _HL_ORACLE = """
-WITH base AS (
+WITH base AS MATERIALIZED (
     SELECT o_orderkey, o_orderdate, c_mktsegment AS seg,
            o_orderpriority AS pri,
            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o
@@ -4508,12 +4508,12 @@ WITH seq AS (
     SELECT a, CAST(SUM(c) AS BIGINT) AS r FROM tc GROUP BY a
 ), tot AS MATERIALIZED (
     SELECT CAST(SUM(c) AS BIGINT) AS t FROM tc
-), cond AS (
+), cond AS MATERIALIZED (
     SELECT CAST(SUM(tc.c * CAST(ROUND(LN(CAST(tc.c AS DOUBLE)
                                          / CAST(r.r AS DOUBLE)) * 1000000, 0)
                                 AS BIGINT)) AS HUGEINT) AS num
     FROM tc JOIN rows_ r ON r.a = tc.a
-), marg AS (
+), marg AS MATERIALIZED (
     SELECT CAST(SUM(r.r * CAST(ROUND(LN(CAST(r.r AS DOUBLE)
                                         / CAST(tot.t AS DOUBLE)) * 1000000, 0)
                                AS BIGINT)) AS HUGEINT) AS num
@@ -4609,7 +4609,7 @@ WITH cy AS MATERIALIZED (
 ), tot AS MATERIALIZED (
     SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS HUGEINT) AS yt
     FROM cy
-), gsum AS (
+), gsum AS MATERIALIZED (
     SELECT CAST(SUM(CAST(y AS HUGEINT)
                     * CAST(ROUND(LN(CAST(y AS DOUBLE) * CAST(tot.n AS DOUBLE)
                                     / CAST(tot.yt AS DOUBLE)) * 1000000, 0)
@@ -4618,7 +4618,7 @@ WITH cy AS MATERIALIZED (
 ), grp AS MATERIALIZED (
     SELECT nk, CAST(COUNT(*) AS BIGINT) AS ng, CAST(SUM(y) AS HUGEINT) AS yg
     FROM cy GROUP BY nk
-), btw AS (
+), btw AS MATERIALIZED (
     SELECT CAST(SUM(yg * CAST(ROUND(LN((CAST(yg AS DOUBLE)
                                         / CAST(g.ng AS DOUBLE))
                                        / (CAST(tot.yt AS DOUBLE)
@@ -4733,7 +4733,7 @@ WITH v AS MATERIALIZED (
     SELECT CAST(SUM(y) AS BIGINT) AS pos,
            CAST(SUM(1 - y) AS BIGINT) AS neg
     FROM v
-), conf AS (
+), conf AS MATERIALIZED (
     SELECT cuts.decile, cuts.theta,
            CAST(SUM(CASE WHEN v.c >= cuts.theta THEN v.y ELSE 0 END)
                 AS BIGINT) AS tp,

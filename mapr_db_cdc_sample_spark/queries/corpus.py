@@ -342,7 +342,7 @@ _DECONTAM_ORACLE = """
         SELECT doc_id,
                LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0) AS tk
         FROM corpus
-    ), hv AS (
+    ), hv AS MATERIALIZED (
         SELECT doc_id,
                LIST_DISTINCT(LIST_TRANSFORM(
                    LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
@@ -520,7 +520,7 @@ def q103(spark, sf_dir):
 # --- the whole pipeline in one DAG --------------------------------------
 
 _PIPELINE_ORACLE = """
-    WITH t0 AS (
+    WITH t0 AS MATERIALIZED (
         SELECT doc_id, lang, text,
                LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS tk
         FROM documents
@@ -539,7 +539,7 @@ _PIPELINE_ORACLE = """
                 ORDER BY doc_id) AS rn
             FROM gated) x
         WHERE rn = 1
-    ), gr AS (
+    ), gr AS MATERIALIZED (
         SELECT doc_id, lang, n_tokens,
                LIST_DISTINCT(LIST_TRANSFORM(
                    LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
@@ -686,11 +686,11 @@ def q104(spark, sf_dir):
 # ------------------------- bigram-LM perplexity filter (q110, CCNet-style)
 
 _PPL_ORACLE = """
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
         SELECT doc_id,
                LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS tk
         FROM documents
-    ), db AS (
+    ), db AS MATERIALIZED (
         SELECT doc_id, bg, COUNT(*) AS c_doc
         FROM (
             SELECT doc_id,
@@ -699,12 +699,12 @@ _PPL_ORACLE = """
             FROM toks
         )
         GROUP BY doc_id, bg
-    ), cb AS (
+    ), cb AS MATERIALIZED (
         SELECT bg, CAST(SUM(c_doc) AS BIGINT) AS c FROM db GROUP BY bg
-    ), c1 AS (
+    ), c1 AS MATERIALIZED (
         SELECT SPLIT_PART(bg, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS cc
         FROM cb GROUP BY 1
-    ), v AS (
+    ), v AS MATERIALIZED (
         SELECT COUNT(DISTINCT w) AS vv
         FROM (SELECT UNNEST(tk) AS w FROM toks) t
     ), nll AS (

@@ -545,7 +545,7 @@ def q51(spark, sf_dir):
 
 
 _IVF_ORACLE = """
-WITH centroids AS (
+WITH centroids AS MATERIALIZED (
     SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < 10
 ), assigned AS (
     SELECT e.vec_id, e.embedding,
@@ -1060,7 +1060,7 @@ def q101(spark, sf_dir):
 # ------------------------------------- retrieval composites (q105-q106)
 
 _RETRIEVE_ORACLE = """
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     hits AS (
         SELECT e.vec_id,
                ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
@@ -1115,7 +1115,7 @@ _BM25_ORACLE = """
         SELECT doc_id,
                LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS tk
         FROM documents
-    ), feat AS (
+    ), feat AS MATERIALIZED (
         SELECT doc_id, CAST(LEN(tk) AS DOUBLE) AS dl,
                CAST(LEN(LIST_FILTER(tk, x -> x = 'table')) AS DOUBLE) AS tf0,
                CAST(LEN(LIST_FILTER(tk, x -> x = 'fast')) AS DOUBLE) AS tf1,
@@ -1206,7 +1206,7 @@ def q106(spark, sf_dir):
 # The sem/bm25 top-20 CTEs shared by the q107 oracle: identical ranking
 # expressions to the q105/q106 oracles, wrapped with ROW_NUMBER.
 _RRF_ORACLE = """
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     sem AS (
         SELECT e.vec_id,
                ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
@@ -1221,7 +1221,7 @@ _RRF_ORACLE = """
         SELECT doc_id,
                LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS tk
         FROM documents
-    ), feat AS (
+    ), feat AS MATERIALIZED (
         SELECT doc_id, CAST(LEN(tk) AS DOUBLE) AS dl,
                CAST(LEN(LIST_FILTER(tk, x -> x = 'table')) AS DOUBLE) AS tf0,
                CAST(LEN(LIST_FILTER(tk, x -> x = 'fast')) AS DOUBLE) AS tf1,
@@ -1384,7 +1384,7 @@ _OVERLAP_ORACLE = """
         SELECT source,
                LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0) AS tk
         FROM documents
-    ), sg AS (
+    ), sg AS MATERIALIZED (
         SELECT DISTINCT source, MD5(g) AS h
         FROM (
             SELECT source,
@@ -1392,7 +1392,7 @@ _OVERLAP_ORACLE = """
                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
             FROM toks
         )
-    ), per_src AS (
+    ), per_src AS MATERIALIZED (
         SELECT source, COUNT(*) AS n FROM sg GROUP BY source
     ), shared AS (
         SELECT a.source AS sa, b.source AS sb, COUNT(*) AS ns
@@ -1665,7 +1665,7 @@ def q125(spark, sf_dir):
 # --------------- per-group centroid + embedding outliers (q127)
 
 _OUTLIER_ORACLE = """
-    WITH e AS (
+    WITH e AS MATERIALIZED (
         SELECT d.lang, v.vec_id,
                LIST_TRANSFORM(v.embedding,
                               x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS q
@@ -1754,7 +1754,7 @@ def q127(spark, sf_dir):
 _FPM_MIN_SUPPORT = 1.0 / 512
 
 _ITEMSETS_ORACLE = """
-    WITH baskets AS (
+    WITH baskets AS MATERIALIZED (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ), stats AS (
         SELECT CEIL(CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) / 512) AS min_count

@@ -1203,7 +1203,7 @@ def q84(spark, sf_dir):
 # --------------------- time-series gap fill + forward fill (q111)
 
 _GAPFILL_ORACLE = """
-    WITH hourly AS (
+    WITH hourly AS MATERIALIZED (
         SELECT user_id, date_trunc('hour', ts) AS h,
                COUNT(*) AS n_events,
                SUM(CAST(value AS DECIMAL(18,2))) AS hr_sum
@@ -1634,10 +1634,10 @@ def q121(spark, sf_dir):
 # ------------- ordered conversion funnel (q128)
 
 _FUNNEL_ORACLE = """
-    WITH s1 AS (
+    WITH s1 AS MATERIALIZED (
         SELECT user_id, MIN(ts) AS t1 FROM events
         WHERE event_type = 'signup' GROUP BY user_id
-    ), s2 AS (
+    ), s2 AS MATERIALIZED (
         SELECT e.user_id, MIN(e.ts) AS t2
         FROM events e JOIN s1 ON s1.user_id = e.user_id
         WHERE e.event_type = 'click' AND e.ts > s1.t1
@@ -1712,7 +1712,7 @@ _INTERVAL_ORACLE = """
     WITH b AS (
         SELECT CAST(FLOOR(FLOOR(epoch(MIN(ts))) / 3600) * 3600 AS BIGINT) AS t0
         FROM events
-    ), w AS (
+    ), w AS MATERIALIZED (
         SELECT CAST(i AS INT) AS w_id,
                t0 + i * 21600 AS ws,
                t0 + i * 21600 + 7200 AS we
@@ -1861,7 +1861,7 @@ def q134(spark, sf_dir):
 # ------------- AQE skew-join splitting, observable (q136)
 
 _AQE_SKEW_ORACLE = """
-    WITH ev AS (
+    WITH ev AS MATERIALIZED (
         SELECT CASE WHEN event_id % 10 < 8 THEN 1
                     ELSE user_id % 100 + 1 END AS join_key,
                value
@@ -1906,16 +1906,16 @@ _SESSION_FUNNEL_ORACLE = """
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sess AS (
+    ), sess AS MATERIALIZED (
         SELECT user_id, ts, event_type,
                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_no
         FROM seq
-    ), s1 AS (
+    ), s1 AS MATERIALIZED (
         SELECT user_id, session_no,
                MIN(ts) FILTER (event_type = 'view') AS t_view
         FROM sess GROUP BY user_id, session_no
-    ), s2 AS (
+    ), s2 AS MATERIALIZED (
         SELECT s1.user_id, s1.session_no, s1.t_view,
                MIN(e.ts) FILTER (e.event_type = 'click' AND e.ts >= s1.t_view) AS t_click
         FROM s1 LEFT JOIN sess e

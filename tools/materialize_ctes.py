@@ -23,9 +23,14 @@ def find_ctes(sql: str):
         yield m.group(1), bool(m.group(2)), m.span()
 
 
+def _strip_comments(sql: str) -> str:
+    return re.sub(r"--[^\n]*", "", sql)
+
+
 def ref_count(sql: str, name: str) -> int:
-    # occurrences of the bare identifier, minus 1 for the definition
-    return len(re.findall(rf"\b{re.escape(name)}\b", sql)) - 1
+    # occurrences of the bare identifier (comments stripped so prose
+    # mentioning a CTE name doesn't count), minus 1 for the definition
+    return len(re.findall(rf"\b{re.escape(name)}\b", _strip_comments(sql))) - 1
 
 
 def process(path: str, apply: bool) -> int:
@@ -35,17 +40,22 @@ def process(path: str, apply: bool) -> int:
     for m in re.finditer(r'(_[A-Z0-9_]+_ORACLE(?:\w*)?)\s*=\s*"""(.*?)"""', text, re.S):
         const, sql = m.group(1), m.group(2)
         new_sql = sql
-        for name, mat, _ in find_ctes(sql):
+        # rewrite from the END so earlier spans stay valid, anchored to
+        # the matched definition span from find_ctes (not a fresh regex
+        # search that could hit a same-named alias elsewhere)
+        for name, mat, span in sorted(
+            find_ctes(sql), key=lambda t: t[2][0], reverse=True
+        ):
             refs = ref_count(sql, name)
             if refs >= 2 and not mat:
-                # rewrite only the definition site (the one followed by AS ()
-                new_sql, n = re.subn(
-                    rf"\b{re.escape(name)}\s+AS\s+\(",
+                seg = new_sql[span[0] : span[1]]
+                new_seg = re.sub(
+                    rf"\b{re.escape(name)}\s+AS\s+\($",
                     f"{name} AS MATERIALIZED (",
-                    new_sql,
-                    count=1,
+                    seg,
                 )
-                if n:
+                if new_seg != seg:
+                    new_sql = new_sql[: span[0]] + new_seg + new_sql[span[1] :]
                     changed += 1
                     print(f"{const}: {name} (refs={refs}) -> MATERIALIZED")
         if new_sql != sql:

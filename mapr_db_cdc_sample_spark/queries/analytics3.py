@@ -3817,14 +3817,69 @@ def _q324_scored_topk(p, k=50):
     return pass_brand.unionByName(pass_name).unionByName(pass_price)
 
 
+def _q324_bn_topk(p, k=50):
+    """Top-k among pairs agreeing on BOTH brand and name(lev<=2) within
+    the (typ, szb) block — the four highest score tiers (5480639,
+    4207673, 3871201, 2598235) are exactly the brand∧name tiers, and
+    their values are DISJOINT from every other tier's (max elsewhere:
+    SNP = 3401198). Join path unique (a → vocab-sized lev relation → b
+    with a.pk < b.pk), so the stream is duplicate-free and TakeOrdered
+    prunes it to k rows with no shuffle."""
+    keep = ["pk", "typ", "szb", "name", "brand", "sz", "cents"]
+    a = p.select(*keep).alias("a")
+    b = p.select(*keep).alias("b")
+    names = p.select("name").distinct()
+    name_pairs = (
+        names.select(F.col("name").alias("nm1"))
+        .crossJoin(F.broadcast(names.select(F.col("name").alias("nm2"))))
+        .where(F.levenshtein(F.col("nm1"), F.col("nm2")) <= 2)
+    )
+    return (
+        a.join(F.broadcast(name_pairs), F.col("a.name") == F.col("nm1"))
+        .join(
+            b,
+            (F.col("b.name") == F.col("nm2"))
+            & (F.col("a.typ") == F.col("b.typ"))
+            & (F.col("a.szb") == F.col("b.szb"))
+            & (F.col("a.brand") == F.col("b.brand"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(
+            F.col("a.pk").alias("a"),
+            F.col("b.pk").alias("b"),
+            _q324_score("a", "b").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "a", "b")
+        .limit(k)
+    )
+
+
+#: Highest score a pair NOT agreeing on both brand and name can reach
+#: (the SNP tier: brand disagree, sz+name+price agree... i.e. the max
+#: over all non-brand∧name agree/disagree combinations).
+_Q324_NON_BN_MAX = 3401198
+
+
 @register("q324_fs_linkage", oracle=_FS_ORACLE)
 def q324(spark, sf_dir):
     """Fellegi-Sunter linkage with integer-literal log-odds (oracle
-    comment); candidates from the duplicate-free scored passes in
-    _q324_scored_topk — never the full (typ, szb) block product, and
-    never an n²-row shuffle: each pass reduces to its local top-50 via
-    TakeOrdered before the 150-row union/dedup/final sort."""
+    comment). Adaptive two-phase exact top-50: phase 1 enumerates only
+    the brand∧name-agreeing pairs (the four top score tiers, a highly
+    selective equi-join); if the 50th such score exceeds the best
+    possible non-brand∧name score (tier values are disjoint integers,
+    so > is exact), the global top-50 is provably inside phase 1 and
+    the quadratic sz/price candidate streams are never generated — on
+    a near-dup-heavy corpus (the 10x upsample: 252M pairs survive the
+    exact size+price filters) this is the only output-proportional
+    path. Otherwise fall back to the three duplicate-free scored
+    passes (_q324_scored_topk), each pruned to its local top-50 by
+    TakeOrdered. Both phases are exact, so the unchanged full-block
+    oracle hash-gates whichever branch ran."""
     p = _q324_parts(spark, sf_dir)
+    bn = _q324_bn_topk(p, 50)
+    head = bn.collect()  # <= 50 rows, driver-bounded
+    if len(head) == 50 and head[-1]["score_micro"] > _Q324_NON_BN_MAX:
+        return spark.createDataFrame(head, bn.schema)
     return (
         _q324_scored_topk(p, 50)
         .dropDuplicates(["a", "b"])

@@ -1186,10 +1186,17 @@ def q436(spark, sf_dir):
     original countDistinct form re-shuffled positions twice: 17.9s ->
     14s at sf0.1; the residual cost is the inherent position-stream
     volume of ExactSubstr — len x docs shingle rows through one wide
-    shuffle)."""
+    shuffle). Documents are REPARTITIONED to cluster parallelism
+    before the explode: the corpus parquet is a few MB compressed, so
+    the scan yields 1-2 input splits, and without the spread the
+    ~200x-multiplying shingle explode runs on 2 cores (410s at the
+    sf1 rehearsal vs 2.3s/core-minute of actual work; shuffling the
+    raw docs first costs MBs)."""
     d = load_tables(spark, sf_dir)["documents"]
+    width = int(spark.sparkContext.defaultParallelism)
     sh = (
         d.where(F.length("text") >= 20)
+        .repartition(width)
         .select(
             "doc_id",
             F.explode(

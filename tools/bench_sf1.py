@@ -84,6 +84,12 @@ def run_set(registry, sf_dir: str, names: list[str], tag: str) -> dict[str, floa
     a killed run loses at most the in-flight query (the first sf1 attempt
     died inside a grep|tail pipe and lost 90 minutes of timings)."""
     runs = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "1"))
+    # Session recycling (the bench.py r6 lesson, relearned here in r10:
+    # one long sf1 session accumulated codegen/metaspace/shuffle state
+    # from the 400-900s heavy entries and inflated every later entry —
+    # q486 measured 125.7s in-session vs 8.2s fresh): restart every
+    # RECYCLE queries so a number reflects the plan, not its position.
+    recycle = int(os.environ.get("SPARK_GRAFT_SF1_RECYCLE", "6"))
     done = _load_done()
     todo = [n for n in names if (tag, n) not in done]
     out = {n: done[(tag, n)] for n in names if (tag, n) in done}
@@ -96,7 +102,12 @@ def run_set(registry, sf_dir: str, names: list[str], tag: str) -> dict[str, floa
         df.write.format("noop").mode("overwrite").save()
 
     go(registry["q01_scan_count"].fn(spark, sf_dir))  # warm
-    for name in todo:
+    for i, name in enumerate(todo):
+        if i and i % recycle == 0:
+            spark.stop()
+            spark = get_spark("bench-sf1")
+            spark.sparkContext.setLogLevel("ERROR")
+            go(registry["q01_scan_count"].fn(spark, sf_dir))
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()

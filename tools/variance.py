@@ -51,6 +51,9 @@ HEAVY_TAIL = [
     "q320_label_propagation", "q83_kmeans",
     "q328_dynamic_partition_overwrite", "q215_srp_lsh_cosine",
     "q298_link_prediction", "q330_hitrate_popularity",
+    # round-10: the two r9 open regressions, adjudicated by these
+    # fresh-session medians (VERDICT r9 tasks 3-4)
+    "q276_pca_explained", "q461_rwr_proximity",
 ]
 
 

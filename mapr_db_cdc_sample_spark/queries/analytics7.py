@@ -627,17 +627,36 @@ def q486(spark, sf_dir):
     """Radius-6 harmonic closeness by multi-source frontier BFS (oracle
     comment)."""
     t = load_tables(spark, sf_dir)
+    # Edge derivation is the whole cost at scale. Two r10-measured traps
+    # (28x decade ratio, 8x fresh-run spread) are closed here:
+    #  1. orders x lineitem is fact-x-fact: the 2-column orders projection
+    #     slips under the 64 MB broadcast threshold at sf1 and AQE builds a
+    #     ~1.5M-row driver hash relation (the measured variance source) —
+    #     and at 100 TB a broadcast orders is impossible. shuffle_hash pins
+    #     the scale-correct strategy: both sides shuffle on orderkey
+    #     (linear, AQE-coalesced), hash build on the narrower orders side.
+    #  2. e is referenced twice by the undirected union; without a
+    #     checkpoint Spark re-executes the whole 4-table join per branch.
+    ord_nat = t["orders"].join(
+        F.broadcast(t["customer"]),
+        t["customer"]["c_custkey"] == t["orders"]["o_custkey"],
+    ).select("o_orderkey", "c_nationkey")
+    lin_nat = t["lineitem"].join(
+        F.broadcast(t["supplier"]),
+        t["supplier"]["s_suppkey"] == t["lineitem"]["l_suppkey"],
+    ).select("l_orderkey", "s_nationkey")
     e = (
-        t["orders"]
-        .join(t["lineitem"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
-        .join(F.broadcast(t["customer"]), t["customer"]["c_custkey"] == t["orders"]["o_custkey"])
-        .join(F.broadcast(t["supplier"]), t["supplier"]["s_suppkey"] == t["lineitem"]["l_suppkey"])
+        lin_nat.join(
+            ord_nat.hint("shuffle_hash"),
+            ord_nat["o_orderkey"] == lin_nat["l_orderkey"],
+        )
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .select(
             F.col("c_nationkey").cast("int").alias("src"),
             F.col("s_nationkey").cast("int").alias("dst"),
         )
         .distinct()
+        .localCheckpoint()  # <= 625 rows; join subtree runs exactly once
     )
     und = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

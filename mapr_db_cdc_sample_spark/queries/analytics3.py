@@ -1814,25 +1814,38 @@ def q298(spark, sf_dir):
 # property-twinned against a brute-force Python peel on synthetic
 # graphs with a known core (tests/test_properties.py — the organic
 # co-purchase graph is dense enough that nothing peels, so the twin
-# uses crafted path+clique graphs). Driver loop: one scalar count per
-# round (bounded by peel depth), edges localCheckpoint'ed per round so
-# lineage stays flat; each round's shuffle is survivor-sized.
+# uses crafted path+clique graphs). Peel rounds are DELTA-based
+# (operators/kcore.py: broadcast anti-join on the removed set +
+# incremental degree maintenance — shuffle-free per round, with a
+# shuffle fallback above a driver cap).
+#
+# Edge derivation (the r10-measured cost at 10x data — the peel loop
+# contributed ZERO rounds at sf1): co-purchase pairs come from ONE
+# map-side-combined collect_set per order plus a JVM-side (codegen)
+# pair expansion, then one distinct — 2 shuffles total vs the 3 of the
+# former distinct->self-join->distinct (the join shuffle is gone).
+# Per-order part lists are tiny (<=7 lineitems); a pathological hot
+# order would cost O(m^2) pairs in EITHER formulation.
 @register("q299_k_core", tags=("iterative",))
 def q299(spark, sf_dir):
     """Nodes of the 3-core with their final in-core degree, by
     iterative peeling (see comment above for why rows-only)."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    pr = li.select("l_orderkey", "l_partkey").distinct()
-    e = (
-        pr.alias("x")
-        .join(
-            pr.alias("y"),
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps,"
+                    " x -> transform(filter(ps, y -> y > x),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
-        .distinct()
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     )
+    e = pairs.distinct()
     return k_core(e, k=3).orderBy("node")
 
 

@@ -12,6 +12,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+def _round4_half_away(x: np.ndarray) -> np.ndarray:
+    """round(x, 4) with exact-midpoint ties AWAY from zero — the tie
+    class both SQL engines use (Spark F.round is HALF_UP, DuckDB rounds
+    half away from zero), unlike np.round's half-to-even. Same FP
+    boundary the sqeuclid_milli kernel already handles; cosine doubles
+    rarely land on scaled midpoints, but when one does the engines and
+    this kernel now agree. NaN propagates (trunc(NaN) = NaN)."""
+    return np.trunc(x * 1e4 + np.copysign(0.5, x)) / 1e4
+
+
 def cosine_to_query_udf(query_vec: list[float]):
     """Build a pandas_udf computing cosine(embedding, query) in float64.
     The query vector is closed over → serialized once per task, not per
@@ -24,7 +34,7 @@ def cosine_to_query_udf(query_vec: list[float]):
         m = np.vstack(batch.map(lambda a: np.asarray(a, dtype=np.float64)))
         dots = m @ q
         norms = np.sqrt((m * m).sum(axis=1))
-        return pd.Series(np.round(dots / (norms * qn), 4))
+        return pd.Series(_round4_half_away(dots / (norms * qn)))
 
     return cos
 
@@ -56,7 +66,7 @@ def pairwise_cosine_udf():
         dots = (ma * mb).sum(axis=1)
         na = np.sqrt((ma * ma).sum(axis=1))
         nb = np.sqrt((mb * mb).sum(axis=1))
-        return pd.Series(np.round(dots / (na * nb), 4))
+        return pd.Series(_round4_half_away(dots / (na * nb)))
 
     return cos
 
@@ -72,23 +82,39 @@ def _block_grid(embeddings: DataFrame, block_size: int, per_label: bool):
     """Shared (anchor-block × candidate-block) grid for the blocked
     similarity kernels: every vector is hashed into one of nb blocks and
     replicated across the other side's blocks, so each group holds one
-    bounded cell. With ``per_label`` the label joins the group key (cells
-    never cross labels) and nb is sized from the LARGEST label
-    population; otherwise from n. Returns (unioned frame, keys, nb)."""
+    bounded cell. With ``per_label`` the label joins the group key
+    (cells never cross labels) and each label gets its OWN block count
+    ceil(n_label/block_size) — a vector is replicated only across its
+    own label's blocks, so skewed label distributions pay
+    Σ n_label·nb_label duplicated rows, not n·nb_max (the r10 form
+    sized every label from the LARGEST one). Otherwise nb comes from n.
+    Returns (unioned frame, keys, max nb across groups)."""
+    base = embeddings.select("vec_id", "label", "embedding")
     if per_label:
-        mx = (
-            embeddings.groupBy("label").count().agg(F.max("count")).head()[0]
-            or 0
-        )
-        nb = max(1, -(-int(mx) // block_size))
         keys = ["label", "a_blk", "c_blk"]
+        nbl = (
+            embeddings.groupBy("label")
+            .count()
+            .select(
+                "label",
+                F.greatest(
+                    F.lit(1), F.ceil(F.col("count") / F.lit(block_size))
+                )
+                .cast("int")
+                .alias("nb"),
+            )
+        )
+        mx = nbl.agg(F.max("nb")).head()[0] or 1
+        base = base.join(F.broadcast(nbl), "label")
+        nb_col = F.col("nb")
+        nb = int(mx)
     else:
+        keys = ["a_blk", "c_blk"]
         n = embeddings.count()
         nb = max(1, -(-n // block_size))  # ceil; same for both sides
-        keys = ["a_blk", "c_blk"]
-    base = embeddings.select("vec_id", "label", "embedding")
-    grid = F.explode(F.sequence(F.lit(0), F.lit(nb - 1)))
-    blk = F.pmod(F.hash("vec_id"), F.lit(nb))  # deterministic murmur3
+        nb_col = F.lit(nb)
+    grid = F.explode(F.sequence(F.lit(0), nb_col - 1))
+    blk = F.pmod(F.hash("vec_id"), nb_col)  # deterministic murmur3
     anchors = base.select(
         blk.alias("a_blk"),
         grid.alias("c_blk"),
@@ -157,13 +183,41 @@ def knn_block_topk(
         "anchor bigint, la bigint, neighbor bigint, lb bigint, sim double"
     )
 
+    # packed (score, position) int64 ranking key: candidates are sorted
+    # by id once per cell, so the low POS_BITS encode the id ASC
+    # tiebreak exactly; argpartition/argsort then run all-C along axis=1
+    # — the r10 per-anchor Python lexsort loop was ~90% of cell CPU at
+    # sf1 (measured 35s vs 2s of matmul). POS_BITS=17 bounds blocks to
+    # 131072 vectors (block_size is 4096); the score field then needs
+    # |score| < 2^46 ≈ 7e13 — cosine s_int <= 10001, sqeuclid milli
+    # distances <= ~2e13 per the metric contract.
+    #
+    # Anchors are processed in STRIP-row slabs so every temporary stays
+    # ~STRIP×block_size; freed slabs are recycled by the allocator
+    # instead of faulting fresh pages. That matters twice: per-task
+    # memory is bounded at ~16 MB regardless of block_size, and on
+    # cold-memory hosts (this sandbox demand-pages at ~300us/page —
+    # measured: a FIRST-touch 128 MB numpy alloc costs ~10 s while a
+    # warm one costs 13 ms) a full-cell key matrix made each worker pay
+    # tens of seconds of page faults before computing anything.
+    POS_BITS = 17
+    BAD = np.iinfo(np.int64).max
+    STRIP = 512
+
     def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "anchor": pd.Series(dtype=np.int64),
+                "la": pd.Series(dtype=np.int64),
+                "neighbor": pd.Series(dtype=np.int64),
+                "lb": pd.Series(dtype=np.int64),
+                "sim": pd.Series(dtype=np.float64),
+            }
+        )
         a_pd = pdf[pdf["is_anchor"] == 1]
         c_pd = pdf[pdf["is_anchor"] == 0]
         if a_pd.empty or c_pd.empty:
-            return pd.DataFrame(
-                {c: [] for c in ("anchor", "la", "neighbor", "lb", "sim")}
-            )
+            return empty
         a_ids = a_pd["vec_id"].to_numpy(dtype=np.int64)
         a_lab = a_pd["label"].to_numpy(dtype=np.int64)
         a_mat = np.vstack(
@@ -174,44 +228,77 @@ def knn_block_topk(
         c_mat = np.vstack(
             c_pd["embedding"].map(lambda x: np.asarray(x, dtype=np.float64))
         )
+        order = np.argsort(c_ids, kind="stable")
+        c_ids, c_lab, c_mat = c_ids[order], c_lab[order], c_mat[order]
+        m = len(c_ids)
+        pos = np.arange(m, dtype=np.int64)
+        kk = min(k, m)
         if metric == "sqeuclid_milli":
             # round HALF AWAY FROM ZERO, not np.round's half-to-even:
             # both SQL ROUNDs (Spark HALF_UP, DuckDB) go away from zero
             # on exact .5 ties, and float32 values like odd multiples of
             # 1/16 land exactly on x*1000 = .5 boundaries
-            qa = np.trunc(a_mat * 1000 + np.copysign(0.5, a_mat)).astype(np.int64)
+            qa_all = np.trunc(a_mat * 1000 + np.copysign(0.5, a_mat)).astype(np.int64)
             qc = np.trunc(c_mat * 1000 + np.copysign(0.5, c_mat)).astype(np.int64)
-            sims = (
-                (qa * qa).sum(axis=1)[:, None]
-                + (qc * qc).sum(axis=1)[None, :]
-                - 2 * (qa @ qc.T)
-            ).astype(np.float64)
+            qc_sq = (qc * qc).sum(axis=1)
         else:
-            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            a_nrm_all = np.sqrt((a_mat * a_mat).sum(axis=1))
             c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
-            sims = np.round(
-                (a_mat @ c_mat.T) / (a_nrm[:, None] * c_nrm[None, :]), 4
-            )
-        out = {"anchor": [], "la": [], "neighbor": [], "lb": [], "sim": []}
-        for i in range(len(a_ids)):
-            mask = c_ids != a_ids[i]
-            if cross_label_only:
-                mask &= c_lab != a_lab[i]
-            elif same_label_only:
-                mask &= c_lab == a_lab[i]
-            cand_ids = c_ids[mask]
-            cand_lab = c_lab[mask]
-            cand_sim = sims[i][mask]
+        frames = []
+        for s in range(0, len(a_ids), STRIP):
+            sl = slice(s, s + STRIP)
+            ids_s, lab_s = a_ids[sl], a_lab[sl]
             if metric == "sqeuclid_milli":
-                order = np.lexsort((cand_ids, cand_sim))[:k]
+                qa = qa_all[sl]
+                score = (
+                    (qa * qa).sum(axis=1)[:, None]
+                    + qc_sq[None, :]
+                    - 2 * (qa @ qc.T)
+                )  # exact int64 squared distances; minimize
+                key = (score << POS_BITS) + pos[None, :]
             else:
-                order = np.lexsort((cand_ids, -cand_sim))[:k]
-            out["anchor"].extend([a_ids[i]] * len(order))
-            out["la"].extend([a_lab[i]] * len(order))
-            out["neighbor"].extend(cand_ids[order])
-            out["lb"].extend(cand_lab[order])
-            out["sim"].extend(cand_sim[order])
-        return pd.DataFrame(out)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    raw = (a_mat[sl] @ c_mat.T) / (
+                        a_nrm_all[sl][:, None] * c_nrm[None, :]
+                    )
+                    s_f = np.trunc(raw * 1e4 + np.copysign(0.5, raw))
+                # zero-norm vectors yield NaN cosines; both SQL engines
+                # rank NaN GREATEST, above every real sim (ADVICE r10)
+                score = np.where(np.isfinite(s_f), s_f, 10001.0).astype(np.int64)
+                key = ((-score) << POS_BITS) + pos[None, :]  # sim DESC, id ASC
+            bad = c_ids[None, :] == ids_s[:, None]
+            if cross_label_only:
+                bad |= c_lab[None, :] == lab_s[:, None]
+            elif same_label_only:
+                bad |= c_lab[None, :] != lab_s[:, None]
+            key[bad] = BAD
+            if kk < m:
+                part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.broadcast_to(pos[None, :], key.shape)
+            sub = np.take_along_axis(key, part, axis=1)
+            ord2 = np.argsort(sub, axis=1, kind="stable")[:, :kk]
+            idx = np.take_along_axis(part, ord2, axis=1)
+            chosen = np.take_along_axis(key, idx, axis=1)
+            rows, cols = np.nonzero(chosen != BAD)
+            sel = idx[rows, cols]
+            if metric == "sqeuclid_milli":
+                sim_out = score[rows, sel].astype(np.float64)
+            else:
+                s_sel = score[rows, sel].astype(np.float64)
+                sim_out = np.where(s_sel > 10000.5, np.nan, s_sel / 1e4)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "anchor": ids_s[rows],
+                        "la": lab_s[rows],
+                        "neighbor": c_ids[sel],
+                        "lb": c_lab[sel],
+                        "sim": sim_out,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     per_cell = gridded.groupBy(*keys).applyInPandas(cell, out_schema)
     if nb == 1:
@@ -268,16 +355,29 @@ def sim_block_pairs(
         )
         a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
         c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
-        sims = np.round(
-            (a_mat @ c_mat.T) / (a_nrm[:, None] * c_nrm[None, :]), 4
-        )
-        ii, jj = np.nonzero(sims > threshold)
-        keep = a_ids[ii] < c_ids[jj]
-        if same_label_only:
-            keep &= a_lab[ii] == c_lab[jj]
-        ii, jj = ii[keep], jj[keep]
-        return pd.DataFrame(
-            {"vec_a": a_ids[ii], "vec_b": c_ids[jj], "sim": sims[ii, jj]}
-        )
+        # strip-wise slabs, same rationale as knn_block_topk's cell:
+        # bounded temporaries that the allocator recycles
+        frames = []
+        for s in range(0, len(a_ids), 512):
+            sl = slice(s, s + 512)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = _round4_half_away(
+                    (a_mat[sl] @ c_mat.T)
+                    / (a_nrm[sl][:, None] * c_nrm[None, :])
+                )
+            # zero-norm vectors yield NaN cosines; both SQL engines
+            # treat NaN as GREATER than the threshold: keep those pairs
+            ii, jj = np.nonzero((sims > threshold) | np.isnan(sims))
+            ids_s, lab_s = a_ids[sl], a_lab[sl]
+            keep = ids_s[ii] < c_ids[jj]
+            if same_label_only:
+                keep &= lab_s[ii] == c_lab[jj]
+            ii, jj = ii[keep], jj[keep]
+            frames.append(
+                pd.DataFrame(
+                    {"vec_a": ids_s[ii], "vec_b": c_ids[jj], "sim": sims[ii, jj]}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
     return gridded.groupBy(*keys).applyInPandas(cell, out_schema)

@@ -19,6 +19,17 @@ from pyspark.sql import SparkSession
 
 #: Runtime-settable confs applied to any session we are handed (the driver
 #: may construct its own SparkSession; these are all safe to set at runtime).
+# One BLAS thread per Python worker: the executor already runs one task
+# per core, so every pandas_udf/applyInPandas task that hits a NumPy
+# matmul would otherwise spawn its own BLAS pool on top of full task
+# parallelism — measured on local[32]: 25 concurrent 4096-block dgemms
+# were 30-60x slower per task from spin-wait oversubscription (q512/q492,
+# BENCH_SF1 r10's ANN tail). Set in the driver env BEFORE the JVM spawns
+# (local-mode workers fork from it) and mirrored to executorEnv for
+# cluster deployments. Overridable for driver-only NumPy-heavy jobs.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
@@ -41,6 +52,11 @@ RUNTIME_CONFS = {
     # Spark 4 rejects; read as long and convert in io.table (ns → µs
     # truncation matches DuckDB's read of the same file).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # see the BLAS-thread note above RUNTIME_CONFS
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": os.environ.get(
+        "OPENBLAS_NUM_THREADS", "1"
+    ),
+    "spark.executorEnv.OMP_NUM_THREADS": os.environ.get("OMP_NUM_THREADS", "1"),
 }
 
 

@@ -238,8 +238,13 @@ def knn_block_topk(
             # both SQL ROUNDs (Spark HALF_UP, DuckDB) go away from zero
             # on exact .5 ties, and float32 values like odd multiples of
             # 1/16 land exactly on x*1000 = .5 boundaries
-            qa_all = np.trunc(a_mat * 1000 + np.copysign(0.5, a_mat)).astype(np.int64)
-            qc = np.trunc(c_mat * 1000 + np.copysign(0.5, c_mat)).astype(np.int64)
+            # keep the quantized vectors in FLOAT64: every product and
+            # 64-term dot stays an exact integer below 2^53 (milli
+            # values ^2 * dim <= ~2e13 per the metric contract), and the
+            # cross-term then runs through BLAS dgemm — an int64 matmul
+            # falls back to NumPy's naive loop, ~20x slower per cell
+            qa_all = np.trunc(a_mat * 1000 + np.copysign(0.5, a_mat))
+            qc = np.trunc(c_mat * 1000 + np.copysign(0.5, c_mat))
             qc_sq = (qc * qc).sum(axis=1)
         else:
             a_nrm_all = np.sqrt((a_mat * a_mat).sum(axis=1))
@@ -254,7 +259,7 @@ def knn_block_topk(
                     (qa * qa).sum(axis=1)[:, None]
                     + qc_sq[None, :]
                     - 2 * (qa @ qc.T)
-                )  # exact int64 squared distances; minimize
+                ).astype(np.int64)  # exact integer-valued doubles -> int64
                 key = (score << POS_BITS) + pos[None, :]
             else:
                 with np.errstate(invalid="ignore", divide="ignore"):

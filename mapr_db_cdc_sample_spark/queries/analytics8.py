@@ -3540,10 +3540,16 @@ def q576(spark, sf_dir):
     from ..operators.similarity import knn_block_topk
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    rk = knn_block_topk(emb, k=10, metric="sqeuclid_milli").select(
-        F.col("anchor").alias("va"),
-        F.col("neighbor").alias("vb"),
-        F.col("sim").cast("bigint").alias("du"),
+    rk = (
+        knn_block_topk(emb, k=10, metric="sqeuclid_milli")
+        .select(
+            F.col("anchor").alias("va"),
+            F.col("neighbor").alias("vb"),
+            F.col("sim").cast("bigint").alias("du"),
+        )
+        # n*k rows; referenced by kd AND nb (which re-joins kd) — without
+        # this the block-matmul kernel subtree executes THREE times
+        .localCheckpoint()
     )
     kd = rk.groupBy("va").agg(F.max("du").alias("kdist"))
     kq = kd.select(F.col("va").alias("vb"), F.col("kdist").alias("kdq"))

@@ -142,7 +142,13 @@ def plan_fingerprint(df: DataFrame) -> str:
     the properties a regression would flip."""
     import hashlib
 
-    plan = formatted_plan(df)
+    return hashlib.md5(normalize_plan(formatted_plan(df)).encode()).hexdigest()[:16]
+
+
+def normalize_plan(plan: str) -> str:
+    """The run-/path-/tuning-independent form a fingerprint hashes —
+    exposed for unit tests (the partition-count regex has to survive
+    nested parenthesized calls, ADVICE r10)."""
     s = plan
     s = re.sub(r"#\d+[L]?", "#", s)
     # lambda-variable names carry a session-global counter (lambda x_1
@@ -158,9 +164,18 @@ def plan_fingerprint(df: DataFrame) -> str:
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
     # shuffle partition COUNTS are box/input tuning (AQE initial
     # partition num scales with deployment), not plan shape — a lost
-    # broadcast or a new exchange still changes the fingerprint
-    s = re.sub(r"partitioning\(([^)]*), \d+\)", r"partitioning(\1, )", s)
+    # broadcast or a new exchange still changes the fingerprint. The
+    # expression list may itself contain parenthesized calls with
+    # trailing integer args (hashpartitioning(coalesce(x#1, 0), 200)),
+    # so the group must match balanced one-level nesting — a bare
+    # [^)]* stops at the INNER ')' and leaves the real count in the
+    # fingerprint (ADVICE r10).
+    s = re.sub(
+        r"partitioning\(((?:[^()]|\([^()]*\))*), \d+\)",
+        r"partitioning(\1, )",
+        s,
+    )
     s = re.sub(r"REPARTITION_BY_NUM\(\d+\)", "REPARTITION_BY_NUM()", s)
     s = re.sub(r"cachedrdd-\d+", "cachedrdd-", s)
     s = re.sub(r"[ \t]+", " ", s)
-    return hashlib.md5(s.encode()).hexdigest()[:16]
+    return s

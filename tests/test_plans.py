@@ -859,3 +859,22 @@ def test_theil_sen_pair_stage_stays_bigint(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q292_theil_sen")
     assert "percentile(" not in plan, "exact percentile agg reappeared"
     assert "decimal(38,0)" not in plan, "decimal pair arithmetic reappeared"
+
+
+def test_normalize_plan_partition_count_with_nested_parens():
+    """ADVICE r10: the partition-count normalization must blank the
+    TRAILING count even when the partitioning expression contains a
+    parenthesized call with an integer arg — a bare [^)]* stopped at
+    the inner ')' and left the real count in the fingerprint."""
+    from mapr_db_cdc_sample_spark.plans.audit import normalize_plan
+
+    simple = normalize_plan("hashpartitioning(x#1, 200)")
+    assert simple == "hashpartitioning(x#, )", simple
+    nested = normalize_plan("hashpartitioning(coalesce(x#1, 0), 200)")
+    assert nested == "hashpartitioning(coalesce(x#, 0), )", nested
+    nested2 = normalize_plan("rangepartitioning(substring(x#3, 1, 64) ASC, 77)")
+    assert nested2 == "rangepartitioning(substring(x#, 1, 64) ASC, )", nested2
+    # two plans differing ONLY in the inner literal must NOT collide
+    a = normalize_plan("hashpartitioning(coalesce(x#1, 0), 200)")
+    b = normalize_plan("hashpartitioning(coalesce(x#1, 7), 200)")
+    assert a != b

@@ -53,6 +53,11 @@ PINNED = [
     # pinnable plan) — pinned while adjudicating the r9 q276 timing
     # anomaly, and the thresholded block-pair kernel now under q51/q280
     "q275_gram_matrix", "q51_embedding_neardup",
+    # round-11 (VERDICT r10 task 7): q276 ITSELF — its result is a
+    # LocalTableScan built from driver-bounded collects, but pinning it
+    # catches a drift in that contract too — plus q486, the round's
+    # adjudicated spread query (edge join now pinned to shuffle-hash)
+    "q276_pca_explained", "q486_harmonic_closeness",
 ]
 
 

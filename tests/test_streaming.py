@@ -499,18 +499,27 @@ def test_cdc_latency_budget(spark, tmp_path):
     # shared box an absolute-milliseconds assertion inside the regular
     # suite is a flake risk unrelated to code correctness. The regular
     # suite still applies a generous 4x bound so a true regression
-    # (sequential sinks, lost trigger) fails fast — relaxed to a
-    # sanity-only 20x when the box was already busy at test start.
+    # (sequential sinks, lost trigger) fails fast. On a busy box the
+    # wall-clock assertion is SKIPPED with the measurement recorded in
+    # the skip reason — a weakened bound (the r10 form asserted 20x)
+    # would go silently green on exactly the CI shards where a real
+    # 5-15x regression hides (ADVICE r10).
+    if os.environ.get("SPARK_GRAFT_WRITE_LATENCY"):
+        with open(os.path.join(REPO, "LATENCY.json"), "w") as fh:
+            _json.dump(out, fh, indent=1)
     if os.environ.get("SPARK_GRAFT_PERF_GATE"):
         assert steady["median_ms"] <= BUDGET_MS, steady
         assert steady["p90_ms"] <= BUDGET_MS * 1.5, steady
     elif busy_box:
-        assert steady["median_ms"] <= BUDGET_MS * 20, steady
+        import pytest as _pytest
+
+        _pytest.skip(
+            "busy box (loadavg/core > 0.5) — latency bound not asserted; "
+            f"measured steady median {steady['median_ms']} ms "
+            f"(budget {BUDGET_MS} ms)"
+        )
     else:
         assert steady["median_ms"] <= BUDGET_MS * 4, steady
-    if os.environ.get("SPARK_GRAFT_WRITE_LATENCY"):
-        with open(os.path.join(REPO, "LATENCY.json"), "w") as fh:
-            _json.dump(out, fh, indent=1)
 
 
 def test_transform_with_state_running_totals(spark, tmp_path):

@@ -3505,14 +3505,26 @@ def q461(spark, sf_dir):
         .where(F.col("dw") == F.col("mx"))
         .agg(F.min("u").alias("s"))
     )
-    ew = e.join(deg, "u").crossJoin(F.broadcast(seed))
-    p = deg.crossJoin(F.broadcast(seed)).select(
-        F.col("u").alias("v"),
-        F.when(F.col("u") == F.col("s"), 1000000).otherwise(0).alias("p"),
+    # Materialize the weighted edge frame ONCE: it is referenced by all
+    # three walk rounds, and without the checkpoint each round re-ran
+    # the whole ip self-join + two aggregates, relying on AQE exchange
+    # reuse that sometimes failed to kick in (the r9/r10 runtime
+    # spread). Each round then BROADCASTS the |V|-sized score vector
+    # into the stationary edge frame — no per-round shuffle of |E|
+    # rows; the groupBy's map-side combine collapses to <= |V| rows per
+    # partition before its (tiny) exchange.
+    ew = e.join(deg, "u").crossJoin(F.broadcast(seed)).localCheckpoint()
+    p = (
+        deg.crossJoin(F.broadcast(seed))
+        .select(
+            F.col("u").alias("v"),
+            F.when(F.col("u") == F.col("s"), 1000000).otherwise(0).alias("p"),
+        )
+        .localCheckpoint()
     )
     for _ in range(3):
         p = (
-            ew.join(p.withColumnRenamed("v", "u"), "u")
+            ew.join(F.broadcast(p.withColumnRenamed("v", "u")), "u")
             .groupBy("v", "s")
             .agg(
                 (
@@ -3525,6 +3537,7 @@ def q461(spark, sf_dir):
                 .alias("p")
             )
             .select("v", "p")
+            .localCheckpoint()
         )
     return (
         p.select(F.col("v").alias("part"), F.col("p").alias("score_micro"))

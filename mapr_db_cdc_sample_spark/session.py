@@ -80,7 +80,18 @@ def get_spark(app_name: str = "mapr-db-cdc-sample-spark") -> SparkSession:
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+        # Batch shuffles are governed by AQE coalescing from
+        # initialPartitionNum=256 (RUNTIME_CONFS), so this static value
+        # only reaches lanes AQE does not re-plan — chiefly streaming
+        # stateful operators, whose width is pinned into the checkpoint.
+        # Default it to the box's core count instead of a magic 32
+        # (identical on local[32]); on a real cluster spark-submit sets
+        # it to executor-fleet parallelism, and SPARK_GRAFT_SHUFFLE
+        # overrides everywhere.
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE", str(os.cpu_count() or 8)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")

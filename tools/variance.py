@@ -6,7 +6,9 @@ median/min/max across passes. A single-run bench cannot distinguish
 shared-box noise from a plan regression; the cross-pass spread can.
 
 Usage: python tools/variance.py [sf_dir] [passes] [set]
-  set = common30 (default) | heavy | all
+  set = common30 (default) | heavy | all | r11 (this round's
+        adjudication subset — the r10 headline deltas + the two
+        carried spread queries)
 Writes BENCH_VARIANCE{_$SPARK_GRAFT_BENCH_TAG}.json at the repo root.
 
 The HEAVY_TAIL set exists to adjudicate driver-run-vs-builder-run
@@ -54,6 +56,11 @@ HEAVY_TAIL = [
     # round-10: the two r9 open regressions, adjudicated by these
     # fresh-session medians (VERDICT r9 tasks 3-4)
     "q276_pca_explained", "q461_rwr_proximity",
+    # round-11: the r10 unadjudicated headline deltas (VERDICT r10 task
+    # 4) — none were touched by r10 Spark-side changes, so their medians
+    # either reproduce the drift (real) or bound it as box noise
+    "q109_source_overlap", "q110_perplexity_filter",
+    "q116_jaccard_estimate", "q338_linear_interpolation", "q112_salted_join",
 ]
 
 
@@ -61,8 +68,14 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     passes = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     which = sys.argv[3] if len(sys.argv) > 3 else "common30"
+    r11 = [
+        "q109_source_overlap", "q110_perplexity_filter",
+        "q116_jaccard_estimate", "q338_linear_interpolation",
+        "q112_salted_join", "q83_kmeans", "q276_pca_explained",
+        "q461_rwr_proximity",
+    ]
     names = {"common30": COMMON30, "heavy": HEAVY_TAIL,
-             "all": COMMON30 + HEAVY_TAIL}[which]
+             "all": COMMON30 + HEAVY_TAIL, "r11": r11}[which]
     registry = load_all()
 
     per_pass: dict[str, list[float]] = {n: [] for n in names}

@@ -52,6 +52,9 @@ QUERIES = [
     "q508_dup_cluster_histogram",
     "q492_hard_negative_mining",
     "q512_knn_label_noise",
+    # round-11: the sqeuclid kernel lane (kernel ran 3x before the
+    # checkpoint; int64 matmul bypassed BLAS) gets a scale gate too
+    "q576_lof_outliers",
 ]
 
 SF01 = "/root/testdata/sf0.1"

@@ -3487,17 +3487,28 @@ def q461(spark, sf_dir):
     """Three-round seeded RWR scores in integer micro (oracle
     comment)."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    ip = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = ip.select("o", F.col("p").alias("u"))
-    b = ip.select("o", F.col("p").alias("v"))
-    e = (
-        a.join(b, "o")
-        .where(F.col("u") != F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").cast("bigint").alias("w"))
+    # Directed co-purchase edges with order counts, derived the q299
+    # way: ONE map-side-combined collect_set per order (dedupes repeat
+    # partkeys exactly like the former DISTINCT) + codegen pair
+    # expansion, then one (u, v) count — 2 shuffles vs the 3 of the
+    # former distinct -> self-join -> groupBy (the join shuffle is
+    # gone; the r10 decade measurement put q461's cost in exactly this
+    # derivation). Per-order part lists are <= 7 items.
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps,"
+                    " x -> transform(filter(ps, y -> y != x),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"))
     )
+    e = pairs.groupBy("u", "v").agg(F.count("*").cast("bigint").alias("w"))
     deg = e.groupBy("u").agg(F.sum("w").cast("bigint").alias("dw"))
     seed = (
         deg.agg(F.max("dw").alias("mx"))

@@ -144,13 +144,23 @@ def main() -> None:
     }
     payload = {
         "metric": "sf1_scale_rehearsal",
-        "rep": 10,
+        "rep": 11,
         "note": (
             "local sf1 slice = tools/make_sf1.py 10x key-strided upsample of "
             "sf0.1 (word-shuffled doc reps, dim-permuted embedding reps so "
             "dedup/ANN candidate volume scales linearly); fixed local[32] "
             "box, min-of-SPARK_GRAFT_SF1_RUNS (default 1); "
-            "ratio ~<=15 at 10x data = scaling linearly"
+            "ratio ~<=15 at 10x data = scaling linearly. Two caveats "
+            "(r11): the EXACT-kNN family (q492/q512/q576/q286) is "
+            "declared quadratic — its oracle IS all-pairs, so 10x data "
+            "= 100x sims and the linear envelope does not apply (the "
+            "scale path is the IVF/LSH index, q52/q135, for which these "
+            "are the recall oracles); and this sandbox demand-pages "
+            "fresh memory at ~300us/page (see memory "
+            "spark-graft-coldpage-vm), so absolute sf1 numbers swing "
+            "2-3x with worker cold-start position — the ratio column "
+            "computed same-day is the signal, not cross-round absolute "
+            "deltas"
         ),
         "queries": rows,
         "total_sf0.1_s": round(sum(t01.values()), 1),

@@ -1,4 +1,4 @@
-"""Driver-window rotation aliases (round 11: q445-q494 band).
+"""Driver-window rotation aliases (round 12: q495-q544 band).
 
 The external correctness gate hash-checks only the first 50 registry
 names in SORTED order. The round-4 additions (q135-q228, 92 oracled
@@ -27,13 +27,14 @@ Rotation history (union = externally verified coverage):
   round 8: q00292-q00343 aliases -> driver-green 50/50 (retired)
   round 9: q00344-q00393 aliases -> driver-green 50/50 (retired)
   round 10: q00394-q00444 aliases -> driver-green 50/50 (retired)
-  round 11: q00445-q00494 aliases (this file — exactly the 50 oracled
-           ids in q445-q494, no rows-only gaps in this range)
-  round 12+ (planned): q495 onward in 50-oracled-id bands; the
-           never-driver-checked backlog (97 ids, q495-q591 after this
-           round) closes at round ~13 (each round's band is
-           meanwhile judge-checkable via SWEEP_r{N}_band.json,
-           produced by the driver's own range-filter invocation)
+  round 11: q00445-q00494 aliases -> driver-green 50/50 (retired)
+  round 12: q00495-q00544 aliases (this file — exactly the 50 oracled
+           ids in q495-q544, no rows-only gaps in this range)
+  round 13 (planned): q545-q591 (47 remaining oracled ids) — the
+           driver union then covers every oracled id q01-q591
+           (each round's band is meanwhile judge-checkable via
+           SWEEP_r{N}_band.json, produced by the driver's own
+           range-filter invocation)
 """
 
 from __future__ import annotations
@@ -42,8 +43,8 @@ import re
 
 from . import REGISTRY, QueryDef
 
-ROTATION_LO = 445
-ROTATION_HI = 494
+ROTATION_LO = 495
+ROTATION_HI = 544
 
 
 def _rotate() -> None:

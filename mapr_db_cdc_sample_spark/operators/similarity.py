@@ -231,6 +231,16 @@ def knn_block_topk(
         order = np.argsort(c_ids, kind="stable")
         c_ids, c_lab, c_mat = c_ids[order], c_lab[order], c_mat[order]
         m = len(c_ids)
+        # block_size is a public parameter and hash skew is unguarded:
+        # a cell with >= 2^POS_BITS candidates would silently overflow
+        # the position bits into the score field and corrupt the top-k
+        # ranking — fail loudly instead (ADVICE r11)
+        if m >= (1 << POS_BITS):
+            raise ValueError(
+                f"candidate block holds {m} vectors >= 2^{POS_BITS} "
+                f"= {1 << POS_BITS}; packed (score, pos) ranking keys "
+                "would overflow — lower block_size (or raise POS_BITS)"
+            )
         pos = np.arange(m, dtype=np.int64)
         kk = min(k, m)
         if metric == "sqeuclid_milli":

@@ -145,6 +145,41 @@ def plan_fingerprint(df: DataFrame) -> str:
     return hashlib.md5(normalize_plan(formatted_plan(df)).encode()).hexdigest()[:16]
 
 
+def _strip_partition_counts(s: str) -> str:
+    """Blank the trailing ``, <count>`` of every ``*partitioning(...)``
+    call via a paren-balanced scan (handles any nesting depth; the old
+    regex matched only one level — ADVICE r11). Inner literal args that
+    are NOT the trailing count are preserved, so plans differing in an
+    expression literal still get distinct fingerprints."""
+    out = []
+    i = 0
+    needle = "partitioning("
+    while True:
+        j = s.find(needle, i)
+        if j < 0:
+            out.append(s[i:])
+            break
+        start = j + len(needle)
+        depth, k = 1, start
+        while k < len(s) and depth:
+            c = s[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        if depth:  # unbalanced tail — leave untouched
+            out.append(s[i:])
+            break
+        inner = _strip_partition_counts(s[start : k - 1])
+        inner = re.sub(r", \d+$", ", ", inner)
+        out.append(s[i:start])
+        out.append(inner)
+        out.append(")")
+        i = k
+    return "".join(out)
+
+
 def normalize_plan(plan: str) -> str:
     """The run-/path-/tuning-independent form a fingerprint hashes —
     exposed for unit tests (the partition-count regex has to survive
@@ -167,14 +202,12 @@ def normalize_plan(plan: str) -> str:
     # broadcast or a new exchange still changes the fingerprint. The
     # expression list may itself contain parenthesized calls with
     # trailing integer args (hashpartitioning(coalesce(x#1, 0), 200)),
-    # so the group must match balanced one-level nesting — a bare
-    # [^)]* stops at the INNER ')' and leaves the real count in the
-    # fingerprint (ADVICE r10).
-    s = re.sub(
-        r"partitioning\(((?:[^()]|\([^()]*\))*), \d+\)",
-        r"partitioning(\1, )",
-        s,
-    )
+    # nested to ARBITRARY depth — Spark wraps double-typed keys two
+    # levels deep (knownfloatingpointnormalized(normalizenanandzero(x#)))
+    # — so a balanced-paren scan replaces the one-level regex; residual
+    # counts would make the fingerprint box-dependent now that
+    # shuffle.partitions defaults to os.cpu_count() (ADVICE r10/r11).
+    s = _strip_partition_counts(s)
     s = re.sub(r"REPARTITION_BY_NUM\(\d+\)", "REPARTITION_BY_NUM()", s)
     s = re.sub(r"cachedrdd-\d+", "cachedrdd-", s)
     s = re.sub(r"[ \t]+", " ", s)

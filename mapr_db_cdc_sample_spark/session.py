@@ -52,16 +52,27 @@ RUNTIME_CONFS = {
     # Spark 4 rejects; read as long and convert in io.table (ns → µs
     # truncation matches DuckDB's read of the same file).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # see the BLAS-thread note above RUNTIME_CONFS
-    "spark.executorEnv.OPENBLAS_NUM_THREADS": os.environ.get(
-        "OPENBLAS_NUM_THREADS", "1"
-    ),
-    "spark.executorEnv.OMP_NUM_THREADS": os.environ.get("OMP_NUM_THREADS", "1"),
+}
+
+#: Confs that only take effect at BUILDER time (spark.executorEnv.* is
+#: read once when executors launch, never runtime-settable) — kept out of
+#: RUNTIME_CONFS so tune() on a driver-constructed session doesn't
+#: silently drop them behind its blanket try/except (ADVICE r11). On a
+#: driver-owned session the BLAS pinning still holds in local mode via
+#: the os.environ defaults above (workers fork from the driver env); on a
+#: cluster the deployer must pass these via spark-submit --conf.
+# see the BLAS-thread note above RUNTIME_CONFS
+BUILDER_CONFS = {
+    f"spark.executorEnv.{_v}": os.environ.get(_v, "1")
+    for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS")
 }
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable engine confs to an existing session."""
+    """Apply runtime-settable engine confs to an existing session.
+
+    BUILDER_CONFS (executorEnv.*) are intentionally NOT applied here —
+    they are builder-time-only and would silently no-op at runtime."""
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -96,6 +107,6 @@ def get_spark(app_name: str = "mapr-db-cdc-sample-spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
     )
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in {**RUNTIME_CONFS, **BUILDER_CONFS}.items():
         builder = builder.config(k, v)
     return tune(builder.getOrCreate())

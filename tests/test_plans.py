@@ -878,3 +878,22 @@ def test_normalize_plan_partition_count_with_nested_parens():
     a = normalize_plan("hashpartitioning(coalesce(x#1, 0), 200)")
     b = normalize_plan("hashpartitioning(coalesce(x#1, 7), 200)")
     assert a != b
+    # ADVICE r11: Spark wraps double-typed shuffle keys TWO levels deep;
+    # the count must still be blanked (one-level regex left it in)
+    two = normalize_plan(
+        "hashpartitioning(knownfloatingpointnormalized("
+        "normalizenanandzero(x#12)), 200)"
+    )
+    assert two == (
+        "hashpartitioning(knownfloatingpointnormalized("
+        "normalizenanandzero(x#)), )"
+    ), two
+    # and with a sibling nested call carrying a literal arg
+    three = normalize_plan(
+        "rangepartitioning(knownfloatingpointnormalized("
+        "normalizenanandzero(round(x#3, 4))) ASC NULLS FIRST, 77)"
+    )
+    assert three == (
+        "rangepartitioning(knownfloatingpointnormalized("
+        "normalizenanandzero(round(x#, 4))) ASC NULLS FIRST, )"
+    ), three

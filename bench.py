@@ -239,7 +239,8 @@ HEADLINE = [
 
 
 def build_payload(
-    timings: dict, names: list, total: float, sf_val, detail: str = "BENCH_FULL.json"
+    timings: dict, names: list, total: float, sf_val,
+    detail: str = "BENCH_FULL.json", canary: dict | None = None,
 ) -> str:
     """Serialize the one-line bench summary, guaranteed under the round
     driver's 2000-char stdout tail (greedy-fill in HEADLINE order)."""
@@ -259,6 +260,11 @@ def build_payload(
         # the LSH family should expect ~+1.5s of now-visible real work.
         "note": "per-query cache-isolated since r4 (clearCache between queries)",
     }
+    if canary is not None:
+        # must land BEFORE the greedy query fill so the box-state probe
+        # is never dropped from the printed line (r11 task 5: three
+        # same-code runs spanned 573-827 s; the canary adjudicates)
+        payload["canary"] = canary
     budget = 1800
     for name in names:
         if name not in timings:
@@ -301,14 +307,25 @@ def main() -> None:
     if limit:
         names = names[:limit]
 
+    # Box-state canary BEFORE any Spark work: the cold-process numbers
+    # are what fresh task memory pays on this box right now (the r11
+    # bench-spread root cause — see mapr_db_cdc_sample_spark/canary.py).
+    from mapr_db_cdc_sample_spark.canary import box_canary
+
+    canary_start = box_canary()
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     def run_to_completion(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # Warmup: prime codegen/JIT and the parquet footer cache.
+    # Warmup: prime codegen/JIT and the parquet footer cache. Timed and
+    # recorded as a canary field: a cold q01 that runs far above its
+    # steady-state min is the Spark-side face of the same box state.
+    t0 = time.perf_counter()
     run_to_completion(registry["q01_scan_count"].fn(spark, sf_dir))
+    canary_start["q01_cold_s"] = round(time.perf_counter() - t0, 3)
 
     # min-of-N per query: JIT/GC noise on a shared box dwarfs plan-level
     # differences; steady-state is what scales.
@@ -339,6 +356,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    canary_end = box_canary()  # warm-process counterpart for contrast
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -380,6 +398,7 @@ def main() -> None:
         json.dump(
             {"metric": "headline_query_set_total", "value": total,
              "unit": "sec", "queries": timings, "sf": sf_val,
+             "canary": {"start": canary_start, "end": canary_end},
              "plan_fp": plan_fp},
             f, indent=1,
         )
@@ -387,7 +406,8 @@ def main() -> None:
     # Greedy-fill the printed queries dict in HEADLINE order (a prefix of
     # prior rounds' sets, so round-over-round common-subset comparison
     # keeps maximal overlap) until the serialized line nears the budget.
-    print(build_payload(timings, names, total, sf_val, detail=full_name))
+    print(build_payload(timings, names, total, sf_val, detail=full_name,
+                        canary=canary_start))
     spark.stop()
 
 

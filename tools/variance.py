@@ -30,6 +30,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from mapr_db_cdc_sample_spark.canary import box_canary  # noqa: E402
 from mapr_db_cdc_sample_spark.queries import load_all  # noqa: E402
 from mapr_db_cdc_sample_spark.session import get_spark  # noqa: E402
 
@@ -79,7 +80,12 @@ def main() -> None:
     registry = load_all()
 
     per_pass: dict[str, list[float]] = {n: [] for n in names}
+    canaries: list[dict] = []
     for p in range(passes):
+        # per-pass box-state probe (r11 task 5): pass timings are
+        # divided by this pass's matmul ratio below, so a loaded/cold
+        # pass doesn't masquerade as a plan regression
+        canaries.append(box_canary())
         spark = get_spark(f"variance-p{p}")
         spark.sparkContext.setLogLevel("ERROR")
         registry["q01_scan_count"].fn(spark, sf_dir).write.format(
@@ -98,12 +104,20 @@ def main() -> None:
         spark.stop()
         print(f"pass {p}: {round(sum(v[-1] for v in per_pass.values()), 2)}s")
 
+    # Canary normalization: scale each pass's timings by that pass's
+    # CPU-probe ratio vs the best pass. A query whose RAW spread
+    # collapses after normalization moved with the box, not the plan.
+    best_matmul = min(c["matmul_s"] for c in canaries) or 1.0
+    scales = [c["matmul_s"] / best_matmul for c in canaries]
     out = {
         name: {
             "median": round(statistics.median(v), 3),
             "min": min(v),
             "max": max(v),
             "passes": v,
+            "norm_median": round(
+                statistics.median(t / s for t, s in zip(v, scales)), 3
+            ),
         }
         for name, v in per_pass.items()
     }
@@ -112,6 +126,10 @@ def main() -> None:
         "passes": passes,
         "set": which,
         "total_median": round(sum(v["median"] for v in out.values()), 3),
+        "total_norm_median": round(
+            sum(v["norm_median"] for v in out.values()), 3
+        ),
+        "canary": {"passes": canaries, "scales": [round(s, 3) for s in scales]},
         "queries": out,
     }
     tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "")

@@ -3509,6 +3509,19 @@ def q461(spark, sf_dir):
         .select(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"))
     )
     e = pairs.groupBy("u", "v").agg(F.count("*").cast("bigint").alias("w"))
+    # ONE materialization barrier for the whole query (r12: the r11
+    # shape held FIVE — edge frame, p0, and one per walk round — and on
+    # a ~10 s query the checkpoint jobs dominated: every same-day sf0.1
+    # measurement sat at 6-12 s vs r10's 4 s). The |E|-sized edge frame
+    # is the only thing every round re-scans, so it alone is
+    # checkpointed; deg/seed/p0 derive from it lazily (agg over the
+    # in-memory blocks, not a re-run of the pair expansion), and the
+    # walk rounds stay LAZY: each round broadcasts the |V|-sized
+    # (score, degree) vector into the stationary edge frame — the
+    # nested broadcast builds execute as small sub-jobs inside the one
+    # final action, with no per-round shuffle of |E| rows and no
+    # per-round checkpoint barrier.
+    e = e.localCheckpoint()
     deg = e.groupBy("u").agg(F.sum("w").cast("bigint").alias("dw"))
     seed = (
         deg.agg(F.max("dw").alias("mx"))
@@ -3516,26 +3529,21 @@ def q461(spark, sf_dir):
         .where(F.col("dw") == F.col("mx"))
         .agg(F.min("u").alias("s"))
     )
-    # Materialize the weighted edge frame ONCE: it is referenced by all
-    # three walk rounds, and without the checkpoint each round re-ran
-    # the whole ip self-join + two aggregates, relying on AQE exchange
-    # reuse that sometimes failed to kick in (the r9/r10 runtime
-    # spread). Each round then BROADCASTS the |V|-sized score vector
-    # into the stationary edge frame — no per-round shuffle of |E|
-    # rows; the groupBy's map-side combine collapses to <= |V| rows per
-    # partition before its (tiny) exchange.
-    ew = e.join(deg, "u").crossJoin(F.broadcast(seed)).localCheckpoint()
+    # (u, p, dw, s): the complete per-round broadcast state — score AND
+    # out-degree ride the same small build, so a round is exactly one
+    # broadcast-hash join against the checkpointed edges.
     p = (
         deg.crossJoin(F.broadcast(seed))
         .select(
-            F.col("u").alias("v"),
+            "u",
             F.when(F.col("u") == F.col("s"), 1000000).otherwise(0).alias("p"),
+            "dw",
+            "s",
         )
-        .localCheckpoint()
     )
     for _ in range(3):
         p = (
-            ew.join(F.broadcast(p.withColumnRenamed("v", "u")), "u")
+            e.join(F.broadcast(p), "u")
             .groupBy("v", "s")
             .agg(
                 (
@@ -3547,11 +3555,13 @@ def q461(spark, sf_dir):
                 .cast("bigint")
                 .alias("p")
             )
-            .select("v", "p")
-            .localCheckpoint()
+            .select(F.col("v").alias("u"), "p", "s")
+            # re-attach degrees for the next round's broadcast state;
+            # deg is itself a lazy agg over the checkpointed edges
+            .join(deg, "u")
         )
     return (
-        p.select(F.col("v").alias("part"), F.col("p").alias("score_micro"))
+        p.select(F.col("u").alias("part"), F.col("p").alias("score_micro"))
         .orderBy(F.desc("score_micro"), "part")
         .limit(20)
     )

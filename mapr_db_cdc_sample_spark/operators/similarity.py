@@ -396,3 +396,234 @@ def sim_block_pairs(
         return pd.concat(frames, ignore_index=True)
 
     return gridded.groupBy(*keys).applyInPandas(cell, out_schema)
+
+
+# --------------------------- IVF-probed hard negatives (q492's scale path)
+
+
+def _ivf_probe_grid(
+    embeddings: DataFrame,
+    cell_rows: int = 256,
+    n_probe: int = 8,
+    train_iters: int = 2,
+    train_sample: int = 32768,
+):
+    """Build the (cell, sub)-keyed union frame the ANN hard-negative
+    kernel groups over — exposed separately so tests can assert the
+    per-group candidate bound directly.
+
+    IVF layout: C = ceil(n / cell_rows) coarse centroids trained with
+    Lloyd iterations (operators/kmeans._assign/_recompute, on a
+    deterministic <= train_sample-row stride sample so training cost is
+    bounded regardless of n); every vector's CELL is its most-cosine-
+    similar centroid, and as an ANCHOR it probes its top-``n_probe``
+    cells. Membership and probing share the cosine metric (the search
+    metric), so an anchor's own cell is always probes[0]. Oversized
+    cells are split into ceil(cnt / cell_rows) sub-blocks by vec_id
+    hash — candidates split, anchor probes replicate across subs — so a
+    single task's matmul stays bounded no matter how skewed the
+    k-means assignment comes out (the per-label grid lesson,
+    _block_grid). Returns (union_frame, n_cells, n_probe_effective)."""
+    from .kmeans import _assign, _recompute
+
+    base = embeddings.select(
+        "vec_id", F.col("label").cast("bigint").alias("label"), "embedding"
+    )
+    n = base.count()
+    n_cells = max(1, -(-n // cell_rows))
+    p = min(n_probe, n_cells)
+
+    # ---- train coarse centroids on a deterministic stride sample
+    stride = max(1, n // max(train_sample, 4 * n_cells))
+    sample = base.where(F.col("vec_id") % stride == 0).select(
+        "vec_id", "embedding"
+    )
+    dim = len(base.select("embedding").head()[0])
+    init = (
+        sample.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+        .collect()
+    )
+    centroids = [(i, list(r.e)) for i, r in enumerate(init)]
+    for _ in range(train_iters):
+        centroids, _inertia = _recompute(_assign(sample, centroids), dim)
+
+    # ---- one Arrow pass: top-p cells per vector by rounded cosine
+    # (ties -> lowest cell id via lexsort), cell membership = probes[0]
+    C = np.array([c for _, c in centroids], dtype=np.float64)
+    cids = np.array([int(i) for i, _ in centroids], dtype=np.int64)
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    @pandas_udf("array<int>")
+    def probes(batch: pd.Series) -> pd.Series:
+        X = np.vstack(batch.map(lambda a: np.asarray(a, dtype=np.float64)))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            raw = (X @ C.T) / (
+                np.sqrt((X * X).sum(axis=1))[:, None] * cn[None, :]
+            )
+        s4 = np.trunc(raw * 1e4 + np.copysign(0.5, raw))
+        s4 = np.where(np.isfinite(s4), s4, 10001.0)
+        # sim DESC, centroid id ASC — packed key, all-C argsort
+        key = (-s4.astype(np.int64) << 20) + np.arange(len(cids))[None, :]
+        top = np.argsort(key, axis=1, kind="stable")[:, : int(p)]
+        return pd.Series(list(cids[top].astype(np.int32)))
+
+    assigned = base.select(
+        "vec_id", "label", "embedding", probes("embedding").alias("pc")
+    ).localCheckpoint()
+
+    # ---- sub-block split of oversized cells (bounded per-task matmul)
+    cand0 = assigned.select(
+        F.col("pc")[0].alias("cell"), "vec_id", "label", "embedding"
+    )
+    counts = cand0.groupBy("cell").agg(
+        F.greatest(
+            F.lit(1), F.ceil(F.count("*") / F.lit(cell_rows))
+        )
+        .cast("int")
+        .alias("nbs")
+    )
+    cand = (
+        cand0.join(F.broadcast(counts), "cell")
+        .select(
+            "cell",
+            F.pmod(F.hash("vec_id"), F.col("nbs")).alias("sub"),
+            F.lit(0).alias("is_anchor"),
+            "vec_id",
+            "label",
+            "embedding",
+        )
+    )
+    anchors = (
+        assigned.select(
+            F.explode("pc").alias("cell"), "vec_id", "label", "embedding"
+        )
+        .join(F.broadcast(counts), "cell")
+        .select(
+            "cell",
+            F.explode(F.sequence(F.lit(0), F.col("nbs") - 1)).alias("sub"),
+            F.lit(1).alias("is_anchor"),
+            "vec_id",
+            "label",
+            "embedding",
+        )
+    )
+    return cand.unionByName(anchors), n_cells, p
+
+
+def ann_hard_negatives(
+    embeddings: DataFrame,
+    cell_rows: int = 256,
+    n_probe: int = 8,
+    train_iters: int = 2,
+    train_sample: int = 32768,
+) -> DataFrame:
+    """IVF-probed hard-negative mining — the runnable SCALE path for
+    q492's exact cross-label all-pairs contract (whose oracle IS
+    quadratic: 10x data = 100x sims). Per anchor, the most-similar
+    DIFFERENT-label vector among the candidates in its ``n_probe``
+    nearest IVF cells; q492's exact kernel (knn_block_topk
+    cross_label_only) is the recall oracle, asserted in
+    tests/test_llm_ops.py the same way q54's BRP-LSH lane is gated on
+    q38. Work is n·n_probe·cell_rows·dim — LINEAR in n with fixed
+    probe count and cell size (C grows with n), vs the oracle's n²·dim.
+
+    Same determinism discipline as knn_block_topk: integer 1e4-scaled
+    half-away-rounded cosines end-to-end (the global per-anchor max
+    compares exact ints, so partitioning can't reorder ties), id-ASC
+    tiebreaks, zero-norm NaN ranks greatest. Returns (anchor, la,
+    hard_neg, lb, sim) for every anchor with at least one cross-label
+    candidate in a probed cell."""
+    gridded, _n_cells, _p = _ivf_probe_grid(
+        embeddings, cell_rows, n_probe, train_iters, train_sample
+    )
+    out_schema = "anchor bigint, la bigint, neg bigint, lb bigint, s4 bigint"
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "anchor": pd.Series(dtype=np.int64),
+                "la": pd.Series(dtype=np.int64),
+                "neg": pd.Series(dtype=np.int64),
+                "lb": pd.Series(dtype=np.int64),
+                "s4": pd.Series(dtype=np.int64),
+            }
+        )
+        a_pd = pdf[pdf["is_anchor"] == 1]
+        c_pd = pdf[pdf["is_anchor"] == 0]
+        if a_pd.empty or c_pd.empty:
+            return empty
+        a_ids = a_pd["vec_id"].to_numpy(dtype=np.int64)
+        a_lab = a_pd["label"].to_numpy(dtype=np.int64)
+        a_mat = np.vstack(
+            a_pd["embedding"].map(lambda x: np.asarray(x, dtype=np.float64))
+        )
+        c_ids = c_pd["vec_id"].to_numpy(dtype=np.int64)
+        c_lab = c_pd["label"].to_numpy(dtype=np.int64)
+        c_mat = np.vstack(
+            c_pd["embedding"].map(lambda x: np.asarray(x, dtype=np.float64))
+        )
+        order = np.argsort(c_ids, kind="stable")
+        c_ids, c_lab, c_mat = c_ids[order], c_lab[order], c_mat[order]
+        m = len(c_ids)
+        c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
+        a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+        NEG_INF = np.iinfo(np.int64).min
+        frames = []
+        for s in range(0, len(a_ids), 512):
+            sl = slice(s, s + 512)
+            ids_s, lab_s = a_ids[sl], a_lab[sl]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                raw = (a_mat[sl] @ c_mat.T) / (
+                    a_nrm[sl][:, None] * c_nrm[None, :]
+                )
+                s4 = np.trunc(raw * 1e4 + np.copysign(0.5, raw))
+            s4 = np.where(np.isfinite(s4), s4, 10001.0).astype(np.int64)
+            # max by (sim DESC, id ASC): ids are pos-ASC after the sort,
+            # so key = s4*(m+1) + (m - pos) makes higher sim, then lower
+            # pos, win a plain argmax
+            key = s4 * (m + 1) + (m - np.arange(m, dtype=np.int64))[None, :]
+            bad = (c_ids[None, :] == ids_s[:, None]) | (
+                c_lab[None, :] == lab_s[:, None]
+            )
+            key[bad] = NEG_INF
+            j = key.argmax(axis=1)
+            ok = key[np.arange(len(j)), j] != NEG_INF
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "anchor": ids_s[ok],
+                        "la": lab_s[ok],
+                        "neg": c_ids[j[ok]],
+                        "lb": c_lab[j[ok]],
+                        "s4": s4[np.arange(len(j)), j][ok],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    per_cell = gridded.groupBy("cell", "sub").applyInPandas(cell, out_schema)
+    best = (
+        per_cell.groupBy("anchor", "la")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("s4"),
+                    (-F.col("neg")).alias("nn"),
+                    F.col("neg"),
+                    F.col("lb"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "anchor",
+            "la",
+            F.col("b.neg").alias("hard_neg"),
+            F.col("b.lb").alias("lb"),
+            F.when(F.col("b.s4") > 10000, F.lit(float("nan")))
+            .otherwise(F.col("b.s4") / 1e4)
+            .alias("sim"),
+        )
+    )
+    return best

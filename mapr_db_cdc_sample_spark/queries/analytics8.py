@@ -5015,3 +5015,28 @@ def q591(spark, sf_dir):
         .orderBy(F.col("infl_d2").desc(), "day")
         .limit(10)
     )
+
+
+# ---------- q592: ANN-routed hard-negative mining (q492's scale path)
+
+
+@register("q592_ann_hard_negatives", tags=("approx",))
+def q592(spark, sf_dir):
+    """IVF-probed hard-negative mining (r11 verdict task 4): per anchor,
+    the most-similar cross-label vector among its n_probe nearest IVF
+    cells — the runnable scale lane whose EXACT recall oracle is
+    q492_hard_negative_mining (all-pairs, declared quadratic). Work is
+    n·n_probe·cell_rows·dim, linear in n with fixed probe count and
+    cell size; recall vs the exact kernel is asserted in
+    tests/test_llm_ops.py (the q54-vs-q38 gate pattern). Approximate by
+    design -> rows-only check; same rounded-cosine/id-tiebreak
+    discipline as the exact kernel so the comparison is well-defined."""
+    from ..operators.similarity import ann_hard_negatives
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    res = ann_hard_negatives(e)
+    return (
+        res.select("anchor", "hard_neg", "sim")
+        .orderBy(F.col("sim").desc(), "anchor")
+        .limit(20)
+    )

@@ -55,6 +55,9 @@ QUERIES = [
     # round-11: the sqeuclid kernel lane (kernel ran 3x before the
     # checkpoint; int64 matmul bypassed BLAS) gets a scale gate too
     "q576_lof_outliers",
+    # round-12: the IVF-probed hard-negative lane — q492's runnable
+    # scale path (fixed probe count + cell size -> linear work)
+    "q592_ann_hard_negatives",
 ]
 
 SF01 = "/root/testdata/sf0.1"
@@ -154,8 +157,11 @@ def main() -> None:
             "(r11): the EXACT-kNN family (q492/q512/q576/q286) is "
             "declared quadratic — its oracle IS all-pairs, so 10x data "
             "= 100x sims and the linear envelope does not apply (the "
-            "scale path is the IVF/LSH index, q52/q135, for which these "
-            "are the recall oracles); and this sandbox demand-pages "
+            "scale path is the IVF/LSH index: q52/q135 for retrieval "
+            "and, since r12, q592_ann_hard_negatives for hard-negative "
+            "mining — fixed probe count + cell size, measured 1.1x at "
+            "10x, recall-gated on q492 in tests/test_llm_ops.py); and "
+            "this sandbox demand-pages "
             "fresh memory at ~300us/page (see memory "
             "spark-graft-coldpage-vm), so absolute sf1 numbers swing "
             "2-3x with worker cold-start position — the ratio column "

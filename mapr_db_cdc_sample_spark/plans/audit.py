@@ -192,6 +192,14 @@ def normalize_plan(plan: str) -> str:
     # checkpointed/cached RDD lineage labels carry RDD ids
     s = re.sub(r"ExistingRDD\b[^\n]*", "ExistingRDD", s)
     s = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[]", s)
+    # RDD creation call sites are JVM-runtime-dependent, not plan shape:
+    # the SAME localCheckpoint scan prints "at localCheckpoint at
+    # NativeMethodAccessorImpl.java:0" in a fresh JVM but "at
+    # localCheckpoint at <unknown>:0" once reflection inflation replaces
+    # the py4j accessor (~hundreds of calls into a long session) — the
+    # r12 pytest-order flake on q294/q276 was exactly this string, with
+    # the physical plan byte-identical otherwise.
+    s = re.sub(r" at [^,\n]+:\d+", " at :", s)
     s = re.sub(r"Location: \S+", "Location:", s)
     s = re.sub(r"file:[^,\]\s]+", "file:", s)
     s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)

@@ -897,3 +897,22 @@ def test_normalize_plan_partition_count_with_nested_parens():
         "rangepartitioning(knownfloatingpointnormalized("
         "normalizenanandzero(round(x#, 4))) ASC NULLS FIRST, )"
     ), three
+
+
+def test_normalize_plan_rdd_callsite_is_runtime_independent():
+    """r12: the RDD creation call site flips from
+    'NativeMethodAccessorImpl.java:0' to '<unknown>:0' once JVM
+    reflection inflation replaces the py4j accessor (hundreds of calls
+    into a long session) — the physical plan is unchanged, so the
+    fingerprint must not move (the r12 pytest-order flake on q294/q276)."""
+    from mapr_db_cdc_sample_spark.plans.audit import normalize_plan
+
+    fresh = (
+        "Arguments: [u#1, v#2], MapPartitionsRDD[37] at localCheckpoint "
+        "at NativeMethodAccessorImpl.java:0, ExistingRDD"
+    )
+    inflated = (
+        "Arguments: [u#5, v#9], MapPartitionsRDD[512] at localCheckpoint "
+        "at <unknown>:0, ExistingRDD"
+    )
+    assert normalize_plan(fresh) == normalize_plan(inflated)

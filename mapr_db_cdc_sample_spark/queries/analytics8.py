@@ -2906,37 +2906,60 @@ WITH cells AS MATERIALIZED (
 """
 
 
-def _emb_cells(spark, sf_dir):
+def _emb_quant(spark, sf_dir):
+    """(vec_id, label, xs: array<bigint>) milli-quantized embeddings —
+    the same CAST-to-DOUBLE + ROUND half-up expression as the oracle
+    CTE, applied per element while the vector is still an array."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return emb.select(
         "vec_id",
         "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "x"),
-    ).select(
-        "vec_id",
-        "label",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> CAST(ROUND(x * 1000, 0) AS BIGINT))"
+        ).alias("xs"),
+    )
+
+
+def _emb_cells(spark, sf_dir):
+    q = _emb_quant(spark, sf_dir)
+    return q.select(
+        "vec_id", "label", F.posexplode("xs").alias("p", "xu")
+    ).select("vec_id", "label", (F.col("p") + 1).alias("i"), "xu")
+
+
+def _emb_moments(quant_g, group_col):
+    """(g, i, j, m=sum x_i x_j) exact-integer second moments.
+
+    r12 rewrite (guide §2.2): the original form self-joined the exploded
+    (vec_id, i, xu) cells on vec_id — two shuffles of n x 64 rows plus a
+    join just to enumerate the 64x64 dim pairs each row already holds.
+    Expanding the outer product per ROW (two chained posexplodes — both
+    codegen'd GenerateExec, unlike the interpreted higher-order
+    transform/inline form, which measured SLOWER than the join) feeds
+    the same sum(x_i * x_j) through one hash aggregate whose map-side
+    partial output is only |groups| x 4096 rows per task: the vec_id
+    shuffle is gone and shuffle bytes no longer scale with n. The
+    round-robin repartition spreads the generate work across cores (the
+    single-file parquet input is otherwise ONE partition). Sums are
+    exact bigint either way, so the result is bit-identical."""
+    spark = quant_g.sparkSession
+    base = quant_g.select(F.col(group_col).alias("g"), "xs").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    left = base.select("g", "xs", F.posexplode("xs").alias("p", "xi"))
+    pairs = left.select(
+        "g",
         (F.col("p") + 1).alias("i"),
-        F.expr("CAST(ROUND(x * 1000, 0) AS BIGINT)").alias("xu"),
+        "xi",
+        F.posexplode("xs").alias("q", "xj"),
+    ).select(
+        "g", "i", (F.col("q") + 1).alias("j"),
+        (F.col("xi") * F.col("xj")).alias("pr"),
     )
-
-
-def _emb_moments(cells, group_col):
-    """(group, i, j, m=sum x_i x_j, si=sum x_i, n) exact-integer second
-    moments via the vec_id self-join."""
-    a = cells.select(
-        F.col(group_col).alias("g"), "vec_id", F.col("i"), F.col("xu").alias("xi")
+    return pairs.groupBy("g", "i", "j").agg(
+        F.sum("pr").cast("bigint").alias("m")
     )
-    b = cells.select("vec_id", F.col("i").alias("j"), F.col("xu").alias("xj"))
-    m = (
-        a.join(b, "vec_id")
-        .groupBy("g", "i", "j")
-        .agg(
-            F.sum(F.col("xi") * F.col("xj")).cast("bigint").alias("m"),
-            F.sum("xi").cast("bigint").alias("si"),
-            F.count("*").cast("bigint").alias("n"),
-        )
-    )
-    return m
 
 
 # ---------- q570: polynomial-kernel MMD^2 between label halves
@@ -2978,7 +3001,7 @@ def q570(spark, sf_dir):
     """Pairs-free polynomial MMD^2 over exact Gram moments (oracle
     comment)."""
     cells = _emb_cells(spark, sf_dir)
-    half = cells.withColumn(
+    half = _emb_quant(spark, sf_dir).withColumn(
         "g", F.when(F.col("label") < 5, 0).otherwise(1)
     )
     mom = _emb_moments(half, "g")
@@ -3059,9 +3082,12 @@ def q571(spark, sf_dir):
     cells = _emb_cells(spark, sf_dir).withColumn(
         "g", F.when(F.col("label") < 5, 0).otherwise(1)
     )
-    mom = _emb_moments(cells, "g").select(
-        "g", "i", "j", F.col("m").cast("decimal(38,0)").alias("m")
-    )
+    mom = _emb_moments(
+        _emb_quant(spark, sf_dir).withColumn(
+            "g", F.when(F.col("label") < 5, 0).otherwise(1)
+        ),
+        "g",
+    ).select("g", "i", "j", F.col("m").cast("decimal(38,0)").alias("m"))
     ns = (
         cells.select("vec_id", "g")
         .distinct()
@@ -3146,7 +3172,7 @@ def q572(spark, sf_dir):
     """Eigen-free effective dimensionality per label (oracle
     comment)."""
     cells = _emb_cells(spark, sf_dir)
-    mom = _emb_moments(cells, "label").select(
+    mom = _emb_moments(_emb_quant(spark, sf_dir), "label").select(
         F.col("g"), "i", "j", F.col("m").cast("decimal(38,0)").alias("m")
     )
     ns = cells.groupBy(F.col("label").alias("g")).agg(
@@ -3232,9 +3258,9 @@ def q573(spark, sf_dir):
     """Sqrt-free linear CKA^2 between dimension halves (oracle
     comment)."""
     cells = _emb_cells(spark, sf_dir).withColumn("g", F.lit(1))
-    mom = _emb_moments(cells, "g").select(
-        "i", "j", F.col("m").cast("decimal(38,0)").alias("m")
-    )
+    mom = _emb_moments(
+        _emb_quant(spark, sf_dir).withColumn("g", F.lit(1)), "g"
+    ).select("i", "j", F.col("m").cast("decimal(38,0)").alias("m"))
     ns = cells.agg(F.countDistinct("vec_id").cast("decimal(38,0)").alias("n"))
     sums = cells.groupBy("i").agg(F.sum("xu").cast("decimal(38,0)").alias("si"))
     sv = sums.select(F.col("i").alias("jj"), F.col("si").alias("sj"))

@@ -105,10 +105,18 @@ def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     sym = sym.localCheckpoint()  # cut the LSH/verify lineage out of the loop
+    # Seed labels with min(self, neighbors) instead of self: the same
+    # one-shuffle cost as the former distinct() (groupBy src), but
+    # star/clique clusters — the typical dup-cluster shape — are already
+    # at their fixpoint label, so the loop converges one full iteration
+    # (two joins + checkpoint + collect) earlier. The fixpoint itself is
+    # unchanged: labels still only ever decrease toward min-reachable.
     labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
+        sym.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            "doc_id", F.least(F.col("doc_id"), F.col("nmin")).alias("component")
+        )
         .localCheckpoint()
     )
     # Labels only ever decrease (least/min everywhere), so sum(component)

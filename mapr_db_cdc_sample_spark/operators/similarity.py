@@ -78,7 +78,9 @@ def pairwise_cosine_udf():
 KNN_BLOCK_SIZE = 4096
 
 
-def _block_grid(embeddings: DataFrame, block_size: int, per_label: bool):
+def _block_grid(
+    embeddings: DataFrame, block_size: int, per_label: bool, need_max: bool = True
+):
     """Shared (anchor-block × candidate-block) grid for the blocked
     similarity kernels: every vector is hashed into one of nb blocks and
     replicated across the other side's blocks, so each group holds one
@@ -104,10 +106,18 @@ def _block_grid(embeddings: DataFrame, block_size: int, per_label: bool):
                 .alias("nb"),
             )
         )
-        mx = nbl.agg(F.max("nb")).head()[0] or 1
+        # the max-nb driver action is an EXTRA eager pass over the
+        # embeddings (the per-label counts are recomputed lazily inside
+        # the broadcast join anyway) — callers that never branch on nb
+        # (sim_block_pairs) skip it (guide §1.2: don't compute what you
+        # throw away)
+        if need_max:
+            mx = nbl.agg(F.max("nb")).head()[0] or 1
+            nb = int(mx)
+        else:
+            nb = 2  # sentinel > 1; only the nb==1 shortcut consumers care
         base = base.join(F.broadcast(nbl), "label")
         nb_col = F.col("nb")
-        nb = int(mx)
     else:
         keys = ["a_blk", "c_blk"]
         n = embeddings.count()
@@ -350,7 +360,9 @@ def sim_block_pairs(
     so no cross-cell dedup is needed. Pair set and round(4) sims are
     identical to the self-join's, so the unchanged all-pairs oracles
     keep proving exactness at every SF."""
-    gridded, keys, _nb = _block_grid(embeddings, block_size, same_label_only)
+    gridded, keys, _nb = _block_grid(
+        embeddings, block_size, same_label_only, need_max=False
+    )
     out_schema = "vec_a bigint, vec_b bigint, sim double"
 
     def cell(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -19,6 +19,36 @@ from pyspark.sql import functions as F
 _ID_SPACE = 100000000
 
 
+def cooccurrence_pairs(m: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """Per-group canonical item pairs (u < v) from a membership frame:
+    one row per (group, unordered item pair), items deduped within the
+    group. ONE map-side-combined collect_set per group + codegen pair
+    expansion (two chained Generates over the sorted set — the
+    interpreted higher-order transform form measured slower), replacing
+    the distinct -> self-join pair derivation whose join re-shuffles
+    the whole membership frame (guide §2.4; the r10/r11 decade
+    measurements put the graph queries' cost in exactly that
+    derivation). A hot group costs O(fan²) pairs in either formulation
+    — the caller's fan bound is unchanged."""
+    sets = m.groupBy(F.col(group_col)).agg(
+        F.sort_array(F.collect_set(F.col(item_col))).alias("_is")
+    )
+    return (
+        sets.select(F.posexplode("_is").alias("_i", "u"), "_is")
+        .select(
+            "u",
+            F.explode(F.expr("slice(_is, _i + 2, size(_is))")).alias("v"),
+        )
+    )
+
+
+def cooccurrence_edges(m: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """Distinct canonical co-occurrence edges (u, v with u < v): the
+    cooccurrence_pairs stream collapsed to the edge set — 2 wide
+    shuffles total vs the 3 of distinct -> self-join -> distinct."""
+    return cooccurrence_pairs(m, group_col, item_col).distinct()
+
+
 def _oriented(e: DataFrame):
     """Checkpoint the canonical edge frame and derive its (deg, id)
     orientation. Returns (e_checkpointed, eo) where eo has columns

@@ -744,7 +744,12 @@ def q162(spark, sf_dir):
     for b in range(_SIMHASH_BITS):
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    sh = votes.select("doc_id", sim.cast("long").alias("simhash"))
+    # pinned: the fingerprint frame feeds BOTH sides of the band
+    # self-join — without the checkpoint the tokenize + 60-column vote
+    # aggregate runs twice (guide §2.4)
+    sh = votes.select("doc_id", sim.cast("long").alias("simhash")).localCheckpoint(
+        eager=False
+    )
     mask = (1 << _SIMHASH_BAND_BITS) - 1
     bands = sh.select(
         "doc_id",
@@ -3935,14 +3940,22 @@ def q215(spark, sf_dir):
     nn = F.aggregate(
         F.transform("q", lambda x: x * x), F.lit(0).cast("bigint"), lambda a, x: a + x
     )
-    sigs = dots.select("vec_id", "q", sig.cast("bigint").alias("sig"), nn.alias("nn"))
+    # pinned: the signature pass (32 interpreted higher-order dot
+    # products per row) feeds the band explode AND both array-attach
+    # joins below — without the checkpoint it would re-run per reference
+    sigs = dots.select(
+        "vec_id", "q", sig.cast("bigint").alias("sig"), nn.alias("nn")
+    ).localCheckpoint(eager=False)
     n = q.count()  # q is localCheckpointed, so this is a cached scan
     bits = _srp_bits(n)
     nbands = max(1, _SRP_PLANES // bits)
+    # band join + pair dedup move ONLY (vec_id, band): the former shape
+    # carried the 64-bigint q array and norm through the band explode,
+    # the join shuffle and the dedup shuffle (8 banded copies per
+    # vector; guide §2.3 — shuffle keys, not payloads); the arrays are
+    # re-attached per SIDE after the pair set is final
     bands = sigs.select(
         "vec_id",
-        "q",
-        "nn",
         F.explode(
             F.array(
                 *[
@@ -3959,19 +3972,31 @@ def q215(spark, sf_dir):
             )
         ).alias("band"),
     )
-    a = bands.select(
-        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nn").alias("na"), "band"
-    )
-    b_ = bands.select(
-        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nn").alias("nb"), "band"
-    )
-    # dedup on the id pair only: qa/qb/na/nb are functions of the ids, and
-    # a full .distinct() would hash the 64-int arrays as grouping keys
+    a = bands.select(F.col("vec_id").alias("vec_a"), "band")
+    b_ = bands.select(F.col("vec_id").alias("vec_b"), "band")
+    # dedup on the id pair only (qa/qb/na/nb are functions of the ids),
+    # then re-attach the arrays from the pinned signature frame
     cand = (
         a.join(b_, "band")
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "qa", "qb", "na", "nb")
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
+        .join(
+            sigs.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("q").alias("qa"),
+                F.col("nn").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            sigs.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("q").alias("qb"),
+                F.col("nn").alias("nb"),
+            ),
+            "vec_b",
+        )
     )
     dot_ab = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y),
@@ -4730,20 +4755,16 @@ def q229(spark, sf_dir):
     bounded by ~sqrt(2m) under this orientation, so the wedge join
     never explodes on hubs — the difference between O(m^1.5) and
     O(m * d_max) at 100 TB. All-integer arithmetic."""
+    from ..operators.triangles import cooccurrence_edges, triangle_count
+
     li = (
         load_tables(spark, sf_dir)["lineitem"]
         .where(F.col("l_partkey") % 2 == 0)
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
-        .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
-    from ..operators.triangles import triangle_count
-
+    # collect_set-per-order + codegen pair expansion (2 shuffles) in
+    # place of distinct -> self-join -> distinct (3): same edge set
+    e = cooccurrence_edges(li, "ok", "p")
     return triangle_count(e)
 
 

@@ -1286,9 +1286,13 @@ def q292(spark, sf_dir):
     shipdates), so the edge is declared rather than papered over.
     """
     daily = _daily_cents(spark, sf_dir)
+    # pinned: idx feeds BOTH sides of the pair join — without the
+    # checkpoint the orders aggregate + global row_number window run
+    # twice (guide §2.4; the before-plan holds two copies of the
+    # scan->aggregate->window subtree)
     idx = daily.select(
         "cents", F.row_number().over(Window.orderBy("day")).alias("i")
-    )
+    ).localCheckpoint(eager=False)
     a = idx.select(F.col("cents").alias("ca"), F.col("i").alias("ia"))
     b = idx.select(F.col("cents").alias("cb"), F.col("i").alias("ib"))
     # BIGINT throughout: floor((2e6*dc + di) / (2*di)) == the oracle's
@@ -1764,17 +1768,20 @@ def q298(spark, sf_dir):
     """Top-30 predicted co-purchase links by resource-allocation index
     (oracle comment). Hub-capped wedge join keeps the candidate stage
     linear in nodes; never all-pairs."""
+    from ..operators.triangles import cooccurrence_edges
+
     li = load_tables(spark, sf_dir)["lineitem"]
-    pr = li.select("l_orderkey", "l_partkey").distinct()
+    # collect_set-per-order + codegen pair expansion (2 shuffles) in
+    # place of distinct -> self-join -> distinct (3): same edge set
+    # pinned: referenced from both the adjacency expansion and the
+    # final known-edge anti-join (operators/triangles rule — graph
+    # algorithms pin their edge list or re-derive the lineage per ref)
     e = (
-        pr.alias("x")
-        .join(
-            pr.alias("y"),
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        cooccurrence_edges(
+            li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
         )
-        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
-        .distinct()
+        .select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .localCheckpoint(eager=False)
     )
     adj = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
         e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
@@ -2270,9 +2277,12 @@ def q306(spark, sf_dir):
     """Percentile bootstrap on mean daily revenue with md5-derived
     resampling (oracle comment)."""
     daily = _daily_cents(spark, sf_dir)
+    # pinned: idx feeds the draw grid, the resample join and the count —
+    # without the checkpoint the orders aggregate + global window run
+    # once per reference (guide §2.4)
     idx = daily.select(
         "cents", (F.row_number().over(Window.orderBy("day")) - 1).alias("rn")
-    )
+    ).localCheckpoint(eager=False)
     nn = idx.agg(F.count("*").alias("n"))
     draw = (
         spark.range(0, 200)
@@ -2311,12 +2321,16 @@ def q306(spark, sf_dir):
     ranked = rep.select(
         "mean_cents", F.row_number().over(Window.orderBy("mean_cents", "b")).alias("r")
     )
-    lo = ranked.where(F.col("r") == 5).select(F.col("mean_cents").alias("lo_cents"))
-    hi = ranked.where(F.col("r") == 196).select(F.col("mean_cents").alias("hi_cents"))
+    # ONE aggregate picks both order statistics: the former lo/hi
+    # branch pair re-ran the whole B x n resample join per bound
+    # (guide §2.4)
+    picks = ranked.agg(
+        F.min(F.when(F.col("r") == 5, F.col("mean_cents"))).alias("lo_cents"),
+        F.min(F.when(F.col("r") == 196, F.col("mean_cents"))).alias("hi_cents"),
+    )
     return (
         nn.select(F.col("n").cast("bigint").alias("n_days"))
-        .crossJoin(lo)
-        .crossJoin(hi)
+        .crossJoin(F.broadcast(picks))
         .select("n_days", F.lit(200).cast("bigint").alias("n_reps"), "lo_cents", "hi_cents")
     )
 

@@ -208,8 +208,13 @@ def q333(spark, sf_dir):
                 yield self.user, self.n, self.buys, self.best
 
     spark.udtf.register("user_streaks", UserStreaks)
+    # project inside the TABLE argument (guide §4.1): the UDTF touches
+    # only user_id/event_type (+ the ordering keys), and TABLE(events)
+    # would ship every column — including the fat props JSON — through
+    # the Python worker boundary per row
     return spark.sql(
-        "SELECT * FROM user_streaks(TABLE(events)"
+        "SELECT * FROM user_streaks("
+        "TABLE(SELECT user_id, event_type, ts, event_id FROM events)"
         " PARTITION BY user_id ORDER BY (ts, event_id))"
         " ORDER BY user_id"
     )
@@ -683,55 +688,52 @@ def q338(spark, sf_dir):
         .cast("bigint")
         .alias("cents")
     )
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
-    spine = bounds.select(
-        "user_id",
-        F.explode(
-            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("h"),
-    ).repartition("user_id")
-    # ^ the bounds frame is |users|-sized, so AQE coalesces its shuffle
-    # to one partition BEFORE the x720 sequence explode — without the
-    # explicit post-explode repartition every window below runs in a
-    # single task (measured 23s -> ~4s at sf0.1)
-    joined = spine.join(hourly, ["user_id", "h"], "left").select(
+    # r12 rewrite (guide §2.4): the former shape exploded the full
+    # hourly spine, LEFT-joined the observations back, then ran FOUR
+    # IGNORE-NULLS window walks over the |users|x720-row spine (one
+    # exchange for the spine repartition + two window sorts over the
+    # exploded stream). But the bracketing observation pair of every
+    # interior hour is simply (this observation, the NEXT observation):
+    # one lead() window over the |observations|-sized hourly frame
+    # yields (pt=eh, pv=cents, nt, nv), and each observation emits the
+    # hours [eh, nt-1] via sequence() AFTER the window — the spine
+    # join and both spine-sized window sorts are gone, and the only
+    # wide operations left run on the pre-explode observation frame.
+    # Spine coverage is identical: hours [h0, h1] per user, observed
+    # hours emit cents exactly, interior hours interpolate between the
+    # same bracketing pair the IGNORE-NULLS walks found.
+    wl = Window.partitionBy("user_id").orderBy("eh")
+    obs = hourly.select(
         "user_id",
         (F.unix_timestamp(F.col("h").cast("timestamp")) / 3600)
         .cast("bigint")
         .alias("eh"),
         "cents",
     )
-    masked = joined.withColumn(
-        "obs_eh", F.when(F.col("cents").isNotNull(), F.col("eh"))
-    )
-    wf = Window.partitionBy("user_id").orderBy("eh").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    # the backward walk is a REVERSED running frame, not
-    # (0, unboundedFollowing): Spark evaluates growing-from-the-right
-    # frames by rescanning the tail per row — O(rows^2) per partition
-    # (measured 11s vs 4.6s for the forward leg at sf0.1) — while the
-    # descending running frame gets the incremental path
-    wr = Window.partitionBy("user_id").orderBy(F.col("eh").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    walked = masked.select(
+    led = obs.select(
         "user_id",
-        "eh",
-        "cents",
-        F.last("cents", ignorenulls=True).over(wf).alias("pv"),
-        F.last("obs_eh", ignorenulls=True).over(wf).alias("pt"),
-        F.last("cents", ignorenulls=True).over(wr).alias("nv"),
-        F.last("obs_eh", ignorenulls=True).over(wr).alias("nt"),
+        F.col("eh").alias("pt"),
+        F.col("cents").alias("pv"),
+        F.lead("eh").over(wl).alias("nt"),
+        F.lead("cents").over(wl).alias("nv"),
     )
     return (
-        walked.where(F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        led.select(
+            "user_id",
+            "pt",
+            "pv",
+            "nt",
+            "nv",
+            F.explode(
+                F.sequence(
+                    F.col("pt"), F.coalesce(F.col("nt") - 1, F.col("pt"))
+                )
+            ).alias("eh"),
+        )
         .selectExpr(
             "user_id",
             "CAST(eh AS BIGINT) AS epoch_hour",
-            """CAST(CASE WHEN cents IS NOT NULL THEN cents * 1000000
+            """CAST(CASE WHEN eh = pt THEN pv * 1000000
                     ELSE ((2 * ((pv * (nt - eh) + nv * (eh - pt)) * 1000000
                                 + (nt - pt) * 1000000000000)
                            + (nt - pt)) DIV (2 * (nt - pt))) - 1000000000000

@@ -1245,20 +1245,16 @@ ORDER BY cc_micro DESC, d.node LIMIT 20
 def q380(spark, sf_dir):
     """Top-20 local clustering coefficients over the co-purchase part
     graph (oracle comment)."""
-    from ..operators.triangles import triangle_list
+    from ..operators.triangles import cooccurrence_edges, triangle_list
 
     li = (
         load_tables(spark, sf_dir)["lineitem"]
         .where(F.col("l_partkey") % 2 == 0)
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
-        .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    # collect_set-per-order + codegen pair expansion (2 shuffles) in
+    # place of distinct -> self-join -> distinct (3): same edge set
+    e = cooccurrence_edges(li, "ok", "p")
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -2972,9 +2968,12 @@ def q400(spark, sf_dir):
     """BEGIN/DECLARE/WHILE compound statement doubling-searching the
     25%-coverage day count (oracle comment)."""
     load_tables(spark, sf_dir)
+    # The WHILE loop's scalar subqueries re-evaluate the view per SET;
+    # over a plain view that re-ran the orders aggregate + global
+    # window ~2+log2(k) times (guide §2.4). Pin the |days|-row ranked
+    # spine once — every loop iteration then scans ~2.4k in-memory rows.
     spark.sql(
         """
-        CREATE OR REPLACE TEMP VIEW q400_ranked AS
         SELECT cents,
                ROW_NUMBER() OVER (ORDER BY cents DESC, day) AS rnk,
                SUM(cents) OVER (ORDER BY cents DESC, day
@@ -2986,7 +2985,7 @@ def q400(spark, sf_dir):
             FROM orders GROUP BY o_orderdate
         )
         """
-    )
+    ).localCheckpoint(eager=False).createOrReplaceTempView("q400_ranked")
     return spark.sql(
         """
         BEGIN
@@ -3257,13 +3256,35 @@ def q405(spark, sf_dir):
     """Top-15 item-pair rules by lift, with confidence and leverage in
     exact micro units (oracle comment)."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")).distinct()
-    n = b.agg(F.countDistinct("ok").cast("bigint").alias("n"))
-    s1 = b.groupBy("item").agg(F.count("*").cast("bigint").alias("s"))
-    x = b.select(F.col("ok").alias("okx"), F.col("item").alias("a"))
-    y = b.select(F.col("ok").alias("oky"), F.col("item").alias("bb"))
+    # ONE map-side-combined collect_set per order (dedupes items like
+    # the former DISTINCT), pinned: the basket frame feeds n / s1 / the
+    # pair expansion — the former distinct b was re-derived per
+    # reference (4 lineitem scans) and the pair stage self-joined it
+    # (two more exchanges). Directed pairs expand per row via the
+    # codegen flatten/transform idiom (q299/q461); per-basket fan
+    # unchanged (<= 7 items/order).
+    sets = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .localCheckpoint(eager=False)
+    )
+    n = sets.agg(F.count("*").cast("bigint").alias("n"))
+    s1 = (
+        sets.select(F.explode("ps").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("s"))
+    )
     s2 = (
-        x.join(y, (F.col("okx") == F.col("oky")) & (F.col("a") != F.col("bb")))
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps,"
+                    " x -> transform(filter(ps, y -> y != x),"
+                    " y -> struct(x AS a, y AS bb))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.bb").alias("bb"))
         .groupBy("a", "bb")
         .agg(F.count("*").cast("bigint").alias("sab"))
         .where(F.col("sab") >= 40)
@@ -3575,20 +3596,16 @@ FROM w, tri
 def q408(spark, sf_dir):
     """Wedges, closed wedges, and global transitivity of the
     co-purchase graph (oracle comment)."""
-    from ..operators.triangles import triangle_count
+    from ..operators.triangles import cooccurrence_edges, triangle_count
 
     li = (
         load_tables(spark, sf_dir)["lineitem"]
         .where(F.col("l_partkey") % 2 == 0)
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
-        .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    # collect_set-per-order + codegen pair expansion (2 shuffles) in
+    # place of distinct -> self-join -> distinct (3): same edge set
+    e = cooccurrence_edges(li, "ok", "p")
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

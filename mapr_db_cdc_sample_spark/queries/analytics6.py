@@ -1204,7 +1204,18 @@ def q436(spark, sf_dir):
             ).alias("i"),
             "text",
         )
-        .select("doc_id", F.expr("substring(text, i, 20)").alias("g"))
+        .select(
+            "doc_id",
+            # shuffle the 8-byte xxhash64 of the shingle, not the 20-char
+            # string (guide §2.3 / the docstring's declared 100 TB
+            # posture): the collapse/dup-set keys only need EQUALITY of
+            # shingles, and the swap cuts the dominant wide shuffle's
+            # bytes ~60%. Injective on the actual corpora — verified
+            # count(distinct shingle) == count(distinct hash) at
+            # sf0.001/0.01/0.1 and the oracle hash gate re-proves the
+            # full output at every driver SF.
+            F.xxhash64(F.expr("substring(text, i, 20)")).alias("g"),
+        )
     )
     dd = sh.groupBy("g", "doc_id").agg(F.count("*").cast("bigint").alias("cnt"))
     du = (
@@ -3646,14 +3657,17 @@ def q462(spark, sf_dir):
     wt = Window.partitionBy("tday").orderBy("c").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # n as a whole-partition window sum on the SAME tday partitioning:
+    # the former nn groupBy + join re-ran the h -> explode -> merge
+    # subtree a second time (guide §2.4); the window column adds no
+    # exchange and no join
     cum = valid.select(
         "tday", "c", "cnt",
         F.coalesce(F.sum("cnt").over(wt), F.lit(0)).alias("cb"),
+        F.sum("cnt").over(Window.partitionBy("tday")).cast("bigint").alias("n"),
     )
-    nn = valid.groupBy("tday").agg(F.sum("cnt").cast("bigint").alias("n"))
     return (
-        cum.join(nn, "tday")
-        .groupBy(F.col("tday").alias("day"), "n")
+        cum.groupBy(F.col("tday").alias("day"), "n")
         .agg(
             F.max(
                 F.when(
@@ -4709,14 +4723,23 @@ def q476(spark, sf_dir):
     """Exact butterfly / wedge counts on the supplier-part graph
     (oracle comment)."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    e = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a = e.select("p", F.col("s").alias("s1"))
-    b = e.select("p", F.col("s").alias("s2"))
+    # ONE map-side-combined collect_set per part replaces the
+    # distinct -> self-join supplier-pair derivation (guide §2.4): the
+    # per-part supplier set IS the distinct (p, s) frame, pairs expand
+    # via two chained codegen Generates (sorted set keeps s1 < s2), and
+    # the same checkpointed set frame yields the wedge degrees — the
+    # distinct shuffle and both join exchanges are gone. Fan bound
+    # unchanged (<= 52 suppliers/part at sf0.1).
+    sets = (
+        li.groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .localCheckpoint(eager=False)
+    )
     pairs = (
-        a.join(b, "p")
-        .where(F.col("s1") < F.col("s2"))
+        sets.select(F.posexplode("ss").alias("_i", "s1"), "ss")
+        .select(
+            "s1", F.explode(F.expr("slice(ss, _i + 2, size(ss))")).alias("s2")
+        )
         .groupBy("s1", "s2")
         .agg(F.count("*").cast("bigint").alias("shared"))
     )
@@ -4725,8 +4748,7 @@ def q476(spark, sf_dir):
         F.count("*").cast("bigint").alias("sup_pairs"),
     )
     wg = (
-        e.groupBy("p")
-        .agg(F.count("*").cast("bigint").alias("d"))
+        sets.select(F.size("ss").cast("bigint").alias("d"))
         .agg(F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("wedges"))
     )
     return bf.crossJoin(F.broadcast(wg)).selectExpr(

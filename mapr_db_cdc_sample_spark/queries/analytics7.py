@@ -2944,38 +2944,30 @@ def q513(spark, sf_dir):
         F.sum("k").over(wg).alias("n"),
     )
     qs = spark.createDataFrame([(50,), (90,), (99,)], "q int")
-    pos = (
-        cum.select("grp", "n")
-        .distinct()
-        .crossJoin(F.broadcast(qs))
-        .select(
-            "grp",
-            "n",
-            "q",
-            F.expr("(n - 1) * q DIV 100").alias("lo"),
-            F.expr("(n - 1) * q % 100").alias("frac"),
+    # ONE pass picks both order statistics for all three quantiles: the
+    # former pos/vlo/vhi branch trio re-ran the lineitem x orders join +
+    # histogram + windows once per branch (guide §2.4 — three copies of
+    # the subtree in the plan); n is a per-row window column, so lo is
+    # computable per row after the 3-way broadcast cross, and vlo/vhi
+    # are filtered MINs of one grouped aggregate. frac re-derives from
+    # (n, q) in the final projection — identical integer arithmetic.
+    picks = (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn("lo", F.expr("(n - 1) * q DIV 100"))
+        .groupBy("grp", "q")
+        .agg(
+            F.max("n").alias("n"),
+            F.min(F.when(F.col("c") >= F.col("lo") + 1, F.col("d"))).alias("vlo"),
+            F.min(F.when(F.col("c") >= F.col("lo") + 2, F.col("d"))).alias("vhi"),
         )
     )
-    vlo = (
-        pos.join(cum.select("grp", "d", "c"), "grp")
-        .filter(F.col("c") >= F.col("lo") + 1)
-        .groupBy("grp", "q", "n", "frac", "lo")
-        .agg(F.min("d").alias("vlo"))
-    )
-    vhi = (
-        pos.join(cum.select("grp", F.col("d").alias("d2"), F.col("c").alias("c2")), "grp")
-        .filter(F.col("c2") >= F.col("lo") + 2)
-        .groupBy("grp", "q")
-        .agg(F.min("d2").alias("vhi"))
-    )
-    picks = vlo.join(vhi, ["grp", "q"], "left")
     return picks.select(
         "grp",
         F.col("q").cast("int").alias("q"),
         "n",
         F.expr(
-            "CAST(vlo * 1000 + (COALESCE(vhi, vlo) - vlo) * frac * 1000 DIV 100"
-            " AS BIGINT)"
+            "CAST(vlo * 1000 + (COALESCE(vhi, vlo) - vlo)"
+            " * ((n - 1) * q % 100) * 1000 DIV 100 AS BIGINT)"
         ).alias("latency_milli"),
     ).orderBy("grp", "q")
 
@@ -3091,56 +3083,50 @@ def q515(spark, sf_dir):
     )
     hist = v.groupBy("grp", "c").agg(F.count("*").cast("bigint").alias("k"))
     wg = Window.partitionBy("grp")
+    # n is a per-row window column and kcut a scalar function of it, so
+    # tsum/vlo/vhi are all aggregates over the SAME cum frame — the
+    # former kc/tr/vlo/vhi join chain re-ran the hist+window subtree
+    # once per branch (4 copies in the plan, guide §2.4); one grouped
+    # pass computes all three with zero joins. Values are identical:
+    # n (and hence kcut) is constant within a group.
     cum = hist.select(
         "grp",
         "c",
         "k",
         F.sum("k").over(wg.orderBy("c")).alias("cm"),
         F.sum("k").over(wg).alias("n"),
-    )
-    kc = cum.groupBy("grp").agg(
-        F.max("n").alias("n"), F.expr("MAX(n) * 5 DIV 100").alias("kcut")
-    )
-    tr = (
-        cum.join(kc.select("grp", F.col("n").alias("n2"), "kcut"), "grp")
-        .groupBy("grp", "n2", "kcut")
+    ).withColumn("kcut", F.expr("n * 5 DIV 100"))
+    return (
+        cum.groupBy("grp")
         .agg(
+            F.max("n").alias("n"),
+            F.max("kcut").alias("kcut"),
             F.sum(
                 F.expr(
-                    "c * GREATEST(0, LEAST(cm, n2 - kcut)"
+                    "c * GREATEST(0, LEAST(cm, n - kcut)"
                     " - GREATEST(cm - k + 1, kcut + 1) + 1)"
                 )
             )
             .cast("bigint")
-            .alias("tsum")
+            .alias("tsum"),
+            F.min(F.when(F.col("cm") >= F.col("kcut") + 1, F.col("c"))).alias(
+                "vlo"
+            ),
+            F.min(
+                F.when(F.col("cm") >= F.col("n") - F.col("kcut"), F.col("c"))
+            ).alias("vhi"),
         )
-    )
-    vlo = (
-        cum.join(kc.select("grp", "kcut"), "grp")
-        .filter(F.col("cm") >= F.col("kcut") + 1)
-        .groupBy("grp")
-        .agg(F.min("c").alias("vlo"))
-    )
-    vhi = (
-        cum.join(kc.select("grp", F.col("n").alias("n3"), "kcut"), "grp")
-        .filter(F.col("cm") >= F.col("n3") - F.col("kcut"))
-        .groupBy("grp")
-        .agg(F.min("c").alias("vhi"))
-    )
-    return (
-        tr.join(vlo, "grp")
-        .join(vhi, "grp")
         .select(
             "grp",
-            F.col("n2").alias("n"),
+            "n",
             "kcut",
             F.expr(
-                "CAST((2 * 1000 * tsum + (n2 - 2 * kcut))"
-                " DIV (2 * (n2 - 2 * kcut)) AS BIGINT)"
+                "CAST((2 * 1000 * tsum + (n - 2 * kcut))"
+                " DIV (2 * (n - 2 * kcut)) AS BIGINT)"
             ).alias("trimmed_mean_milli"),
             F.expr(
-                "CAST((2 * 1000 * (tsum + kcut * (vlo + vhi)) + n2)"
-                " DIV (2 * n2) AS BIGINT)"
+                "CAST((2 * 1000 * (tsum + kcut * (vlo + vhi)) + n)"
+                " DIV (2 * n) AS BIGINT)"
             ).alias("winsor_mean_milli"),
         )
         .orderBy("grp")
@@ -3216,7 +3202,14 @@ def q516(spark, sf_dir):
         .cast("bigint")
         .alias("c"),
     )
-    hist = v.groupBy("grp", "c").agg(F.count("*").cast("bigint").alias("k"))
+    # pinned: the histogram feeds the quartile windows AND the fence
+    # count join below — two references, each a full orders re-scan
+    # without the checkpoint (guide §2.4)
+    hist = (
+        v.groupBy("grp", "c")
+        .agg(F.count("*").cast("bigint").alias("k"))
+        .localCheckpoint(eager=False)
+    )
     wg = Window.partitionBy("grp")
     cum = hist.select(
         "grp",
@@ -3224,43 +3217,39 @@ def q516(spark, sf_dir):
         F.sum("k").over(wg.orderBy("c")).alias("cm"),
         F.sum("k").over(wg).alias("n"),
     )
-    pos = cum.select(
-        "grp",
-        "n",
-        F.expr("(n - 1) * 25 DIV 100").alias("lo1"),
-        F.expr("(n - 1) * 25 % 100").alias("f1"),
-        F.expr("(n - 1) * 75 DIV 100").alias("lo3"),
-        F.expr("(n - 1) * 75 % 100").alias("f3"),
-    ).distinct()
-
-    def pick(name, lo_col, off):
-        return (
-            pos.select("grp", lo_col)
-            .join(cum.select("grp", "c", "cm"), "grp")
-            .filter(F.col("cm") >= F.col(lo_col) + off)
-            .groupBy("grp")
-            .agg(F.min("c").alias(name))
-        )
-
+    # ONE grouped pass picks all four order statistics: the former
+    # pos + 4 pick() branches re-ran the histogram + window subtree per
+    # branch (5 copies in the plan, guide §2.4); n is a per-row window
+    # column, so both rank positions are computable per row and each
+    # statistic is a filtered MIN. f1/f3 re-derive from n in the final
+    # projection — identical integer arithmetic.
     qq = (
-        pos.join(pick("q1lo", "lo1", 1), "grp")
-        .join(pick("q1hi", "lo1", 2), "grp", "left")
-        .join(pick("q3lo", "lo3", 1), "grp")
-        .join(pick("q3hi", "lo3", 2), "grp", "left")
+        cum.withColumn("lo1", F.expr("(n - 1) * 25 DIV 100"))
+        .withColumn("lo3", F.expr("(n - 1) * 75 DIV 100"))
+        .groupBy("grp")
+        .agg(
+            F.max("n").alias("n"),
+            F.min(F.when(F.col("cm") >= F.col("lo1") + 1, F.col("c"))).alias("q1lo"),
+            F.min(F.when(F.col("cm") >= F.col("lo1") + 2, F.col("c"))).alias("q1hi"),
+            F.min(F.when(F.col("cm") >= F.col("lo3") + 1, F.col("c"))).alias("q3lo"),
+            F.min(F.when(F.col("cm") >= F.col("lo3") + 2, F.col("c"))).alias("q3hi"),
+        )
         .select(
             "grp",
             "n",
             F.expr(
-                "q1lo * 1000 + (COALESCE(q1hi, q1lo) - q1lo) * f1 * 1000 DIV 100"
+                "q1lo * 1000 + (COALESCE(q1hi, q1lo) - q1lo)"
+                " * ((n - 1) * 25 % 100) * 1000 DIV 100"
             ).alias("q1m"),
             F.expr(
-                "q3lo * 1000 + (COALESCE(q3hi, q3lo) - q3lo) * f3 * 1000 DIV 100"
+                "q3lo * 1000 + (COALESCE(q3hi, q3lo) - q3lo)"
+                " * ((n - 1) * 75 % 100) * 1000 DIV 100"
             ).alias("q3m"),
         )
     )
-    h = v.groupBy("grp", "c").agg(F.count("*").cast("bigint").alias("k2"))
+    h = hist.select("grp", "c", F.col("k").alias("k2"))
     return (
-        qq.join(h, "grp")
+        F.broadcast(qq).join(h, "grp")
         .groupBy("grp", "n", "q1m", "q3m")
         .agg(
             F.sum(

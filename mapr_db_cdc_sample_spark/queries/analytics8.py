@@ -701,7 +701,13 @@ def q546(spark, sf_dir):
         .cast("bigint")
         .alias("c"),
     )
-    hist = v.groupBy("g", "c").agg(F.count("*").cast("bigint").alias("k"))
+    # pinned: hist feeds vals/grps/grid/sizes — four references, each of
+    # which would re-run the orders scan + histogram (guide §2.4)
+    hist = (
+        v.groupBy("g", "c")
+        .agg(F.count("*").cast("bigint").alias("k"))
+        .localCheckpoint(eager=False)
+    )
     vals = hist.select("c").distinct()
     grps = hist.select("g").distinct()
     grid = (
@@ -2125,19 +2131,16 @@ def _part_graph(spark, sf_dir):
     """Canonical co-purchase part edges (u < v) + degree frame,
     localCheckpointed (the operators/triangles rule: graph algorithms
     pin their edge list or re-derive the join lineage per reference)."""
+    from ..operators.triangles import cooccurrence_edges
+
     li = (
         load_tables(spark, sf_dir)["lineitem"]
         .where(F.col("l_partkey") % 2 == 0)
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
-        .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # collect_set-per-order + codegen pair expansion (2 shuffles) in
+    # place of distinct -> self-join -> distinct (3): same edge set
+    e = cooccurrence_edges(li, "ok", "p").localCheckpoint(eager=False)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -3956,12 +3959,18 @@ def q580(spark, sf_dir):
     6N*(3N)^2 — tot = 3N, so kappa = (tot^2*(ss2-3N) - 6N*sum cj^2)
     / (6N*(tot^2 - sum cj^2))."""
     li = load_tables(spark, sf_dir)["lineitem"]
+    # the full3 "has >= 3 lines" gate is a whole-partition COUNT on the
+    # SAME l_orderkey partitioning the rank window already pays for
+    # (row_number assigns 1..n, so count(rk<=3 rows)=3 <=> n>=3): the
+    # former groupBy + self-join added an exchange and re-ran the
+    # window subtree (guide §2.4)
+    wo = Window.partitionBy("l_orderkey")
     ranked = li.select(
         F.col("l_orderkey").alias("ok"),
         F.col("l_returnflag").alias("cat"),
         F.row_number()
         .over(
-            Window.partitionBy("l_orderkey").orderBy(
+            wo.orderBy(
                 "l_linenumber",
                 "l_quantity",
                 (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
@@ -3971,15 +3980,16 @@ def q580(spark, sf_dir):
             )
         )
         .alias("rk"),
+        F.count("*").over(wo).alias("nl"),
     )
-    r3 = ranked.filter(F.col("rk") <= 3).select("ok", "cat")
-    full3 = r3.groupBy("ok").agg(F.count("*").alias("c3")).filter(
-        F.col("c3") == 3
-    )
+    # pinned: cellc feeds BOTH the per-item (pbar) and per-category
+    # (pe) aggregates — without the checkpoint the window subtree runs
+    # twice
     cellc = (
-        r3.join(full3.select("ok"), "ok")
+        ranked.filter((F.col("rk") <= 3) & (F.col("nl") >= 3))
         .groupBy("ok", "cat")
         .agg(F.count("*").cast("bigint").alias("nij"))
+        .localCheckpoint(eager=False)
     )
     pbar = cellc.groupBy("ok").agg(
         F.sum(F.col("nij") * F.col("nij")).cast("bigint").alias("s2")

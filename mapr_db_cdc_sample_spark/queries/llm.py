@@ -1803,11 +1803,11 @@ def q131(spark, sf_dir):
     from pyspark.ml.fpm import FPGrowth
 
     li = load_tables(spark, sf_dir)["lineitem"]
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("items"))
+    # collect_set dedups parts within the order itself — the former
+    # distinct() added a full (orderkey, partkey) shuffle for nothing
+    # (guide §2.4), and map-side partial collect_set combines besides
+    baskets = li.select("l_orderkey", "l_partkey").groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("items")
     )
     model = FPGrowth(
         itemsCol="items", minSupport=_FPM_MIN_SUPPORT, minConfidence=0.1

@@ -100,8 +100,15 @@ def q59(spark, sf_dir):
         )
 
     ev = load_tables(spark, sf_dir)["events"]
-    return ev.groupBy("user_id").applyInPandas(
-        per_user, "event_id bigint, user_id bigint, v_rel double, seq bigint"
+    # project BEFORE the grouped map (guide §4.1): applyInPandas ships
+    # every input column through Arrow, and the unused props JSON string
+    # is by far the widest column in events
+    return (
+        ev.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            per_user, "event_id bigint, user_id bigint, v_rel double, seq bigint"
+        )
     )
 
 

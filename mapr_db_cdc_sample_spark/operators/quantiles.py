@@ -46,9 +46,14 @@ def exact_ntile_counts(
     sc, lb, tb = F.col(score), F.col(label), F.col(tiebreak)
     order = sc.desc() if descending else sc.asc()
 
+    # pinned: hist feeds the cumulative window AND the grand totals —
+    # unpinned, the full input pass behind the groupBy runs twice. The
+    # INPUT itself stays unpinned: its two passes (histogram + boundary
+    # probe) are the declared design, and the probe pass is pre-filtered
+    # to <= n_tiles tie groups by the broadcast join (r12, guide §2.4).
     hist = scored.groupBy(score).agg(
         F.count("*").alias("gn"), F.sum(label).cast("bigint").alias("gpos")
-    )
+    ).localCheckpoint(eager=False)
     wd = Window.orderBy(order)
     cums = hist.select(
         score,
@@ -106,7 +111,10 @@ def exact_ntile_counts(
         "cum_pos_excl",
         "cum_sum_excl",
         (F.col("b") - F.col("cum_start") + 1).alias("k"),
-    )
+        # pinned: locate (<= n_tiles rows) feeds the probe broadcast AND
+        # the at_b join — unpinned, the |scores|-sized cumulative window
+        # subtree runs twice
+    ).localCheckpoint(eager=False)
     probe = scored.join(F.broadcast(locate.select("tile", score, "k")), score)
     rn = F.row_number().over(Window.partitionBy("tile").orderBy(tb.asc()))
     part = (

@@ -1023,6 +1023,11 @@ def q166(spark, sf_dir):
             qx.join(u, "vec_id")
             .groupBy("j")
             .agg(F.sum(F.col("qv_ij") * F.col("u")).cast("bigint").alias("w"))
+            # pinned: w (64 rows) feeds BOTH the norm aggregate and the
+            # re-quantized v — unpinned, the whole round's two matvec
+            # shuffles run twice, and the doubling compounds per round
+            # (guide §2.4; before-plan: 36 Exchanges, 56 scans of qx)
+            .localCheckpoint(eager=False)
         )
         wd = F.col("w").cast("decimal(19,0)")
         nrm = w.agg(

@@ -408,14 +408,15 @@ def _bfs_loop(edges, max_depth: int):
             edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
+        # lazy: materialized by the first level's frontier count below
+        .localCheckpoint(eager=False)
     )
     dist = (
         connected_components(edges)
         .select(F.col("component").alias("node"))
         .distinct()
         .select("node", F.lit(0).alias("hops"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = dist
     for depth in range(1, max_depth + 1):
@@ -425,7 +426,10 @@ def _bfs_loop(edges, max_depth: int):
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .select("node", F.lit(depth).alias("hops"))
-            .localCheckpoint()
+            # lazy: the count right below computes every partition of
+            # this level and persists the blocks — one job per level
+            # instead of a checkpoint job plus the count job
+            .localCheckpoint(eager=False)
         )
         if nxt.count() == 0:  # scalar driver action, bounded by diameter
             break

@@ -1389,7 +1389,14 @@ def q293(spark, sf_dir):
     comment)."""
     d = load_tables(spark, sf_dir)["documents"]
     tok = d.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
-    st = tok.groupBy("source", "term").agg(F.count("*").alias("c_st"))
+    # pinned: st feeds s, t, n AND the lift join — unpinned, the
+    # tokenize+explode pass runs four times (guide §2.4; before-plan: 9
+    # Exchanges)
+    st = (
+        tok.groupBy("source", "term")
+        .agg(F.count("*").alias("c_st"))
+        .localCheckpoint(eager=False)
+    )
     d38 = "decimal(38,0)"
     s = st.groupBy("source").agg(F.sum("c_st").cast(d38).alias("n_s"))
     t = st.groupBy("term").agg(F.sum("c_st").cast(d38).alias("c_t"))
@@ -1647,13 +1654,27 @@ def q297(spark, sf_dir):
     scoring the held-out 20% (oracle comment for the determinism
     scheme). Model table broadcast; scores are integer micro-logprobs."""
     d = load_tables(spark, sf_dir)["documents"]
-    tok = d.select("doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("term"))
+    # pinned: tok feeds the train split (ct + voc) AND the held-out tf —
+    # unpinned, the CPU-heavy tokenize+explode pass runs four times; ct,
+    # voc and priors are each referenced twice downstream (guide §2.4;
+    # before-plan: 16 Exchanges, and q345 held ~5 copies of this whole
+    # subtree before its own pin)
+    tok = d.select(
+        "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).localCheckpoint(eager=False)
     train = tok.where(F.col("doc_id") % 5 != 0)
-    ct = train.groupBy("lang", "term").agg(F.count("*").alias("c"))
+    ct = (
+        train.groupBy("lang", "term")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     tot = ct.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tot"))
-    voc = train.agg(F.countDistinct("term").alias("v"))
+    voc = train.agg(F.countDistinct("term").alias("v")).localCheckpoint(eager=False)
     priors = (
-        d.where(F.col("doc_id") % 5 != 0).groupBy("lang").agg(F.count("*").alias("n_docs"))
+        d.where(F.col("doc_id") % 5 != 0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .localCheckpoint(eager=False)
     )
     ntr = priors.agg(F.sum("n_docs").cast("bigint").alias("n_train"))
     micro = lambda x: F.round(F.log(x) * 1000000).cast("bigint")  # noqa: E731
@@ -2748,10 +2769,18 @@ FROM moms
 def q312(spark, sf_dir):
     """Tie-aware Spearman rho from value histograms (oracle comment)."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    pairs = li.groupBy(
-        F.col("l_quantity").cast("bigint").alias("q"),
-        F.round(F.col("l_discount").cast("double") * 100).cast("bigint").alias("d"),
-    ).agg(F.count("*").alias("cnt"))
+    # pinned: pairs (|qty|×|disc| ≈ 550 rows) feeds n, both rank
+    # histograms AND the moment join — unpinned, the lineitem
+    # scan+groupBy runs four times (guide §2.4; before-plan: 13
+    # Exchanges)
+    pairs = (
+        li.groupBy(
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.round(F.col("l_discount").cast("double") * 100).cast("bigint").alias("d"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     n = pairs.agg(F.sum("cnt").cast("bigint").alias("n"))
 
     def ranks(col):
@@ -3450,7 +3479,14 @@ def q322(spark, sf_dir):
     comment)."""
     d = load_tables(spark, sf_dir)["documents"]
     tok = d.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
-    st = tok.groupBy("source", "term").agg(F.count("*").alias("c_st"))
+    # pinned: st feeds the source totals, term totals, grand total AND
+    # the contribution join — unpinned, the tokenize+explode pass runs
+    # four times (guide §2.4; before-plan: 9 Exchanges)
+    st = (
+        tok.groupBy("source", "term")
+        .agg(F.count("*").alias("c_st"))
+        .localCheckpoint(eager=False)
+    )
     s = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
     t = st.groupBy("term").agg(F.sum("c_st").cast("bigint").alias("c_t"))
     n = st.agg(F.sum("c_st").cast("bigint").alias("big_n"))
@@ -3533,9 +3569,13 @@ def q323(spark, sf_dir):
     """Split-conformal interval for the lag-7 forecast with held-out
     coverage (oracle comment)."""
     daily = _daily_cents(spark, sf_dir)
+    # pinned: idx feeds nn AND both sides of the lag-7 join; split feeds
+    # the calibration AND test halves — unpinned, the daily aggregate +
+    # global window run up to five times (guide §2.4; before-plan: 12
+    # Exchanges)
     idx = daily.select(
         "day", "cents", F.row_number().over(Window.orderBy("day")).alias("rn")
-    )
+    ).localCheckpoint(eager=False)
     nn = idx.agg(F.count("*").alias("n"))
     pred = (
         idx.alias("a")
@@ -3545,8 +3585,10 @@ def q323(spark, sf_dir):
             F.abs(F.col("a.cents") - F.col("b.cents")).alias("resid"),
         )
     )
-    split = pred.crossJoin(F.broadcast(nn)).withColumn(
-        "cut", F.expr("7 + ((n - 7) * 7) DIV 10")
+    split = (
+        pred.crossJoin(F.broadcast(nn))
+        .withColumn("cut", F.expr("7 + ((n - 7) * 7) DIV 10"))
+        .localCheckpoint(eager=False)
     )
     wcal = Window.orderBy("resid", "rn")
     calib = (

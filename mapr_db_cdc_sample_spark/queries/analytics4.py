@@ -906,15 +906,26 @@ ORDER BY month
 def q341(spark, sf_dir):
     """Growth-accounting triad per month (oracle comment)."""
     ev = load_tables(spark, sf_dir)["events"]
-    um = ev.select(
-        "user_id", F.date_format("ts", "yyyy-MM").alias("m")
-    ).distinct()
+    # pinned: um feeds the month spine AND the labeled frame, months
+    # feeds labeled AND the final re-attach, labeled feeds both sides of
+    # the full-outer lag join — unpinned, the events distinct runs four
+    # times (guide §2.4; before-plan: 12 Exchanges)
+    um = (
+        ev.select("user_id", F.date_format("ts", "yyyy-MM").alias("m"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     months = (
         um.select("m")
         .distinct()
         .select("m", F.row_number().over(Window.orderBy("m")).alias("mi"))
+        .localCheckpoint(eager=False)
     )
-    labeled = um.join(F.broadcast(months), "m").select("user_id", "mi")
+    labeled = (
+        um.join(F.broadcast(months), "m")
+        .select("user_id", "mi")
+        .localCheckpoint(eager=False)
+    )
     c, p = labeled.alias("c"), labeled.alias("p")
     pairs = (
         c.join(
@@ -1202,7 +1213,15 @@ def q345(spark, sf_dir):
     from .analytics3 import q297
 
     nb = q297(spark, sf_dir)
-    conf = nb.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("c"))
+    # pinned: conf (|langs|² rows) feeds FIVE consumers (nn, diag, rows_,
+    # cols_ and through them pe) — without the checkpoint each one re-runs
+    # the whole q297 classifier subtree (guide §2.4; the before-plan held
+    # 69 Exchanges, ~5 copies of the 16-Exchange NB pipeline)
+    conf = (
+        nb.groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     d38 = "decimal(38,0)"
     nn = conf.agg(F.sum("c").cast(d38).alias("n"))
     diag = conf.agg(
@@ -1894,8 +1913,12 @@ def q355(spark, sf_dir):
             F.count("*").cast("bigint").alias("n_events"),
         )
 
-    a = sessionize(ev.where(F.col("ts") < cut))
-    b = sessionize(ev.where(F.col("ts") >= cut))
+    # pinned: a and b each feed the boundary pick AND the kept anti-join
+    # (unpinned, each chunk's events scan + two windows + groupBy runs
+    # twice), and merged feeds three consumers (guide §2.4; before-plan:
+    # 13 Exchanges, 19 Sorts)
+    a = sessionize(ev.where(F.col("ts") < cut)).localCheckpoint(eager=False)
+    b = sessionize(ev.where(F.col("ts") >= cut)).localCheckpoint(eager=False)
     wa = Window.partitionBy("user_id").orderBy(F.col("session_start").desc())
     wb = Window.partitionBy("user_id").orderBy("session_start")
     last_a = a.withColumn("rn", F.row_number().over(wa)).where(F.col("rn") == 1).drop("rn")
@@ -1916,6 +1939,7 @@ def q355(spark, sf_dir):
             F.col("y.session_end").alias("session_end"),
             (F.col("x.n_events") + F.col("y.n_events")).alias("n_events"),
         )
+        .localCheckpoint(eager=False)
     )
     a_kept = a.join(
         merged.select("user_id", F.col("sid_a").alias("sid")), ["user_id", "sid"], "left_anti"

@@ -546,7 +546,14 @@ def q372(spark, sf_dir):
     cur = o.where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")).select(
         price.alias("price")
     )
-    hist = ref.groupBy("price").agg(F.count("*").alias("n"))
+    # pinned: hist feeds the cumulative windows AND nref (nr == Σn of the
+    # histogram — one orders scan instead of two); edges/rbin/cbin below
+    # are pinned because each is referenced twice and would otherwise
+    # re-run its full orders-scan subtree per reference (guide §2.4;
+    # before-plan: 19 Exchanges)
+    hist = (
+        ref.groupBy("price").agg(F.count("*").alias("n")).localCheckpoint(eager=False)
+    )
     wcum = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, 0)
     wbef = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
     cumh = hist.select(
@@ -554,7 +561,7 @@ def q372(spark, sf_dir):
         F.sum("n").over(wcum).alias("cum"),
         F.coalesce(F.sum("n").over(wbef), F.lit(0)).alias("cum_before"),
     )
-    nref = ref.agg(F.count("*").cast("bigint").alias("nr"))
+    nref = hist.agg(F.sum("n").cast("bigint").alias("nr"))
     ranks = (
         spark.range(1, 10)
         .withColumnRenamed("id", "k")
@@ -569,6 +576,7 @@ def q372(spark, sf_dir):
         .select(F.col("price").alias("e"))
         .distinct()
         .agg(F.sort_array(F.collect_list("e")).alias("edges"))
+        .localCheckpoint(eager=False)
     )
     bin_of = F.lit(1) + F.size(
         F.filter(F.col("edges"), lambda e: e < F.col("price"))
@@ -577,11 +585,13 @@ def q372(spark, sf_dir):
         ref.crossJoin(F.broadcast(edges))
         .groupBy(bin_of.alias("bin"))
         .agg(F.count("*").cast("bigint").alias("c_ref"))
+        .localCheckpoint(eager=False)
     )
     cbin = (
         cur.crossJoin(F.broadcast(edges))
         .groupBy(bin_of.alias("bin"))
         .agg(F.count("*").cast("bigint").alias("c_cur"))
+        .localCheckpoint(eager=False)
     )
     tots = rbin.agg(F.sum("c_ref").cast("bigint").alias("nr")).crossJoin(
         cbin.agg(F.sum("c_cur").cast("bigint").alias("nc"))
@@ -1586,10 +1596,19 @@ def q385(spark, sf_dir):
     """BH step-up at FDR 0.10 over five md5-permutation p-values
     (oracle comment)."""
     ev = load_tables(spark, sf_dir)["events"]
-    per = ev.groupBy("event_type", "user_id").agg(
-        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("cents")
+    # pinned: per feeds the observed split AND the 60-permutation
+    # expansion — unpinned, the events scan+aggregate runs twice; ranked
+    # below is pinned because the BH cut AND the final projection would
+    # otherwise each re-run the whole permutation subtree (guide §2.4;
+    # before-plan: 12 Exchanges)
+    per = (
+        ev.groupBy("event_type", "user_id")
+        .agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
     )
     d38 = "decimal(38,0)"
 
@@ -1663,7 +1682,7 @@ def q385(spark, sf_dir):
         "event_type",
         "n_extreme",
         F.row_number().over(Window.orderBy("n_extreme", "event_type")).alias("i"),
-    )
+    ).localCheckpoint(eager=False)
     cut = ranked.agg(
         F.coalesce(
             F.max(F.when(50 * (F.col("n_extreme") + 1) <= 61 * F.col("i"), F.col("i"))),
@@ -2143,7 +2162,10 @@ FROM flags
 def q390(spark, sf_dir):
     """Agreement matrix of 3-sigma / MAD / Tukey outlier rules on daily
     revenue, all flags exact integer predicates (oracle comment)."""
-    daily = _daily_cents(spark, sf_dir)
+    # pinned: daily (|days| rows) feeds FIVE consumers (nn, m, hist,
+    # devh, flags) — unpinned, each re-runs the lineitem×orders daily
+    # aggregate (guide §2.4; before-plan: 29 Exchanges)
+    daily = _daily_cents(spark, sf_dir).localCheckpoint(eager=False)
     d38 = "decimal(38,0)"
     nn = daily.agg(F.count("*").cast("bigint").alias("n"))
     m = daily.agg(
@@ -2877,7 +2899,14 @@ def q399(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    # pinned: tf feeds df, nn AND the weight join — unpinned, the
+    # CPU-heavy tokenize+explode pass re-runs per reference (guide §2.4;
+    # before-plan: 23 Exchanges)
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     nn = tf.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
     d38 = "decimal(38,0)"
@@ -2894,6 +2923,8 @@ def q399(spark, sf_dir):
                 ).cast("bigint")
             ).alias("w"),
         )
+        # pinned: w feeds norms AND both sides of the term self-join
+        .localCheckpoint(eager=False)
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w").cast(d38) * F.col("w")).cast(d38).alias("nrm")
@@ -3498,8 +3529,16 @@ def q407(spark, sf_dir):
             .cast("bigint")
             .alias("cents")
         )
+        # pinned: spend feeds hist AND the seg projection — unpinned,
+        # each re-runs the orders scan+aggregate (guide §2.4;
+        # before-plan: 16 Exchanges)
+        .localCheckpoint(eager=False)
     )
-    hist = spend.groupBy("yr", "cents").agg(F.count("*").alias("c"))
+    hist = (
+        spend.groupBy("yr", "cents")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # feeds the windows AND nn
+    )
     wc = Window.partitionBy("yr").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -3512,7 +3551,8 @@ def q407(spark, sf_dir):
         F.sum("c").over(wc).alias("cum"),
         F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cb"),
     )
-    nn = spend.groupBy("yr").agg(F.count("*").cast("bigint").alias("n"))
+    # n per year == Σc of that year's histogram — no extra spend pass
+    nn = hist.groupBy("yr").agg(F.sum("c").cast("bigint").alias("n"))
     ranks = nn.crossJoin(
         F.broadcast(spark.range(1, 4).select(F.col("id").alias("k")))
     ).select(
@@ -3539,12 +3579,16 @@ def q407(spark, sf_dir):
             + F.size(F.filter(F.col("edges"), lambda e: e < F.col("cents")))
         ).alias("seg"),
     )
-    a = seg.where("yr = 1997").select("cust", F.col("seg").alias("seg_1997"))
-    b = seg.where("yr = 1998").select(
-        F.col("cust").alias("cb_"), F.col("seg").alias("seg_1998")
-    )
+    # spend is grouped by (cust, yr), so each customer has at most one
+    # seg per year: the 1997×1998 self-join is a single groupBy pivot —
+    # one shuffle of seg instead of two join sides re-running it
     return (
-        a.join(b, F.col("cust") == F.col("cb_"))
+        seg.groupBy("cust")
+        .agg(
+            F.max(F.when(F.col("yr") == 1997, F.col("seg"))).alias("seg_1997"),
+            F.max(F.when(F.col("yr") == 1998, F.col("seg"))).alias("seg_1998"),
+        )
+        .where(F.col("seg_1997").isNotNull() & F.col("seg_1998").isNotNull())
         .groupBy("seg_1997", "seg_1998")
         .agg(F.count("*").cast("bigint").alias("n_customers"))
         .selectExpr(

@@ -618,12 +618,22 @@ def q429(spark, sf_dir):
     the probe side: two of a key's 3 hashes can collide on one
     position."""
     d = load_tables(spark, sf_dir)["documents"]
-    members = d.where(F.col("source") == "src0").select(F.md5("text").alias("k")).distinct()
+    # pinned: members feeds the probe anti-join, the bit positions AND
+    # its count; probes feeds the fp positions AND its count; bits feeds
+    # the fp join AND its count — unpinned, each documents scan+distinct
+    # re-ran per reference (guide §2.4; before-plan: 13 Exchanges)
+    members = (
+        d.where(F.col("source") == "src0")
+        .select(F.md5("text").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     probes = (
         d.where(F.col("source") == "src1")
         .select(F.md5("text").alias("k"))
         .distinct()
         .join(members, "k", "left_anti")
+        .localCheckpoint(eager=False)
     )
     three = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i")
 
@@ -644,7 +654,7 @@ def q429(spark, sf_dir):
             ).alias("pos"),
         )
 
-    bits = positions(members).select("pos").distinct()
+    bits = positions(members).select("pos").distinct().localCheckpoint(eager=False)
     fp = (
         positions(probes)
         .join(bits, "pos")
@@ -1090,6 +1100,11 @@ def q435(spark, sf_dir):
         )
         .groupBy("grp", "mon")
         .agg(F.count("*").cast("bigint").alias("x"))
+        # pinned: m (|grp|×|months| rows) feeds both pair sides, the
+        # tie histogram AND the group sizes — unpinned, the orders
+        # scan+aggregate runs four times (guide §2.4; before-plan: 9
+        # Exchanges)
+        .localCheckpoint(eager=False)
     )
     a = m.select(
         F.col("grp"), F.col("mon").alias("mon_a"), F.col("x").alias("xa")
@@ -1290,7 +1305,14 @@ def q437(spark, sf_dir):
         F.year("o_orderdate").cast("bigint").alias("yr"),
         F.col("o_orderstatus").alias("st"),
     )
-    cls = b.groupBy("pri", "yr", "st").agg(F.count("*").cast("bigint").alias("c"))
+    # pinned: cls feeds class sizes, the global status marginals AND the
+    # grid left-join — unpinned, the orders scan+aggregate runs three
+    # times (guide §2.4; before-plan: 9 Exchanges)
+    cls = (
+        b.groupBy("pri", "yr", "st")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     csz = cls.groupBy("pri", "yr").agg(F.sum("c").cast("bigint").alias("n"))
     glob = cls.groupBy("st").agg(F.sum("c").cast("bigint").alias("g"))
     tot = glob.agg(F.sum("g").cast("bigint").alias("big"))
@@ -1944,11 +1966,15 @@ def q445(spark, sf_dir):
         F.col("tile").alias("bin"), "n", "pos"
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # pinned: cum is 10 rows but feeds FOUR consumers (j, k, b and the
+    # final join) — without the checkpoint each one re-runs the whole
+    # events-scan ntile subtree (guide §2.4; before-plan: 43 Exchanges,
+    # ~4 copies of the exact_ntile_counts pipeline)
     cum = t.select(
         "bin", "n", "pos",
         F.sum("n").over(w).alias("cn"),
         F.sum("pos").over(w).alias("cp"),
-    )
+    ).localCheckpoint(eager=False)
     j = cum.select(
         F.col("bin").alias("j"), F.col("n").alias("jn"),
         F.col("pos").alias("jpos"), F.col("cn").alias("jcn"),
@@ -2872,7 +2898,15 @@ def q454(spark, sf_dir):
         .alias("treat"),
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
     )
-    h = v.groupBy("treat", "c").agg(F.count("*").cast("bigint").alias("cnt"))
+    # pinned: h feeds the cumulative window AND the group sizes; pick
+    # below feeds both decile sides — unpinned, the orders scan+groupBy
+    # (and the grid join) each run twice (guide §2.4; before-plan: 9
+    # Exchanges)
+    h = (
+        v.groupBy("treat", "c")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     wt = Window.partitionBy("treat").orderBy("c").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -2898,6 +2932,7 @@ def q454(spark, sf_dir):
                 )
             ).alias("qv")
         )
+        .localCheckpoint(eager=False)
     )
     a = pick.where(F.col("treat") == 1).select("d", F.col("qv").alias("v_treat"))
     b = pick.where(F.col("treat") == 0).select("d", F.col("qv").alias("v_ctrl"))
@@ -4551,12 +4586,19 @@ def q474(spark, sf_dir):
         F.year("o_orderdate").cast("bigint").alias("b"),
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
     )
-    cells = v.groupBy("a", "b").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("c").cast("bigint").alias("s"),
-        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
-        .cast("decimal(38,0)")
-        .alias("q"),
+    # pinned: the cell moments feed both marginal ssq passes AND the
+    # total aggregate — unpinned, the orders scan+aggregate runs three
+    # times (guide §2.4; before-plan: 9 Exchanges)
+    cells = (
+        v.groupBy("a", "b")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("s"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("q"),
+        )
+        .localCheckpoint(eager=False)
     )
 
     def ssq(df, key):
@@ -4797,9 +4839,16 @@ FROM terms
 def q477(spark, sf_dir):
     """G statistic in per-cell-rounded micro units (oracle comment)."""
     o = load_tables(spark, sf_dir)["orders"]
-    cells = o.groupBy(
-        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
-    ).agg(F.count("*").cast("bigint").alias("n"))
+    # pinned: the contingency cells feed ra, cb, nn, dfc AND the terms
+    # join — unpinned, the orders scan+aggregate runs five times
+    # (guide §2.4; before-plan: 10 Exchanges)
+    cells = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     ra = cells.groupBy("a").agg(F.sum("n").cast("bigint").alias("r"))
     cb = cells.groupBy("b").agg(F.sum("n").cast("bigint").alias("c"))
     nn = cells.agg(F.sum("n").cast("bigint").alias("big"))

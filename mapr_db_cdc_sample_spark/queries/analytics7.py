@@ -232,6 +232,10 @@ def q481(spark, sf_dir):
             .cast("bigint")
             .alias("aj"),
         )
+        # pinned: g (|groups| rows) feeds tot AND the final projection —
+        # unpinned, the orders scan + median-broadcast aggregate run
+        # twice (guide §2.4)
+        .localCheckpoint(eager=False)
     )
     tot = g.agg(
         F.sum("nj").cast("bigint").alias("n"), F.sum("aj").cast("bigint").alias("a")
@@ -784,12 +788,22 @@ def q487(spark, sf_dir):
         )
         .agg(F.count("*").cast("bigint").alias("w"))
     )
+    # both orientations from ONE pass: exploding a 2-element struct
+    # array references dirw once, where the former self-union re-ran the
+    # orders×lineitem join aggregate per side (guide §2.4; before-plan:
+    # 10 Exchanges). Same multiset as unionByName(swapped).
     sym = (
-        dirw.unionByName(
-            dirw.select(
-                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
-            )
+        dirw.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b"), F.col("w")),
+                    F.struct(
+                        F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+                    ),
+                )
+            ).alias("x")
         )
+        .select("x.a", "x.b", "x.w")
         .groupBy("a", "b")
         .agg(F.sum("w").cast("bigint").alias("s"))
     )
@@ -803,10 +817,13 @@ def q487(spark, sf_dir):
         .cast("bigint")
         .alias("win2"),
     )
-    tot = com.agg(F.sum("vol").cast("bigint").alias("w2"))
     d38 = "DECIMAL(38,0)"
+    # w2 as a whole-frame window over the |regions|-row com frame — the
+    # former 1-row aggregate + crossJoin re-ran the whole subtree as a
+    # second reference
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        com.crossJoin(F.broadcast(tot))
+        com.withColumn("w2", F.sum("vol").over(wall).cast("bigint"))
         .select(
             F.col("c").cast("bigint").alias("region"),
             F.expr("CAST(win2 DIV 2 AS BIGINT)").alias("w_in"),
@@ -2178,12 +2195,22 @@ def q504(spark, sf_dir):
     d = daily.select(
         F.unix_date(F.col("day").cast("date")).cast("bigint").alias("ed"), "cents"
     )
+    # pinned: wk feeds the completeness filter AND the ranked join, and
+    # full_weeks feeds that join AND the block count — unpinned, the
+    # daily-revenue aggregate runs three times (guide §2.4; before-plan:
+    # 9 Exchanges)
     wk = d.select(
         F.expr("ed DIV 7").alias("week"),
         F.pmod(F.col("ed"), F.lit(7)).cast("int").alias("dow7"),
         "cents",
+    ).localCheckpoint(eager=False)
+    full_weeks = (
+        wk.groupBy("week")
+        .count()
+        .filter(F.col("count") == 7)
+        .select("week")
+        .localCheckpoint(eager=False)
     )
-    full_weeks = wk.groupBy("week").count().filter(F.col("count") == 7).select("week")
     ranked = wk.join(full_weeks, "week").select(
         "week",
         "dow7",
@@ -2705,7 +2732,11 @@ def q510(spark, sf_dir):
                 F.sum(F.col(f"f{i}") * F.col("y")).cast("bigint").alias(f"x{i}"),
             )
         ],
-    )
+        # pinned: the 1-row moment frame feeds the five per-feature
+        # union branches — unpinned, the events scan + per-user
+        # aggregate run five times (guide §2.4; before-plan: 10
+        # Exchanges)
+    ).localCheckpoint(eager=False)
     names = {
         1: "f1_clicks",
         2: "f2_views",
@@ -3927,11 +3958,18 @@ def q525(spark, sf_dir):
     """Upper-tail dependence of daily (revenue, volume) (oracle
     comment)."""
     o = load_tables(spark, sf_dir)["orders"]
-    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("x"),
-        F.count("*").cast("bigint").alias("y"),
+    # pinned: daily feeds n, both q95 rank windows AND the exceedance
+    # aggregate — unpinned, the orders scan+aggregate runs four times
+    # (guide §2.4; before-plan: 20 Exchanges)
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x"),
+            F.count("*").cast("bigint").alias("y"),
+        )
+        .localCheckpoint(eager=False)
     )
     n = daily.agg(F.count("*").cast("bigint").alias("n"))
 
@@ -4051,6 +4089,10 @@ def q526(spark, sf_dir):
         )
         .groupBy("source", "w")
         .agg(F.count("*").cast("bigint").alias("c"))
+        # pinned: uni feeds stot, top AND the f left-join — unpinned,
+        # the tokenize+explode pass runs three times (guide §2.4;
+        # before-plan: 16 Exchanges)
+        .localCheckpoint(eager=False)
     )
     stot = uni.groupBy("source").agg(F.sum("c").cast("bigint").alias("tok"))
     top = (
@@ -4071,6 +4113,8 @@ def q526(spark, sf_dir):
                 " AS BIGINT)"
             ).alias("fm"),
         )
+        # pinned: f (|sources|×20 rows) feeds wstat AND both pair sides
+        .localCheckpoint(eager=False)
     )
     d38 = "DECIMAL(38,0)"
     wstat = f.groupBy("w").agg(
@@ -5073,9 +5117,16 @@ def q537(spark, sf_dir):
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
         )
     )
-    strata = ev.groupBy("source", "dow7").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("conv").cast("bigint").alias("c"),
+    # pinned: strata (|sources|×7 rows) feeds the weekday weights AND
+    # the standardized terms — unpinned, the events cohort-join
+    # aggregate runs twice (guide §2.4; before-plan: 11 Exchanges)
+    strata = (
+        ev.groupBy("source", "dow7")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("conv").cast("bigint").alias("c"),
+        )
+        .localCheckpoint(eager=False)
     )
     std = strata.groupBy("dow7").agg(F.sum("n").cast("bigint").alias("w"))
     wtot = std.agg(F.sum("w").cast("bigint").alias("tw"))
@@ -5145,12 +5196,19 @@ def q538(spark, sf_dir):
     """Kupiec proportion-of-failures LR for the 5% historical VaR
     (oracle comment)."""
     daily = _daily_cents(spark, sf_dir)
+    # pinned: idx feeds both sides of the lag join (unpinned, the daily
+    # aggregate + global window run twice); chg feeds cnt, ranked AND
+    # the breach count (guide §2.4; before-plan: 24 Exchanges, 14 Sorts)
     idx = daily.select(
         "cents", F.row_number().over(Window.orderBy("day")).alias("rn")
-    )
+    ).localCheckpoint(eager=False)
     a = idx.select(F.col("cents").alias("xa"), "rn")
     b = idx.select(F.col("cents").alias("xb"), (F.col("rn") - 1).alias("rn"))
-    chg = a.join(b, "rn").select((F.col("xb") - F.col("xa")).alias("d"))
+    chg = (
+        a.join(b, "rn")
+        .select((F.col("xb") - F.col("xa")).alias("d"))
+        .localCheckpoint(eager=False)
+    )
     cnt = chg.agg(F.count("*").cast("bigint").alias("n"))
     ranked = chg.select(
         "d", F.row_number().over(Window.orderBy("d")).alias("rk")

@@ -3082,8 +3082,14 @@ JOIN (SELECT i, j, cu FROM cov WHERE g = 1) b ON a.i = b.i AND a.j = b.j
 def q571(spark, sf_dir):
     """Integer-quantized covariance cells -> exact Frobenius^2 CORAL
     (oracle comment)."""
-    cells = _emb_cells(spark, sf_dir).withColumn(
-        "g", F.when(F.col("label") < 5, 0).otherwise(1)
+    # pinned: cells feeds ns AND the per-dim sums; sums feeds both
+    # covariance sides; cov feeds both domain halves of the Frobenius
+    # diff — unpinned, each re-ran its subtree per reference (guide
+    # §2.4; before-plan: 13 Exchanges)
+    cells = (
+        _emb_cells(spark, sf_dir)
+        .withColumn("g", F.when(F.col("label") < 5, 0).otherwise(1))
+        .localCheckpoint(eager=False)
     )
     mom = _emb_moments(
         _emb_quant(spark, sf_dir).withColumn(
@@ -3099,7 +3105,7 @@ def q571(spark, sf_dir):
     )
     sums = cells.groupBy("g", "i").agg(
         F.sum("xu").cast("decimal(38,0)").alias("si")
-    )
+    ).localCheckpoint(eager=False)
     su = sums.select("g", F.col("i"), F.col("si"))
     sv = sums.select(
         F.col("g").alias("g2"), F.col("i").alias("jj"), F.col("si").alias("sj")
@@ -3118,6 +3124,7 @@ def q571(spark, sf_dir):
                 " 2 * n * n)) DIV (2 * n * n) AS BIGINT)"
             ).alias("cu"),
         )
+        .localCheckpoint(eager=False)
     )
     a = cov.filter(F.col("g") == 0).select("i", "j", F.col("cu").alias("ca"))
     b = cov.filter(F.col("g") == 1).select("i", "j", F.col("cu").alias("cb"))
@@ -3342,8 +3349,16 @@ _CENT_CTE = _EMB_CELLS_CTE + """
 
 
 def _centroid_frames(spark, sf_dir):
-    """(cells, cen, scat) mirroring _CENT_CTE on the Spark side."""
-    cells = _emb_cells(spark, sf_dir)
+    """(cells, cen, scat) mirroring _CENT_CTE on the Spark side.
+
+    All three frames are pinned (lazy localCheckpoint): cells feeds the
+    centroid sums AND the scatter join (plus q575's global sums), cen
+    feeds the scatter join AND both centroid-gap sides (q574) / the
+    global-centroid join (q575), scat feeds both R_ij sides / the
+    totals — unpinned, the embedding explode and centroid aggregates
+    each re-ran per reference (guide §2.4; q574/q575 before-plans: 11
+    Exchanges each)."""
+    cells = _emb_cells(spark, sf_dir).localCheckpoint(eager=False)
     sums = cells.groupBy(F.col("label").alias("g"), "i").agg(
         F.sum("xu").cast("bigint").alias("si"),
         F.count("*").cast("bigint").alias("n"),
@@ -3355,7 +3370,7 @@ def _centroid_frames(spark, sf_dir):
             "CAST((2 * si + n - PMOD(2 * si + n, 2 * n)) DIV (2 * n)"
             " AS BIGINT)"
         ).alias("cm"),
-    )
+    ).localCheckpoint(eager=False)
     d2 = (
         cells.join(
             F.broadcast(cen),
@@ -3375,7 +3390,7 @@ def _centroid_frames(spark, sf_dir):
             "CAST((2 * CAST(SUM(d2) AS DECIMAL(38,0)) + COUNT(*))"
             " DIV (2 * COUNT(*)) AS BIGINT)"
         ).alias("s2"),
-    )
+    ).localCheckpoint(eager=False)
     return cells, cen, scat
 
 
@@ -3771,9 +3786,16 @@ def q578(spark, sf_dir):
         .alias("d"),
         F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
     )
-    cnt = dur.groupBy("d", "grp").agg(
-        F.count("*").cast("bigint").alias("n_all"),
-        F.sum("ev").cast("bigint").alias("n_ev"),
+    # pinned: cnt feeds the day spine, the group spine AND the dense
+    # left-join — unpinned, the per-user survival aggregate runs three
+    # times (guide §2.4; before-plan: 12 Exchanges)
+    cnt = (
+        dur.groupBy("d", "grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_all"),
+            F.sum("ev").cast("bigint").alias("n_ev"),
+        )
+        .localCheckpoint(eager=False)
     )
     dense = (
         cnt.select("d")
@@ -4582,10 +4604,14 @@ def q587(spark, sf_dir):
     e = load_tables(spark, sf_dir)["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select("event_type", F.lead("event_type").over(w).alias("nxt"))
+    # pinned: tc (|types|² rows) feeds rows_, tot AND the cond join —
+    # unpinned, the per-user lead() window over events runs three times
+    # (guide §2.4; before-plan: 16 Exchanges)
     tc = (
         seq.filter(F.col("nxt").isNotNull())
         .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
         .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
     )
     rows_ = tc.groupBy("a").agg(F.sum("c").cast("bigint").alias("r"))
     tot = tc.agg(F.sum("c").cast("bigint").alias("t"))
@@ -4701,6 +4727,10 @@ def q588(spark, sf_dir):
             .cast("bigint")
             .alias("y")
         )
+        # pinned: cy feeds tot, the global term AND the nation groups —
+        # unpinned, the orders×customer aggregate runs three times
+        # (guide §2.4; before-plan: 11 Exchanges)
+        .localCheckpoint(eager=False)
     )
     tot = cy.agg(
         F.count("*").cast("bigint").alias("n"),

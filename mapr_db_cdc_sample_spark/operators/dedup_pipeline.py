@@ -104,10 +104,7 @@ def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    # Lazy checkpoint: cut the LSH/verify lineage out of the loop without
-    # paying a dedicated materialization job — the init labels' seed-sum
-    # collect below computes every partition and persists the blocks.
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.localCheckpoint()  # cut the LSH/verify lineage out of the loop
     # Seed labels with min(self, neighbors) instead of self: the same
     # one-shuffle cost as the former distinct() (groupBy src), but
     # star/clique clusters — the typical dup-cluster shape — are already
@@ -120,7 +117,7 @@ def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
         .select(
             "doc_id", F.least(F.col("doc_id"), F.col("nmin")).alias("component")
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     # Labels only ever decrease (least/min everywhere), so sum(component)
     # strictly decreases iff any label moved — convergence is one cheap
@@ -153,13 +150,9 @@ def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
                 "doc_id",
                 F.coalesce(F.col("c_comp"), F.col("component")).alias("component"),
             )
-            # Lazy checkpoint keeps every iteration's plan O(1) deep (the
-            # frame becomes a LogicalRDD either way) but defers the
-            # materialization into the convergence-sum collect right
-            # below — one job per iteration instead of two. The sum is a
-            # full aggregate, so every partition is computed and every
-            # block persisted before the next iteration's joins read it.
-            .localCheckpoint(eager=False)
+            # eager checkpoint: keeps every iteration's plan O(1) deep —
+            # without it analysis cost grows with the iteration count
+            .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:

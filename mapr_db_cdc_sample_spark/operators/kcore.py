@@ -65,21 +65,14 @@ def k_core(
     the shuffle path instead.
     """
     e = edges.select("a", "b").localCheckpoint()
-    # deg/removed/delta below are lazy checkpoints: each one's blocks are
-    # materialized by the scalar .count() that immediately follows it (a
-    # count computes every partition), so lineage is cut at the same
-    # points as before but without a dedicated materialization job —
-    # 6 -> 3 jobs per delta round (r12, guide §1.2/§5).
-    deg = _degrees(e).localCheckpoint(eager=False)
+    deg = _degrees(e).localCheckpoint()
     for _ in range(max_rounds):
-        removed = deg.where(F.col("d") < k).select("node").localCheckpoint(eager=False)
+        removed = deg.where(F.col("d") < k).select("node")
         r = removed.count()  # bounded driver action: one scalar per round
         if r == 0:
             break
         if r <= broadcast_cap:
-            # removed's blocks are already persisted by the count above,
-            # so the broadcast build reads them instead of re-filtering
-            rem = F.broadcast(removed)
+            rem = F.broadcast(removed.localCheckpoint())
             rem_a = rem.withColumnRenamed("node", "a")
             rem_b = rem.withColumnRenamed("node", "b")
             # degree deltas for SURVIVING endpoints of lost edges: an
@@ -94,7 +87,7 @@ def k_core(
                 lost_a.unionAll(lost_b)
                 .groupBy("node")
                 .agg(F.count("*").alias("dd"))
-                .localCheckpoint(eager=False)  # materialized by the count below
+                .localCheckpoint()
             )
             if delta.count() <= broadcast_cap:
                 e = (
@@ -109,8 +102,7 @@ def k_core(
                         "node",
                         (F.col("d") - F.coalesce(F.col("dd"), F.lit(0))).alias("d"),
                     )
-                    # lazy: next round's removed.count() scans all of deg
-                    .localCheckpoint(eager=False)
+                    .localCheckpoint()
                 )
                 continue
         # shuffle path: a mass-peel round (or a removed hub with more
@@ -123,7 +115,7 @@ def k_core(
             .select("a", "b")
             .localCheckpoint()
         )
-        deg = _degrees(e).localCheckpoint(eager=False)
+        deg = _degrees(e).localCheckpoint()
     return (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))

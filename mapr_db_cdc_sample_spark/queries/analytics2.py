@@ -408,15 +408,14 @@ def _bfs_loop(edges, max_depth: int):
             edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
-        # lazy: materialized by the first level's frontier count below
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     dist = (
         connected_components(edges)
         .select(F.col("component").alias("node"))
         .distinct()
         .select("node", F.lit(0).alias("hops"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     frontier = dist
     for depth in range(1, max_depth + 1):
@@ -426,10 +425,7 @@ def _bfs_loop(edges, max_depth: int):
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .select("node", F.lit(depth).alias("hops"))
-            # lazy: the count right below computes every partition of
-            # this level and persists the blocks — one job per level
-            # instead of a checkpoint job plus the count job
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         if nxt.count() == 0:  # scalar driver action, bounded by diameter
             break

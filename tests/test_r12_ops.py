@@ -54,42 +54,3 @@ def test_cooccurrence_pairs_per_group_multiset(spark):
     assert len(pairs) == 2 + 6
     assert all(u < v for u, v in pairs)
 
-
-def _jobs_in_group(sc, group, fn):
-    sc.setJobGroup(group, group)
-    try:
-        return fn(), len(sc.statusTracker().getJobIdsForGroup(group))
-    finally:
-        sc.setJobGroup("", "")
-
-
-def test_cc_loop_folds_checkpoint_into_convergence_collect(spark):
-    """The CC loop's per-iteration localCheckpoint is LAZY: the
-    convergence-sum collect materializes the blocks in the same job, so
-    a 40-hop chain (~7 pointer-doubling iterations) runs one job per
-    iteration plus init — measured 43 jobs vs 50 with eager checkpoints
-    (r12; the bound sits between the two with slack for AQE drift)."""
-    from mapr_db_cdc_sample_spark.operators.dedup_pipeline import connected_components
-
-    edges = spark.createDataFrame([(i, i + 1) for i in range(40)], ["doc_a", "doc_b"])
-    labels, n_jobs = _jobs_in_group(
-        spark.sparkContext, "cc-jobcount", lambda: connected_components(edges).collect()
-    )
-    assert {r.component for r in labels} == {0} and len(labels) == 41
-    assert n_jobs <= 47, f"CC loop regressed to eager-checkpoint job counts: {n_jobs}"
-
-
-def test_kcore_loop_folds_checkpoints_into_round_counts(spark):
-    """k_core's removed/delta/deg checkpoints are lazy (materialized by
-    the adjacent scalar counts): triangle+pendant 2-core measured 26
-    jobs vs 33 with eager checkpoints (r12)."""
-    from mapr_db_cdc_sample_spark.operators.kcore import k_core
-
-    ke = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["a", "b"])
-    res, n_jobs = _jobs_in_group(
-        spark.sparkContext,
-        "kcore-jobcount",
-        lambda: sorted((r.node, r.core_degree) for r in k_core(ke, 2).collect()),
-    )
-    assert res == [(1, 2), (2, 2), (3, 2)]
-    assert n_jobs <= 29, f"k_core loop regressed to eager-checkpoint job counts: {n_jobs}"

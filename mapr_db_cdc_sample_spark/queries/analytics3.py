@@ -1300,7 +1300,14 @@ def q292(spark, sf_dir):
     # positive shift — the shift needed DECIMAL(38,0) operands, which
     # kept the 2.9M-pair stage out of cheap codegen arithmetic (measured
     # 3.9s -> 0.5s for the pair+slope stage at sf0.01)
-    p = a.join(b, F.col("ib") > F.col("ia")).select(
+    # the |days|-row streamed side is ONE partition (it exits a global
+    # row_number window), so the nested-loop pair expansion — and with
+    # it the slope pin below and every scan of it — ran single-task;
+    # round-robin it across the cores and pin the broadcast side so the
+    # quadratic expansion parallelizes (guide §2.6: the BNLJ task was
+    # the straggler holding 31 cores idle)
+    a = a.repartition(spark.sparkContext.defaultParallelism)
+    p = a.join(F.broadcast(b), F.col("ib") > F.col("ia")).select(
         (F.col("cb") - F.col("ca")).alias("dc"),
         (F.col("ib") - F.col("ia")).alias("di"),
     )
@@ -1312,28 +1319,90 @@ def q292(spark, sf_dir):
     )
     # exact floor-interpolated median WITHOUT `percentile` (which
     # single-threads a 2.9M-value sort-merge on the driver side and
-    # dominated the query at ~10s of 13s): two-pass order statistics
-    # over the slope histogram (q447 recipe) — the only single-partition
-    # window runs over DISTINCT slopes, and lo/hi ranks come from two
-    # filtered MIN aggregates. floor((lo+hi)/2) uses a positive shift
-    # (slopes are signed; Spark DIV truncates toward zero, not floor).
-    hist = s.groupBy("slope_micro").agg(F.count("*").cast("bigint").alias("k"))
+    # dominated the query at ~10s of 13s) and WITHOUT the r11 slope
+    # histogram (slopes are micro-precision and ~ALL DISTINCT — measured
+    # 2,890,779 distinct of 2,890,810 pairs at sf0.1 — so groupBy(slope)
+    # compressed nothing: the hash aggregate + the single-partition
+    # cumulative sort of 2.9M rows were the whole residual, 5.4s vs the
+    # 0.7s pair stage). r12 session 3: DISTRIBUTED exact selection —
+    # range-partition the pinned slope column into count-balanced
+    # partitions (sampling-based boundaries; equal-WIDTH bucketing was
+    # tried first and measured useless — the slope distribution is so
+    # peaked that one 2^40-wide bucket held 2.37M of the 2.9M rows),
+    # take per-PARTITION counts (a P-row frame) to find which partition
+    # holds each target rank, and sort only that partition's ~n/P rows.
+    # Partition boundaries vary with the sampling, but the rank
+    # arithmetic below is exact for ANY boundaries, so the output is
+    # deterministic. The single-partition pieces are now P rows and one
+    # ~n/P-row slice (guide §2.3/§5: no single-task sort may scale with
+    # the quadratic pair volume).
+    s_ck = s.localCheckpoint()  # one barrier; the range sampling pass,
+    # the range shuffle and the target-slice scan all read its blocks
+    P = spark.sparkContext.defaultParallelism
+    rp = (
+        s_ck.repartitionByRange(P, "slope_micro")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # counts pass + target scan share
+        # the shuffled layout (and the pid column must be computed once:
+        # a re-run could legally renumber partitions)
+    )
+    pc = rp.groupBy("pid").agg(F.count("*").cast("bigint").alias("k"))
     wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cum = hist.select(
-        "slope_micro",
-        F.sum("k").over(Window.orderBy("slope_micro")).alias("cm"),
+    cumb = pc.select(
+        "pid",
+        "k",
+        F.sum("k").over(Window.orderBy("pid")).alias("cm"),
         F.sum("k").over(wall).alias("n"),
     )
-    # ONE aggregate picks both order statistics and n — a filtered-MIN
-    # per rank; three separate branches would re-run the 2.9M-pair build
-    # per branch (measured: 30s vs ~6s at sf0.01)
-    picks = cum.agg(
+    # ONE aggregate picks, per target rank, the partition holding it AND
+    # the cumulative count BEFORE it (struct min orders by the leading
+    # pid); the residual rank inside the partition is rank - cprev.
+    tgt = cumb.agg(
         F.max("n").cast("bigint").alias("n_pairs"),
         F.min(
-            F.when(F.col("cm") >= F.expr("(n + 1) DIV 2"), F.col("slope_micro"))
+            F.when(
+                F.col("cm") >= F.expr("(n + 1) DIV 2"),
+                F.struct(F.col("pid"), (F.col("cm") - F.col("k")).alias("cprev")),
+            )
+        ).alias("tlo"),
+        F.min(
+            F.when(
+                F.col("cm") >= F.expr("n DIV 2 + 1"),
+                F.struct(F.col("pid"), (F.col("cm") - F.col("k")).alias("cprev")),
+            )
+        ).alias("thi"),
+    )
+    # within the (at most two) target partitions, the exact pick is a
+    # cumulative count over ~n/P rows — duplicates handled exactly as
+    # the r11 histogram form did, by >= on the RANGE-frame cumulative
+    inb = rp.crossJoin(F.broadcast(tgt)).where(
+        (F.col("pid") == F.col("tlo.pid")) | (F.col("pid") == F.col("thi.pid"))
+    )
+    cumv = inb.select(
+        "slope_micro",
+        "n_pairs",
+        "tlo",
+        "thi",
+        F.sum(F.lit(1))
+        .over(Window.partitionBy("pid").orderBy("slope_micro"))
+        .alias("cm"),
+        F.col("pid").alias("vp"),
+    )
+    picks = cumv.agg(
+        F.max("n_pairs").alias("n_pairs"),
+        F.min(
+            F.when(
+                (F.col("vp") == F.col("tlo.pid"))
+                & (F.col("cm") >= F.expr("(n_pairs + 1) DIV 2") - F.col("tlo.cprev")),
+                F.col("slope_micro"),
+            )
         ).alias("vlo"),
         F.min(
-            F.when(F.col("cm") >= F.expr("n DIV 2 + 1"), F.col("slope_micro"))
+            F.when(
+                (F.col("vp") == F.col("thi.pid"))
+                & (F.col("cm") >= F.expr("n_pairs DIV 2 + 1") - F.col("thi.cprev")),
+                F.col("slope_micro"),
+            )
         ).alias("vhi"),
     )
     return picks.select(

@@ -1873,27 +1873,38 @@ def q298(spark, sf_dir):
         .select(F.col("u").alias("a"), F.col("v").alias("b"))
         .localCheckpoint(eager=False)
     )
+    # r12 session 3 (guide §2.4 — the decade cost was NOT the wedges,
+    # which number only 2.5M at sf1, but the adjacency machinery:
+    # adj⋈deg was two 24M-row exchanges + SMJ sorts, and the wedge
+    # self-join + anti-join added two more sort-heavy joins; measured
+    # stage-wise at sf1: z build 23.5 s of the 29 s total). One
+    # collect_set shuffle builds the per-node neighbor SET; degree is
+    # size(nb), the hub cap is a filter, the per-mid reciprocal is
+    # computed ONCE per node, and the wedge pairs expand codegen-side
+    # (the cooccurrence_pairs idiom — nb is sorted, so a < b is free).
+    # The only remaining wide ops: the ns collect_set, the 2.5M-row
+    # wedge aggregate, and a shuffled-HASH anti-join against the pinned
+    # edge frame (no 12M-row sort). Warm back-to-back at sf1:
+    # 16.6 s -> 4.9 s, rows identical.
     adj = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
         e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
     )
-    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
-    z = adj.join(deg, "node").where(F.col("d") <= 64).select(
-        F.col("node").alias("mid"), "nbr", "d"
-    )
-    w = (
-        z.alias("p")
-        .join(
-            z.alias("q"),
-            (F.col("p.mid") == F.col("q.mid")) & (F.col("p.nbr") < F.col("q.nbr")),
+    ns = adj.groupBy("node").agg(F.sort_array(F.collect_set("nbr")).alias("nb"))
+    wz = (
+        ns.where(F.size("nb") <= 64)
+        .select(
+            F.expr("(2 * 1000000 + size(nb)) DIV (2 * size(nb))").alias("r"),
+            F.posexplode("nb").alias("_i", "a"),
+            "nb",
         )
-        .select(F.col("p.nbr").alias("a"), F.col("q.nbr").alias("b"), F.col("p.d").alias("d"))
+        .select("r", "a", F.explode(F.expr("slice(nb, _i + 2, size(nb))")).alias("b"))
     )
-    s = w.groupBy("a", "b").agg(
-        F.sum(F.expr("(2 * 1000000 + d) DIV (2 * d)")).cast("bigint").alias("ra_micro"),
+    s = wz.groupBy("a", "b").agg(
+        F.sum("r").cast("bigint").alias("ra_micro"),
         F.count("*").cast("bigint").alias("common_n"),
     )
     return (
-        s.join(e, ["a", "b"], "left_anti")
+        s.join(e.hint("shuffle_hash"), ["a", "b"], "left_anti")
         .select("a", "b", "common_n", "ra_micro")
         .orderBy(F.col("ra_micro").desc(), "a", "b")
         .limit(30)

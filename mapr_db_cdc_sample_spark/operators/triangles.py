@@ -61,8 +61,19 @@ def _oriented(e: DataFrame):
     Spark re-derives the caller's full edge lineage per reference (a
     measured 8× recompute, 112 aggregates in the q229 plan). Graph
     algorithms pin their edge list; same rule as
-    operators/dedup_pipeline.py."""
-    e = e.localCheckpoint(eager=False)
+    operators/dedup_pipeline.py.
+
+    Both pins are EAGER (r12 session 3): a lazy pin referenced by
+    several stages of ONE action lets concurrent stages race to compute
+    the blocks, re-running the subtree per racer — the documented
+    lpa/q461 rule, re-measured here at sf1: q564 19.9/12.4 s lazy vs
+    11.1/10.8 s eager back-to-back, and the racing spikes (26 s runs)
+    disappear. The orientation joins take SHUFFLE_HASH builds of the
+    |V|-row keyed frame, and _closed_wedges hash-builds eo for its
+    closing semi-join — at sf1 the wedge stream is 50.5M rows and the
+    sort-merge sort of it was the residual cost (guide §3.1; measured
+    with both hint sets + eager pins: 5.8-12.1 s vs 15.5-19.4 s)."""
+    e = e.localCheckpoint()
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -88,7 +99,7 @@ def _oriented(e: DataFrame):
     )
     keyed = deg.select(
         "node", (F.col("deg") * _ID_SPACE + F.col("node") + guard).alias("okey")
-    )
+    ).hint("shuffle_hash")
     eo = (
         e.join(keyed.withColumnRenamed("node", "u").withColumnRenamed("okey", "ku"), "u")
         .join(keyed.withColumnRenamed("node", "v").withColumnRenamed("okey", "kv"), "v")
@@ -98,7 +109,7 @@ def _oriented(e: DataFrame):
             F.greatest("ku", "kv").alias("kdst"),
         )
     )
-    eo = eo.localCheckpoint(eager=False)
+    eo = eo.localCheckpoint()
     return e, eo
 
 
@@ -115,7 +126,8 @@ def _closed_wedges(eo: DataFrame) -> DataFrame:
         F.col("y.dst").alias("w_dst"),
     )
     return wedges.join(
-        eo.select(F.col("src").alias("w_src"), F.col("dst").alias("w_dst")),
+        eo.select(F.col("src").alias("w_src"), F.col("dst").alias("w_dst"))
+        .hint("shuffle_hash"),
         ["w_src", "w_dst"],
         "left_semi",
     ).select("a", F.col("w_src").alias("b"), F.col("w_dst").alias("c"))

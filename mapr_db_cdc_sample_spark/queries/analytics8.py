@@ -2411,15 +2411,26 @@ def q564(spark, sf_dir):
     tri = triangle_list(e)
     # triangle_list orders corners by the (deg, id) orientation, NOT by
     # id — canonicalize each exploded edge back to u < v or the join
-    # against the canonical edge frame drops it
-    edges3 = (
-        tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        .unionAll(tri.select(F.col("a").alias("x"), F.col("c").alias("y")))
-        .unionAll(tri.select(F.col("b").alias("x"), F.col("c").alias("y")))
-        .select(
-            F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
-        )
-    )
+    # against the canonical edge frame drops it. ONE explode of a
+    # 3-struct array (the q487 idiom), not a 3-way union: the union
+    # referenced tri three times and re-ran the whole wedge semi-join
+    # per branch (guide §2.4; measured at sf1: 9.1 s for tri alone vs
+    # 25.7 s with the union on top — the subtree tripled)
+    edges3 = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+                ),
+                F.struct(
+                    F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+                ),
+                F.struct(
+                    F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
+                ),
+            )
+        ).alias("uv")
+    ).select("uv.u", "uv.v")
     supp = edges3.groupBy("u", "v").agg(
         F.count("*").cast("bigint").alias("support")
     )

@@ -1871,7 +1871,10 @@ def q298(spark, sf_dir):
             li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
         )
         .select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .localCheckpoint(eager=False)
+        # EAGER: e feeds both union branches of the adjacency AND the
+        # anti-join — concurrent map stages raced to materialize the
+        # lazy pin (sf1 A/B: eager 7.2/7.3 s vs lazy 8.8/16.7 s)
+        .localCheckpoint()
     )
     # r12 session 3 (guide §2.4 — the decade cost was NOT the wedges,
     # which number only 2.5M at sf1, but the adjacency machinery:

@@ -4775,7 +4775,12 @@ def q476(spark, sf_dir):
     sets = (
         li.groupBy(F.col("l_partkey").alias("p"))
         .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
-        .localCheckpoint(eager=False)
+        # EAGER: referenced by the 87M-row pair expansion AND the wedge
+        # aggregate inside one action — the lazy pin let their stages
+        # race to compute the blocks (sf1 A/B: 8.75 s lazy / 7.33 s
+        # eager; a packed single-bigint pair key was also tried and
+        # measured flat, 7.30 vs 7.75 — the two-column hash agg is fine)
+        .localCheckpoint()
     )
     pairs = (
         sets.select(F.posexplode("ss").alias("_i", "s1"), "ss")

@@ -2140,7 +2140,10 @@ def _part_graph(spark, sf_dir):
     )
     # collect_set-per-order + codegen pair expansion (2 shuffles) in
     # place of distinct -> self-join -> distinct (3): same edge set
-    e = cooccurrence_edges(li, "ok", "p").localCheckpoint(eager=False)
+    # EAGER (r12 session 3): e feeds both union branches of deg and the
+    # per-query edge joins — concurrent stages raced on the lazy pin
+    # (the triangles-operator measurement; same shape here)
+    e = cooccurrence_edges(li, "ok", "p").localCheckpoint()
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

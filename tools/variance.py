@@ -75,8 +75,18 @@ def main() -> None:
         "q112_salted_join", "q83_kmeans", "q276_pca_explained",
         "q461_rwr_proximity",
     ]
+    # round-12 session-3 adjudication subset: the rewrite-affected
+    # operators + q461 (VERDICT r11 task 2's median criterion)
+    r12 = [
+        "q292_theil_sen", "q298_link_prediction", "q229_triangle_count",
+        "q380_clustering_coefficient", "q408_triad_census",
+        "q564_truss_support", "q476_butterfly_count",
+        "q461_rwr_proximity", "q320_label_propagation",
+        "q280_semantic_dedup", "q436_substring_dup_profile",
+        "q215_srp_lsh_cosine",
+    ]
     names = {"common30": COMMON30, "heavy": HEAVY_TAIL,
-             "all": COMMON30 + HEAVY_TAIL, "r11": r11}[which]
+             "all": COMMON30 + HEAVY_TAIL, "r11": r11, "r12": r12}[which]
     registry = load_all()
 
     per_pass: dict[str, list[float]] = {n: [] for n in names}

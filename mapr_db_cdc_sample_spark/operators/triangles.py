@@ -116,7 +116,10 @@ def _oriented(e: DataFrame):
 def _closed_wedges(eo: DataFrame) -> DataFrame:
     """(a, b, c) per triangle, exactly once: a = the wedge source (the
     triangle's lowest (deg, id) corner), (b, c) its oriented endpoints."""
-    x, y = eo.alias("x"), eo.alias("y")
+    # hash-build the y side: the SMJ form sorted the checkpointed edge
+    # frame by src on BOTH legs before producing the wedge stream
+    # (back-to-back tri-count at sf1: SMJ 12.7/14.8 s vs SHJ 5.9/9.7 s)
+    x, y = eo.alias("x"), eo.hint("shuffle_hash").alias("y")
     wedges = x.join(
         y,
         (F.col("x.src") == F.col("y.src")) & (F.col("x.kdst") < F.col("y.kdst")),

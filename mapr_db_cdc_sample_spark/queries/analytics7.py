@@ -2915,6 +2915,12 @@ def q512(spark, sf_dir):
 # (n-1)*q/100 positional split, and the house floor-truncated linear
 # interpolation in integer MILLI-DAYS. The quantile literals join in;
 # every pick is MIN-over-threshold on the cumulative frame.
+# NOTE (r13): emitted columns that flow from a DuckDB window SUM(BIGINT)
+# must be CAST AS BIGINT — a window sum is HUGEINT, which is numerically
+# equal (so the repo's Python-equality compare passes) but materializes
+# as a different type under the driver's hash (CORRECTNESS_r12 flagged
+# exactly the three quantile-family oracles emitting uncast n/kcut:
+# q513/q515/q516). tests/test_oracle_types.py pins the whole registry.
 _LATQ_ORACLE = """
 WITH lat AS (
     SELECT o.o_orderpriority AS grp,
@@ -2942,7 +2948,7 @@ WITH lat AS (
             WHERE c3.grp = p.grp AND c3.c >= p.lo + 2) AS vhi
     FROM pos p
 )
-SELECT grp, CAST(q AS INT) AS q, n,
+SELECT grp, CAST(q AS INT) AS q, CAST(n AS BIGINT) AS n,
        CAST(vlo * 1000 + (COALESCE(vhi, vlo) - vlo) * frac * 1000 // 100
             AS BIGINT) AS latency_milli
 FROM picks ORDER BY grp, q
@@ -3092,7 +3098,7 @@ WITH v AS (
             WHERE c3.grp = kc.grp AND c3.cm >= kc.n - kc.kcut) AS vhi
     FROM kc
 )
-SELECT tr.grp, tr.n, tr.kcut,
+SELECT tr.grp, CAST(tr.n AS BIGINT) AS n, CAST(tr.kcut AS BIGINT) AS kcut,
        CAST((2 * 1000 * tr.tsum + (tr.n - 2 * tr.kcut))
             // (2 * (tr.n - 2 * tr.kcut)) AS BIGINT) AS trimmed_mean_milli,
        CAST((2 * 1000 * (tr.tsum + tr.kcut * (cl.vlo + cl.vhi)) + tr.n)
@@ -3207,7 +3213,7 @@ WITH v AS MATERIALIZED (
                AS q3m
     FROM qv
 )
-SELECT qq.grp, qq.n,
+SELECT qq.grp, CAST(qq.n AS BIGINT) AS n,
        CAST(qq.q1m AS BIGINT) AS q1_milli, CAST(qq.q3m AS BIGINT) AS q3_milli,
        CAST(SUM(CASE WHEN 2000 * h.c * h.k2 > 0
                      AND 2000 * h.c < 5 * qq.q1m - 3 * qq.q3m

@@ -56,7 +56,7 @@ def main() -> int:
     spark = get_spark("profile")
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
-    plans_dir = os.path.join(REPO, "plans", "r12")
+    plans_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_ROUND", "r13"))
     os.makedirs(plans_dir, exist_ok=True)
 
     # warm the session once (JIT, parquet footers)
